@@ -1,0 +1,208 @@
+"""Text deduplication at training-data scale.
+
+Four tiers, cheapest-first (the order a 100 TB pipeline actually runs them):
+
+1. **Exact** — md5 of normalized text, keep-first. One shuffle on a 128-bit
+   key; no skew (hash keys are uniform).
+2. **SimHash** — 64-bit near-dup fingerprint; equal fingerprints (or banded
+   prefixes) are candidates. One groupBy on a long.
+3. **MinHash + LSH** — shingle → k min-hashes → b bands; docs sharing a band
+   bucket are candidates; verify candidates with exact Jaccard. The
+   band-bucket join replaces the O(n²) all-pairs similarity join.
+4. **Embedding cosine** — see ext/similarity.py.
+
+Everything is built-in functions + higher-order array ops: no Python UDFs,
+no driver-side collection, all joins on hashed (uniform) keys. The reference
+has only tier 1's semantics (SURVEY §2.4 A1-A3); tiers 2-4 are the
+driver-mandated north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+from ..functions.text import shingles, tokens
+from ..operators.dedup import dedupe_keep_first
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tier 1: exact-content dedup, deterministic keep-first (min id).
+
+    Hash first so the shuffle key is 32 hex chars, not the document body —
+    at 100 TB you never shuffle full text to compare it.
+    """
+    hashed = df.withColumn("__h", F.md5(F.col(text_col)))
+    return dedupe_keep_first(hashed, ["__h"], order_by=[id_col]).drop("__h")
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """Tier 2: 64-bit SimHash over whitespace tokens.
+
+    Per token: a stable 64-bit hash (md5-derived, cross-engine reproducible);
+    per bit: +1 if set else -1, summed over tokens; fingerprint bit = sign.
+    Implemented with higher-order functions entirely JVM-side: for each of 64
+    bit positions, count tokens with that bit set vs total.
+    """
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"))
+    n = F.size(hashes)
+    # bit i of fingerprint = 1 iff (#tokens with bit i set) * 2 > n.
+    # 2^i via pow: powers of two are exact in double up to 2^59, and
+    # shiftleft() needs a literal int, not a Column.
+    bit_terms = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),  # 15 hex digits = 60 usable bits
+        lambda i: F.when(
+            F.size(
+                F.filter(
+                    hashes,
+                    lambda h: h.bitwiseAND(F.pow(F.lit(2.0), i).cast("bigint")) != 0,
+                )
+            )
+            * 2
+            > n,
+            F.pow(F.lit(2.0), i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    fp = F.aggregate(bit_terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return df.withColumn(out_col, fp)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 5,
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """Tier 3a: MinHash signature (array<bigint> of length ``num_hashes``)
+    per document over word-``shingle_n``-gram shingles → (id_col, sig_col).
+
+    h_i(doc) = min over shingles of hash64(shingle, seed=i). Seeded hashes
+    come from md5(shingle || ':' || i) so they are reproducible outside
+    Spark bit-for-bit.
+
+    Shape matters here: shingles are EXPLODED to rows, hashed once per
+    (shingle, seed) as plain columns, then min-aggregated per doc. The
+    tempting all-in-one nested higher-order-function expression re-evaluates
+    the normalize/tokenize/shingle subtree once per seed per row (Catalyst
+    collapses projections, so even a withColumn doesn't materialize it) —
+    measured ~50× slower. The explode form also scales: one uniform shuffle
+    on id_col, partial min aggregation map-side.
+    """
+    sh = df.select(
+        id_col,
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), n=shingle_n))
+        ).alias("__s"),
+    )
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        id_col,
+        F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias(sig_col),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Tier 3b: LSH banding → candidate near-dup pairs (id_a < id_b).
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band's bucket key become a candidate pair. The
+    explode-groupBy-join runs on banded hash keys (uniform distribution →
+    no skew) and never compares documents pairwise outside a bucket —
+    this is what makes near-dup dedup feasible at 100 TB.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        "-",
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Tier 3c: exact n-gram Jaccard on candidate pairs only.
+
+    Joins shingle *sets* (array_distinct) onto each side — candidates are a
+    tiny fraction of the corpus, so shipping two shingle arrays per pair is
+    cheap. Jaccard via array_intersect/array_union sizes, JVM-side.
+    """
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

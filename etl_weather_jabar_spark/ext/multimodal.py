@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The container has no codec libraries, so the decode kernels are STUBS —
+`_decode_image_stub` raises unless `fake=True`, in which case a
+deterministic fake (seeded from the content hash) stands in. What IS real
+and tested: the schema, the Arrow-batched ``mapInPandas`` plumbing, the
+batch shapes, and the partitioning strategy — which is the part that has to
+be right at 100 TB (binary payloads never shuffle unless the operator needs
+them; metadata-only stages prune the blob column).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata travels beside the opaque payload; metadata-only queries
+# never deserialize (or even read) the blob column thanks to Parquet column
+# pruning.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("feat_dim", IntegerType(), False),
+        StructField("feat_norm", StringType(), False),  # hex digest of features
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes, fake: bool) -> list[float]:
+    """Decode stub. Real impl would use PIL/libvips (not in this container).
+
+    With ``fake=True``: deterministic 8-dim pseudo-feature derived from the
+    content digest, so tests exercise the full Arrow round-trip with stable
+    outputs.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/libvips — not available in this container"
+        )
+    digest = hashlib.md5(payload or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(
+    media: DataFrame, fake_decode: bool = True, batch_hint: int = 256
+) -> DataFrame:
+    """Decode + featurize via ``mapInPandas`` (Arrow-batched, executor-side).
+
+    Scale notes: input should be partitioned so each task holds ~128 MB of
+    payloads (``spark.sql.files.maxPartitionBytes``); the UDF streams batches
+    (never materializes a partition); output drops the payload column so
+    downstream stages shuffle only features.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_stub(p, fake_decode) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feat_dim": [len(f) for f in feats],
+                    "feat_norm": [
+                        hashlib.md5(str([round(x, 6) for x in f]).encode()).hexdigest()
+                        for f in feats
+                    ],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def synthetic_media(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Build a deterministic media table from the documents table: payload =
+    utf-8 text bytes (an opaque stand-in blob), metadata derived from length.
+    Lets every multimodal test run on driver-provided data only."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+* :func:`brute_force_topk` — exact cosine top-k. Query side is small (a
+  handful of probe vectors) → broadcast; the scan side streams once through
+  a JVM-side dot product. Exact and fine whenever |queries| is small.
+* :func:`lsh_bucketed_topk` — the 100 TB path: random-hyperplane LSH (SRP).
+  Each vector gets a b-bit signature from sign(v·rᵢ) with deterministic
+  pseudo-random planes; candidates are vectors sharing a bucket with the
+  query in any of ``tables`` independent tables. Only candidates get exact
+  cosine, turning a full-corpus scan into bucket-sized probes.
+
+All vector math via zip_with/aggregate (functions/vectors.py) — codegen'd,
+no UDF, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Deterministic result: ties broken by (similarity DESC, corpus id ASC),
+    similarity rounded to 6 dp to absorb float-order noise.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.withColumn(
+        "cosine",
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _srp_signature(vec, dim: int, n_bits: int, table: int):
+    """Signed-random-projection signature as a bigint bucket key.
+
+    Hyperplanes are deterministic pseudo-random ±1 component vectors derived
+    from md5(table:bit:component) — reproducible across runs/engines, no
+    stored model. sign(v·r) with r ∈ {−1,+1}^dim is a valid SRP family.
+    """
+    def bit(i: int):
+        dot_i = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda c: F.when(
+                        F.substring(
+                            F.md5(
+                                F.format_string(
+                                    "srp:%d:%d:%d", F.lit(table), F.lit(i), c
+                                )
+                            ),
+                            1,
+                            1,
+                        ).isin(*"01234567"),
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot_i > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    terms = [bit(i) for i in range(n_bits)]
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return sig
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH buckets → exact cosine on candidates only.
+
+    ``tables`` independent signatures boost recall; the bucket join is on
+    (table, signature) — uniform keys, no skew. At 100 TB the corpus side is
+    computed once and persisted bucketed by signature.
+    """
+    def signed(df, idc):
+        sigs = F.array(
+            *[
+                _srp_signature(F.col(vec_col), dim, n_bits, t)
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc),
+            F.col(vec_col),
+            F.posexplode(sigs).alias("table", "sig"),
+        )
+
+    c = signed(corpus, id_col).withColumnRenamed(vec_col, "__cvec")
+    q = signed(queries, query_id_col).withColumnRenamed(vec_col, "__qvec")
+    cand = (
+        c.join(F.broadcast(q), on=["table", "sig"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "__cvec", "__qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

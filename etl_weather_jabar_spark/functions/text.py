@@ -1,0 +1,94 @@
+"""Text scalar functions for the training-data-pipeline extensions.
+
+All JVM-side (regex + higher-order array functions) — no Python UDFs. These
+back ext/{dedup, quality}: tokenization, shingling, quality ratios, n-gram
+language-ID heuristic, token counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal function-word lists for the language-ID heuristic. A real deploy
+# swaps in proper profiles; the heuristic's *plumbing* (per-language keyword
+# hit counts → argmax with deterministic tie-break) is the point.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "les", "de", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase, collapse whitespace, strip non-alnum (keeps CJK)."""
+    c = F.lower(F.trim(col))
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    return F.regexp_replace(c, r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.filter(F.split(normalize(col), " "), lambda t: t != "")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish subword estimate: word-piece regex (letter runs, digit runs,
+    punctuation singletons), each long word counted ceil(len/4) pieces —
+    a deterministic stand-in for a real tokenizer's token count."""
+    words = F.split(F.lower(col), r"\s+")
+    return F.aggregate(
+        F.filter(words, lambda w: w != ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("bigint"),
+    )
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Word n-gram shingles (array<string>) for MinHash/Jaccard. Documents
+    shorter than n tokens yield one shingle = the whole text."""
+    toks = tokens(col)
+    k = F.size(toks)
+    joined = F.array_join(toks, " ")
+    return F.when(
+        k <= n, F.array(joined)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k - F.lit(n) + F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """# punctuation chars / length."""
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[\p{P}]", ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def marker_hits(col: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are language-marker function words."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*markers)))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    stopword presence. Deterministic arithmetic (oracle-expressible)."""
+    n_tok = token_count_ws(col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 10.0, F.lit(1.0))
+    return F.round((len_score + punct_score + stop_score) / 3.0, 4)

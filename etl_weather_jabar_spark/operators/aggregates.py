@@ -1,0 +1,129 @@
+"""Aggregation operators (SURVEY §2.4 A1-A10) and the Gold recap assembly.
+
+Semantics pinned from the reference (SURVEY §7.2 watch-list):
+
+* A8: ``sum`` of an empty/all-null measure is **0.0** while avg/min/max are
+  null (daily_compile_weather.py:71-78) → coalesce ONLY the sum.
+* A6: ``statistics.mode`` returns the first value reaching the max count in
+  minute order → deterministic (count DESC, first-seen ASC, value ASC)
+  tie-break, not Spark's arbitrary-tie ``F.mode``.
+* A4: averages rounded to 2 dp (daily_compile_weather.py:71,74,75).
+* A9: nested arrays are built with collect_list(struct) + array_sort —
+  ordering is explicit, never relied on from shuffle order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .joins import grid_align, minute_grid
+
+
+def deterministic_mode(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    order_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """A6: per-group mode with the reference's tie-break — among values tied
+    on count, the one seen earliest (min ``order_col``), then lexicographic.
+
+    Two-phase: partial-aggregable groupBy counts (map-side combine keeps the
+    shuffle small at scale), then a per-key window over the *distinct values*
+    only (tiny partitions — |values| rows, not |rows|).
+    """
+    out = out_col or f"{value_col}_mode"
+    counted = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min(order_col).alias("__first"))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__cnt").desc(), F.col("__first").asc(), F.col(value_col).asc()
+    )
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*keys, F.col(value_col).alias(out))
+    )
+
+
+def hourly_agg(obs: DataFrame) -> DataFrame:
+    """A4/A5/A8 per (date, location, hour) over Silver rows
+    (daily_compile_weather.py:60-94). Spark aggregates ignore nulls natively
+    (P9's non-null comprehension is free); only the sum needs the
+    empty→0 coalesce."""
+    return obs.groupBy("date", "location_id", "location_name", "hour").agg(
+        F.round(F.avg("temp_c"), 2).alias("temp_avg"),
+        F.min("temp_c").alias("temp_min"),
+        F.max("temp_c").alias("temp_max"),
+        F.round(F.avg("humidity"), 2).alias("humidity_avg"),
+        F.round(F.avg("wind_kph"), 2).alias("wind_avg_kph"),
+        F.coalesce(F.sum("precip_mm"), F.lit(0.0)).alias("precip_mm"),
+    )
+
+
+def hourly_data_points(obs: DataFrame) -> DataFrame:
+    """J4 + A9 inner level: minute-grid-aligned ``data_points`` array per
+    (date, location, hour). Missing 10-min slots become all-null minute docs
+    (daily_compile_weather.py:34-58)."""
+    grid = minute_grid(obs.sparkSession)
+    aligned = grid_align(
+        obs.select(
+            "date", "location_id", "hour", "minute",
+            F.col("temp_c").alias("temp"), "humidity", "wind_kph",
+            "wind_dir", "precip_mm",
+        ),
+        grid,
+        group_keys=["date", "location_id", "hour"],
+    )
+    return aligned.groupBy("date", "location_id", "hour").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("minute", "temp", "humidity", "wind_kph", "wind_dir", "precip_mm")
+            )
+        ).alias("data_points")
+    )
+
+
+def daily_recap(obs: DataFrame) -> DataFrame:
+    """The full Gold assembly (daily_compile_weather.py:96-134), one
+    distributed plan instead of the reference's 27 per-location round-trips
+    (SURVEY §4.2):
+
+    hourly aggregates (A4/A5/A8) ⋈ deterministic wind mode (A6)
+    ⋈ grid-aligned data_points (J4/A9) → W2 completeness flag →
+    nested re-assembly into {date, location, hourly: [...]} (A9).
+
+    Hours with no observations are skipped (DAG behavior,
+    daily_compile_weather.py:123-124); the null-fill grid exists only at
+    minute level (SURVEY §7.2).
+    """
+    keys = ["date", "location_id", "hour"]
+    hours = hourly_agg(obs)
+    mode = deterministic_mode(
+        obs, keys, value_col="wind_dir", order_col="minute",
+        out_col="dominant_wind_dir",
+    )
+    points = hourly_data_points(obs)
+    hourly = hours.join(mode, on=keys, how="left").join(points, on=keys, how="left")
+
+    # W2: day-completeness flag stamped on every hour row.
+    day_w = Window.partitionBy("date", "location_id")
+    hourly = hourly.withColumn(
+        "full_recap", F.max(F.col("hour") == F.lit("23")).over(day_w)
+    )
+
+    return hourly.groupBy("date", "location_id", "location_name").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "hour", "full_recap", "temp_avg", "temp_min", "temp_max",
+                    "humidity_avg", "wind_avg_kph", "dominant_wind_dir",
+                    "precip_mm", "data_points",
+                )
+            )
+        ).alias("hourly")
+    )

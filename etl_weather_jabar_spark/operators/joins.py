@@ -1,0 +1,76 @@
+"""Join operators (SURVEY §2.3 J1-J4).
+
+Every join here is written so Catalyst picks the right physical strategy:
+
+* J1 dimension lookups get an explicit ``F.broadcast`` hint (27-row dim in
+  the reference; any dim ≪ executor memory at 100 TB).
+* J2/J3 incremental anti-joins are ``left_anti`` — never a collected id list
+  shipped back into a predicate (the reference's ``$nin`` anti-pattern,
+  SURVEY §4.2).
+* J4 grid alignment generates the dimension WITH Spark (``sequence`` +
+  ``explode``) so the grid side is tiny and broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """J1: broadcast lookup join against a small dimension
+    (daily_compile_weather.py:25-30 builds a dict; :132 probes it)."""
+    return fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key], how)
+
+
+def anti_join_unprocessed(
+    raw: DataFrame, processed: DataFrame, on: str | list[str] = "_id"
+) -> DataFrame:
+    """J2: incremental "unprocessed rows" anti-join
+    (dags/spark/transform_raw_weather.py:89-91 does this with $nin)."""
+    keys = [on] if isinstance(on, str) else on
+    return raw.join(processed.select(*keys), on=keys, how="left_anti")
+
+
+def anti_join_composite(
+    incoming: DataFrame, existing: DataFrame, keys: list[str]
+) -> DataFrame:
+    """J3: late-data dedup on fetch — skip rows whose (location_id, time)
+    already landed (fetch_weather.py:100-106 builds a {loc: [times]} map;
+    :76-77 probes it)."""
+    return incoming.join(existing.select(*keys), on=keys, how="left_anti")
+
+
+def minute_grid(spark, start: int = 0, stop: int = 50, step: int = 10) -> DataFrame:
+    """The generated 6-slot 10-minute dimension (daily_compile_weather.py:36).
+    ``sequence``+``explode`` keeps generation distributed and the result tiny.
+    """
+    return spark.range(1).select(
+        F.explode(F.sequence(F.lit(start), F.lit(stop), F.lit(step))).alias("m")
+    ).select(F.format_string("%02d", F.col("m")).alias("minute"))
+
+
+def grid_align(
+    obs: DataFrame,
+    grid: DataFrame,
+    group_keys: list[str],
+    grid_key: str = "minute",
+) -> DataFrame:
+    """J4: left-join observations onto the fixed grid so missing slots become
+    all-null rows (daily_compile_weather.py:34-58 does this with a linear
+    ``next()`` scan per slot — O(slots×rows); this is the hash-join form).
+
+    The grid side is ``group_keys × grid`` built by cross-joining the distinct
+    group keys (small: dates × locations) with the 6-row grid, then
+    broadcast-left-joined by Catalyst (both sides of the key space are
+    derived from ``obs`` so no skew surprises).
+    """
+    keys = obs.select(*group_keys).distinct()
+    full = keys.crossJoin(F.broadcast(grid))
+    return full.join(obs, on=[*group_keys, grid_key], how="left")

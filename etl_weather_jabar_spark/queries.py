@@ -1,0 +1,1061 @@
+"""The engine's named query registry + DuckDB oracle twins.
+
+One entry per operator class from SURVEY §2 (plus the north-star
+extensions), each exercised on the driver's synthetic tables
+(/root/testdata/sf*/ — TESTDATA.md). Every Spark query has an ANSI-SQL twin
+in ``ORACLE_SQL`` that DuckDB runs on the same parquet; the driver compares
+row-count + schema + order-insensitive value-hash (see __spark_entry__.py).
+
+Cross-engine determinism rules used throughout:
+
+* doubles that pass through aggregation are ``round(x, 2..6)`` on BOTH sides
+  (absorbs float summation-order noise);
+* integer sums are CAST to BIGINT in DuckDB (its sum(int) is HUGEINT);
+* timestamps are output as formatted strings (Spark µs vs DuckDB ns);
+* collected lists are sorted and joined to strings with explicit ordering;
+* hashes are md5-derived (bit-identical in both engines);
+* ties in every top-k / mode / keep-first are broken by a total order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ext.dedup_text import (
+    jaccard_verify,
+    minhash_lsh_candidates,
+    simhash64,
+)
+from .ext.similarity import brute_force_topk
+from .functions.text import (
+    LANG_MARKERS,
+    marker_hits,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from .functions.weather import heat_index_c
+from .operators.aggregates import deterministic_mode
+from .operators.dedup import dedupe_keep_first, find_duplicate_groups
+from .sources.parquet import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# Exact integer-unit aggregation of double measures. Two engine-difference
+# traps: (a) summing doubles is order-dependent (parallel aggregation), and
+# (b) even on a bit-identical double, round() differs — Spark rounds the
+# shortest decimal string of the double (4201.315 → 4201.32) while DuckDB
+# rounds the binary value (4201.31499… → 4201.31). So: convert each row to
+# exact integer units (k = the measure's true decimal places — the per-row
+# round never sees a .5 boundary), sum integers (exact, order-free), apply
+# round-half-up in pure integer arithmetic, divide back to double (IEEE
+# division of the same integers — identical everywhere). Intermediates stay
+# < 2^53 at the tested scale factors.
+
+def _units(col, k: int):
+    return F.round(col * F.lit(float(10**k))).cast("bigint")
+
+
+def _half_up_div(num, den):
+    """round-half-up(num/den) as floor((2·num+den)/(2·den)), exact ints."""
+    a = num * 2 + den
+    b = den * 2
+    return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def _dec_sum(col, nd: int = 2, k: int | None = None):
+    k = nd if k is None else k
+    su = F.sum(_units(col, k))
+    if k == nd:
+        out = su
+    elif k > nd:
+        out = _half_up_div(su, F.lit(10 ** (k - nd)).cast("bigint"))
+    else:
+        out = su * F.lit(10 ** (nd - k)).cast("bigint")
+    return out / F.lit(float(10**nd))
+
+
+def _dec_avg(col, nd: int = 2, k: int | None = None):
+    k = nd if k is None else k
+    su = F.sum(_units(col, k))
+    n = F.count(col)
+    out = _half_up_div(su * F.lit(10**nd).cast("bigint"), n * F.lit(10**k).cast("bigint"))
+    return out / F.lit(float(10**nd))
+
+
+def _sql_halfup(num: str, den: str) -> str:
+    a = f"(2*({num}) + ({den}))"
+    b = f"(2*({den}))"
+    return f"(({a} - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
+
+
+def _sql_sum(x: str, nd: int = 2, k: int | None = None) -> str:
+    k = nd if k is None else k
+    su = f"sum(CAST(round(({x}) * {10**k}) AS BIGINT))"
+    if k == nd:
+        out = su
+    elif k > nd:
+        out = _sql_halfup(su, str(10 ** (k - nd)))
+    else:
+        out = f"({su}) * {10 ** (nd - k)}"
+    return f"(CAST({out} AS DOUBLE) / {float(10**nd)})"
+
+
+def _sql_avg(x: str, nd: int = 2, k: int | None = None) -> str:
+    k = nd if k is None else k
+    su = f"sum(CAST(round(({x}) * {10**k}) AS BIGINT))"
+    out = _sql_halfup(f"({su}) * {10**nd}", f"count({x}) * {10**k}")
+    return f"(CAST({out} AS DOUBLE) / {float(10**nd)})"
+
+
+# =========================================================================
+# Core reference operators (SURVEY §2) on the synthetic tables
+# =========================================================================
+
+# --- flagship: the Gold recap aggregate spine (A4+A5+A8, scan→derive→agg) ---
+@_register(
+    "recap_daily_agg",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           event_type,
+           {_sql_avg('value')}                        AS value_avg,
+           min(value)                                 AS value_min,
+           max(value)                                 AS value_max,
+           coalesce({_sql_sum('value')}, 0.0)         AS value_sum,
+           count(*)                                   AS n_obs
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def recap_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5/A8 (daily_compile_weather.py:60-94): grouped avg(2dp)/min/max +
+    null-to-zero sum per (day, type). One shuffle, partial-agg combined."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("date"), "event_type"
+    ).agg(
+        _dec_avg(F.col("value")).alias("value_avg"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.coalesce(_dec_sum(F.col("value")), F.lit(0.0)).alias("value_sum"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+# --- P1/P2/F2/F5/F8: the Silver flatten / derive projection ---
+@_register(
+    "silver_flatten_project",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS timestamp,
+           strftime(ts, '%Y-%m-%d')          AS date,
+           strftime(ts, '%H')                AS hour,
+           strftime(ts, '%M')                AS minute,
+           user_id,
+           event_type,
+           value,
+           CASE WHEN event_type = 'error' THEN 'quarantine' ELSE 'clean' END AS route
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def silver_flatten_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 flatten + F2 strftime derivations + F8 CASE routing + P7 null
+    rejection (transform_raw_weather.py:29-58). Pure narrow projection:
+    no shuffle, pushed filter, pruned columns."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("value").isNotNull()).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        F.date_format("ts", "HH").alias("hour"),
+        F.date_format("ts", "mm").alias("minute"),
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("quarantine"))
+        .otherwise(F.lit("clean"))
+        .alias("route"),
+    )
+
+
+# --- P3/P4/P5: pushed-down predicates ---
+@_register(
+    "filter_pushdown_combo",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND user_id = 7
+      AND strftime(ts, '%Y-%m-%d %H:%M:%S') >= '2024-01-10 00:00:00'
+    """,
+)
+def filter_pushdown_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 equality + P4 IN-list + P5/F11 string-ordered time predicate
+    (fetch_weather.py:93-97; the reference's lexicographic-time trick)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .where(F.col("user_id") == 7)
+        .where(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss") >= "2024-01-10 00:00:00"
+        )
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# --- ST2/P8: incremental batch-key + no-future guard ---
+@_register(
+    "incremental_batch_window",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           {SQL_SUM_VALUE} AS value_sum
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1
+    """.replace("{SQL_SUM_VALUE}", _sql_sum("value")),
+)
+def incremental_batch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 only-this-interval predicate (transform_raw_weather.py:112-117) +
+    ST7 no-future cutoff (fetch_weather.py:73-75), as pushed scan filters."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(
+            (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"))
+        )
+        .where(F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value")).alias("value_sum"),
+        )
+    )
+
+
+# --- A3/W1: keep-first dedup ---
+@_register(
+    "dedup_keep_first",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+        ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W1 keep-first-per-group (transform_raw_weather.py:92-97):
+    deterministic survivor = earliest (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = dedupe_keep_first(
+        ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+    )
+
+
+# --- A1/A2/A9: duplicate-group detection with HAVING + collected ids ---
+@_register(
+    "dup_groups_having",
+    """
+    SELECT user_id, event_type,
+           count(*) AS cnt,
+           string_agg(event_id, ',' ORDER BY event_id) AS ids
+    FROM events
+    GROUP BY 1, 2
+    HAVING count(*) > 1
+    """,
+)
+def dup_groups_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group+push+count → A2 HAVING cnt>1 (transform_raw_weather.py:78-87),
+    ids collected in deterministic numeric order (A9-style assembly)."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = find_duplicate_groups(ev, keys=["user_id", "event_type"], id_col="event_id")
+    return grouped.select(
+        "user_id",
+        "event_type",
+        "cnt",
+        F.array_join(
+            F.transform(F.col("ids"), lambda x: x.cast("string")), ","
+        ).alias("ids"),
+    )
+
+
+# --- J2: anti-join (customers with no orders) ---
+@_register(
+    "anti_join_unordered_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_unordered_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 incremental anti-join (spark/transform_raw_weather.py:89-91's $nin,
+    done right): left_anti, never a collected id list."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_anti",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --- J1: broadcast dimension lookup chain ---
+@_register(
+    "broadcast_dim_join",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_customers,
+           {SQL_AVG_BAL} AS acctbal_avg
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """.replace("{SQL_AVG_BAL}", _sql_avg("c.c_acctbal")),
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 broadcast lookup (daily_compile_weather.py:25-30's dict probe):
+    both dims hinted broadcast — zero shuffle on the fact side until the
+    final (small) aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dec_avg(F.col("c_acctbal")).alias("acctbal_avg"),
+        )
+    )
+
+
+# --- J4: generated-dimension grid alignment ---
+@_register(
+    "grid_align_hours",
+    """
+    WITH grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT CAST(range AS INT) AS h FROM range(0, 24)) g
+    ),
+    hourly AS (
+        SELECT event_type, CAST(strftime(ts, '%H') AS INT) AS h,
+               count(*) AS n, {SQL_SUM_VALUE} AS value_sum
+        FROM events GROUP BY 1, 2
+    )
+    SELECT grid.event_type, grid.h AS hour,
+           coalesce(hourly.n, 0) AS n,
+           coalesce(hourly.value_sum, 0.0) AS value_sum
+    FROM grid LEFT JOIN hourly USING (event_type, h)
+    """.replace("{SQL_SUM_VALUE}", _sql_sum("value")),
+)
+def grid_align_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 grid-align left join (daily_compile_weather.py:34-58): generated
+    24-slot dimension × observed keys, unmatched slots null-filled. The grid
+    side is generated with sequence+explode and broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), _dec_sum(F.col("value")).alias("value_sum"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(1).select(
+                    F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h")
+                ).select(F.col("h").cast("int").alias("h"))
+            )
+        )
+    )
+    return grid.join(hourly, on=["event_type", "h"], how="left").select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+    )
+
+
+# --- A6: deterministic mode ---
+@_register(
+    "dominant_mode",
+    """
+    SELECT user_id, event_type AS dominant_event
+    FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY count(*) DESC, min(ts) ASC, event_type ASC
+               ) AS rn
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    """,
+)
+def dominant_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 mode with the reference's tie-break (statistics.mode = first value
+    reaching max count in input order; daily_compile_weather.py:76):
+    (count DESC, first-seen ASC, value ASC). Partial-agg counts, then a
+    window over distinct values only."""
+    ev = load_table(spark, sf_dir, "events")
+    return deterministic_mode(
+        ev, keys=["user_id"], value_col="event_type", order_col="ts",
+        out_col="dominant_event",
+    )
+
+
+# --- A7/P11/W2: group-level completeness flag ---
+@_register(
+    "completeness_flag",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS date, user_id,
+           bool_or(CAST(strftime(ts, '%H') AS INT) = 23) AS full_day,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def completeness_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/P11 "hour 23 present" flag (daily_compile_weather.py:114-115) as a
+    grouped max-of-boolean."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("date"), "user_id"
+    ).agg(
+        F.max(F.hour("ts") == 23).alias("full_day"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- W2 stamped form: windowed flag on every row (distinct from grouped) ---
+@_register(
+    "window_stamped_flag",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d') AS date,
+           max(CAST(strftime(ts, '%H') AS INT) = 23)
+               OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), user_id) AS full_day,
+           row_number() OVER (
+               PARTITION BY strftime(ts, '%Y-%m-%d'), user_id
+               ORDER BY ts, event_id
+           ) AS seq
+    FROM events
+    """,
+)
+def window_stamped_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2 together: per-row rank and day-scoped flag stamped on every
+    member row (daily_compile_weather.py:114-115,70) — one shuffle, two
+    window functions over the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    date = F.date_format("ts", "yyyy-MM-dd")
+    w = Window.partitionBy(date, F.col("user_id"))
+    wo = w.orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        date.alias("date"),
+        F.max(F.hour("ts") == 23).over(w).alias("full_day"),
+        F.row_number().over(wo).alias("seq"),
+    )
+
+
+# --- F9: heat-index polynomial (pure column arithmetic) ---
+@_register(
+    "heat_index",
+    """
+    WITH t AS (
+        SELECT event_id,
+               value % 15.0 + 25.0     AS temp_c,
+               (user_id % 60) + 40     AS humidity
+        FROM events
+    )
+    SELECT event_id, round(temp_c, 2) AS temp_c, humidity,
+           round((( -42.379
+                  + 2.04901523   * (temp_c * 9.0/5.0 + 32.0)
+                  + 10.14333127  * humidity
+                  - 0.22475541   * (temp_c * 9.0/5.0 + 32.0) * humidity
+                  - 6.83783e-3   * (temp_c * 9.0/5.0 + 32.0) * (temp_c * 9.0/5.0 + 32.0)
+                  - 5.481717e-2  * humidity * humidity
+                  + 1.22874e-3   * (temp_c * 9.0/5.0 + 32.0) * (temp_c * 9.0/5.0 + 32.0) * humidity
+                  + 8.5282e-4    * (temp_c * 9.0/5.0 + 32.0) * humidity * humidity
+                  - 1.99e-6      * (temp_c * 9.0/5.0 + 32.0) * (temp_c * 9.0/5.0 + 32.0) * humidity * humidity
+                  ) - 32.0) * 5.0/9.0, 2) AS heat_index_c
+    FROM t
+    """,
+)
+def heat_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 Rothfusz regression (spark/transform_raw_weather.py:45-58) as
+    whole-stage-codegen column arithmetic — the reference computes this
+    row-at-a-time in a Python RDD map (the anti-pattern, SURVEY §2.9)."""
+    ev = load_table(spark, sf_dir, "events")
+    temp_c = F.col("value") % 15.0 + 25.0
+    humidity = (F.col("user_id") % 60) + 40
+    return ev.select(
+        "event_id",
+        F.round(temp_c, 2).alias("temp_c"),
+        humidity.alias("humidity"),
+        F.round(heat_index_c(temp_c, humidity.cast("double")), 2).alias(
+            "heat_index_c"
+        ),
+    )
+
+
+# --- sorts / limits: top-k with total order ---
+@_register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (SURVEY §2.6 — absent in the reference, table-stakes for an
+    engine): TakeOrderedAndProject, never a full sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+    )
+
+
+# --- union of two source paths (current + history, fetch_weather.py:117,145) ---
+@_register(
+    "union_two_paths",
+    """
+    SELECT src, event_type, count(*) AS n
+    FROM (
+        SELECT 'live' AS src, event_type FROM events
+        WHERE CAST(strftime(ts, '%M') AS INT) % 10 = 0
+        UNION ALL
+        SELECT 'backfill' AS src, event_type FROM events
+        WHERE CAST(strftime(ts, '%M') AS INT) % 10 <> 0
+    )
+    GROUP BY 1, 2
+    """,
+)
+def union_two_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's current/history dual ingest path (SURVEY §2.6) as
+    unionByName — live = on-the-10-min-grid rows, backfill = the rest."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = F.minute("ts")
+    live = ev.where(minute % 10 == 0).select(
+        F.lit("live").alias("src"), "event_type"
+    )
+    backfill = ev.where(minute % 10 != 0).select(
+        F.lit("backfill").alias("src"), "event_type"
+    )
+    return live.unionByName(backfill).groupBy("src", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- A9: nested re-assembly (deterministic string form) ---
+@_register(
+    "nested_reassembly",
+    """
+    SELECT user_id,
+           count(*) AS n,
+           string_agg(event_id || ':' || event_type, ';' ORDER BY event_id) AS events_ordered
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+)
+def nested_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 collect_list(struct)+array_sort nested assembly
+    (daily_compile_weather.py:57,79,127,133), serialized to an
+    explicitly-ordered string so the oracle can hash it."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+                    lambda x: F.concat(
+                        x.event_id.cast("string"), F.lit(":"), x.event_type
+                    ),
+                ),
+                ";",
+            ).alias("events_ordered"),
+        )
+    )
+
+
+# --- headline scan+agg benchmark: TPC-H Q1-shaped pricing summary ---
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           {S_QTY}       AS sum_qty,
+           {S_PRICE}     AS sum_base_price,
+           {S_DISC}      AS sum_disc_price,
+           {A_QTY}       AS avg_qty,
+           {A_PRICE}     AS avg_price,
+           {A_DISC}      AS avg_disc,
+           count(*)      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """.replace("{S_QTY}", _sql_sum("l_quantity"))
+    .replace("{S_PRICE}", _sql_sum("l_extendedprice"))
+    .replace("{S_DISC}", _sql_sum("l_extendedprice * (1 - l_discount)", 2, 4))
+    .replace("{A_QTY}", _sql_avg("l_quantity"))
+    .replace("{A_PRICE}", _sql_avg("l_extendedprice"))
+    .replace("{A_DISC}", _sql_avg("l_discount", 4)),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical full-scan partial-agg benchmark —
+    generalizes A4/A5/A8 to wide aggregate lists. Filter pushed to Parquet;
+    5-ish groups → map-side combine does almost all the work."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2, 4).alias(
+                "sum_disc_price"
+            ),
+            _dec_avg(F.col("l_quantity")).alias("avg_qty"),
+            _dec_avg(F.col("l_extendedprice")).alias("avg_price"),
+            _dec_avg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- big fact⋈fact join + agg (shuffle-join benchmark) ---
+@_register(
+    "order_lineitem_join_agg",
+    """
+    SELECT o.o_orderpriority,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           {S_REV} AS revenue
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1
+    """.replace("{S_REV}", _sql_sum("l.l_extendedprice * (1 - l.l_discount)", 2, 4)),
+)
+def order_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join on the natural key: both sides shuffle on
+    l_orderkey/o_orderkey (co-partitioned by Catalyst); at 100 TB this is the
+    join you bucket both tables on. Filter on orders pushed below the join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o.where(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2, 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --- ST1/ST6: tumbling 10-minute event-time windows (batch form) ---
+@_register(
+    "tumbling_window_10min",
+    """
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n,
+           {SQL_SUM_VALUE} AS value_sum
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2
+    """.replace("{SQL_SUM_VALUE}", _sql_sum("value")),
+)
+def tumbling_window_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST6 tumbling 10-min window (the reference's cron micro-batch,
+    fetch_weather.py:205) via F.window — identical semantics to the
+    Structured Streaming variant in streaming/micro_batch.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+# --- distinct aggregation (engine extension; SURVEY §2.4 notes absence) ---
+@_register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate (expand+two-phase under the hood). The
+    approximate sibling is approx_distinct_users (rows-only check)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- approximate aggregates: no oracle (algorithm-specific), rows-only ---
+@_register("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct + t-digest percentiles — the 100 TB versions of
+    count(distinct)/median. No DuckDB oracle: sketch algorithms differ by
+    engine (driver records rows-only)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+            "value_percentiles"
+        ),
+    )
+
+
+# =========================================================================
+# North-star extensions: dedup / similarity / text analysis
+# =========================================================================
+
+@_register(
+    "dedup_exact_docs",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup, keep lowest doc_id — md5 shuffle key so full text
+    never shuffles (ext/dedup_text.py tier 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.withColumn("__h", F.md5("text"))
+    return dedupe_keep_first(hashed, ["__h"], order_by=["doc_id"]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           substr(md5(lower(trim(text))), 1, 8) AS bucket
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of case/whitespace-normalized text) +
+    32-bit bucket prefix — cross-engine bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
+    )
+
+
+@_register(
+    "text_quality",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               list_filter(regexp_split_to_array(
+                   regexp_replace(regexp_replace(lower(trim(text)),
+                       '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'),
+                   ' '), t -> t <> '') AS t
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           len(t) AS n_tokens,
+           CASE WHEN len(t) > 0 THEN
+               round(len(list_filter(t, x -> x IN ('the','and','of','to','is')))
+                     / CAST(len(t) AS DOUBLE), 4)
+           ELSE 0.0 END AS stopword_ratio
+    FROM toks
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token count + stopword ratio (functions/text.py) —
+    all regex/higher-order JVM functions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.round(stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    )
+
+
+@_register(
+    "token_count_stats",
+    """
+    WITH w AS (
+        SELECT source,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')
+                   AS words
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(words)) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(CAST(list_sum(list_transform(words,
+                w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)) AS BIGINT)
+               AS total_bpe_ish_tokens
+    FROM w
+    GROUP BY source
+    """,
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish ceil(len/4) subword
+    estimate) aggregated per source — the 'how many training tokens do I
+    have' query."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    return (
+        docs.select(
+            "source",
+            F.size(words).alias("ws"),
+            token_count_bpe_ish(F.col("text")).alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("total_ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("total_bpe_ish_tokens"),
+        )
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        "len(list_filter(t, x -> x IN (" + markers + ")))"
+    )
+
+
+@_register(
+    "lang_id_heuristic",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(
+                   regexp_replace(regexp_replace(lower(trim(text)),
+                       '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g'), '\\s+', ' ', 'g'),
+                   ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+               {_lang_hits_sql('en')} AS h_en,
+               {_lang_hits_sql('es')} AS h_es,
+               {_lang_hits_sql('fr')} AS h_fr,
+               {_lang_hits_sql('de')} AS h_de,
+               {_lang_hits_sql('zh')} AS h_zh
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN greatest(h_en, h_es, h_fr, h_de, h_zh) = 0 THEN 'unknown'
+             WHEN h_de >= greatest(h_en, h_es, h_fr, h_zh) THEN 'de'
+             WHEN h_en >= greatest(h_es, h_fr, h_zh) THEN 'en'
+             WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
+             WHEN h_fr >= h_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM hits
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/function-word language-ID heuristic: per-language marker hit
+    counts → argmax with deterministic alphabetical tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = {
+        lang: marker_hits(F.col("text"), markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    h = docs.select("doc_id", "lang", *[hits[L].alias(f"h_{L}") for L in hits])
+    g = F.greatest(*[F.col(f"h_{L}") for L in LANG_MARKERS])
+    pred = (
+        F.when(g == 0, F.lit("unknown"))
+        .when(F.col("h_de") >= F.greatest("h_en", "h_es", "h_fr", "h_zh"), F.lit("de"))
+        .when(F.col("h_en") >= F.greatest("h_es", "h_fr", "h_zh"), F.lit("en"))
+        .when(F.col("h_es") >= F.greatest("h_fr", "h_zh"), F.lit("es"))
+        .when(F.col("h_fr") >= F.col("h_zh"), F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )
+    return h.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+               , 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ext/similarity.py): broadcast query side,
+    one streaming pass over the corpus, JVM-side zip_with dot product,
+    per-query window top-k with total-order tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+@_register(
+    "embedding_neardup_pairs",
+    """
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+               , 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    WHERE cosine >= 0.95
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup join, blocked by label (the blocking key
+    stands in for an LSH bucket — never all-pairs at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    from .functions.vectors import cosine_similarity
+
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+        ).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= 0.95)
+
+
+# --- MinHash-LSH near-dup (no SQL oracle: multi-stage banded-hash pipeline;
+#     verified instead by tests/test_dedup_text.py golden + metamorphic) ---
+@_register("minhash_lsh_neardup")
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidates → exact shingle-Jaccard ≥ 0.5
+    (ext/dedup_text.py tier 3). Hashes are md5-derived (reproducible);
+    returns (id_a, id_b, jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+    return jaccard_verify(cand, docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@_register("simhash_fingerprints")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (ext/dedup_text.py tier 2) + bucket
+    counts; rows-only check (bit-construction loop is not one SQL
+    expression), golden-tested in tests/."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs).select("doc_id", "simhash")
+
+
+ALL = sorted(QUERIES)

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+The reference runs single-process Python against MongoDB with all time
+handling pinned to Asia/Jakarta (``dags/fetch_weather.py:14``,
+``docker-compose.yml:38``). Here the equivalents are session-level configs:
+Jakarta session timezone, AQE for runtime re-planning (skew joins, empty-side
+shortcuts), and shuffle partitions sized to the local core count — on a real
+cluster these come from the submit conf instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "etl-weather-jabar-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Scale notes (100 TB design): every config here is a *default* for local
+    runs; on a 1000-executor cluster the same code runs with cluster-sized
+    ``spark.sql.shuffle.partitions`` (or, better, AQE coalescing from an
+    intentionally high initial count) and dynamic allocation. Nothing in the
+    engine assumes local mode.
+    """
+    n = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # Jakarta wall-clock everywhere, like the reference (fetch_weather.py:14).
+        .config("spark.sql.session.timeZone", "Asia/Jakarta")
+        # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+        # broadcast demotion — the knobs the reference hand-rolled (SURVEY §4.1).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n))
+        # Idempotent keyed upsert (reference daily_compile_weather.py:136-142)
+        # maps to dynamic partition overwrite (SURVEY §2.1 S6).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Arrow for the few pandas-UDF paths (multimodal, fallback mode agg).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{default_parallelism()}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,91 @@
+"""Sinks: append, keyed-dedup append, partition-overwrite upsert.
+
+Maps the reference's Mongo write modes (SURVEY §2.1 S5-S8):
+
+* ``insert_one/insert_many``            → :func:`append`
+* unique index + duplicate-key-tolerant
+  insert (transform_raw_weather.py:62-76,107-111, ST4) → :func:`append_dedup_keyed`
+* ``update_one($set) else insert_one``
+  keyed upsert (daily_compile_weather.py:136-142, S6)  → :func:`upsert_by_partition`
+* ``delete_many({})`` truncate (init_master_location.py:20, S8) → :func:`overwrite`
+
+Spark has no unique constraints, so uniqueness is enforced *on write*
+(dedup against both the incoming batch and the existing sink contents) —
+an anti-join, never a driver-side ``$nin`` list (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def append(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+def overwrite(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def append_dedup_keyed(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str = "_id",
+) -> None:
+    """Append only rows whose key is new — the unique-index semantic (ST4).
+
+    Within the incoming batch, keep-first by ``order_col`` (matches the
+    reference's insertion-order survivor, transform_raw_weather.py:92-97);
+    against the existing sink, left-anti on the key columns.
+
+    Scale: the anti-join's build side is only the key columns of the sink
+    (column-pruned scan); at 100 TB the sink should be partitioned by a
+    time column so the anti-join probes only the affected partitions.
+    """
+    from .operators.dedup import dedupe_keep_first
+
+    batch = dedupe_keep_first(df, keys, order_by=[order_col])
+    spark = df.sparkSession
+    try:
+        existing = spark.read.parquet(path).select(*keys)
+    except Exception:  # first write: sink does not exist yet
+        batch.write.mode("append").parquet(path)
+        return
+    batch.join(existing, on=keys, how="left_anti").write.mode("append").parquet(path)
+
+
+def upsert_by_partition(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dedup_keys: list[str] | None = None,
+) -> None:
+    """Idempotent keyed upsert via dynamic partition overwrite (S6).
+
+    The reference upserts Gold docs keyed (date, location_id)
+    (daily_compile_weather.py:136-142). Here: partition by ``date`` and
+    dynamically overwrite only the partitions present in ``df`` — replaying a
+    day is idempotent. Granularity is the partition (date), coarser than the
+    reference's (date, location) key; ``dedup_keys`` guarantees one row per
+    key within the rewritten partition (documented divergence, SURVEY §7.2).
+    """
+    out = df.dropDuplicates(dedup_keys) if dedup_keys else df
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def quarantine_split(
+    df: DataFrame, good_predicate, quarantine_path: str | None = None
+) -> DataFrame:
+    """P10 error-row rejection (fetch_weather.py:60-62,131-133): rows failing
+    the predicate go to a quarantine sink (if given); clean rows flow on."""
+    bad = df.where(~good_predicate)
+    if quarantine_path is not None:
+        bad.write.mode("append").parquet(quarantine_path)
+    return df.where(good_predicate)

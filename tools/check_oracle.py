@@ -1,0 +1,132 @@
+"""Driver-mimic correctness harness: run every queries() entry on Spark AND
+its oracle_sql() twin on DuckDB at a given sf, compare row-count + column
+names + order-insensitive value-hash. Run locally before every commit:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from etl_weather_jabar_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from etl_weather_jabar_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".") or "0"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, list):
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(normalize_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name in sorted(QUERIES):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = QUERIES[name](spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in ORACLE_SQL:
+            print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            orel = con.sql(ORACLE_SQL[name])
+            ocols = [c.lower() for c in orel.columns]
+            orows = orel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(c.lower() for c in scols) != sorted(ocols):
+            problems.append(f"cols spark={scols} duck={ocols}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        else:
+            sh = table_hash([c.lower() for c in scols], [tuple(r) for r in srows])
+            oh = table_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash spark={sh} duck={oh}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures.append(name)
+            # print a small diff sample
+            snorm = {
+                "|".join(
+                    normalize_cell(r[i])
+                    for i in sorted(range(len(scols)), key=lambda i: scols[i].lower())
+                )
+                for r in [tuple(x) for x in srows]
+            }
+            onorm = {
+                "|".join(
+                    normalize_cell(r[i])
+                    for i in sorted(range(len(ocols)), key=lambda i: ocols[i])
+                )
+                for r in orows
+            }
+            for line in list(snorm - onorm)[:3]:
+                print(f"        spark-only: {line}")
+            for line in list(onorm - snorm)[:3]:
+                print(f"        duck-only:  {line}")
+        else:
+            print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
