@@ -50,13 +50,16 @@ def stream_silver(
 def stream_windowed_agg(
     silver: DataFrame,
     window: str = "10 minutes",
-    watermark: str = "1 hour",
+    watermark: str | None = None,
 ) -> DataFrame:
-    """ST1/ST6: tumbling event-time windowed aggregates with late-data
-    watermark — the streaming form of hourly_agg."""
+    """ST1/ST6: tumbling event-time windowed aggregates — the streaming form
+    of hourly_agg. ``stream_silver`` output already carries a watermark
+    (re-defining one is disallowed upstream of a stateful operator); pass
+    ``watermark`` only when feeding a raw un-watermarked stream."""
+    if watermark is not None:
+        silver = silver.withWatermark("event_ts", watermark)
     return (
-        silver.withWatermark("event_ts", watermark)
-        .groupBy(F.window("event_ts", window), F.col("location_id"))
+        silver.groupBy(F.window("event_ts", window), F.col("location_id"))
         .agg(
             F.round(F.avg("temp_c"), 2).alias("temp_avg"),
             F.min("temp_c").alias("temp_min"),

@@ -1,0 +1,81 @@
+"""Tests for the text-dedup tiers (ext/dedup_text.py): exact, SimHash,
+MinHash-LSH + Jaccard verification."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_jabar_spark.ext.dedup_text import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "by the warm fire and the rain falls gently on the quiet roof tonight"
+)
+NEAR = BASE.replace("lazy dog", "lazy old dog")  # small edit → near-dup
+OTHER = (
+    "completely different words about spark query engines columnar storage "
+    "shuffle partitions broadcast joins and adaptive execution plans running"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE), (2, BASE),      # exact dup pair
+        (3, NEAR),                 # near-dup of 1/2
+        (4, OTHER),
+        (5, "tiny doc"),           # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = {
+        r["doc_id"]: r["minhash"]
+        for r in minhash_signatures(_docs(spark)).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1]) == 16 and all(isinstance(v, int) for v in sigs[1])
+    # near-dup shares most minhashes with the original
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree >= 8
+
+
+def test_lsh_candidates_and_jaccard(spark):
+    docs = _docs(spark)
+    cand = minhash_lsh_candidates(docs)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert (1, 2) in pairs           # exact dups always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    verified = jaccard_verify(cand, docs, threshold=0.5)
+    jmap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert jmap[(1, 2)] == 1.0
+    if (1, 3) in pairs:              # banding is probabilistic for near-dups
+        assert jmap.get((1, 3), 0.0) > 0.5
+
+
+def test_simhash_exact_dups_equal_near_dups_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 12
+
+
+def test_simhash_deterministic_across_runs(spark):
+    a = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    assert a == b

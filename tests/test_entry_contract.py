@@ -1,0 +1,46 @@
+"""Smoke tests for the driver contract (__spark_entry__.py)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(REPO, "__spark_entry__.py")
+)
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "date", "event_type", "value_avg", "value_min", "value_max",
+        "value_sum", "n_obs",
+    ]
+
+
+def test_every_oracle_key_has_query():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 25
+
+
+def test_queries_run_and_alias_consistently(spark):
+    """Each query must run at sf0.001; oracle column names must appear in
+    the SQL text (cheap alias-drift guard)."""
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    for name, fn in q.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        cols = df.columns
+        assert len(cols) == len(set(cols)), f"{name}: duplicate column names"
+        if name in o:
+            sql = o[name].lower()
+            for c in cols:
+                assert c.lower() in sql, f"{name}: column {c} not in oracle SQL"

@@ -1,0 +1,104 @@
+"""Unit tests for the operator library on driver testdata + tiny frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_jabar_spark.operators.aggregates import deterministic_mode
+from etl_weather_jabar_spark.operators.dedup import (
+    dedupe_keep_first,
+    find_duplicate_groups,
+)
+from etl_weather_jabar_spark.operators.joins import (
+    anti_join_composite,
+    anti_join_unprocessed,
+    broadcast_lookup,
+    grid_align,
+    minute_grid,
+)
+from etl_weather_jabar_spark.functions.weather import heat_index_c
+from etl_weather_jabar_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedupe_keep_first_survivor(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x1"), ("a", 2, "x2"), ("b", 5, "x3")], ["k", "ord", "payload"]
+    )
+    out = dedupe_keep_first(df, ["k"], order_by=["ord"]).collect()
+    got = {r["k"]: r["payload"] for r in out}
+    assert got == {"a": "x1", "b": "x3"}
+
+
+def test_find_duplicate_groups(spark):
+    df = spark.createDataFrame(
+        [("a", "i1"), ("a", "i2"), ("b", "i3")], ["k", "_id"]
+    )
+    out = find_duplicate_groups(df, ["k"]).collect()
+    assert len(out) == 1
+    assert out[0]["k"] == "a" and out[0]["ids"] == ["i1", "i2"] and out[0]["cnt"] == 2
+
+
+def test_anti_joins(spark):
+    raw = spark.createDataFrame([("1",), ("2",), ("3",)], ["_id"])
+    done = spark.createDataFrame([("2",)], ["_id"])
+    assert {r["_id"] for r in anti_join_unprocessed(raw, done).collect()} == {"1", "3"}
+
+    incoming = spark.createDataFrame([(1, "t1"), (1, "t2")], ["location_id", "time"])
+    existing = spark.createDataFrame([(1, "t1")], ["location_id", "time"])
+    out = anti_join_composite(incoming, existing, ["location_id", "time"]).collect()
+    assert [(r["location_id"], r["time"]) for r in out] == [(1, "t2")]
+
+
+def test_broadcast_lookup_plan_uses_broadcast(spark):
+    fact = load_table(spark, SF, "customer")
+    dim = load_table(spark, SF, "nation")
+    out = broadcast_lookup(fact, dim, "c_nationkey", "n_nationkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == fact.count()  # left join keeps all facts
+
+
+def test_minute_grid_and_alignment(spark):
+    grid = minute_grid(spark)
+    assert [r["minute"] for r in grid.collect()] == ["00", "10", "20", "30", "40", "50"]
+    obs = spark.createDataFrame(
+        [("d1", 1, "08", "00", 30.0), ("d1", 1, "08", "20", 32.0)],
+        ["date", "location_id", "hour", "minute", "temp"],
+    )
+    aligned = grid_align(obs, grid, ["date", "location_id", "hour"])
+    rows = {r["minute"]: r["temp"] for r in aligned.collect()}
+    assert len(rows) == 6 and rows["00"] == 30.0 and rows["10"] is None
+
+
+def test_deterministic_mode_tiebreak(spark):
+    df = spark.createDataFrame(
+        [  # B and A tie 2-2; A first at ord 1 → A wins
+            ("g", "B", 0), ("g", "A", 1), ("g", "A", 2), ("g", "B", 3),
+            # ("g2",) C clear winner
+            ("g2", "C", 0), ("g2", "C", 1), ("g2", "D", 2),
+        ],
+        ["k", "v", "ord"],
+    )
+    out = {r["k"]: r["v_mode"] for r in deterministic_mode(df, ["k"], "v", "ord").collect()}
+    assert out == {"g": "B", "g2": "C"}  # B@0 is first-seen among tied
+
+
+def test_heat_index_known_value(spark):
+    # NWS reference point: 90°F (32.222°C) at RH 70% → HI ≈ 105-106°F
+    df = spark.createDataFrame([(32.2222, 70)], ["t", "rh"])
+    hi_c = df.select(
+        heat_index_c(F.col("t"), F.col("rh").cast("double")).alias("hi")
+    ).collect()[0]["hi"]
+    hi_f = hi_c * 9 / 5 + 32
+    assert 104.0 < hi_f < 107.0
+
+
+def test_filters_push_to_parquet_scan(spark):
+    """P3/P5 predicates must reach the Parquet scan (SURVEY §4.1)."""
+    li = load_table(spark, SF, "lineitem")
+    q = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double" in plan

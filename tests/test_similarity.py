@@ -1,0 +1,70 @@
+"""Tests for similarity search (ext/similarity.py) and vector functions."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+from etl_weather_jabar_spark.ext.similarity import brute_force_topk, lsh_bucketed_topk
+from etl_weather_jabar_spark.functions.vectors import cosine_similarity
+
+SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def _corpus(spark, n=200, dim=16, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    # vec 199 = exact copy of vec 0 → its nearest neighbour with cosine 1
+    rows[199] = (199, rows[0][1])
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_cosine_similarity_column(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0])],
+        ["id", "a", "b"],
+    )
+    out = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", F.round(cosine_similarity(F.col("a"), F.col("b")), 6).alias("c")
+        ).collect()
+    }
+    assert out[1] == 0.0
+    assert math.isclose(out[2], 1.0, abs_tol=1e-6)
+
+
+def test_brute_force_topk_exact_copy_ranks_first(spark):
+    corpus = _corpus(spark)
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(corpus, queries, k=5)
+    rows = sorted(top.collect(), key=lambda r: r["rank"])
+    assert rows[0]["vec_id"] == 199 and rows[0]["cosine"] == 1.0
+    assert len(rows) == 5
+    sims = [r["cosine"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall_against_brute_force(spark):
+    corpus = _corpus(spark)
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=5)
+    approx = lsh_bucketed_topk(corpus, queries, k=5, dim=16, n_bits=4, tables=6)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # the planted exact copy must always be found (identical signatures)
+    assert (0, 199) in a

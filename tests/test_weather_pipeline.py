@@ -1,0 +1,129 @@
+"""Golden tests pinning the reference's pipeline semantics (SURVEY §7.2).
+
+Each test cites the reference behavior it pins (file:line into
+/root/reference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_jabar_spark.operators.aggregates import daily_recap
+from etl_weather_jabar_spark.plans.pipelines import recap_stage, transform_stage
+
+from .fixtures import bronze_fixture, silver_fixture
+
+
+def test_transform_dedups_keep_first(spark):
+    """A3: survivor of duplicate (location.id, dag_times.end) is the lowest
+    _id (transform_raw_weather.py:92-97 deletes ids[1:])."""
+    silver = transform_stage(bronze_fixture(spark))
+    rows = {r["_id"]: r for r in silver.collect()}
+    assert "b001" in rows and "b002" not in rows
+    assert rows["b001"]["temp_c"] == 30.0
+
+
+def test_transform_rejects_null_location(spark):
+    """P7: rows with missing location.id dropped
+    (transform_raw_weather.py:33-35)."""
+    ids = {r["_id"] for r in transform_stage(bronze_fixture(spark)).collect()}
+    assert "b004" not in ids
+
+
+def test_transform_history_uses_logical_date(spark):
+    """F8: history rows take dag_times.logical_date as event time
+    (transform_raw_weather.py:29-32)."""
+    rows = {r["_id"]: r for r in transform_stage(bronze_fixture(spark)).collect()}
+    assert rows["b005"]["timestamp"] == "2024-02-01 09:00:00"
+    assert rows["b005"]["hour"] == "09"
+    assert rows["b006"]["timestamp"] == "2024-02-01 10:10:00"
+
+
+def test_transform_batch_key_filter(spark):
+    """ST2: only the requested interval's rows processed
+    (transform_raw_weather.py:112-117)."""
+    silver = transform_stage(bronze_fixture(spark), batch_end="2024-02-01 10:00:00")
+    ids = {r["_id"] for r in silver.collect()}
+    assert ids == {"b001", "b003"}
+
+
+def test_transform_17_column_shape(spark):
+    """P1: the Silver projection is the 17-field flat row
+    (transform_raw_weather.py:36-58) + lineage _id."""
+    cols = transform_stage(bronze_fixture(spark)).columns
+    assert cols == [
+        "_id", "timestamp", "date", "hour", "minute", "location_id",
+        "location_name", "lat", "lon", "temp_c", "feelslike_c", "humidity",
+        "wind_kph", "wind_dir", "wind_degree", "precip_mm", "is_day", "uv",
+        "cloud", "condition",
+    ]
+
+
+def _recap_hours(spark):
+    out = recap_stage(silver_fixture(spark)).collect()
+    assert len(out) == 1
+    doc = out[0]
+    return doc, {h["hour"]: h for h in doc["hourly"]}
+
+
+def test_recap_hour_aggregates(spark):
+    """A4/A5: avg rounded 2dp, min/max (daily_compile_weather.py:71-75)."""
+    _, hours = _recap_hours(spark)
+    h8 = hours["08"]
+    assert h8["temp_avg"] == 32.0
+    assert h8["temp_min"] == 30.0 and h8["temp_max"] == 34.0
+    assert h8["precip_mm"] == 3.5
+
+
+def test_recap_empty_measures_sum_zero_avg_null(spark):
+    """A8: sum of an all-null hour is 0.0 while avg/min/max stay null
+    (daily_compile_weather.py:71-78)."""
+    _, hours = _recap_hours(spark)
+    h9 = hours["09"]
+    assert h9["precip_mm"] == 0.0
+    assert h9["temp_avg"] is None
+    assert h9["temp_min"] is None
+    assert h9["dominant_wind_dir"] is None
+
+
+def test_recap_mode_first_seen_tiebreak(spark):
+    """A6: wind mode ties broken by first occurrence in minute order
+    (statistics.mode semantics, daily_compile_weather.py:76)."""
+    _, hours = _recap_hours(spark)
+    assert hours["08"]["dominant_wind_dir"] == "NE"  # NE@:00 beats SW@:10, 2-2
+
+
+def test_recap_minute_grid_null_fill(spark):
+    """J4: missing 10-min slots appear as all-null minute docs
+    (daily_compile_weather.py:34-58)."""
+    _, hours = _recap_hours(spark)
+    points = {p["minute"]: p for p in hours["08"]["data_points"]}
+    assert sorted(points) == ["00", "10", "20", "30", "40", "50"]
+    assert points["30"]["temp"] is None and points["30"]["wind_dir"] is None
+    assert points["40"]["temp"] == 33.0
+
+
+def test_recap_skips_empty_hours_and_flags_incomplete_day(spark):
+    """Hours with no rows are skipped (daily_compile_weather.py:123-124);
+    full_recap False when hour 23 absent (:114-115), stamped on every hour
+    row (W2)."""
+    doc, hours = _recap_hours(spark)
+    assert sorted(hours) == ["08", "09"]  # only observed hours present
+    assert all(h["full_recap"] is False for h in doc["hourly"])
+
+
+def test_recap_full_day_flag_true(spark):
+    """full_recap True when hour 23 present, for every hour row."""
+    silver = silver_fixture(spark)
+    extra = silver.limit(1).withColumn("hour", F.lit("23")).withColumn(
+        "timestamp", F.lit("2024-02-01 23:00:00")
+    ).withColumn("_id", F.lit("s2300"))
+    doc = daily_recap(silver.unionByName(extra)).collect()[0]
+    assert {h["hour"] for h in doc["hourly"]} == {"08", "09", "23"}
+    assert all(h["full_recap"] is True for h in doc["hourly"])
+
+
+def test_recap_hourly_sorted(spark):
+    """A9/§2.6: hourly array ordered by hour, data_points by minute."""
+    doc, _ = _recap_hours(spark)
+    hrs = [h["hour"] for h in doc["hourly"]]
+    assert hrs == sorted(hrs)
