@@ -80,13 +80,18 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 5,
     sig_col: str = "minhash",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Tier 3a: MinHash signature (array<bigint> of length ``num_hashes``)
     per document over word-``shingle_n``-gram shingles → (id_col, sig_col).
 
-    h_i(doc) = min over shingles of hash64(shingle, seed=i). Seeded hashes
-    come from md5(shingle || ':' || i) so they are reproducible outside
-    Spark bit-for-bit.
+    h_i(doc) = min over shingles of hash_i(shingle). Seeded hash families:
+
+    * ``xxhash64`` (default): ``F.xxhash64(seed_i, shingle)`` — pure JVM,
+      no string materialization, the 100 TB hot path;
+    * ``md5``: md5-hex-prefix bigint — slower, but recomputable bit-for-bit
+      outside Spark (any engine with md5) when cross-system verification
+      matters.
 
     Shape matters here: shingles are EXPLODED to rows, hashed once per
     (shingle, seed) as plain columns, then min-aggregated per doc. The
@@ -102,17 +107,20 @@ def minhash_signatures(
             F.array_distinct(shingles(F.col(text_col), n=shingle_n))
         ).alias("__s"),
     )
+    if hash_fn == "xxhash64":
+        def h(i):
+            return F.xxhash64(F.lit(i), F.col("__s"))
+    elif hash_fn == "md5":
+        def h(i):
+            return F.conv(
+                F.substring(F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+    else:  # pragma: no cover
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     mins = sh.groupBy(id_col).agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.col("__s"), F.lit(f":{i}"))), 1, 15),
-                    16,
-                    10,
-                ).cast("bigint")
-            ).alias(f"__h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(h(i)).alias(f"__h{i}") for i in range(num_hashes)]
     )
     return mins.select(
         id_col,

@@ -1058,4 +1058,292 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs).select("doc_id", "simhash")
 
 
+# =========================================================================
+# Beyond-the-reference operator classes (engine extensions a user of a real
+# analytics engine expects; SURVEY §2 notes each as absent in the reference)
+# =========================================================================
+
+@_register(
+    "rollup_daily_types",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+           count(*) AS n, {_sql_sum('value')} AS value_sum
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def rollup_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (date → date×type → grand total) — one pass,
+    partial-agg per grouping set."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz"))
+        .rollup(F.date_format("ts", "yyyy-MM-dd").alias("date"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum(F.col("value")).alias("value_sum"))
+    )
+
+
+@_register(
+    "pivot_type_daily_value",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           {_sql_sum('CASE WHEN event_type = %s THEN value END' % "'click'")}    AS click,
+           {_sql_sum("CASE WHEN event_type = 'error' THEN value END")}    AS error,
+           {_sql_sum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+           {_sql_sum("CASE WHEN event_type = 'signup' THEN value END")}   AS signup,
+           {_sql_sum("CASE WHEN event_type = 'view' THEN value END")}     AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_type_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — deterministic
+    columns, single shuffle. At scale: always pass the pivot values (the
+    two-pass inference collects distinct values to the driver)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"))
+        .pivot("event_type", types)
+        .agg(_dec_sum(F.col("value")))
+    )
+
+
+@_register(
+    "lead_lag_delta",
+    """
+    SELECT event_id, user_id,
+           lag(event_id) OVER w AS prev_event_id,
+           CAST(epoch(date_trunc('second', ts)) -
+                epoch(date_trunc('second', lag(ts) OVER w)) AS BIGINT) AS delta_s
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window frame (absent in the reference, SURVEY §2.5): seconds
+    since the user's previous event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    return (
+        ev.where(F.col("user_id") < 10)
+        .select(
+            "event_id",
+            "user_id",
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            (sec - F.lag(sec).over(w)).cast("bigint").alias("delta_s"),
+        )
+    )
+
+
+@_register(
+    "sessionize_users",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    per-user session count. The batch twin of a streaming session window;
+    one shuffle on user_id, no state kept."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev)
+    flagged = ev.select(
+        "user_id",
+        F.when(prev.isNull() | (gap_s > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
+    "asof_last_click_before_purchase",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id < 25) p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: for each purchase, the user's most recent click
+    at-or-before it. Spark has no ASOF JOIN; the scalable form is a union +
+    running last_value(ignorenulls) window — one shuffle on user_id, no
+    range-explosion, works at any key cardinality (the J4 grid join is the
+    reference's closest relative, SURVEY §2.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(
+        (F.col("event_type") == "purchase") | (F.col("event_type") == "click")
+    )
+    # clicks sort before purchases at equal ts → a same-instant click counts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("event_type") == "purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    with_last = tagged.withColumn(
+        "last_click", F.last(click_ts, ignorenulls=True).over(w)
+    )
+    return (
+        with_last.where(
+            (F.col("event_type") == "purchase") & (F.col("user_id") < 25)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("last_click", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_click_ts"
+            ),
+        )
+    )
+
+
+@_register(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS INT) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via rank window — the distributed form of the
+    reference's keep-first slicing (A3), generalized to k>1."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@_register(
+    "set_ops_order_status",
+    """
+    SELECT 'both' AS segment, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'only_f' AS segment, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def set_ops_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (absent in the reference,
+    SURVEY §2.6) — planned as left-semi/anti aggregates by Catalyst."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f.intersect(open_).select(F.lit("both").alias("segment"), "o_custkey")
+    only_f = f.subtract(open_).select(  # EXCEPT (set semantics, not exceptAll)
+        F.lit("only_f").alias("segment"), "o_custkey"
+    )
+    return both.unionByName(only_f)
+
+
+@_register(
+    "ngram_topk_vocab",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(regexp_split_to_array(
+                   regexp_replace(regexp_replace(lower(trim(text)),
+                       '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'),
+                   ' '), t -> t <> '')) AS token
+        FROM documents
+    )
+    SELECT token, count(*) AS n
+    FROM toks
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def ngram_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k: explode tokens → count → ordered limit.
+    The 'what's in my training data' query; explode + partial-agg count,
+    TakeOrdered for the k rows."""
+    from .functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@_register(
+    "sql_surface_summary",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(o.o_orderkey) AS n_orders,
+           {_sql_sum('o.o_totalprice')} AS total_price
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def sql_surface_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: tables registered as temp views, query
+    written in Spark SQL (not the DataFrame DSL) — proving both frontends
+    share the same Catalyst plans."""
+    from .sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    su = (
+        "(CAST(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0)"
+    )
+    return spark.sql(
+        f"""
+        SELECT c.c_mktsegment AS segment,
+               count(DISTINCT c.c_custkey) AS n_customers,
+               count(o.o_orderkey) AS n_orders,
+               {su} AS total_price
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """
+    )
+
+
 ALL = sorted(QUERIES)
