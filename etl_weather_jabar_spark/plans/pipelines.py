@@ -43,6 +43,41 @@ def transform_stage(
     return flatten_raw(deduped)
 
 
+def backfill_union(
+    live: DataFrame,
+    history: DataFrame,
+    existing: DataFrame | None = None,
+    now: str | None = None,
+) -> DataFrame:
+    """ST3 late-data / catch-up path (fetch_weather.py:147-189):
+
+    * history rows are coarsened to hourly granularity — the reference skips
+      non-:00 catchup runs (fetch_weather.py:185-187): keep minute == '00';
+    * no-future guard (ST7, :73-75);
+    * rows whose (location.id, current.time) already landed are skipped
+      (J3 anti-join, :76-77,100-106);
+    * then unioned with the live path into one Bronze stream (:117,145).
+    """
+    hist = history.where(F.col("current.time").isNotNull())
+    hist = hist.where(F.substring(F.col("current.time"), 15, 2) == "00")  # mm
+    if now is not None:
+        hist = hist.where(F.col("current.time") <= now)  # string order == time order
+    if existing is not None:
+        keys = hist.select(
+            F.col("location.id").alias("__loc"), F.col("current.time").alias("__t")
+        ).columns
+        ex = existing.select(
+            F.col("location.id").alias("__loc"), F.col("current.time").alias("__t")
+        )
+        hist = (
+            hist.withColumn("__loc", F.col("location.id"))
+            .withColumn("__t", F.col("current.time"))
+            .join(ex, on=keys, how="left_anti")
+            .drop("__loc", "__t")
+        )
+    return live.unionByName(hist)
+
+
 def recap_stage(silver: DataFrame, dates: list[str] | None = None) -> DataFrame:
     """The Gold recap DAG (dags/daily_compile_weather.py:96-142) as ONE
     distributed plan — replaces the reference's per-(date,location) query

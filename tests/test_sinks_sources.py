@@ -1,0 +1,144 @@
+"""Tests for sinks (S5-S9 semantics), JSON source (S3), quarantine (P10),
+and the ST3 backfill union."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_weather_jabar_spark.plans.pipelines import backfill_union
+from etl_weather_jabar_spark.sinks import (
+    append,
+    append_dedup_keyed,
+    overwrite,
+    quarantine_split,
+    upsert_by_partition,
+)
+from etl_weather_jabar_spark.sources.jsonsrc import read_master_location
+
+from .fixtures import _raw_row, bronze_fixture
+
+
+def test_append_and_overwrite(spark):
+    df = spark.range(5).select(F.col("id"))
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/t"
+        append(df, p)
+        append(df, p)
+        assert spark.read.parquet(p).count() == 10
+        overwrite(df, p)  # S8 truncate-and-reload
+        assert spark.read.parquet(p).count() == 5
+
+
+def test_append_dedup_keyed_unique_index_semantics(spark):
+    """ST4/S9: the unique-(location_id,timestamp) index becomes dedup-on-
+    write — replays and overlapping batches insert nothing twice."""
+    rows = [("a", 1, "t1", 1.0), ("b", 1, "t1", 2.0), ("c", 2, "t1", 3.0)]
+    df = spark.createDataFrame(rows, ["_id", "location_id", "timestamp", "v"])
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/silver"
+        append_dedup_keyed(df, p, keys=["location_id", "timestamp"])
+        got = spark.read.parquet(p)
+        assert got.count() == 2  # in-batch dup collapsed, survivor lowest _id
+        assert {r["_id"] for r in got.collect()} == {"a", "c"}
+        # replay the same batch → idempotent
+        append_dedup_keyed(df, p, keys=["location_id", "timestamp"])
+        assert spark.read.parquet(p).count() == 2
+        # new key appends
+        extra = spark.createDataFrame(
+            [("d", 3, "t1", 4.0)], ["_id", "location_id", "timestamp", "v"]
+        )
+        append_dedup_keyed(extra, p, keys=["location_id", "timestamp"])
+        assert spark.read.parquet(p).count() == 3
+
+
+def test_upsert_by_partition_idempotent(spark):
+    """S6: keyed upsert as dynamic partition overwrite — rewriting a date
+    replaces that date only."""
+    v1 = spark.createDataFrame(
+        [("2024-02-01", 1, 10.0), ("2024-02-02", 1, 20.0)],
+        ["date", "location_id", "v"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/gold"
+        upsert_by_partition(v1, p, ["date"], dedup_keys=["date", "location_id"])
+        v2 = spark.createDataFrame(
+            [("2024-02-02", 1, 99.0)], ["date", "location_id", "v"]
+        )
+        upsert_by_partition(v2, p, ["date"], dedup_keys=["date", "location_id"])
+        # partition values come back type-inferred (DateType) — normalize
+        got = {str(r["date"]): r["v"] for r in spark.read.parquet(p).collect()}
+        assert got == {"2024-02-01": 10.0, "2024-02-02": 99.0}
+
+
+def test_quarantine_split(spark):
+    """P10: error rows split off to a quarantine sink
+    (fetch_weather.py:60-62,131-133)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "boom"), (3, None)], ["id", "error"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        q = f"{d}/quarantine"
+        clean = quarantine_split(df, F.col("error").isNull(), q)
+        assert {r["id"] for r in clean.collect()} == {1, 3}
+        assert {r["id"] for r in spark.read.parquet(q).collect()} == {2}
+
+
+def test_read_master_location(spark):
+    """S3: multiline JSON dimension load with explicit schema
+    (init_master_location.py:23-28)."""
+    doc = [
+        {
+            "id": 3088089,
+            "central_city": "Bandung",
+            "city": "Kota Bandung",
+            "region": "West Java",
+            "country": "Indonesia",
+            "lat": -6.92,
+            "lon": 107.61,
+            "url": "bandung",
+            "source": {
+                "general_info": "g", "location": "l", "central_city": "c",
+                "lat": -6.9, "lon": 107.6,
+            },
+        }
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/master.json"
+        with open(path, "w") as f:
+            json.dump(doc, f)
+        got = read_master_location(spark, path)
+        rows = got.collect()
+        assert len(rows) == 1
+        assert rows[0]["id"] == 3088089
+        assert rows[0]["source"]["lat"] == -6.9
+
+
+def test_backfill_union_hourly_coarsening(spark):
+    """ST3: history path keeps only :00 rows, drops future rows, anti-joins
+    already-stored (loc, time) pairs, then unions with live."""
+    live = bronze_fixture(spark).where("fetch_method = 'current'")
+    hist_rows = [
+        _raw_row("h1", "2024-02-01 08:00:00", 1, method="history"),
+        _raw_row("h2", "2024-02-01 08:10:00", 1, method="history"),  # not :00
+        _raw_row("h3", "2024-02-01 09:00:00", 1, method="history"),
+        _raw_row("h4", "2024-02-01 23:00:00", 1, method="history"),  # future
+    ]
+    from etl_weather_jabar_spark.schemas import RAW_WEATHER
+
+    history = spark.createDataFrame(hist_rows, RAW_WEATHER)
+    existing = spark.createDataFrame(
+        [_raw_row("e1", "2024-02-01 09:00:00", 1, method="history")], RAW_WEATHER
+    )
+    out = backfill_union(
+        live, history, existing=existing, now="2024-02-01 12:00:00"
+    )
+    ids = {r["_id"] for r in out.collect()}
+    assert "h1" in ids          # :00, past, not stored yet
+    assert "h2" not in ids      # minute != 00 → coarsened away
+    assert "h3" not in ids      # already stored (anti-join)
+    assert "h4" not in ids      # future
+    assert all(i in ids for i in ["b001", "b002", "b003", "b004", "b006"])
