@@ -1346,4 +1346,137 @@ def sql_surface_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "rolling_3row_avg",
+    """
+    SELECT event_id, user_id,
+           (CAST(sum(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           ) / 100.0 AS rolling_avg_raw,
+           round((CAST(sum(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 100.0, 2)
+               AS rolling_avg
+    FROM events WHERE user_id < 10
+    """,
+)
+def rolling_3row_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame rolling aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT) —
+    running mean of the user's last 3 event values. Summed in integer cents
+    (window-frame double summation order is engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    raw = F.sum(cents).over(w).cast("double") / F.count(F.lit(1)).over(w) / 100.0
+    return ev.where(F.col("user_id") < 10).select(
+        "event_id",
+        "user_id",
+        raw.alias("rolling_avg_raw"),
+        F.round(raw, 2).alias("rolling_avg"),
+    )
+
+
+@_register(
+    "median_value_per_type",
+    """
+    SELECT event_type,
+           round(CAST(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+                 AS DOUBLE) / 100.0, 2) AS value_median,
+           round(CAST(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9)
+                 AS DOUBLE) / 100.0, 2) AS value_p90
+    FROM events
+    GROUP BY 1
+    """,
+)
+def median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) over integer cents —
+    Spark percentile() and DuckDB quantile_cont share the linear-interp
+    definition; integer inputs keep the interpolation arithmetic identical.
+    The approximate sibling for 100 TB is approx_distinct_users'
+    percentile_approx (t-digest)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(cents, F.lit(0.5)).cast("double") / 100.0, 2).alias(
+            "value_median"
+        ),
+        F.round(F.percentile(cents, F.lit(0.9)).cast("double") / 100.0, 2).alias(
+            "value_p90"
+        ),
+    )
+
+
+@_register(
+    "quality_filter_docs",
+    """
+    WITH q AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(
+                   regexp_replace(regexp_replace(lower(trim(text)),
+                       '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'),
+                   ' '), t -> t <> '') AS t,
+               CAST(length(text) - length(regexp_replace(text, '[\\p{P}]', '', 'g'))
+                    AS DOUBLE) / length(text) AS praw
+        FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT doc_id, lang,
+           round((least(len(t) / 50.0, 1.0)
+                + (1.0 - least(praw * 5.0, 1.0))
+                + least((len(list_filter(t, x -> x IN ('the','and','of','to','is')))
+                         / CAST(len(t) AS DOUBLE)) * 10.0, 1.0)) / 3.0, 4)
+               AS quality
+    FROM q
+    WHERE len(t) > 0
+      AND round((least(len(t) / 50.0, 1.0)
+                + (1.0 - least(praw * 5.0, 1.0))
+                + least((len(list_filter(t, x -> x IN ('the','and','of','to','is')))
+                         / CAST(len(t) AS DOUBLE)) * 10.0, 1.0)) / 3.0, 4) >= 0.5
+    """,
+)
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length band + punctuation + stopwords,
+    functions/text.py::quality_score) with a keep-threshold — the standard
+    pre-training quality gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.where(F.length("text") > 0).select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("quality"),
+        token_count_ws(F.col("text")).alias("__n"),
+    )
+    return (
+        scored.where((F.col("__n") > 0) & (F.col("quality") >= 0.5))
+        .drop("__n")
+    )
+
+
+@_register(
+    "skew_safe_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact distinct for skewed group keys: phase 1 dedups
+    (event_type, user_id) pairs — a UNIFORM shuffle key even when one
+    event_type dominates — phase 2 counts per group. Same result as
+    count(DISTINCT) but no single reducer sees a whole hot key's values
+    (compare distinct_users_per_type, the planner's expand-based form)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select("event_type", "user_id").distinct()
+    return pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 ALL = sorted(QUERIES)
