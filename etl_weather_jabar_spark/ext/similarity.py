@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity
+from ..operators.partitioning import spread
 
 
 def brute_force_topk(
@@ -40,7 +41,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    joined = corpus.crossJoin(F.broadcast(q)).where(
+    joined = spread(corpus).crossJoin(F.broadcast(q)).where(
         F.col(id_col) != F.col(query_id_col)
     )
     scored = joined.withColumn(
@@ -129,7 +130,7 @@ def lsh_bucketed_topk(
             F.posexplode(sigs).alias("table", "sig"),
         )
 
-    c = signed(corpus, id_col).withColumnRenamed(vec_col, "__cvec")
+    c = signed(spread(corpus), id_col).withColumnRenamed(vec_col, "__cvec")
     q = signed(queries, query_id_col).withColumnRenamed(vec_col, "__qvec")
     cand = (
         c.join(F.broadcast(q), on=["table", "sig"])

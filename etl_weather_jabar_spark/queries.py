@@ -42,6 +42,7 @@ from .functions.text import (
 from .functions.weather import heat_index_c
 from .operators.aggregates import deterministic_mode
 from .operators.dedup import dedupe_keep_first, find_duplicate_groups
+from .operators.partitioning import spread
 from .sources.parquet import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -797,7 +798,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup, keep lowest doc_id — md5 shuffle key so full text
     never shuffles (ext/dedup_text.py tier 1)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     hashed = docs.withColumn("__h", F.md5("text"))
     return dedupe_keep_first(hashed, ["__h"], order_by=["doc_id"]).select(
         "doc_id", "lang", "source", "n_chars"
@@ -816,7 +817,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 of case/whitespace-normalized text) +
     32-bit bucket prefix — cross-engine bit-identical."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     fp = F.md5(F.lower(F.trim(F.col("text"))))
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
@@ -846,7 +847,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality signals: token count + stopword ratio (functions/text.py) —
     all regex/higher-order JVM functions, no UDF."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "lang",
@@ -879,7 +880,7 @@ def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (whitespace + BPE-ish ceil(len/4) subword
     estimate) aggregated per source — the 'how many training tokens do I
     have' query."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
     return (
         docs.select(
@@ -938,7 +939,7 @@ def _lang_hits_sql(lang: str) -> str:
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/function-word language-ID heuristic: per-language marker hit
     counts → argmax with deterministic alphabetical tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     hits = {
         lang: marker_hits(F.col("text"), markers)
         for lang, markers in LANG_MARKERS.items()
@@ -989,7 +990,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (ext/similarity.py): broadcast query side,
     one streaming pass over the corpus, JVM-side zip_with dot product,
     per-query window top-k with total-order tie-break."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1018,7 +1019,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup join, blocked by label (the blocking key
     stands in for an LSH bucket — never all-pairs at scale)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     a = emb.alias("a")
     b = emb.alias("b")
     from .functions.vectors import cosine_similarity
@@ -1044,7 +1045,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates → exact shingle-Jaccard ≥ 0.5
     (ext/dedup_text.py tier 3). Hashes are md5-derived (reproducible);
     returns (id_a, id_b, jaccard)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     cand = minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
     return jaccard_verify(cand, docs, threshold=0.5).orderBy("id_a", "id_b")
 
@@ -1054,7 +1055,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (ext/dedup_text.py tier 2) + bucket
     counts; rows-only check (bit-construction loop is not one SQL
     expression), golden-tested in tests/."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return simhash64(docs).select("doc_id", "simhash")
 
 
@@ -1302,7 +1303,7 @@ def ngram_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered for the k rows."""
     from .functions.text import tokens as _tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -1447,7 +1448,7 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length band + punctuation + stopwords,
     functions/text.py::quality_score) with a keep-threshold — the standard
     pre-training quality gate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     scored = docs.where(F.length("text") > 0).select(
         "doc_id",
         "lang",
