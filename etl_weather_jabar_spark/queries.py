@@ -1480,4 +1480,205 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+@_register(
+    "shipping_priority_topk",
+    """
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           o.o_orderpriority,
+           {S_REV} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """.replace("{S_REV}", _sql_sum("l.l_extendedprice * (1 - l.l_discount)", 2, 4)),
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    Scale notes: the c_mktsegment filter drops ~80% of customers BEFORE the
+    join (Catalyst pushes it below); orders⋈lineitem shuffles on the shared
+    orderkey; the final top-10 is TakeOrderedAndProject (no global sort).
+    Ties broken by l_orderkey for a deterministic LIMIT."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2, 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name, {S_REV} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """.replace("{S_REV}", _sql_sum("l.l_extendedprice * (1 - l.l_discount)", 2, 4)),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a "local supplier" constraint
+    (customer and supplier share a nation). region/nation/supplier are
+    explicitly broadcast — at 100 TB those dims stay KB-to-MB-sized, so the
+    only shuffles left are the two fact joins (orders⋈customer,
+    lineitem⋈orders); the nationkey equality is a broadcast-side filter,
+    never a shuffle key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2, 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "returned_item_customers",
+    """
+    SELECT c.c_custkey, c.c_name, {S_REV} AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """.replace("{S_REV}", _sql_sum("l.l_extendedprice * (1 - l.l_discount)", 2, 4)),
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter. Group
+    keys include customer attributes (avoids a re-join after the agg);
+    nation broadcast; top-20 with custkey tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name"
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2, 4).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "embedding_centroids",
+    f"""
+    WITH flat AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS u
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, pos,
+               {_sql_halfup('sum(u)', 'count(*) * 10')} AS m,
+               count(*) AS c
+        FROM flat GROUP BY 1, 2
+    )
+    SELECT label, max(c) AS n_vecs,
+           string_agg(CAST(m AS VARCHAR), ',' ORDER BY pos) AS centroid_units
+    FROM dims GROUP BY 1
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the building block of IVF coarse
+    quantization and class prototypes). posexplode → per-(label, dim) sum of
+    integer micro-units → half-up to 1e-5 units → re-assemble ordered by
+    dim. All-integer arithmetic end-to-end, so the centroid string is
+    bit-identical across engines. Scale: the shuffle key is (label, dim) —
+    |labels|·|dims| cells, uniform; partial sums are map-side combined, so
+    vector count never inflates the shuffle."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        _units(F.col("v").cast("double"), 6).alias("u"),
+    )
+    dims = flat.groupBy("label", "pos").agg(
+        _half_up_div(F.sum("u"), F.count(F.lit(1)) * 10).alias("m"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return dims.groupBy("label").agg(
+        F.max("c").alias("n_vecs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"].cast("string"),
+            ),
+            ",",
+        ).alias("centroid_units"),
+    )
+
+
 ALL = sorted(QUERIES)
