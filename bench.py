@@ -27,6 +27,8 @@ from etl_weather_jabar_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "pricing_summary",
     "order_lineitem_join_agg",
+    "shipping_priority_topk",
+    "local_supplier_volume",
     "recap_daily_agg",
     "dedup_keep_first",
     "grid_align_hours",

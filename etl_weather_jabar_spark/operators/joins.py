@@ -56,6 +56,44 @@ def minute_grid(spark, start: int = 0, stop: int = 50, step: int = 10) -> DataFr
     ).select(F.format_string("%02d", F.col("m")).alias("minute"))
 
 
+def salted_join(
+    fact: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: split each hot join key across ``buckets``
+    sub-keys.
+
+    The fact side gets a deterministic per-row salt (hash of ALL its columns
+    mod buckets — uniform even when the join key itself is degenerate); the
+    other side is replicated once per salt value. Join runs on
+    (key…, salt), so a key holding 30% of the fact lands on ``buckets``
+    reducers instead of one.
+
+    When to reach for this at 100 TB: AQE's skew-join split
+    (spark.sql.adaptive.skewJoin) already rebalances sort-merge joins at
+    runtime — prefer it. Salting is for the cases AQE can't touch: the
+    replicated side too big to broadcast but needed on every salt, skewed
+    LEFT joins where the hot key must stay together downstream, or engines/
+    paths with AQE off. Cost: other side inflated ×buckets — keep it the
+    small side.
+
+    Result equals ``fact.join(other, on, how)`` row-for-row (verified in
+    tests); only the physical key space changes. Supports inner/left —
+    fact-side-preserving joins where replication can't invent matches.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(buckets))
+    fact_s = fact.withColumn("__salt", salt)
+    other_s = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return fact_s.join(other_s, on=[*on, "__salt"], how=how).drop("__salt")
+
+
 def grid_align(
     obs: DataFrame,
     grid: DataFrame,

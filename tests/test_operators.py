@@ -15,6 +15,7 @@ from etl_weather_jabar_spark.operators.joins import (
     broadcast_lookup,
     grid_align,
     minute_grid,
+    salted_join,
 )
 from etl_weather_jabar_spark.functions.weather import heat_index_c
 from etl_weather_jabar_spark.sources.parquet import load_table
@@ -49,6 +50,30 @@ def test_anti_joins(spark):
     existing = spark.createDataFrame([(1, "t1")], ["location_id", "time"])
     out = anti_join_composite(incoming, existing, ["location_id", "time"]).collect()
     assert [(r["location_id"], r["time"]) for r in out] == [(1, "t2")]
+
+
+def test_salted_join_matches_plain_join(spark):
+    import pytest
+
+    # 90% of fact rows share key 1 (the hot key salting exists for)
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(2, i) for i in range(8)] + [(9, 0), (9, 1)],
+        ["k", "payload"],
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (3, "unmatched")], ["k", "name"]
+    )
+
+    def key(rows):
+        return sorted((r["k"], r["payload"], r["name"]) for r in rows)
+
+    for how in ("inner", "left"):
+        plain = key(fact.join(dim, on=["k"], how=how).collect())
+        salted = key(salted_join(fact, dim, on=["k"], how=how, buckets=4).collect())
+        assert salted == plain and len(plain) == (98 if how == "inner" else 100)
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, on=["k"], how="right")
 
 
 def test_broadcast_lookup_plan_uses_broadcast(spark):
