@@ -58,6 +58,147 @@ def brute_force_topk(
     )
 
 
+def _centroid_literal(centroids: list[tuple[int, list[float]]]):
+    """Inline (cid, vector) pairs as a literal array<struct> column.
+
+    Centroids are MODEL state (n_clusters × dim floats — KB), not data;
+    inlining them is the DataFrame analogue of MLlib's broadcast model and
+    turns nearest-centroid assignment into a pure projection: no join, no
+    shuffle, whole-stage-codegen'd.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def _nearest_cid(vec, centroids: list[tuple[int, list[float]]]):
+    """argmax-cosine cluster id; ties → lowest cid."""
+    return F.element_at(_probe_cids(vec, centroids, 1), 1)
+
+
+def _probe_cids(vec, centroids: list[tuple[int, list[float]]], n_probe: int):
+    """The n_probe nearest centroid ids, best-first (ties → lowest cid)."""
+    arr = _centroid_literal(centroids)
+    ranked = F.array_sort(
+        F.transform(
+            arr,
+            lambda s: F.struct(
+                (-cosine_similarity(vec, s["cv"])).alias("negsim"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda x: x["cid"])
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Seeds = the ``n_clusters`` vectors with smallest ``xxhash64(id)`` — a
+    uniform, reproducible pseudo-random sample taken with one TakeOrdered
+    pass (no full sort materialized). Each refinement iteration is one
+    projection (assign, shuffle-free) + one (cid, dim)-keyed aggregation
+    whose output is n_clusters × dim cells — the only thing ever collected.
+    """
+    corpus = spread(corpus)
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = corpus.select(
+            _nearest_cid(F.col(vec_col).cast("array<double>"), cents).alias("cid"),
+            F.posexplode(vec_col).alias("pos", "v"),
+        )
+        means = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        # empty clusters keep their previous centroid (standard Lloyd fix)
+        cents = [
+            (
+                cid,
+                [by_cid[cid][p] for p in sorted(by_cid[cid])]
+                if cid in by_cid
+                else prev,
+            )
+            for cid, prev in cents
+        ]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into inverted lists
+    keyed by nearest centroid; each query probes only its ``n_probe``
+    nearest lists, then exact cosine ranks the candidates.
+
+    The 100 TB shape: corpus assignment is a pure projection (write once,
+    partitionBy(cid) → probes become partition-pruned scans); the
+    query⋈corpus join is on cid with the tiny query side broadcast. Probing
+    n_probe/n_clusters of the corpus bounds work at roughly that fraction
+    of a full scan — the recall/cost dial is (n_clusters, n_probe).
+    """
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        corpus, n_clusters, iters, id_col, vec_col
+    )
+    c = spread(corpus).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        _nearest_cid(F.col(vec_col).cast("array<double>"), cents).alias("cid"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            _probe_cids(F.col(vec_col).cast("array<double>"), cents, n_probe)
+        ).alias("cid"),
+    )
+    cand = c.join(F.broadcast(q), on="cid").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _srp_signature(vec, dim: int, n_bits: int, table: int):
     """Signed-random-projection signature as a bigint bucket key.
 

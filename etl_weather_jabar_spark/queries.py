@@ -997,6 +997,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+@_register("ivf_cosine_topk")
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (ext/similarity.py): deterministic hash-seeded
+    k-means coarse quantizer → inverted lists keyed by centroid → queries
+    probe 4/16 lists → exact cosine on candidates. Rows-only check (the
+    iterative quantizer has no SQL twin); recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    from .ext.similarity import ivf_topk
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=4)
+
+
 @_register(
     "embedding_neardup_pairs",
     """

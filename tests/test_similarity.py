@@ -68,3 +68,24 @@ def test_lsh_topk_recall_against_brute_force(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
     # the planted exact copy must always be found (identical signatures)
     assert (0, 199) in a
+
+
+def test_ivf_topk_recall_against_brute_force(spark):
+    from etl_weather_jabar_spark.ext.similarity import ivf_topk, train_ivf_centroids
+
+    corpus = _corpus(spark)
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=5)
+    cents = train_ivf_centroids(corpus, n_clusters=8, iters=2)
+    assert len(cents) == 8 and all(len(v) == 16 for _, v in cents)
+    approx = ivf_topk(corpus, queries, k=5, n_probe=4, centroids=cents)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # the planted exact copy shares vec 0's cluster -> always found
+    assert (0, 199) in a
+    # determinism: training twice gives identical centroids
+    assert cents == train_ivf_centroids(corpus, n_clusters=8, iters=2)
