@@ -99,6 +99,93 @@ def extract_features(
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int, fake: bool) -> bytes:
+    """Resize stub. Real impl: PIL/libvips thumbnail (not in container).
+    Fake: deterministic bytes derived from (content digest, target box) —
+    size-bounded, so the fake behaves like a real thumbnail for IO purposes.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/libvips — not available in this container"
+        )
+    seed = hashlib.md5((payload or b"") + f":{w}x{h}".encode()).digest()
+    out = (seed * ((w * h) // len(seed) + 1))[: max(w * h // 64, 16)]
+    return out
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake_decode: bool = True
+) -> DataFrame:
+    """Thumbnail pass: 1→1 ``mapInPandas`` that REPLACES the payload.
+
+    Scale notes: this is the one multimodal stage whose output is also
+    blob-heavy — write it straight to a sink partitioned like the input
+    rather than feeding a shuffle; only width/height/mime change in the
+    metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                _resize_stub(p, width, height, fake_decode) for p in pdf["payload"]
+            ]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, fake_decode: bool = True
+) -> DataFrame:
+    """Video frame sampling: 1→N ``mapInPandas`` — each video row fans out
+    to one row per sampled timestamp (0, every_ms, 2·every_ms, … <
+    duration_ms).
+
+    Real impl would seek with ffmpeg/pyav; the fake derives each frame's
+    bytes from (video digest, frame index), so the fan-out shape, schema,
+    and determinism are all real. Scale notes: fan-out multiplies rows
+    ~duration/every_ms — size input partitions DOWN (maxPartitionBytes) so
+    the expanded batch still fits executor memory; the frame payload column
+    goes straight to a sink, never into a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, pays = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "frame extraction requires ffmpeg/pyav — not in container"
+                    )
+                n = max(int((dur or 0) + every_ms - 1) // every_ms, 1)
+                digest = hashlib.md5(payload or b"").digest()
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    pays.append(hashlib.md5(digest + i.to_bytes(4, "big")).digest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "payload": pays}
+            )
+
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms"
+    ).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthetic_media(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
     """Build a deterministic media table from the documents table: payload =
     utf-8 text bytes (an opaque stand-in blob), metadata derived from length.
