@@ -94,6 +94,47 @@ def salted_join(
     return fact_s.join(other_s, on=[*on, "__salt"], how=how).drop("__salt")
 
 
+def range_join_bucketed(
+    fact: DataFrame,
+    intervals: DataFrame,
+    fact_day: str,
+    start_day: str,
+    end_day_excl: str,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Range (interval) join as a bucketed equi-join.
+
+    Spark plans a raw ``f.ts >= i.start AND f.ts < i.end`` join as
+    BroadcastNestedLoop (fine only while one side broadcasts). The scalable
+    form: quantize time into ``bucket_days`` buckets, explode each interval
+    over the buckets it touches, equi-join fact.bucket == interval.bucket
+    (hash join, uniform keys), then apply the exact range predicate.
+    Each fact row joins at most the intervals overlapping its bucket —
+    replication factor = avg interval span / bucket size + 1.
+
+    All three day columns are integer day numbers (e.g. ``datediff`` from
+    epoch); ``end_day_excl`` is exclusive.
+    """
+    i_b = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_day) / bucket_days),
+                F.floor((F.col(end_day_excl) - 1) / bucket_days),
+            )
+        ),
+    )
+    f_b = fact.withColumn("__bucket", F.floor(F.col(fact_day) / bucket_days))
+    return (
+        f_b.join(i_b, on="__bucket")
+        .where(
+            (F.col(fact_day) >= F.col(start_day))
+            & (F.col(fact_day) < F.col(end_day_excl))
+        )
+        .drop("__bucket")
+    )
+
+
 def grid_align(
     obs: DataFrame,
     grid: DataFrame,

@@ -1697,4 +1697,134 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "grouping_sets_order_report",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS gid,
+           count(*) AS n, {S_TOT} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """.replace("{S_TOT}", _sql_sum("o_totalprice")),
+)
+def grouping_sets_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube) via the
+    SQL surface, with GROUPING() disambiguating the null-key rows. One
+    Expand + one aggregation — same physical shape as rollup."""
+    from .sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+               count(*) AS n, {S_TOT} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """.replace(
+            "{S_TOT}",
+            "(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE)"
+            " / 100.0)",
+        )
+    )
+
+
+@_register(
+    "ntile_cume_dist_customers",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(percent_rank() OVER w, 6) AS pr
+    FROM customer
+    WINDOW w AS (ORDER BY round(c_acctbal, 2), c_custkey)
+    """,
+)
+def ntile_cume_dist_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / cume_dist / percent_rank)
+    over a global ordering. Scale note: a single unpartitioned window is a
+    one-reducer sort — at 100 TB you'd pre-bucket by range (rangeBetween on
+    a sampled quantile split) — kept here as the semantic reference; the
+    tie-break on c_custkey makes every rank deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.round("c_acctbal", 2), "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@_register(
+    "campaign_range_join",
+    """
+    SELECT i.o_orderkey AS campaign, count(*) AS n_items, {S_REV} AS revenue
+    FROM (SELECT o_orderkey, o_orderdate FROM orders
+          WHERE o_orderkey % 500 = 0) i
+    JOIN lineitem l
+      ON l.l_shipdate >= i.o_orderdate
+     AND l.l_shipdate < i.o_orderdate + INTERVAL 7 DAY
+    GROUP BY 1
+    """.replace("{S_REV}", _sql_sum("l.l_extendedprice * (1 - l.l_discount)", 2, 4)),
+)
+def campaign_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: lineitems shipped inside each campaign's 7-day
+    window (operators/joins.py::range_join_bucketed). Quantized to weekly
+    buckets + equi-join + exact predicate — a hash join with bounded
+    replication instead of the O(n·m) nested loop Spark would otherwise
+    plan for an inequality join."""
+    from .operators.joins import range_join_bucketed
+
+    epoch = F.lit("1970-01-01").cast("date")
+    intervals = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 500 == 0)
+        .select(
+            F.col("o_orderkey").alias("campaign"),
+            F.datediff(F.to_date("o_orderdate"), epoch).alias("start_day"),
+            (F.datediff(F.to_date("o_orderdate"), epoch) + 7).alias("end_day"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("ship_day"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    joined = range_join_bucketed(
+        li, intervals, "ship_day", "start_day", "end_day", bucket_days=7
+    )
+    return joined.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum(F.col("rev"), 2, 4).alias("revenue"),
+    )
+
+
+@_register(
+    "running_revenue_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0)
+               AS running_total
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (unbounded-preceding) running total per customer in exact
+    integer cents — the classic incremental-frame window aggregate."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("running_total"),
+    )
+
+
 ALL = sorted(QUERIES)
