@@ -142,3 +142,33 @@ def test_backfill_union_hourly_coarsening(spark):
     assert "h3" not in ids      # already stored (anti-join)
     assert "h4" not in ids      # future
     assert all(i in ids for i in ["b001", "b002", "b003", "b004", "b006"])
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key: the join plan must contain no
+    Exchange (shuffle) — the on-disk hash layout is the partitioning."""
+    from etl_weather_jabar_spark.sinks import write_bucketed
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+            joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # same answer as the shuffle join over the raw files
+            assert joined.count() == li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
