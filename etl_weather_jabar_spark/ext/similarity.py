@@ -112,38 +112,45 @@ def train_ivf_centroids(
     projection (assign, shuffle-free) + one (cid, dim)-keyed aggregation
     whose output is n_clusters × dim cells — the only thing ever collected.
     """
-    corpus = spread(corpus)
-    seeds = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(n_clusters)
-        .collect()
-    )
-    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
-    for _ in range(iters):
-        assigned = corpus.select(
-            _nearest_cid(F.col(vec_col).cast("array<double>"), cents).alias("cid"),
-            F.posexplode(vec_col).alias("pos", "v"),
-        )
-        means = (
-            assigned.groupBy("cid", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    # training touches the (id, vector) projection 1 + iters times →
+    # persist it (at 100 TB: MEMORY_AND_DISK on the cluster; id+vector is a
+    # small fraction of full rows thanks to column pruning)
+    vecs = spread(corpus).select(id_col, vec_col).persist()
+    try:
+        seeds = (
+            vecs.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(n_clusters)
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
-        # empty clusters keep their previous centroid (standard Lloyd fix)
-        cents = [
-            (
-                cid,
-                [by_cid[cid][p] for p in sorted(by_cid[cid])]
-                if cid in by_cid
-                else prev,
+        cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+        for _ in range(iters):
+            assigned = vecs.select(
+                _nearest_cid(F.col(vec_col).cast("array<double>"), cents).alias(
+                    "cid"
+                ),
+                F.posexplode(vec_col).alias("pos", "v"),
             )
-            for cid, prev in cents
-        ]
-    return cents
+            means = (
+                assigned.groupBy("cid", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+            # empty clusters keep their previous centroid (standard Lloyd fix)
+            cents = [
+                (
+                    cid,
+                    [by_cid[cid][p] for p in sorted(by_cid[cid])]
+                    if cid in by_cid
+                    else prev,
+                )
+                for cid, prev in cents
+            ]
+        return cents
+    finally:
+        vecs.unpersist()
 
 
 def ivf_topk(

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the operators whose contracts are
+algebraic: keep-first dedup survivor selection, salted-join ≡ plain-join
+equivalence, and exact integer-unit decimal aggregation.
+
+Each example runs a real (tiny) Spark job, so example counts stay low —
+the point is randomized shapes (empty groups, ties, all-duplicates, hot
+keys), not volume.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_weather_jabar_spark.operators.dedup import dedupe_keep_first
+from etl_weather_jabar_spark.operators.joins import salted_join
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # key (few values → collisions guaranteed)
+        st.integers(0, 50),  # order column (ties possible)
+        st.integers(0, 9),  # tiebreak / payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=ROWS)
+@settings(max_examples=8, deadline=None)
+def test_dedupe_keep_first_survivor_is_total_order_min(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "o", "p"])
+    got = {
+        r["k"]: (r["o"], r["p"])
+        for r in dedupe_keep_first(df, ["k"], order_by=["o", "p"]).collect()
+    }
+    want = {}
+    for k, o, p in rows:
+        if k not in want or (o, p) < want[k]:
+            want[k] = (o, p)
+    assert got == want  # one survivor per key, and it's the (o, p)-minimum
+
+
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=1, max_size=40
+    ),
+    dim=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=8
+    ),
+    buckets=st.integers(1, 5),
+)
+@settings(max_examples=8, deadline=None)
+def test_salted_join_equivalence(spark, fact, dim, buckets):
+    # dedup dim keys: salted_join replicates the dim, so dup keys would just
+    # test join multiplicity, which the plain join covers identically anyway
+    dim = list({k: (k, v) for k, v in dim}.values())
+    f = spark.createDataFrame(fact, ["k", "payload"])
+    d = spark.createDataFrame(dim, ["k", "name"])
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["k"], r["payload"], r["name"])
+            for r in f.join(d, on=["k"], how=how).collect()
+        )
+        salted = sorted(
+            (r["k"], r["payload"], r["name"])
+            for r in salted_join(f, d, on=["k"], how=how, buckets=buckets).collect()
+        )
+        assert salted == plain
+
+
+@given(
+    cents=st.lists(st.integers(-10_000_00, 10_000_00), min_size=1, max_size=60)
+)
+@settings(max_examples=8, deadline=None)
+def test_dec_sum_is_exact(spark, cents):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.queries import _dec_avg, _dec_sum
+
+    values = [c / 100.0 for c in cents]
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    row = df.agg(
+        _dec_sum(F.col("x")).alias("s"), _dec_avg(F.col("x")).alias("a")
+    ).collect()[0]
+    dec = [Decimal(c) / 100 for c in cents]
+    want_sum = sum(dec)
+    want_avg = (want_sum / len(dec)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+    assert Decimal(str(row["s"])) == want_sum
+    assert Decimal(str(row["a"])) == want_avg

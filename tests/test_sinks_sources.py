@@ -172,3 +172,37 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_csv_source_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_weather_jabar_spark.sources.csvsrc import read_csv, split_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alice,3.5\n"
+        "2,bob,not_a_number\n"   # type error -> corrupt
+        "3,carol,9.25\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema)
+    clean, bad = split_quarantine(df)
+    got = sorted((r["id"], r["name"], r["score"]) for r in clean.collect())
+    assert got == [(1, "alice", 3.5), (3, "carol", 9.25)]
+    assert "_corrupt_record" not in clean.columns
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0]["_corrupt_record"]
