@@ -1827,4 +1827,50 @@ def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "promo_revenue_share",
+    """
+    SELECT p.p_brand,
+           {S_PROMO} AS promo_revenue,
+           {S_ALL} AS total_revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY 1
+    """.replace(
+        "{S_PROMO}",
+        _sql_sum(
+            "CASE WHEN p.p_type LIKE 'PROMO%' "
+            "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END",
+            2,
+            4,
+        ),
+    ).replace("{S_ALL}", _sql_sum("l.l_extendedprice * (1 - l.l_discount)", 2, 4)),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over a
+    fact⋈dim join. part is the larger kind of dim — small enough to
+    broadcast at most scales, and AQE demotes to shuffle join past the
+    threshold without a code change; the ship-date filter prunes the fact
+    scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dec_sum(promo, 2, 4).alias("promo_revenue"),
+            _dec_sum(rev, 2, 4).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)
