@@ -1873,4 +1873,60 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "semi_join_open_order_customers",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+    """,
+)
+def semi_join_open_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (the dual of the J2 anti-join): customers
+    holding at least one open order. Semi joins ship only the probe keys —
+    the orders side reduces to distinct custkeys before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@_register(
+    "orders_above_customer_avg",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice * 100 > (
+        SELECT CAST({A_CENTS} AS DOUBLE)
+        FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """.replace(
+        "{A_CENTS}",
+        "avg(CAST(round(i.o_totalprice * 100) AS BIGINT))",
+    ),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("above this customer's average"),
+    decorrelated the way Catalyst itself would: one per-customer aggregate +
+    an equi-join back to the fact. Comparison in integer cents so the
+    average is engine-stable. At 100 TB the window form
+    (avg over (partition by custkey)) is the one-shuffle alternative; the
+    agg+join form keeps the fact table un-shuffled when the agg side
+    broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg(cents).alias("avg_cents")
+    )
+    return (
+        o.join(per_cust, o.o_custkey == per_cust.k)
+        .where(F.col("o_totalprice") * 100 > F.col("avg_cents"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+    )
+
+
 ALL = sorted(QUERIES)
