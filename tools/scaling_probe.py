@@ -1,0 +1,139 @@
+"""Empirical scaling probe: run core operators on 1× and K× replicated
+driver testdata (in-memory union — no files written) and report the time
+ratio. Near-K× input with a sub-K× or ~K× time ratio on a fixed-core
+machine is the evidence that plans scale by data volume, not by plan
+degeneracy (quadratic joins, driver collects, state blowups).
+
+    python tools/scaling_probe.py [sf_dir] [K]
+
+Writes SCALING.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import reduce
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_weather_jabar_spark.ext.dedup_text import (  # noqa: E402
+    exact_dedup,
+    minhash_signatures,
+)
+from etl_weather_jabar_spark.operators.dedup import dedupe_keep_first  # noqa: E402
+from etl_weather_jabar_spark.queries import _dec_sum  # noqa: E402
+from etl_weather_jabar_spark.session import get_spark  # noqa: E402
+from etl_weather_jabar_spark.sources.parquet import load_table  # noqa: E402
+
+
+def replicate(df, k: int, id_col: str | None = None, id_span: int = 10_000_000):
+    """k copies unioned; id_col (if given) is offset per copy so keys stay
+    distinct and group/dedup cardinality scales with the data."""
+    parts = []
+    for i in range(k):
+        p = df
+        if id_col is not None:
+            p = p.withColumn(id_col, F.col(id_col) + F.lit(i * id_span))
+        parts.append(p)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def timed(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pricing(lineitem):
+        return (
+            lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+                _dec_sum(F.col("l_extendedprice")).alias("sum_price"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def join_agg(lineitem, o):
+        return (
+            lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    cases = {
+        "scan_agg_pricing": (
+            lambda: pricing(li),
+            lambda: pricing(replicate(li, k)),
+        ),
+        # both sides replicated with offset orderkeys -> join cardinality
+        # scales linearly, not k-squared
+        "fact_fact_join_agg": (
+            lambda: join_agg(li, orders),
+            lambda: join_agg(
+                replicate(li, k, "l_orderkey"), replicate(orders, k, "o_orderkey")
+            ),
+        ),
+        "window_dedup_keep_first": (
+            lambda: dedupe_keep_first(
+                li, ["l_orderkey", "l_linenumber"], order_by=["l_partkey"]
+            ),
+            lambda: dedupe_keep_first(
+                replicate(li, k, "l_orderkey"),
+                ["l_orderkey", "l_linenumber"],
+                order_by=["l_partkey"],
+            ),
+        ),
+        "exact_dedup_docs": (
+            lambda: exact_dedup(docs),
+            lambda: exact_dedup(replicate(docs, k, "doc_id")),
+        ),
+        "minhash_signatures": (
+            lambda: minhash_signatures(docs),
+            lambda: minhash_signatures(replicate(docs, k, "doc_id")),
+        ),
+    }
+
+    lines = [
+        "# SCALING — K× replicated-input probe",
+        "",
+        f"`python tools/scaling_probe.py {sf_dir} {k}` — each core operator "
+        f"on its sf0.1 input vs the same input replicated {k}× in memory "
+        "(keys offset per copy so cardinalities scale too). Fixed local "
+        f"cores, so ideal scaling is a time ratio ≈ {k}; materially above "
+        "that means a super-linear plan; far below means fixed overhead "
+        "dominates at 1×.",
+        "",
+        f"| operator | t(1×) s | t({k}×) s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, (one, many) in cases.items():
+        one().count() if False else timed(one())  # warm: codegen + footers
+        t1 = timed(one())
+        tk = timed(many())
+        lines.append(f"| {name} | {t1:.2f} | {tk:.2f} | {tk / t1:.1f}× |")
+        print(lines[-1], flush=True)
+    path = os.path.join(REPO, "SCALING.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
