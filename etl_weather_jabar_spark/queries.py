@@ -1929,4 +1929,39 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+           CAST(count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                           THEN 1 END) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of a JSON string
+    column (events.props) and aggregate it. ``from_json`` with an explicit
+    schema (vectorized Jackson parse, one pass) rather than per-field
+    ``get_json_object`` re-parses. At 100 TB the move is to parse ONCE into
+    a struct column at ingest and store it columnar — this query is the
+    probe-time form."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)
