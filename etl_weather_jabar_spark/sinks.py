@@ -16,7 +16,7 @@ an anti-join, never a driver-side ``$nin`` list (SURVEY §4.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
