@@ -90,3 +90,37 @@ def test_dec_sum_is_exact(spark, cents):
     want_avg = (want_sum / len(dec)).quantize(Decimal("0.01"), ROUND_HALF_UP)
     assert Decimal(str(row["s"])) == want_sum
     assert Decimal(str(row["a"])) == want_avg
+
+
+@given(
+    facts=st.lists(st.integers(0, 60), min_size=1, max_size=30),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(1, 15)), min_size=1, max_size=8
+    ),
+    bucket=st.integers(1, 10),
+)
+@settings(max_examples=8, deadline=None)
+def test_range_join_bucketed_equivalence(spark, facts, intervals, bucket):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.operators.joins import range_join_bucketed
+
+    f = spark.createDataFrame([(d, i) for i, d in enumerate(facts)], ["day", "fid"])
+    iv = spark.createDataFrame(
+        [(s, s + ln, j) for j, (s, ln) in enumerate(intervals)],
+        ["start_day", "end_day", "iid"],
+    )
+    got = sorted(
+        (r["fid"], r["iid"])
+        for r in range_join_bucketed(
+            f, iv, "day", "start_day", "end_day", bucket_days=bucket
+        ).collect()
+    )
+    want = sorted(
+        (r["fid"], r["iid"])
+        for r in f.join(
+            iv,
+            (F.col("day") >= F.col("start_day")) & (F.col("day") < F.col("end_day")),
+        ).collect()
+    )
+    assert got == want

@@ -206,3 +206,34 @@ def test_csv_source_quarantines_corrupt_rows(spark, tmp_path):
     assert "_corrupt_record" not in clean.columns
     bad_rows = bad.collect()
     assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0]["_corrupt_record"]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned layout (the engine's stand-in for the reference's
+    (date, location) index): a date-filtered read must show PartitionFilters
+    in the scan and touch only matching partition directories."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sinks import upsert_by_partition
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, sf, "events")
+        .withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
+        .limit(2000)
+    )
+    out = str(tmp_path / "by_date")
+    upsert_by_partition(ev, out, ["date"])
+    dates = sorted(d for d in os.listdir(out) if d.startswith("date="))
+    assert len(dates) > 1
+    pick = dates[0].split("=", 1)[1]
+    df = spark.read.parquet(out).where(F.col("date") == pick)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "date" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+    got = df.select(F.countDistinct("date")).collect()[0][0]
+    assert got == 1
