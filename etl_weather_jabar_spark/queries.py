@@ -1964,4 +1964,131 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "exact_stats_by_type",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(y*y) AS BIGINT) AS syy,
+               CAST(sum(x*y) AS BIGINT) AS sxy
+        FROM c GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1))) / 10000.0, 4)
+               AS value_var,
+           round((CAST(n*sxy - sx*sy AS DOUBLE))
+                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS value_k_corr
+    FROM s
+    """,
+)
+def exact_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed statistical aggregates made engine-exact: sample variance
+    and Pearson correlation from INTEGER moment sums (Σx, Σx², Σxy in
+    bigint — order-free), with floating point only in the final closed-form
+    division. The stock stddev/corr are float-accumulation and differ
+    across engines/partitionings; this form is reproducible anywhere. The
+    moment sums are one partial-aggregated pass — same shuffle shape as any
+    groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("bigint")
+    y = F.from_json(F.col("props"), "k BIGINT")["k"]
+    s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    var = ((n * F.col("sxx") - sx * sx).cast("double") / (n * (n - 1))) / 10000.0
+    corr = (n * F.col("sxy") - sx * sy).cast("double") / (
+        F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+        * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(var, 4).alias("value_var"),
+        F.round(corr, 6).alias("value_k_corr"),
+    )
+
+
+@_register(
+    "first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS first_date, o_orderpriority
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin aggregation: each customer's earliest order WITH its payload
+    columns, as min(struct(ordering…, payload…)) — one partial-aggregated
+    pass, no window sort, no self-join. Struct min compares fields in
+    order, so the (date, orderkey) prefix makes ties deterministic. At
+    100 TB this beats the row_number window (oracle's form) by skipping the
+    per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    packed = F.min(
+        F.struct(
+            F.col("o_orderdate"), F.col("o_orderkey"), F.col("o_orderpriority")
+        )
+    ).alias("m")
+    return (
+        o.groupBy("o_custkey")
+        .agg(packed)
+        .select(
+            "o_custkey",
+            F.col("m.o_orderkey").alias("first_orderkey"),
+            F.date_format("m.o_orderdate", "yyyy-MM-dd").alias("first_date"),
+            F.col("m.o_orderpriority").alias("o_orderpriority"),
+        )
+    )
+
+
+@_register(
+    "embedding_normalize_hof",
+    """
+    SELECT vec_id,
+           round(sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+               AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(CAST(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), 'sum') AS DOUBLE)
+                 / len(embedding), 6) AS mean_component
+    FROM embeddings
+    WHERE vec_id < 200
+    """,
+)
+def embedding_normalize_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions as first-class operators (transform /
+    filter / aggregate): per-vector L2 norm, positive-component count, and
+    component mean — all JVM-side lambdas inside whole-stage codegen, the
+    no-UDF path for vector math (functions/vectors.py builds on the same
+    primitives)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    s = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.round(s / F.size("embedding"), 6).alias("mean_component"),
+    )
+
+
 ALL = sorted(QUERIES)
