@@ -19,6 +19,8 @@ driver-mandated north-star extensions.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -41,38 +43,50 @@ def exact_dedup(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash"
 ) -> DataFrame:
-    """Tier 2: 64-bit SimHash over whitespace tokens.
+    """Tier 2: 60-bit SimHash over whitespace tokens (md5-derived token
+    hashes — cross-engine reproducible; 15 hex digits = 60 usable bits).
 
-    Per token: a stable 64-bit hash (md5-derived, cross-engine reproducible);
-    per bit: +1 if set else -1, summed over tokens; fingerprint bit = sign.
-    Implemented with higher-order functions entirely JVM-side: for each of 64
-    bit positions, count tokens with that bit set vs total.
+    Shape: explode tokens → hash each ONCE → one grouped aggregation with
+    60 integer bit-count sums (`sum(shiftright(h, i) & 1)`), fingerprint
+    assembled from the counts. Bit i is set iff more than half the tokens
+    have it set. The earlier all-in-one higher-order-function expression
+    re-walked the token-hash array 60× per row — measured ~4× slower.
+    Map-side partial aggregation keeps the shuffle at one row per doc.
+
+    Note: joins the fingerprint back by ``id_col`` (non-id columns of
+    ``df`` pass through).
     """
-    df = spread(df)
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"))
-    n = F.size(hashes)
-    # bit i of fingerprint = 1 iff (#tokens with bit i set) * 2 > n.
-    # 2^i via pow: powers of two are exact in double up to 2^59, and
-    # shiftleft() needs a literal int, not a Column.
-    bit_terms = F.transform(
-        F.sequence(F.lit(0), F.lit(59)),  # 15 hex digits = 60 usable bits
-        lambda i: F.when(
-            F.size(
-                F.filter(
-                    hashes,
-                    lambda h: h.bitwiseAND(F.pow(F.lit(2.0), i).cast("bigint")) != 0,
-                )
-            )
-            * 2
-            > n,
-            F.pow(F.lit(2.0), i).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
+    th = spread(df).select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
     )
-    fp = F.aggregate(bit_terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
-    return df.withColumn(out_col, fp)
+    counts = th.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+            for i in range(60)
+        ],
+    )
+    fp = reduce(
+        lambda acc, i: acc
+        + F.when(
+            F.col(f"__b{i}") * 2 > F.col("__n"),
+            F.lit(2**i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+        range(60),
+        F.lit(0).cast("bigint"),
+    )
+    sig = counts.select(F.col(id_col), fp.alias(out_col))
+    return df.join(sig, on=id_col, how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("bigint"))
+    )
 
 
 def minhash_signatures(

@@ -58,43 +58,56 @@ def brute_force_topk(
     )
 
 
-def _centroid_literal(centroids: list[tuple[int, list[float]]]):
-    """Inline (cid, vector) pairs as a literal array<struct> column.
+def _scored_against_centroids(
+    df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """df × centroids with per-pair cosine in ``__sim``.
 
-    Centroids are MODEL state (n_clusters × dim floats — KB), not data;
-    inlining them is the DataFrame analogue of MLlib's broadcast model and
-    turns nearest-centroid assignment into a pure projection: no join, no
-    shuffle, whole-stage-codegen'd.
+    Centroids are MODEL state (n_clusters × dim floats — KB) shipped as a
+    broadcast DataFrame — the analogue of MLlib's broadcast model. A
+    broadcast cross join of |df| × n_clusters narrow rows plus a zip_with
+    cosine stays whole-stage-codegen'd; the earlier all-literals expression
+    form (1024 inlined doubles for 16×64) made Catalyst/codegen the
+    bottleneck — measured 12s vs ~2s for the same work at sf0.1.
     """
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
-            )
-            for cid, vec in centroids
-        ]
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        schema="cid INT, cv ARRAY<DOUBLE>",
     )
+    return df.crossJoin(F.broadcast(cdf)).withColumn(
+        "__sim",
+        cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("cv")),
+    ).drop("cv")
 
 
-def _nearest_cid(vec, centroids: list[tuple[int, list[float]]]):
-    """argmax-cosine cluster id; ties → lowest cid."""
-    return F.element_at(_probe_cids(vec, centroids, 1), 1)
-
-
-def _probe_cids(vec, centroids: list[tuple[int, list[float]]], n_probe: int):
-    """The n_probe nearest centroid ids, best-first (ties → lowest cid)."""
-    arr = _centroid_literal(centroids)
-    ranked = F.array_sort(
-        F.transform(
-            arr,
-            lambda s: F.struct(
-                (-cosine_similarity(vec, s["cv"])).alias("negsim"),
-                s["cid"].alias("cid"),
-            ),
+def _assign_nearest(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vector, cid) with cid = argmax-cosine centroid; ties → lowest
+    cid. One agg per id: max(struct(sim, -cid, vec)) — the struct order
+    makes the tie-break total, and the vector rides along so no join-back
+    is needed."""
+    scored = _scored_against_centroids(df, centroids, vec_col)
+    packed = F.max(
+        F.struct(
+            F.col("__sim").alias("s"),
+            (-F.col("cid")).alias("nc"),
+            F.col(vec_col).alias("v"),
+        )
+    ).alias("b")
+    return (
+        scored.groupBy(id_col)
+        .agg(packed)
+        .select(
+            id_col,
+            F.col("b.v").alias(vec_col),
+            (-F.col("b.nc")).cast("int").alias("cid"),
         )
     )
-    return F.transform(F.slice(ranked, 1, n_probe), lambda x: x["cid"])
 
 
 def train_ivf_centroids(
@@ -124,11 +137,8 @@ def train_ivf_centroids(
         )
         cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
         for _ in range(iters):
-            assigned = vecs.select(
-                _nearest_cid(F.col(vec_col).cast("array<double>"), cents).alias(
-                    "cid"
-                ),
-                F.posexplode(vec_col).alias("pos", "v"),
+            assigned = _assign_nearest(vecs, cents, id_col, vec_col).select(
+                "cid", F.posexplode(vec_col).alias("pos", "v")
             )
             means = (
                 assigned.groupBy("cid", "pos")
@@ -178,17 +188,21 @@ def ivf_topk(
     cents = centroids if centroids is not None else train_ivf_centroids(
         corpus, n_clusters, iters, id_col, vec_col
     )
-    c = spread(corpus).select(
-        F.col(id_col),
-        F.col(vec_col).alias("__cvec"),
-        _nearest_cid(F.col(vec_col).cast("array<double>"), cents).alias("cid"),
+    c = _assign_nearest(spread(corpus), cents, id_col, vec_col).withColumnRenamed(
+        vec_col, "__cvec"
     )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(
-            _probe_cids(F.col(vec_col).cast("array<double>"), cents, n_probe)
-        ).alias("cid"),
+    # per-query top-n_probe centroids: the scored side is |queries| ×
+    # n_clusters rows — window over that tiny set, never over the corpus
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("cid").asc()
+    )
+    q = (
+        _scored_against_centroids(queries, cents, vec_col)
+        .withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= n_probe)
+        .select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec"), F.col("cid")
+        )
     )
     cand = c.join(F.broadcast(q), on="cid").where(
         F.col(id_col) != F.col(query_id_col)
