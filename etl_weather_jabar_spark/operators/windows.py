@@ -27,3 +27,48 @@ def stamp_group_flag(
     (daily_compile_weather.py:114-115,70)."""
     w = Window.partitionBy(*keys)
     return df.withColumn(flag_col, F.max(flag).over(w))
+
+
+def global_rank_scalable(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global row_number over a total order WITHOUT a single-reducer sort.
+
+    ``Window.orderBy(...)`` with no partitionBy funnels every row through
+    one task — the classic 100 TB cliff. This is the two-phase form:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+       columns (range partitioner samples split points; each partition
+       holds a contiguous key range, internally sorted);
+    2. per-partition local ``row_number`` + the cumulative row count of all
+       earlier partitions, added back via a broadcast join on partition id.
+
+    The only driver-side data is one row count per partition. ``order_cols``
+    must be a TOTAL order (add a unique id as the last column) or ranks of
+    ties are partition-placement-dependent.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__part", F.spark_partition_id())
+    )
+    counts = parted.groupBy("__part").count()
+    # cumulative count EXCLUSIVE of the current partition; the offsets table
+    # is |partitions| rows, so this tiny global window is driver-cheap
+    offsets = counts.select(
+        "__part",
+        (F.sum("count").over(Window.orderBy("__part")) - F.col("count")).alias(
+            "__off"
+        ),
+    )
+    w_local = Window.partitionBy("__part").orderBy(*cols)
+    return (
+        parted.join(F.broadcast(offsets), on="__part")
+        .withColumn(rank_col, F.row_number().over(w_local) + F.col("__off"))
+        .drop("__part", "__off")
+    )

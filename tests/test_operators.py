@@ -127,3 +127,34 @@ def test_filters_push_to_parquet_scan(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double" in plan
+
+
+def test_global_rank_scalable_matches_global_window(spark):
+    from pyspark.sql import Window as W
+
+    from etl_weather_jabar_spark.operators.windows import global_rank_scalable
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = {
+        r["o_orderkey"]: r["rank"]
+        for r in global_rank_scalable(
+            o, ["o_totalprice", "o_orderkey"], num_partitions=7
+        ).collect()
+    }
+    want = {
+        r["o_orderkey"]: r["rank"]
+        for r in o.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy("o_totalprice", "o_orderkey")),
+        ).collect()
+    }
+    assert got == want
+    # the scalable form must not contain a global (empty-partition) sort:
+    plan = (
+        global_rank_scalable(o, ["o_totalprice", "o_orderkey"], num_partitions=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning(o_totalprice" in plan.replace(" ", "").lower() or "RangePartitioning" in plan
