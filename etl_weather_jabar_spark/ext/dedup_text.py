@@ -89,6 +89,81 @@ def simhash64(
     )
 
 
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    sig_col: str = "simhash",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Tier 2b: near-dup candidate pairs from SimHash fingerprints.
+
+    Pigeonhole banding: split the 60-bit fingerprint into ``max_hamming+1``
+    chunks — any two fingerprints within ``max_hamming`` bits must agree on
+    at least one whole chunk, so bucketing on (chunk_idx, chunk_bits) finds
+    every such pair with an equi-join. Exact Hamming distance
+    (``bit_count(a XOR b)``) then filters false positives. Same
+    groupBy-bucket pair expansion as MinHash-LSH (singleton buckets die
+    early, capped degenerate buckets).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    bands = max_hamming + 1
+    chunk_bits = 60 // bands + (1 if 60 % bands else 0)
+    sigs = simhash64(
+        df.select(id_col, text_col), text_col=text_col, id_col=id_col
+    ).select(id_col, sig_col)
+    # bands unrolled in Python: shiftright takes a literal shift amount
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig_col), b * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        id_col, sig_col, F.explode(chunks).alias("bb")
+    ).select(id_col, sig_col, F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(sig_col).alias("s")))
+    )
+    buckets = (
+        banded.groupBy("band", "chunk")
+        .agg(members.alias("ms"))
+        .where(F.size("ms").between(2, max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ms"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ms"), i + 2, F.size("ms")),
+                            lambda b: F.struct(
+                                a["i"].alias("id_a"),
+                                b["i"].alias("id_b"),
+                                F.bit_count(a["s"].bitwiseXOR(b["s"])).alias(
+                                    "hamming"
+                                ),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

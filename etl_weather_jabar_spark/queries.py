@@ -1066,6 +1066,18 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(cand, docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
+@_register("simhash_neardup_pairs")
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (ext/dedup_text.py tier 2b): pigeonhole
+    band join on fingerprint chunks → exact Hamming ≤ 4 filter. Rows-only
+    check (the banding pipeline has no SQL twin); planted-near-dup recall
+    is pinned in tests/test_dedup_text.py."""
+    from .ext.dedup_text import simhash_candidates
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return simhash_candidates(docs, max_hamming=4).orderBy("id_a", "id_b")
+
+
 @_register("simhash_fingerprints")
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (ext/dedup_text.py tier 2) + bucket

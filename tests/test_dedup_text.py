@@ -79,3 +79,28 @@ def test_simhash_deterministic_across_runs(spark):
     a = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
     b = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
     assert a == b
+
+
+def test_simhash_candidates_finds_planted_neardup(spark):
+    from etl_weather_jabar_spark.ext.dedup_text import simhash_candidates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("warm", "cold")),  # one-token change -> tiny hamming
+        (3, "completely different text about distributed query engines and "
+            "columnar storage formats with vectorized execution pipelines"),
+        (4, base),  # exact dup of 1 -> hamming 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(docs, max_hamming=6).collect()
+    }
+    assert got.get((1, 4)) == 0
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    assert (2, 4) in got
+    assert all(3 not in pair for pair in got)

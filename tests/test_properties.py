@@ -124,3 +124,33 @@ def test_range_join_bucketed_equivalence(spark, facts, intervals, bucket):
         ).collect()
     )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5)), min_size=1, max_size=40
+    ),
+    nparts=st.integers(1, 6),
+)
+@settings(max_examples=6, deadline=None)
+def test_global_rank_scalable_property(spark, rows, nparts):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.operators.windows import global_rank_scalable
+
+    uniq = [(v, t, i) for i, (v, t) in enumerate(rows)]  # i makes order total
+    df = spark.createDataFrame(uniq, ["v", "t", "uid"])
+    got = {
+        r["uid"]: r["rank"]
+        for r in global_rank_scalable(
+            df, ["v", "t", "uid"], num_partitions=nparts
+        ).collect()
+    }
+    want = {
+        r["uid"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(W.orderBy("v", "t", "uid"))
+        ).collect()
+    }
+    assert got == want
