@@ -1093,6 +1093,27 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================================
 
 @_register(
+    "cube_daily_types",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+           count(*) AS n, {_sql_sum('value')} AS value_sum
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+    GROUP BY CUBE (1, 2)
+    """,
+)
+def cube_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets in one Expand + aggregation pass (the
+    per-type totals that ROLLUP's hierarchy omits)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"))
+        .cube(F.date_format("ts", "yyyy-MM-dd").alias("date"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum(F.col("value")).alias("value_sum"))
+    )
+
+
+@_register(
     "rollup_daily_types",
     f"""
     SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
