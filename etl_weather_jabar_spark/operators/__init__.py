@@ -7,9 +7,18 @@ from .filters import (
     prefix_filter,
 )
 from .dedup import dedupe_keep_first, find_duplicate_groups
-from .joins import anti_join_unprocessed, broadcast_lookup, grid_align
+from .joins import (
+    anti_join_composite,
+    anti_join_unprocessed,
+    broadcast_lookup,
+    grid_align,
+    minute_grid,
+    range_join_bucketed,
+    salted_join,
+)
 from .aggregates import daily_recap, deterministic_mode, hourly_agg
-from .windows import keep_first_rank, stamp_group_flag
+from .windows import global_rank_scalable, keep_first_rank, stamp_group_flag
+from .partitioning import spread
 
 __all__ = [
     "flatten_raw",
@@ -20,12 +29,18 @@ __all__ = [
     "prefix_filter",
     "dedupe_keep_first",
     "find_duplicate_groups",
+    "anti_join_composite",
     "anti_join_unprocessed",
     "broadcast_lookup",
     "grid_align",
+    "minute_grid",
+    "range_join_bucketed",
+    "salted_join",
     "daily_recap",
     "deterministic_mode",
     "hourly_agg",
+    "global_rank_scalable",
     "keep_first_rank",
     "stamp_group_flag",
+    "spread",
 ]
