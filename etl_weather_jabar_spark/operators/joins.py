@@ -13,7 +13,7 @@ Every join here is written so Catalyst picks the right physical strategy:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -92,6 +92,62 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     return fact_s.join(other_s, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right row
+    (per ``on`` keys) with ``right_ts <= left_ts``.
+
+    Spark has no ASOF JOIN; the scalable form is union both sides + one
+    running ``last(..., ignorenulls)`` window per carried column — ONE
+    shuffle on the key, no per-row range scan, no candidate explosion, any
+    key cardinality. At equal timestamps the right row sorts first, so a
+    same-instant match counts. ``tolerance_seconds`` nulls out matches
+    older than the window (pandas merge_asof semantics).
+    """
+    carried = right_cols or [c for c in right.columns if c not in (*on, right_ts)]
+    l_tag = left.withColumn("__is_left", F.lit(True)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    r_tag = (
+        right.select(*on, right_ts, *carried)
+        .withColumn("__is_left", F.lit(False))
+        .withColumn("__ts", F.col(right_ts))
+    )
+    both = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = both
+    src = F.when(~F.col("__is_left"), F.col("__ts"))
+    out = out.withColumn("__asof_ts", F.last(src, ignorenulls=True).over(w))
+    for c in carried:
+        out = out.withColumn(
+            c,
+            F.last(F.when(~F.col("__is_left"), F.col(c)), ignorenulls=True).over(w),
+        )
+    out = out.where(F.col("__is_left"))
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__ts").cast("long") - F.col("__asof_ts").cast("long")
+            <= tolerance_seconds
+        )
+        for c in carried:
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+        out = out.withColumn("__asof_ts", F.when(fresh, F.col("__asof_ts")))
+    return out.withColumnRenamed("__asof_ts", "asof_ts").drop(
+        "__is_left", "__ts"
+    )
 
 
 def range_join_bucketed(

@@ -158,3 +158,41 @@ def test_global_rank_scalable_matches_global_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning(o_totalprice" in plan.replace(" ", "").lower() or "RangePartitioning" in plan
+
+
+def test_asof_join_backward(spark):
+    from etl_weather_jabar_spark.operators.joins import asof_join_backward
+
+    quotes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 100.0),
+            (1, "2024-01-01 09:05:00", 101.0),
+            (2, "2024-01-01 09:02:00", 50.0),
+        ],
+        ["sym", "qts", "price"],
+    ).withColumn("qts", F.col("qts").cast("timestamp"))
+    trades = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:03:00", "t1"),   # -> 09:00 quote (100.0)
+            (1, "2024-01-01 09:05:00", "t2"),   # same-instant -> 101.0
+            (2, "2024-01-01 09:01:00", "t3"),   # before any quote -> null
+            (3, "2024-01-01 09:10:00", "t4"),   # no quotes for key -> null
+        ],
+        ["sym", "tts", "tid"],
+    ).withColumn("tts", F.col("tts").cast("timestamp"))
+    out = {
+        r["tid"]: r["price"]
+        for r in asof_join_backward(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts"
+        ).collect()
+    }
+    assert out == {"t1": 100.0, "t2": 101.0, "t3": None, "t4": None}
+    # tolerance: the 09:03 trade is 180s after its quote; 60s cutoff nulls it
+    tol = {
+        r["tid"]: r["price"]
+        for r in asof_join_backward(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+            tolerance_seconds=60,
+        ).collect()
+    }
+    assert tol == {"t1": None, "t2": 101.0, "t3": None, "t4": None}
