@@ -2124,4 +2124,42 @@ def embedding_normalize_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "full_outer_nation_presence",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+               FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(CAST(c.n_customers AS BIGINT), 0) AS n_customers,
+           coalesce(CAST(s.n_suppliers AS BIGINT), 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (both-sides-preserving): nations having customers,
+    suppliers, or either — zero-filled where one side is absent. Aggregate
+    first, join the small results: the outer join runs on |nations| rows,
+    never on the fact tables."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, on="nk", how="full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)
