@@ -127,3 +127,34 @@ def test_recap_hourly_sorted(spark):
     doc, _ = _recap_hours(spark)
     hrs = [h["hour"] for h in doc["hourly"]]
     assert hrs == sorted(hrs)
+
+
+def test_json_size_observability(spark):
+    """F12: raw + gzipped JSON size of recap documents (the reference's
+    debug_measure_size_json.py numbers, computed distributed)."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.functions.observability import (
+        gzipped_size_bytes,
+        json_size_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 1000), (2, "xyz")], ["id", "payload"]
+    )
+    out = {
+        r["id"]: (r["raw"], r["gz"])
+        for r in df.select(
+            "id",
+            json_size_bytes("id", "payload").alias("raw"),
+            gzipped_size_bytes("id", "payload").alias("gz"),
+        ).collect()
+    }
+    raw1, gz1 = out[1]
+    raw2, gz2 = out[2]
+    assert raw1 > 1000 and raw2 < 50          # raw tracks content size
+    assert gz1 < raw1                          # repetitive text compresses
+    assert gz2 > 0
+    # deterministic across runs
+    again = df.select(gzipped_size_bytes("id", "payload").alias("gz")).collect()
+    assert sorted(r["gz"] for r in again) == sorted((gz1, gz2))
