@@ -72,3 +72,33 @@ def global_rank_scalable(
         .withColumn(rank_col, F.row_number().over(w_local) + F.col("__off"))
         .drop("__part", "__off")
     )
+
+
+def scalable_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``ntile(n)`` without the single-reducer sort, via
+    :func:`global_rank_scalable` + the exact SQL tile arithmetic.
+
+    SQL ntile semantics: with total rows T, q = T//n, r = T%n, the first r
+    tiles hold q+1 rows and the rest q. Closed form from the global rank —
+    the only extra job is one count. Same total-order requirement on
+    ``order_cols`` as the rank."""
+    ranked = global_rank_scalable(df, order_cols, "__grank", num_partitions)
+    total = df.count()
+    q, r = divmod(total, n)
+    if q == 0:
+        # fewer rows than tiles: tile == rank (SQL behavior)
+        return ranked.withColumn(tile_col, F.col("__grank").cast("int")).drop(
+            "__grank"
+        )
+    big = r * (q + 1)  # rows living in the (q+1)-sized tiles
+    rank = F.col("__grank")
+    tile = F.when(
+        rank <= F.lit(big), F.ceil(rank / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(q)))
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__grank")

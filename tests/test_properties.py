@@ -154,3 +154,30 @@ def test_global_rank_scalable_property(spark, rows, nparts):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(st.integers(0, 30), min_size=1, max_size=35),
+    n=st.integers(1, 7),
+)
+@settings(max_examples=6, deadline=None)
+def test_scalable_ntile_matches_sql_ntile(spark, rows, n):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.operators.windows import scalable_ntile
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(rows)], ["v", "uid"]
+    )
+    got = {
+        r["uid"]: r["tile"]
+        for r in scalable_ntile(df, ["v", "uid"], n, num_partitions=4).collect()
+    }
+    want = {
+        r["uid"]: r["t"]
+        for r in df.withColumn(
+            "t", F.ntile(n).over(W.orderBy("v", "uid"))
+        ).collect()
+    }
+    assert got == want
