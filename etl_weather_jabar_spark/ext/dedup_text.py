@@ -24,7 +24,6 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64
 from ..functions.text import shingles, tokens
 from ..operators.dedup import dedupe_keep_first
 from ..operators.partitioning import spread

@@ -89,3 +89,23 @@ def test_ivf_topk_recall_against_brute_force(spark):
     assert (0, 199) in a
     # determinism: training twice gives identical centroids
     assert cents == train_ivf_centroids(corpus, n_clusters=8, iters=2)
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """Sketch-based approximates stay inside their documented error bars
+    against exact answers (HLL++ rsd, t-digest percentile accuracy)."""
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    exact_d = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx_d = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.05)
+    ).collect()[0][0]
+    assert abs(approx_d - exact_d) / exact_d < 0.15  # 3x rsd margin
+
+    exact_p = ev.select(F.percentile("value", F.lit(0.5))).collect()[0][0]
+    approx_p = ev.select(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+    ).collect()[0][0]
+    spread_ = ev.select(F.max("value") - F.min("value")).collect()[0][0]
+    assert abs(approx_p - exact_p) <= 0.01 * spread_

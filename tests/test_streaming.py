@@ -68,3 +68,48 @@ def test_stream_windowed_agg_shape(spark):
         assert len(out) > 0
         cols = set(out[0].asDict())
         assert {"window", "location_id", "temp_avg", "n_obs"} <= cols
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
+    """ST4/S6 end-to-end: the streaming foreachBatch partition-overwrite
+    sink lands the same rows when the whole stream replays from scratch."""
+    import pandas as pd
+
+    from etl_weather_jabar_spark.streaming.micro_batch import (
+        stream_windowed_agg,
+        write_upsert_foreach_batch,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    rows = [
+        ("2024-04-01 08:01:00", 1, 30.0, 0.0),
+        ("2024-04-01 08:04:00", 1, 32.0, 1.5),
+        ("2024-04-01 08:14:00", 1, 31.0, 0.0),
+    ]
+    pd.DataFrame(
+        rows, columns=["event_ts", "location_id", "temp_c", "precip_mm"]
+    ).to_csv(src / "obs.csv", index=False, header=False)
+
+    def run(ckpt, out):
+        stream = spark.readStream.schema(
+            "event_ts TIMESTAMP, location_id LONG, temp_c DOUBLE, precip_mm DOUBLE"
+        ).csv(str(src))
+        agg = stream_windowed_agg(stream, window="10 minutes", watermark="1 hour")
+        q = (
+            write_upsert_foreach_batch(agg, out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["location_id"], str(r["window"]["start"])): (
+                r["temp_avg"], r["n_obs"]
+            )
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = run(str(tmp_path / "ck1"), str(tmp_path / "out1"))
+    replay = run(str(tmp_path / "ck2"), str(tmp_path / "out2"))
+    assert first == replay and len(first) == 2
+    assert any(n == 2 for (_, n) in first.values())  # 08:00 window has 2 obs
