@@ -62,3 +62,60 @@ def test_stateful_sessionizer(spark, tmp_path):
     assert u1[1]["n_events"] == 1 and u1[1]["status"] == "open"
     # user 2 → one open session of one event
     assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 1
+
+
+def test_event_time_sessionizer_closes_on_watermark(spark, tmp_path):
+    """EventTimeTimeout: the session closes when the WATERMARK (not wall
+    clock) passes last_event + gap. Two files + maxFilesPerTrigger=1 force
+    two micro-batches so the watermark advances between them."""
+    import time
+
+    from etl_weather_jabar_spark.streaming.stateful import (
+        sessionize_stream_event_time,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # batch 1: user 1's session (08:00-08:10); user 2 event at 11:00 pushes
+    # the watermark far past 08:10 + 30min once batch 2 commits timers
+    with open(f"{src}/b1.csv", "w") as f:
+        f.write(
+            "1,2024-02-01 08:00:00\n"
+            "1,2024-02-01 08:10:00\n"
+            "2,2024-02-01 11:00:00\n"
+        )
+    time.sleep(1.1)  # later mtime -> file source orders b2 second
+    with open(f"{src}/b2.csv", "w") as f:
+        f.write("2,2024-02-01 11:05:00\n")
+    stream = (
+        spark.readStream.schema("user_id LONG, event_ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .csv(src)
+    )
+    sessions = sessionize_stream_event_time(
+        stream, gap_seconds=1800, watermark="0 seconds"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("et_sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if spark.sql("select * from et_sessions_test").count() >= 1:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.sql("select * from et_sessions_test").collect()
+    # user 1's session closed by the watermark; user 2's still open -> absent
+    assert [(r["user_id"], r["n_events"], r["status"]) for r in got] == [
+        (1, 2, "closed")
+    ]
+    r = got[0]
+    assert str(r["session_start"]) == "2024-02-01 08:00:00"
+    assert str(r["session_end"]) == "2024-02-01 08:10:00"
