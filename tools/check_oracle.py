@@ -59,7 +59,13 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    # SPARK_GRAFT_CONF: JSON dict of session conf overrides — used to prove
+    # results are plan-independent (AQE off, odd partition counts, no
+    # auto-broadcast all must produce identical hashes)
+    import json as _json
+
+    extra = _json.loads(os.environ.get("SPARK_GRAFT_CONF", "{}"))
+    spark = get_spark("oracle-check", extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
