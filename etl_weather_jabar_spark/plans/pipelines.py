@@ -86,3 +86,36 @@ def recap_stage(silver: DataFrame, dates: list[str] | None = None) -> DataFrame:
     if dates:
         silver = silver.where(F.col("date").isin(dates))
     return daily_recap(silver)
+
+
+def incremental_recap(
+    silver_all: DataFrame,
+    silver_new: DataFrame,
+    gold_path: str,
+) -> DataFrame:
+    """ST5 as a data-driven contract: recompute Gold ONLY for the (date)
+    partitions that newly-arrived Silver rows touch, and dynamically
+    overwrite just those partitions.
+
+    The reference gets this behavior from Airflow sensor scheduling (the
+    midnight recap waits for the day's last transform,
+    daily_compile_weather.py:153-155,171-180); here the *data* names the
+    work: ``silver_new`` (this batch's rows) → distinct affected dates
+    (tiny, broadcast) → left-semi prune of the full Silver → one recap plan
+    → partition-scoped upsert. Untouched date partitions are never read
+    (partition pruning) and never rewritten (dynamic overwrite). Replays
+    are idempotent.
+
+    Returns the recomputed recap rows (already written to ``gold_path``).
+    """
+    from pyspark.sql import functions as F
+
+    from ..sinks import upsert_by_partition
+
+    affected = silver_new.select("date").distinct()
+    scoped = silver_all.join(F.broadcast(affected), on="date", how="left_semi")
+    recap = daily_recap(scoped)
+    # daily_recap groups by (date, location...); date stays a column →
+    # partition the write on it
+    upsert_by_partition(recap, gold_path, ["date"])
+    return recap
