@@ -2275,4 +2275,101 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "nation_market_share",
+    """
+    WITH v AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS vol_units,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN vol_units ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(vol_units) AS DOUBLE), 6) AS mkt_share
+    FROM v GROUP BY 1
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue per year —
+    conditional sum over total sum, both in integer units so the final
+    share division is engine-exact. Customer's nation chains to region
+    (the selective side); supplier's nation only labels the numerator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    v = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == F.col("n1_region"))
+        .join(F.broadcast(n2), F.col("n2_key") == s.s_nationkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("vol_units"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("vol_units")).otherwise(
+            F.lit(0)
+        )
+    )
+    return v.groupBy("o_year").agg(
+        F.round(
+            num.cast("double") / F.sum("vol_units").cast("double"), 6
+        ).alias("mkt_share")
+    )
+
+
+@_register("hll_sketch_rollup")
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL built into
+    Spark ≥3.5): build one user sketch PER DAY per event_type, then
+    hll_union_agg merges daily sketches into the period estimate — the
+    pre-aggregation pattern that lets 100 TB of daily rollups answer
+    any-date-range distinct questions without rescanning raw data.
+    Rows-only check (sketch estimates have no SQL twin); accuracy vs exact
+    is pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("date"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ALL = sorted(QUERIES)

@@ -109,3 +109,30 @@ def test_approx_aggregates_within_tolerance(spark):
     ).collect()[0][0]
     spread_ = ev.select(F.max("value") - F.min("value")).collect()[0][0]
     assert abs(approx_p - exact_p) <= 0.01 * spread_
+
+
+def test_hll_daily_sketch_merge_accuracy(spark):
+    """Merging per-day HLL sketches estimates the period distinct count
+    within HLL tolerance of the exact answer (the mergeability property
+    that count(DISTINCT) lacks)."""
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("date"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = {
+        r["event_type"]: r["est"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for t, e in exact.items():
+        assert abs(merged[t] - e) / e < 0.05, (t, merged[t], e)
