@@ -53,3 +53,63 @@ def test_interval_join_streams(spark, tmp_path):
     assert [(r["imp_user"], (r["clk_ts"] - r["imp_ts"]).total_seconds()) for r in got] == [
         (1, 300.0)
     ]
+
+
+def test_interval_join_streams_left_outer_emits_after_watermark(spark, tmp_path):
+    """LEFT outer stream-stream join: unmatched impressions emit (with null
+    click columns) only once the watermark passes their join horizon.
+
+    The global watermark is the MIN across both inputs, so BOTH sides carry
+    a far-future event; the null-extended row then surfaces in the no-data
+    micro-batch that evicts batch-1 state (default processing-time trigger —
+    availableNow can terminate before that eviction batch runs).
+    """
+    import time
+
+    d = str(tmp_path)
+    imp_dir, clk_dir, ckpt = f"{d}/imp", f"{d}/clk", f"{d}/ckpt"
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    with open(f"{imp_dir}/b1.csv", "w") as f:
+        f.write(
+            "1,2024-03-01 08:00:00\n"  # clicked -> matched row
+            "2,2024-03-01 08:00:00\n"  # never clicked -> null-extended row
+            "9,2024-03-01 12:00:00\n"  # far-future: advances imp watermark
+        )
+    with open(f"{clk_dir}/c1.csv", "w") as f:
+        f.write(
+            "1,2024-03-01 08:05:00\n"
+            "8,2024-03-01 12:00:00\n"  # far-future: advances click watermark
+        )
+    imps = spark.readStream.schema("imp_user LONG, imp_ts TIMESTAMP").csv(
+        imp_dir
+    )
+    clicks = spark.readStream.schema("clk_user LONG, clk_ts TIMESTAMP").csv(
+        clk_dir
+    )
+    joined = interval_join_streams(
+        imps, clicks, "imp_user", "clk_user", "imp_ts", "clk_ts",
+        within_seconds=600, watermark="0 seconds", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_outer_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            rows = spark.sql("select * from attrib_outer_test").collect()
+            if sum(1 for r in rows if r["imp_user"] in (1, 2)) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {
+        r["imp_user"]: r["clk_user"]
+        for r in spark.sql("select * from attrib_outer_test").collect()
+    }
+    assert got.get(1) == 1          # matched
+    assert 2 in got and got[2] is None  # unmatched, null-extended
