@@ -1,0 +1,110 @@
+"""Deterministic, reproducible sampling for training-data pipelines.
+
+A 100 TB corpus job cannot use ``df.sample()`` for train/test assignment:
+the split must be (a) stable across reruns and cluster sizes, (b) a pure
+per-row function (no shuffle, no state), and (c) auditable outside Spark.
+Both operators here key every decision off an md5 of the row's stable id —
+a narrow, JVM-side projection that composes with any downstream plan and
+reproduces bit-for-bit in DuckDB/Python for verification.
+
+Hex-prefix comparison gives the rate arithmetic: the first two md5 hex
+chars are uniform over 256 buckets, so ``prefix < '<hh>'`` keeps exactly
+int('<hh>', 16)/256 of rows in expectation, with membership decided by
+content, not by RNG state. (Reference parity: the reference has no
+sampling at all — this is a driver-mandated training-pipeline extension;
+closest analogue is its hash-keyed dedup, transform_raw_weather.py:78-97.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Uniform 2-hex-char bucket ('00'..'ff') from a salted md5 of the key.
+
+    The salt derives independent assignments from the same key (the split
+    salt must differ from any sampling salt, or the two decisions
+    correlate).
+    """
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 2)
+
+
+def _hex_thresh(rate: float) -> str:
+    """Rate → 2-hex-char exclusive upper bound for the bucket comparison.
+
+    Rate 1.0 would format as '100', which sorts BELOW 'ff' lexicographically
+    ('1' < 'f') and would drop most rows — so full-keep returns a sentinel
+    above every hex pair instead.
+    """
+    n = round(rate * 256)
+    return "zz" if n >= 256 else format(n, "02x")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str | Column,
+    *,
+    salt: str = "split",
+    train: float = 0.8,
+    val: float = 0.1,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to train/val/test by hashed key — deterministic,
+    shuffle-free, and stable under appends (new rows never move old rows
+    between splits, unlike any fraction-of-count scheme).
+
+    Rates are quantized to 1/256 (the two-hex-char resolution); the test
+    share is the remainder.
+    """
+    if not 0 < train < 1 or val < 0 or train + val >= 1:
+        raise ValueError("need 0 < train, 0 <= val, train + val < 1")
+    key_col = F.col(key) if isinstance(key, str) else key
+    b = _bucket(key_col, salt)
+    t_hi = _hex_thresh(train)
+    v_hi = _hex_thresh(train + val)
+    assign = (
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(out_col, assign)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str | Column,
+    stratum: str,
+    rates: dict[str, float],
+    *,
+    salt: str = "sample",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows, decided by hashed key — the
+    deterministic form of ``sampleBy`` for corpus rebalancing (downsample
+    the dominant language/source, keep the rare ones whole).
+
+    ``rates`` maps stratum value → keep fraction (quantized to 1/256).
+    A pure filter: no shuffle, pushes down past joins on the same table.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    b = _bucket(key_col, salt)
+    thresh = F.lit(_hex_thresh(default_rate))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum) == value, F.lit(_hex_thresh(rate))
+        ).otherwise(thresh)
+    return df.where(b < thresh)
+
+
+def split_sql(key_expr: str, *, salt: str = "split", train: float = 0.8, val: float = 0.1) -> str:
+    """The DuckDB-equivalent CASE expression for :func:`hash_split` —
+    letting the oracle (or any SQL engine) reproduce the assignment."""
+    t_hi = _hex_thresh(train)
+    v_hi = _hex_thresh(train + val)
+    b = f"substr(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 2)"
+    return (
+        f"CASE WHEN {b} < '{t_hi}' THEN 'train' "
+        f"WHEN {b} < '{v_hi}' THEN 'val' ELSE 'test' END"
+    )

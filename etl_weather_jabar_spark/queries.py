@@ -29,6 +29,12 @@ from .ext.dedup_text import (
     minhash_lsh_candidates,
     simhash64,
 )
+from .ext.sampling import (
+    _hex_thresh,
+    hash_split,
+    split_sql as _split_sql,
+    stratified_hash_sample,
+)
 from .ext.similarity import brute_force_topk
 from .functions.text import (
     LANG_MARKERS,
@@ -2370,6 +2376,314 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# =========================================================================
+# TPC-H shapes Q4/Q12/Q13/Q18/Q21/Q22, adapted to the slim testdata schema
+# (no l_shipmode/l_commitdate/l_receiptdate/c_phone — lateness is posed as
+# l_shipdate vs o_orderdate + N days, country code as c_nationkey)
+# =========================================================================
+
+
+@_register(
+    "order_priority_exists",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join whose
+    condition mixes the equi key with a per-row date bound (lateness =
+    shipped >60 days after order). The orders date filter prunes before
+    the join; the semi join never widens orders rows."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "late_shipment_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts split one joined pass by order
+    priority, with the lateness predicate (shipdate vs orderdate + 90d)
+    evaluated post-join. The shipdate year-range DOES push to the lineitem
+    scan — only the cross-table bound waits for the join."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "customer_order_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY 1
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT join with a filter INSIDE the join condition
+    (customers keep their zero-count row), per-customer count, then a
+    second aggregation over the counts. Two shuffles is the floor — the
+    first keyed by custkey, the second by the tiny count domain."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "large_order_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_units
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice,
+           CAST(b.qty_units AS DOUBLE) / 100.0 AS sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-first (per-order quantity total in exact
+    integer units), HAVING-prune to the rare big orders, THEN join the
+    survivors to orders/customer — the few-row side drives broadcast joins
+    instead of shuffling the whole fact table twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_units(F.col("l_quantity"), 2)).alias("qty_units"))
+        .where(F.col("qty_units") > 30000)
+    )
+    return (
+        F.broadcast(big)
+        .join(o, o.o_orderkey == F.col("l_orderkey"))
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            (F.col("qty_units").cast("double") / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+@_register(
+    "waiting_sole_supplier",
+    """
+    WITH late AS (
+        SELECT l.l_suppkey, l.l_orderkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1
+    """,
+)
+def waiting_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-late-supplier double-correlation —
+    EXISTS another supplier in the order (semi join) AND NOT EXISTS another
+    LATE supplier (anti join). Both probes are distinct (orderkey, suppkey)
+    pairs, so the self-joins carry pair-cardinality, not line-cardinality;
+    everything shuffles once on l_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_suppkey", "l_orderkey")
+    )
+    all_pairs = (
+        li.select(
+            F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
+        ).distinct()
+    )
+    late_pairs = late.select(
+        F.col("l_orderkey").alias("q_orderkey"), F.col("l_suppkey").alias("q_suppkey")
+    ).distinct()
+    l1 = late.join(
+        all_pairs,
+        (F.col("p_orderkey") == F.col("l_orderkey"))
+        & (F.col("p_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        late_pairs,
+        (F.col("q_orderkey") == F.col("l_orderkey"))
+        & (F.col("q_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        l1.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+@_register(
+    "inactive_high_balance_customers",
+    f"""
+    WITH thr AS (
+        SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS su,
+               count(*) AS cn
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS code,
+           count(*) AS numcust,
+           {_sql_sum('c.c_acctbal')} AS totacctbal
+    FROM customer c, thr
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * thr.cn > thr.su
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def inactive_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance via a scalar-subquery
+    threshold, minus recently-active customers via an anti join. The
+    average compare is integer cross-multiplication (bal·n > Σbal) — exact
+    in both engines, immune to float-sum ordering right at the boundary.
+    The one-row threshold broadcasts; the anti join prunes its orders side
+    with the pushed date filter."""
+    c = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    thr = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(_units(F.col("c_acctbal"), 2)).alias("su"),
+        F.count(F.lit(1)).alias("cn"),
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(_units(F.col("c_acctbal"), 2) * F.col("cn") > F.col("su"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# =========================================================================
+# Deterministic sampling (training-pipeline extension, ext/sampling.py)
+# =========================================================================
+
+
+@_register(
+    "hash_split_docs",
+    f"""
+    SELECT doc_id, lang, {_split_sql('doc_id')} AS split
+    FROM documents
+    """,
+)
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted md5 of
+    doc_id — shuffle-free, rerun-stable, append-stable (new docs never
+    reshuffle old assignments), and reproducible by any engine with md5.
+    The per-row decision composes with downstream plans as a plain
+    projection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, "doc_id")
+
+
+@_register(
+    "stratified_sample_docs",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 2)
+          < CASE WHEN lang = 'en' THEN '{_hex_thresh(0.25)}' ELSE 'zz' END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: keep 25% of the dominant
+    language, 100% of the rest — corpus rebalancing as a pure hash filter
+    (no RNG state, no sampleBy non-determinism), pushed down past any
+    later joins on the same table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.25})
 
 
 ALL = sorted(QUERIES)
