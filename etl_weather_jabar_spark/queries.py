@@ -2646,6 +2646,150 @@ def inactive_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@_register(
+    "forecast_revenue_change",
+    f"""
+    SELECT {_sql_sum('l_extendedprice * l_discount', 2, 4)} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-and-sum, zero joins — the canonical
+    pushdown benchmark. All four predicates (year range, discount band,
+    quantity cap) reach the parquet scan; the plan is scan → partial agg →
+    single-row final agg, no shuffle of data rows at all. price·discount
+    has exactly 4 decimal digits, so k=4 integer units keep the sum exact
+    and order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 2, 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "top_revenue_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rev_u AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.rev_u = (SELECT max(rev_u) FROM revenue)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the max. The
+    scalar-subquery max is a global window over the PER-SUPPLIER aggregate
+    (one row per supplier, ≪ data) — NOT a broadcast-crossed re-aggregate,
+    which plans as a second full lineitem scan: the join side picks up an
+    extra isnotnull(l_suppkey) filter, so the two subtrees are no longer
+    equal and ReuseExchange cannot deduplicate them. Revenue compares
+    happen on exact integer units (price·(1-disc) in 10^-4 units), so
+    max-equality keeps ALL tied suppliers — a deterministic set, not an
+    arbitrary survivor."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            _units(F.col("l_extendedprice"), 2)
+            * (F.lit(100) - _units(F.col("l_discount"), 2))
+        ).alias("rev_u")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.withColumn("mx", F.max("rev_u").over(Window.partitionBy()))
+        .where(F.col("rev_u") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_u").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "small_quantity_revenue",
+    """
+    WITH pq AS (
+        SELECT l.l_partkey, l.l_extendedprice,
+               CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_u
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+    ), st AS (
+        SELECT l_extendedprice, qty_u,
+               sum(qty_u)  OVER (PARTITION BY l_partkey) AS sum_qty_u,
+               count(*)    OVER (PARTITION BY l_partkey) AS cnt
+        FROM pq
+    )
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / 7.0 AS avg_yearly,
+           count(*) AS n_small
+    FROM st
+    WHERE qty_u * 5 * cnt < sum_qty_u
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below 20% of their part's average quantity.
+    The correlated avg-per-part subquery is a window over l_partkey — one
+    shuffle, shared by the compare and the sum. The 0.2·avg threshold is
+    integer cross-multiplication (5·qty·cnt < Σqty in 10^-2 units): exact,
+    so boundary rows land identically in both engines. The Brand filter
+    prunes parts BEFORE the join and broadcasts (~2% of the part table)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("qty_u", _units(F.col("l_quantity"), 2))
+        .withColumn("sum_qty_u", F.sum("qty_u").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+    )
+    return (
+        joined.where(F.col("qty_u") * 5 * F.col("cnt") < F.col("sum_qty_u"))
+        .agg(
+            (
+                F.sum(_units(F.col("l_extendedprice"), 2)).cast("double")
+                / F.lit(100.0)
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
 # =========================================================================
 # Deterministic sampling (training-pipeline extension, ext/sampling.py)
 # =========================================================================

@@ -196,3 +196,34 @@ def test_asof_join_backward(spark):
         ).collect()
     }
     assert tol == {"t1": None, "t2": 101.0, "t3": None, "t4": None}
+
+
+def test_tpch_q6_q15_q17_plans(spark):
+    """The three partsupp-free TPC-H stragglers keep their intended shapes:
+    Q6 fully pushes down and moves no data rows, Q15/Q17 broadcast the
+    small side and shuffle lineitem exactly once on the correlation key."""
+    from etl_weather_jabar_spark.queries import QUERIES
+
+    q6 = QUERIES["forecast_revenue_change"](spark, SF)
+    p6 = q6._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in p6
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz" in p6
+    )
+    assert "Exchange hashpartitioning" not in p6  # only the 1-row final agg moves
+
+    p15 = (
+        QUERIES["top_revenue_supplier"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p15.count("lineitem.parquet") == 1  # max via window, no second scan
+    assert p15.count("Exchange hashpartitioning") == 1  # one shuffle on l_suppkey
+    assert "BroadcastHashJoin" in p15  # supplier side broadcasts
+
+    p17 = (
+        QUERIES["small_quantity_revenue"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p17  # pruned part side broadcasts
+    assert p17.count("Exchange hashpartitioning") == 1  # window shuffle only
