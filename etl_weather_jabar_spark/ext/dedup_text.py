@@ -221,26 +221,24 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def lsh_band_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 5,
-    max_bucket: int = 10_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Tier 3b: LSH banding → candidate near-dup pairs (id_a < id_b).
-
-    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
-    docs sharing any band's bucket key become a candidate pair. The
-    explode-groupBy-join runs on banded hash keys (uniform distribution →
-    no skew) and never compares documents pairwise outside a bucket —
-    this is what makes near-dup dedup feasible at 100 TB.
-    """
+    """LSH banding of the MinHash signature → (id_col, band, bucket): one
+    row per (doc, band), bucket = that band's slice of the signature as a
+    string key. Shared by the pair generator below and the cluster query
+    (which star-joins buckets instead of expanding pairs)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    banded = sigs.select(
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn
+    )
+    return sigs.select(
         id_col,
         F.explode(
             F.transform(
@@ -258,6 +256,29 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    max_bucket: int = 10_000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Tier 3b: LSH banding → candidate near-dup pairs (id_a < id_b).
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band's bucket key become a candidate pair. The
+    explode-groupBy-join runs on banded hash keys (uniform distribution →
+    no skew) and never compares documents pairwise outside a bucket —
+    this is what makes near-dup dedup feasible at 100 TB.
+    """
+    banded = lsh_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn=hash_fn
+    )
 
     # Pairs via groupBy-bucket + in-bucket expansion, NOT a banded self-join:
     # a self-join would execute the whole signature pipeline twice (Catalyst

@@ -81,7 +81,9 @@ def _units(col, k: int):
 
 
 def _half_up_div(num, den):
-    """round-half-up(num/den) as floor((2·num+den)/(2·den)), exact ints."""
+    """round-half-up(num/den) as floor((2·num+den)/(2·den)), exact ints.
+    Ties round toward +inf (so −0.5 → 0), identically in both engines —
+    the SQL twin `_sql_halfup` implements the same floor formula."""
     a = num * 2 + den
     b = den * 2
     return ((a - F.pmod(a, b)) / b).cast("bigint")
@@ -2925,6 +2927,134 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_1h"
         ),
         F.count("value").over(w).alias("n_1h"),
+    )
+
+
+@_register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber,
+               'l_quantity' AS measure, l_quantity AS value
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '2000-02-01 00:00:00'
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '2000-02-01 00:00:00'
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '2000-02-01 00:00:00'
+    )
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of pivot_type_daily_value): one output
+    row per (line, measure). Spark's unpivot is a zero-shuffle Expand node
+    — 3× rows, one scan, filter still pushed to parquet; values pass
+    through raw so both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2000-02-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+def _lsh_cluster_sql() -> str:
+    """DuckDB twin of the md5-mode MinHash-LSH banding + star-edge
+    connected components (16 hashes, 4 bands, 5-gram shingles)."""
+    mins = ",\n               ".join(
+        f"min(('0x' || substr(md5(sg || ':{i}'), 1, 15))::BIGINT) AS h{i}"
+        for i in range(16)
+    )
+    bands = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', h{o0}, h{o1}, h{o2}, h{o3})"
+        " AS bucket FROM sig".format(
+            b=b, o0=4 * b, o1=4 * b + 1, o2=4 * b + 2, o3=4 * b + 3
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                   regexp_replace(regexp_replace(lower(trim(text)),
+                       '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g'), '\\s+', ' ', 'g'),
+                   ' '), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+                    ELSE [array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)]
+               END AS s
+        FROM toks
+    ), shingle_rows AS (
+        SELECT doc_id, unnest(s) AS sg FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM shingle_rows
+        GROUP BY doc_id
+    ), banded AS (
+        {bands}
+    ), star AS (
+        SELECT doc_id AS u, min(doc_id) OVER (PARTITION BY band, bucket) AS v
+        FROM banded
+    ), edges AS (
+        SELECT DISTINCT u, v FROM star WHERE u <> v
+        UNION
+        SELECT DISTINCT v, u FROM star WHERE u <> v
+    ), reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT re.node, e.v FROM reach re JOIN edges e ON e.u = re.r
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY 1
+    """
+
+
+@_register("lsh_neardup_clusters", _lsh_cluster_sql())
+def lsh_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the step after pair generation that
+    actual dedup needs (keep one doc per group): MinHash(16, md5 mode) →
+    4-band LSH buckets → STAR edges (each doc → its bucket's min id; linear
+    in bucket size, so no max_bucket cap needed, unlike pair expansion) →
+    distributed connected components (ext/graph.py min-label propagation)
+    → every document labeled with the min doc_id of its component;
+    singletons label themselves. Detector edges chain transitively: A~B,
+    B~C places A,C in one cluster even though no band paired them
+    directly. The md5 hash mode makes the whole pipeline — including the
+    closure, via a recursive CTE — reproducible in any engine."""
+    from .ext.dedup_text import lsh_band_buckets
+    from .ext.graph import connected_components
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    banded = lsh_band_buckets(docs, hash_fn="md5")
+    star = banded.withColumn(
+        "v", F.min("doc_id").over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("doc_id") != F.col("v"))
+    edges = star.select(
+        F.col("doc_id").alias("src"), F.col("v").alias("dst")
+    ).distinct()
+    comp = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
     )
 
 

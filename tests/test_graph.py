@@ -1,0 +1,55 @@
+"""Connected-components operator (ext/graph.py) + LSH cluster query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_weather_jabar_spark.ext.graph import connected_components
+
+
+def _components(spark, edge_list, **kw):
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    out = connected_components(edges, **kw).collect()
+    return {r["node"]: r["component"] for r in out}
+
+
+def test_chain_propagates_beyond_direct_neighbors(spark):
+    # 1-2-3-4-5 chain: label 1 must travel 4 hops (multi-round convergence)
+    got = _components(spark, [(2, 1), (3, 2), (4, 3), (5, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_separate_components_and_triangle(spark):
+    got = _components(spark, [(45, 413), (267, 413), (45, 267), (8, 245)])
+    assert got == {45: 45, 267: 45, 413: 45, 8: 8, 245: 8}
+
+
+def test_direction_is_ignored(spark):
+    assert _components(spark, [(9, 3)]) == _components(spark, [(3, 9)])
+
+
+def test_nonconvergence_raises(spark):
+    edges = [(i + 1, i) for i in range(1, 9)]  # 9-chain needs >1 round
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _components(spark, edges, max_iter=1)
+
+
+def test_lsh_clusters_contain_same_banding_candidates(spark):
+    """Candidate pairs from the SAME md5 banding must land in one cluster —
+    the cluster query can only MERGE bucket co-membership, never split it.
+    (Pairs from a different hash family carry no such guarantee.)"""
+    from etl_weather_jabar_spark.ext.dedup_text import minhash_lsh_candidates
+    from etl_weather_jabar_spark.queries import QUERIES
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["lsh_neardup_clusters"](spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(docs, hash_fn="md5").collect()
+    assert pairs, "expected at least one candidate pair at sf0.001"
+    for p in pairs:
+        assert clusters[p["id_a"]] == clusters[p["id_b"]]

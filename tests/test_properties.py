@@ -9,7 +9,7 @@ keys), not volume.
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
+from decimal import Decimal
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -87,7 +87,11 @@ def test_dec_sum_is_exact(spark, cents):
     ).collect()[0]
     dec = [Decimal(c) / 100 for c in cents]
     want_sum = sum(dec)
-    want_avg = (want_sum / len(dec)).quantize(Decimal("0.01"), ROUND_HALF_UP)
+    # _half_up_div ties go toward +inf (floor((2a+b)/(2b))) — exact integer
+    # model, NOT Decimal ROUND_HALF_UP (which is away-from-zero and differs
+    # for negative .5 ties, e.g. avg of [0, -1] cents)
+    su, n = sum(cents), len(cents)
+    want_avg = Decimal((2 * su + n) // (2 * n)) / 100
     assert Decimal(str(row["s"])) == want_sum
     assert Decimal(str(row["a"])) == want_avg
 
