@@ -2931,6 +2931,95 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "supplier_count_by_part_class",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def supplier_count_by_part_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp, so the part↔supplier bridge
+    is the DISTINCT (l_partkey, l_suppkey) projection of lineitem; the
+    excluded-supplier predicate is s_acctbal < 0 in place of the comment
+    LIKE). Plan order matters at scale: the broadcast semi-filter against
+    the pruned part side runs BEFORE the pair-distinct, so the expensive
+    distinct shuffle only carries qualifying parts; the exclusion list is
+    a broadcast anti join (never a NOT IN literal list)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#4")
+            & ~F.col("p_type").startswith("MEDIUM")
+            & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    bridge = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .distinct()
+    )
+    return (
+        bridge.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(excl), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "locf_gap_fill",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           value,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled
+    FROM events
+    """,
+)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: null measures inherit the user's
+    most recent non-null reading — the streaming-world generalization of
+    the reference's null-filled minute grid (J4/P9,
+    daily_compile_weather.py:49-56: it leaves gaps as None; LOCF is what a
+    consumer of that grid usually wants next). `last(ignorenulls) over a
+    growing rows frame` is a single shuffle on user_id, O(1) state per
+    row; (ts, event_id) ordering makes the carried value total-order
+    deterministic. Leading nulls (no prior observation) stay null."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+@_register(
     "unpivot_lineitem_measures",
     """
     SELECT l_orderkey, l_linenumber, measure, value FROM (
