@@ -25,6 +25,7 @@ from etl_weather_jabar_spark.ext.dedup_text import (  # noqa: E402
     exact_dedup,
     minhash_signatures,
 )
+from etl_weather_jabar_spark.ext.graph import connected_components  # noqa: E402
 from etl_weather_jabar_spark.operators.dedup import dedupe_keep_first  # noqa: E402
 from etl_weather_jabar_spark.queries import _dec_sum  # noqa: E402
 from etl_weather_jabar_spark.session import get_spark  # noqa: E402
@@ -43,9 +44,11 @@ def replicate(df, k: int, id_col: str | None = None, id_span: int = 10_000_000):
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def timed(df) -> float:
+def timed(thunk) -> float:
+    """Time plan construction + execution (construction matters for the
+    eager iterative operators like connected_components)."""
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    thunk().write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
@@ -58,6 +61,21 @@ def main() -> None:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+
+    def sliding_30m(ev):
+        return ev.groupBy(F.window("ts", "30 minutes", "10 minutes"), "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def chain_edges(mult: int):
+        # 50k·mult nodes in 5-node chains: (i -> i+1) unless i ends a chain
+        n = 50_000 * mult
+        return (
+            spark.range(n)
+            .where((F.col("id") % 5) != 4)
+            .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        )
 
     def pricing(lineitem):
         return (
@@ -108,6 +126,25 @@ def main() -> None:
             lambda: minhash_signatures(docs),
             lambda: minhash_signatures(replicate(docs, k, "doc_id")),
         ),
+        # 3× row replication before the shuffle is the cost model of overlap
+        "sliding_window_30m": (
+            lambda: sliding_30m(events),
+            lambda: sliding_30m(replicate(events, k, "event_id")),
+        ),
+        # the Q16 bridge: distinct pair shuffle dominates
+        "bridge_pair_distinct": (
+            lambda: li.select("l_partkey", "l_suppkey").distinct(),
+            lambda: replicate(li, k, "l_partkey")
+            .select("l_partkey", "l_suppkey")
+            .distinct(),
+        ),
+        # iterative min-label propagation on 5-node chains (10k vs 10k·K
+        # components); rounds are identical (chain diameter fixed), so the
+        # ratio isolates the per-round join+agg volume scaling
+        "connected_components": (
+            lambda: connected_components(chain_edges(1), "src", "dst"),
+            lambda: connected_components(chain_edges(k), "src", "dst"),
+        ),
     }
 
     lines = [
@@ -124,9 +161,9 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for name, (one, many) in cases.items():
-        one().count() if False else timed(one())  # warm: codegen + footers
-        t1 = timed(one())
-        tk = timed(many())
+        timed(one)  # warm: codegen + parquet footers
+        t1 = timed(one)
+        tk = timed(many)
         lines.append(f"| {name} | {t1:.2f} | {tk:.2f} | {tk / t1:.1f}× |")
         print(lines[-1], flush=True)
     path = os.path.join(REPO, "SCALING.md")
