@@ -2931,6 +2931,37 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "string_surface_docs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1) AS first_num,
+           regexp_extract(text, '([A-Z][a-z]+)', 1) AS first_cap_word,
+           length(text) - length(replace(text, '.', '')) AS n_periods,
+           upper(substr(text, 1, 12)) AS head_upper,
+           CAST(length(text) AS BIGINT) AS n_chars_exact
+    FROM documents
+    """,
+)
+def string_surface_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface beyond formatting/matching (SURVEY §2.7
+    notes the reference has none): regex capture-group extraction,
+    replace-based counting, substring/case ops — all JVM-side codegen'd
+    expressions, no UDF, narrow projection with no shuffle. Patterns stay
+    in the Java∩RE2 common subset so both engines capture identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_num"),
+        F.regexp_extract("text", r"([A-Z][a-z]+)", 1).alias("first_cap_word"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(".")))
+        ).alias("n_periods"),
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.length("text").cast("bigint").alias("n_chars_exact"),
+    )
+
+
+@_register(
     "supplier_count_by_part_class",
     """
     SELECT p.p_brand, p.p_type, p.p_size,

@@ -114,3 +114,42 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files sized
+    for efficient scans, returning the new file count.
+
+    Micro-batch sinks (the reference appends 27 docs every 10 minutes —
+    SURVEY §2.1 S5) accrete thousands of KB-sized files; at 100 TB that
+    means listing/open overhead dominating scan time and task counts in
+    the millions. Compaction reads the dataset once, coalesces to
+    ceil(bytes / target) files (repartition — a shuffle — when partition
+    columns are given, so each output partition dir gets its own right-
+    sized files), and atomically replaces via overwrite. Run it as the
+    maintenance companion of append sinks, off the query path.
+    """
+    import math
+    import os
+
+    size = 0
+    for root, _dirs, files in os.walk(path):
+        size += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files, *partition_cols) if partition_cols else df.coalesce(n_files)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    w = out.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -53,3 +53,41 @@ def test_lsh_clusters_contain_same_banding_candidates(spark):
     assert pairs, "expected at least one candidate pair at sf0.001"
     for p in pairs:
         assert clusters[p["id_a"]] == clusters[p["id_b"]]
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=6, deadline=None)
+    def check(edges):
+        # brute-force union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        # canonical min-id per component
+        want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+        got = _components(spark, edges)
+        assert got == want
+
+    check()

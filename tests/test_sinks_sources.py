@@ -237,3 +237,22 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     )[1].split("]")[0]
     got = df.select(F.countDistinct("date")).collect()[0][0]
     assert got == 1
+
+
+def test_compact_small_files(spark, tmp_path):
+    from etl_weather_jabar_spark.sinks import compact
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    path = str(tmp_path / "accreted")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(600)
+    # simulate micro-batch accretion: 30 tiny appends
+    for i in range(30):
+        ev.where(F.col("event_id") % 30 == i).write.mode("append").parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    rows_before = spark.read.parquet(path).count()
+    n = compact(spark, path, target_file_mb=128)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert before >= 30 and after == n == 1
+    assert spark.read.parquet(path).count() == rows_before
