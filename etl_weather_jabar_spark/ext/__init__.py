@@ -7,7 +7,7 @@ from .dedup_text import (
     simhash64,
     simhash_candidates,
 )
-from .graph import connected_components
+from .graph import connected_components, connected_components_star
 from .similarity import (
     brute_force_topk,
     ivf_topk,
@@ -25,6 +25,7 @@ __all__ = [
     "simhash64",
     "simhash_candidates",
     "connected_components",
+    "connected_components_star",
     "brute_force_topk",
     "ivf_topk",
     "lsh_bucketed_topk",

@@ -5,28 +5,49 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from etl_weather_jabar_spark.ext.graph import connected_components
+from etl_weather_jabar_spark.ext.graph import (
+    connected_components,
+    connected_components_star,
+)
+
+IMPLS = [connected_components, connected_components_star]
 
 
-def _components(spark, edge_list, **kw):
+def _components(spark, edge_list, impl=connected_components, **kw):
     edges = spark.createDataFrame(edge_list, ["src", "dst"])
-    out = connected_components(edges, **kw).collect()
+    out = impl(edges, **kw).collect()
     return {r["node"]: r["component"] for r in out}
 
 
-def test_chain_propagates_beyond_direct_neighbors(spark):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_chain_propagates_beyond_direct_neighbors(spark, impl):
     # 1-2-3-4-5 chain: label 1 must travel 4 hops (multi-round convergence)
-    got = _components(spark, [(2, 1), (3, 2), (4, 3), (5, 4)])
+    got = _components(spark, [(2, 1), (3, 2), (4, 3), (5, 4)], impl)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
 
-def test_separate_components_and_triangle(spark):
-    got = _components(spark, [(45, 413), (267, 413), (45, 267), (8, 245)])
+@pytest.mark.parametrize("impl", IMPLS)
+def test_separate_components_and_triangle(spark, impl):
+    got = _components(
+        spark, [(45, 413), (267, 413), (45, 267), (8, 245)], impl
+    )
     assert got == {45: 45, 267: 45, 413: 45, 8: 8, 245: 8}
 
 
-def test_direction_is_ignored(spark):
-    assert _components(spark, [(9, 3)]) == _components(spark, [(3, 9)])
+@pytest.mark.parametrize("impl", IMPLS)
+def test_direction_is_ignored(spark, impl):
+    assert _components(spark, [(9, 3)], impl) == _components(
+        spark, [(3, 9)], impl
+    )
+
+
+def test_star_contraction_handles_long_chain_in_log_rounds(spark):
+    """A 33-node path has diameter 32 — label propagation needs 32 rounds,
+    star contraction O(log n). Cap iterations at 8 to prove the log bound
+    is real, not just that convergence eventually happens."""
+    edges = [(i + 1, i) for i in range(32)]
+    got = _components(spark, edges, connected_components_star, max_iter=8)
+    assert got == {i: 0 for i in range(33)}
 
 
 def test_nonconvergence_raises(spark):
@@ -55,7 +76,8 @@ def test_lsh_clusters_contain_same_banding_candidates(spark):
         assert clusters[p["id_a"]] == clusters[p["id_b"]]
 
 
-def test_components_match_union_find_on_random_graphs(spark):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_components_match_union_find_on_random_graphs(spark, impl):
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -87,7 +109,7 @@ def test_components_match_union_find_on_random_graphs(spark):
             union(a, b)
         # canonical min-id per component
         want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
-        got = _components(spark, edges)
+        got = _components(spark, edges, impl)
         assert got == want
 
     check()
