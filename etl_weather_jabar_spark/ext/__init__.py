@@ -8,6 +8,8 @@ from .dedup_text import (
     simhash_candidates,
 )
 from .graph import connected_components, connected_components_star
+from .quantize import dim_minmax, quantize_int8
+from .sequencing import chunk_documents, pack_sequences
 from .similarity import (
     brute_force_topk,
     ivf_topk,
@@ -26,6 +28,10 @@ __all__ = [
     "simhash_candidates",
     "connected_components",
     "connected_components_star",
+    "dim_minmax",
+    "quantize_int8",
+    "chunk_documents",
+    "pack_sequences",
     "brute_force_topk",
     "ivf_topk",
     "lsh_bucketed_topk",

@@ -17,7 +17,13 @@ from .joins import (
     salted_join,
 )
 from .aggregates import daily_recap, deterministic_mode, hourly_agg
-from .windows import global_rank_scalable, keep_first_rank, stamp_group_flag
+from .windows import (
+    global_rank_scalable,
+    keep_first_rank,
+    scalable_ntile,
+    scalable_prefix_sum,
+    stamp_group_flag,
+)
 from .partitioning import spread
 
 __all__ = [
@@ -41,6 +47,8 @@ __all__ = [
     "hourly_agg",
     "global_rank_scalable",
     "keep_first_rank",
+    "scalable_ntile",
+    "scalable_prefix_sum",
     "stamp_group_flag",
     "spread",
 ]

@@ -74,6 +74,55 @@ def global_rank_scalable(
     )
 
 
+def scalable_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` over a total order WITHOUT the
+    single-reducer global window — same two-phase shape as
+    :func:`global_rank_scalable`:
+
+    1. range-partition + sort within partitions on ``order_cols``;
+    2. per-partition totals → exclusive offsets (|partitions| rows, tiny),
+       broadcast back; running sum = local window cumsum + offset.
+
+    ``exclusive=True`` yields the sum of all STRICTLY-earlier rows (0 for
+    the first row) — the form sequence packing needs. ``order_cols`` must
+    be a total order or the cumsum is placement-dependent.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__part", F.spark_partition_id())
+    )
+    sums = parted.groupBy("__part").agg(F.sum(value_col).alias("__s"))
+    offsets = sums.select(
+        "__part",
+        (F.sum("__s").over(Window.orderBy("__part")) - F.col("__s")).alias(
+            "__off"
+        ),
+    )
+    w_local = (
+        Window.partitionBy("__part")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(value_col).over(w_local) + F.col("__off")
+    if exclusive:
+        run = run - F.col(value_col)
+    return (
+        parted.join(F.broadcast(offsets), on="__part")
+        .withColumn(out_col, run)
+        .drop("__part", "__off")
+    )
+
+
 def scalable_ntile(
     df: DataFrame,
     order_cols: list[str],

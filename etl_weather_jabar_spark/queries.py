@@ -3218,4 +3218,204 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.25})
 
 
+# =========================================================================
+# Sequence shaping + quantization (training-pipeline extensions,
+# ext/sequencing.py / ext/quantize.py)
+# =========================================================================
+
+# The whitespace token count used by token_count_stats — packing counts
+# the same way (plain lower+split, no punctuation stripping).
+_WS_TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
+
+# The normalized tokenizer chain (functions/text.py::tokens) — shared by
+# text_quality / ngram_topk_vocab / tfidf_top_terms.
+_NORM_TOKENS_SQL = """list_filter(regexp_split_to_array(
+        regexp_replace(regexp_replace(lower(trim(text)),
+            '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'),
+        ' '), t -> t <> '')"""
+
+
+@_register(
+    "pack_sequences_512",
+    f"""
+    WITH t AS (
+        SELECT doc_id, len({_WS_TOKENS_SQL}) AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tokens_before
+        FROM t
+    )
+    SELECT CAST(tokens_before // 512 AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc
+    FROM p GROUP BY 1
+    """,
+)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in doc_id order,
+    cut every 512 tokens, assign each doc to the sequence its first token
+    lands in (ext/sequencing.py::pack_sequences). The running token count
+    is the scalable prefix sum (range partition + broadcast offsets) —
+    never a single-reducer global window; the oracle's window cumsum is
+    the semantic reference."""
+    from .ext.sequencing import pack_sequences
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counted = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(counted, "n_tokens", budget=512)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@_register(
+    "chunk_docs_overlap",
+    """
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text), 1), 90)) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 90 AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, CAST(s AS BIGINT), 120)) AS BIGINT)
+               AS chunk_len,
+           md5(substr(text, CAST(s AS BIGINT), 120)) AS chunk_hash
+    FROM starts
+    """,
+)
+def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (size 120 chars, stride 90 → 30-char
+    overlap) — the retrieval/fine-tuning document splitter
+    (ext/sequencing.py::chunk_documents). Narrow plan: generated start
+    array → explode → substring, zero shuffles. Chunks are compared by
+    md5 so the oracle diff stays small."""
+    from .ext.sequencing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "text", size=120, stride=90)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").cast("bigint").alias("chunk_len"),
+        F.md5(F.col("chunk")).alias("chunk_hash"),
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_NORM_TOKENS_SQL}) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfr AS (
+        SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT t.doc_id, t.token, CAST(t.tf AS BIGINT) AS tf,
+               CAST(d.doc_freq AS BIGINT) AS doc_freq,
+               CAST({_sql_halfup('t.tf * 1000000', 'd.doc_freq')} AS BIGINT)
+                   AS score_units
+        FROM tf t JOIN dfr d USING (token)
+    )
+    SELECT doc_id, token, tf, doc_freq, score_units, rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_units DESC, token ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by a tf-idf-style score.
+    The score is the exact rational tf/doc_freq in 1e-6 units (integer
+    half-up arithmetic) rather than tf·log(N/df): cross-engine log() is
+    not bit-reproducible, and the rational form preserves the same
+    rarity-weighted ranking for fixed N. Two aggregations (per-doc tf,
+    per-token df), one shuffle join on token, then a per-doc top-k window
+    (partitioned by doc_id — no global sort)."""
+    from .functions.text import tokens as _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(dfr, "token").withColumn(
+        "score_units",
+        _half_up_div(F.col("tf") * F.lit(1000000).cast("bigint"), F.col("doc_freq")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_units").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "doc_freq", "score_units", "rn")
+    )
+
+
+@_register(
+    "embedding_quantize_error",
+    """
+    WITH flat AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), stats AS (
+        SELECT pos, min(x) AS mn, max(x) AS mx FROM flat GROUP BY 1
+    ), coded AS (
+        SELECT f.label, f.x, s.mn, s.mx,
+               CASE WHEN s.mx > s.mn THEN
+                   CAST(least(greatest(
+                       floor(((f.x - s.mn) * 255.0) / (s.mx - s.mn)),
+                       0), 255) AS INTEGER)
+               ELSE 0 END AS code
+        FROM flat f JOIN stats s USING (pos)
+    )
+    SELECT label,
+           count(*) AS n_elems,
+           CAST(sum(code) AS BIGINT) AS total_code,
+           CAST(sum(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_saturated,
+           max(abs(x - (mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255.0)))
+               AS max_abs_err
+    FROM coded GROUP BY 1
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus
+    (ext/quantize.py::quantize_int8) with per-label fidelity stats. Every
+    step is pure IEEE double arithmetic, so codes AND reconstruction
+    errors are bit-identical to the oracle — the summary sticks to
+    max/count/integer totals (a float SUM would be accumulation-order-
+    dependent). max_abs_err is bounded by the dimension's quantization
+    step, which the pytest asserts."""
+    from .ext.quantize import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, carry_cols=("label",))
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_elems"),
+        F.sum("code").cast("bigint").alias("total_code"),
+        F.sum(F.when(F.col("code").isin(0, 255), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_saturated"),
+        F.max("abs_err").alias("max_abs_err"),
+    )
+
+
 ALL = sorted(QUERIES)

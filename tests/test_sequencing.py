@@ -1,0 +1,144 @@
+"""Sequence packing, chunking (ext/sequencing.py), prefix sum
+(operators/windows.py), int8 quantization (ext/quantize.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_weather_jabar_spark.ext.quantize import dim_minmax, quantize_int8
+from etl_weather_jabar_spark.ext.sequencing import chunk_documents, pack_sequences
+from etl_weather_jabar_spark.operators.windows import scalable_prefix_sum
+
+
+def test_scalable_prefix_sum_matches_global_window(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        vals=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+    )
+    @settings(max_examples=6, deadline=None)
+    def check(vals):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+        )
+        got = {
+            r["id"]: r["ps"]
+            for r in scalable_prefix_sum(
+                df, ["id"], "v", out_col="ps", num_partitions=3
+            ).collect()
+        }
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["id"]: r["ps"]
+            for r in df.withColumn("ps", F.sum("v").over(w)).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_scalable_prefix_sum_exclusive_starts_at_zero(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["id", "v"])
+    got = {
+        r["id"]: r["ps"]
+        for r in scalable_prefix_sum(
+            df, ["id"], "v", out_col="ps", exclusive=True, num_partitions=2
+        ).collect()
+    }
+    assert got == {1: 0, 2: 10, 3: 30}
+
+
+def test_pack_sequences_matches_naive_concat_and_cut(spark):
+    # doc i has i+1 tokens; budget 7. Naive: cum-before // 7.
+    rows = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    got = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df, "n", budget=7).collect()
+    }
+    before = 0
+    for i, n in rows:
+        assert got[i] == before // 7, f"doc {i}"
+        before += n
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "n"])
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "n", budget=0)
+
+
+def test_chunk_documents_covers_text_and_reassembles(spark):
+    text = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    # no overlap: stride == size → concat of chunks == original text
+    rows = (
+        chunk_documents(df, "text", size=100, stride=100)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert "".join(r["chunk"] for r in rows) == text
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    # overlap: stride < size → each chunk ≤ size, consecutive chunks share
+    # size - stride chars, every char covered
+    rows = (
+        chunk_documents(df, "text", size=100, stride=60)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert all(len(r["chunk"]) <= 100 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk"][60:] == b["chunk"][: len(a["chunk"]) - 60]
+    covered = sum(min(60, len(r["chunk"])) for r in rows[:-1]) + len(
+        rows[-1]["chunk"]
+    )
+    assert covered == len(text)
+
+
+def test_chunk_documents_empty_text_yields_one_empty_chunk(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    rows = chunk_documents(df, "text", size=10, stride=5).collect()
+    assert len(rows) == 1 and rows[0]["chunk"] == ""
+
+
+def test_quantize_int8_codes_and_error_bounds(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 5.0, -1.0]),
+            (2, [1.0, 5.0, 0.5]),
+            (3, [0.25, 5.0, 2.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = quantize_int8(emb).collect()
+    stats = {r["pos"]: (r["mn"], r["mx"]) for r in dim_minmax(emb).collect()}
+    assert stats[2] == (5.0, 5.0)  # constant dim
+    for r in q:
+        assert 0 <= r["code"] <= 255
+        mn, mx = stats[r["pos"]]
+        if mx > mn:
+            # floor-based code: error < one quantization step
+            assert r["abs_err"] <= (mx - mn) / 255.0 + 1e-12
+        else:
+            assert r["code"] == 0 and r["abs_err"] == 0.0
+    # extremes map exactly: x == mn → code 0; x == mx → code 255, err 0
+    by = {(r["vec_id"], r["pos"]): r for r in q}
+    assert by[(1, 1)]["code"] == 0 and by[(1, 1)]["abs_err"] == 0.0
+    assert by[(2, 1)]["code"] == 255 and by[(2, 1)]["abs_err"] == 0.0
+
+
+def test_quantize_int8_frozen_codebook_reused(spark):
+    train = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 1.0])], ["vec_id", "embedding"]
+    )
+    codebook = dim_minmax(train).localCheckpoint()
+    # out-of-range new vector clamps to the frozen codebook's extremes
+    new = spark.createDataFrame([(9, [-5.0, 2.0])], ["vec_id", "embedding"])
+    got = {
+        r["pos"]: r["code"]
+        for r in quantize_int8(new, stats=codebook).collect()
+    }
+    assert got == {1: 0, 2: 255}
