@@ -13,7 +13,10 @@ from .sequencing import chunk_documents, pack_sequences
 from .similarity import (
     brute_force_topk,
     ivf_topk,
+    ivf_topk_indexed,
+    load_ivf_centroids,
     lsh_bucketed_topk,
+    save_ivf_index,
     train_ivf_centroids,
     train_ivf_centroids_cached,
 )
@@ -34,7 +37,10 @@ __all__ = [
     "pack_sequences",
     "brute_force_topk",
     "ivf_topk",
+    "ivf_topk_indexed",
+    "load_ivf_centroids",
     "lsh_bucketed_topk",
+    "save_ivf_index",
     "train_ivf_centroids",
     "train_ivf_centroids_cached",
 ]

@@ -246,6 +246,94 @@ def ivf_topk(
     )
 
 
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Persist the IVF index: inverted lists (corpus rows + their nearest
+    centroid) written ``partitionBy(cid)`` under ``<path>/lists``, the
+    trained centroids under ``<path>/centroids``. This is the deployment
+    answer to "ivf_topk retrains per call": train once, write once, and
+    every later search is a partition-pruned scan of n_probe/n_clusters of
+    the corpus — no training job, no full scan. Returns the centroids.
+    """
+    spark = corpus.sparkSession
+    cents = centroids if centroids is not None else train_ivf_centroids(
+        corpus, n_clusters, iters, id_col, vec_col
+    )
+    assigned = _assign_nearest(spread(corpus), cents, id_col, vec_col)
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/lists")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        schema="cid INT, cv ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def load_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Centroids back from ``save_ivf_index`` (n_clusters × dim — KB)."""
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    return sorted((r["cid"], list(r["cv"])) for r in rows)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k against a persisted index (``save_ivf_index``): score the
+    query batch against the stored centroids, collect the probe cid set
+    (≤ |queries| × n_probe ints — driver-trivial by design), read ONLY
+    those inverted-list partitions via a literal isin filter (static
+    partition pruning — the scan shows ``PartitionFilters``), exact-cosine
+    the candidates. Same results as :func:`ivf_topk` with the same
+    centroids; none of the training or assignment work is repeated.
+    """
+    cents = load_ivf_centroids(spark, path)
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("cid").asc()
+    )
+    q = (
+        _scored_against_centroids(queries, cents, vec_col)
+        .withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= n_probe)
+        .select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec"), F.col("cid")
+        )
+        .localCheckpoint()  # consumed twice: cid collect + candidate join
+    )
+    probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("cid").isin(probe_cids))
+        .withColumnRenamed(vec_col, "__cvec")
+    )
+    cand = lists.join(F.broadcast(q), on="cid").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _srp_signature(vec, dim: int, n_bits: int, table: int):
     """Signed-random-projection signature as a bigint bucket key.
 

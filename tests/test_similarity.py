@@ -91,6 +91,38 @@ def test_ivf_topk_recall_against_brute_force(spark):
     assert cents == train_ivf_centroids(corpus, n_clusters=8, iters=2)
 
 
+def test_ivf_index_persists_and_prunes_partitions(spark, tmp_path):
+    """save_ivf_index → ivf_topk_indexed must (a) reproduce ivf_topk exactly
+    for the same centroids, and (b) probe via a partition-pruned scan of
+    the persisted inverted lists (PartitionFilters on cid), never a full
+    re-assignment."""
+    from etl_weather_jabar_spark.ext.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+        save_ivf_index,
+    )
+
+    corpus = _corpus(spark)
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    cents = save_ivf_index(corpus, path, n_clusters=8, iters=2)
+    assert load_ivf_centroids(spark, path) == sorted(cents)
+
+    live = ivf_topk(corpus, queries, k=5, n_probe=4, centroids=cents)
+    indexed = ivf_topk_indexed(spark, path, queries, k=5, n_probe=4)
+    want = sorted(map(tuple, live.collect()))
+    got = sorted(map(tuple, indexed.collect()))
+    assert got == want
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cid" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+
+
 def test_approx_aggregates_within_tolerance(spark):
     """Sketch-based approximates stay inside their documented error bars
     against exact answers (HLL++ rsd, t-digest percentile accuracy)."""
