@@ -25,7 +25,15 @@ from etl_weather_jabar_spark.ext.dedup_text import (  # noqa: E402
     exact_dedup,
     minhash_signatures,
 )
-from etl_weather_jabar_spark.ext.graph import connected_components  # noqa: E402
+from etl_weather_jabar_spark.ext.graph import (  # noqa: E402
+    connected_components,
+    connected_components_star,
+)
+from etl_weather_jabar_spark.ext.quantize import quantize_int8  # noqa: E402
+from etl_weather_jabar_spark.ext.sequencing import (  # noqa: E402
+    chunk_documents,
+    pack_sequences,
+)
 from etl_weather_jabar_spark.operators.dedup import dedupe_keep_first  # noqa: E402
 from etl_weather_jabar_spark.queries import _dec_sum  # noqa: E402
 from etl_weather_jabar_spark.session import get_spark  # noqa: E402
@@ -62,6 +70,7 @@ def main() -> None:
     orders = load_table(spark, sf_dir, "orders")
     docs = load_table(spark, sf_dir, "documents")
     events = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
 
     def sliding_30m(ev):
         return ev.groupBy(F.window("ts", "30 minutes", "10 minutes"), "event_type").agg(
@@ -75,6 +84,28 @@ def main() -> None:
             spark.range(n)
             .where((F.col("id") % 5) != 4)
             .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        )
+
+    def long_chain(mult: int):
+        # 50·mult chains of length 1000: node i links i+1 within its chain
+        n, m = 1000, 50 * mult
+        return (
+            spark.range(n * m)
+            .where((F.col("id") % n) != (n - 1))
+            .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+        )
+
+    def packed(d):
+        counted = d.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+            ).cast("bigint").alias("n"),
+        )
+        return (
+            pack_sequences(counted, "n", budget=512)
+            .groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
         )
 
     def pricing(lineitem):
@@ -144,6 +175,29 @@ def main() -> None:
         "connected_components": (
             lambda: connected_components(chain_edges(1), "src", "dst"),
             lambda: connected_components(chain_edges(k), "src", "dst"),
+        ),
+        # star contraction on LONG chains (length 1000): round count is
+        # ~log(chain length) = constant across mult, so the ratio isolates
+        # per-round volume; label propagation would need 1000 rounds here
+        "star_contraction_cc": (
+            lambda: connected_components_star(long_chain(1), "src", "dst"),
+            lambda: connected_components_star(long_chain(k), "src", "dst"),
+        ),
+        # global prefix sum via range partition + broadcast offsets; the
+        # probe is the whole packing pipeline (tokenize → cumsum → bin agg)
+        "sequence_packing_prefix_sum": (
+            lambda: packed(docs),
+            lambda: packed(replicate(docs, k, "doc_id")),
+        ),
+        # narrow explode+substring — embarrassingly parallel, no shuffle
+        "chunk_documents": (
+            lambda: chunk_documents(docs, "text", 120, 90),
+            lambda: chunk_documents(replicate(docs, k, "doc_id"), "text", 120, 90),
+        ),
+        # posexplode → D-row stats broadcast → per-element codes
+        "int8_quantize": (
+            lambda: quantize_int8(emb),
+            lambda: quantize_int8(replicate(emb, k, "vec_id")),
         ),
     }
 
