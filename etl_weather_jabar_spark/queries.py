@@ -3368,6 +3368,48 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "datetime_surface_orders",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order,
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order,
+           CAST(min(day(last_day(o_orderdate))) AS BIGINT) AS days_in_month
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def datetime_surface_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface (SURVEY §2.7 F1/F2/F5/F7 generalized):
+    month truncation, day-of-week classification, month-end arithmetic,
+    min/max formatting — all built-in Column functions, one scan + one
+    grouped agg. Cross-engine care: Spark dayofweek is 1=Sunday..7=Saturday
+    while DuckDB's is 0=Sunday..6=Saturday (weekend = {1,7} vs {0,6});
+    timestamps leave as formatted strings per the registry's determinism
+    rules."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", ts), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.dayofweek(ts).isin(1, 7), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_weekend"),
+            F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias("first_order"),
+            F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss").alias("last_order"),
+            F.min(F.dayofmonth(F.last_day(ts))).cast("bigint").alias(
+                "days_in_month"
+            ),
+        )
+    )
+
+
+@_register(
     "embedding_quantize_error",
     """
     WITH flat AS (

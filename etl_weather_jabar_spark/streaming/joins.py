@@ -19,6 +19,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static equi-join — the streaming form of the reference's
+    broadcast dimension lookup (SURVEY §2.3 J1, daily_compile_weather.py:
+    25-30's id→name dict probe): every micro-batch of the stream joins the
+    static side.
+
+    Unlike stream-stream joins this is STATELESS — no watermark, no state
+    store, nothing buffered across batches: the static side is simply
+    (re-)evaluated per micro-batch. With ``broadcast_dim`` the stream side
+    never shuffles (27-row dims at the reference; keep it for any dim that
+    fits an executor). ``how`` is left by default so unmatched facts pass
+    through null-extended rather than silently dropping (Spark also allows
+    inner/leftSemi/leftAnti for stream-static).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, key, how)
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -1,11 +1,48 @@
-"""Stream-stream interval join (streaming/joins.py) through a real
-streaming query: impressions joined to clicks within a 10-minute bound."""
+"""Stream joins (streaming/joins.py) through real streaming queries:
+stream-static dimension enrichment, and stream-stream interval join
+(impressions joined to clicks within a 10-minute bound)."""
 
 from __future__ import annotations
 
 import os
 
-from etl_weather_jabar_spark.streaming.joins import interval_join_streams
+from etl_weather_jabar_spark.streaming.joins import (
+    enrich_stream_static,
+    interval_join_streams,
+)
+
+
+def test_enrich_stream_static_broadcast_lookup(spark, tmp_path):
+    """Streaming facts enriched against a static broadcast dim: matched
+    keys carry the dim columns, unmatched pass through null-extended
+    (left join), and the query needs no watermark (stateless)."""
+    d = str(tmp_path)
+    fact_dir, ckpt = f"{d}/facts", f"{d}/ckpt"
+    os.makedirs(fact_dir)
+    with open(f"{fact_dir}/f1.csv", "w") as f:
+        f.write("1,10\n2,20\n9,90\n")  # location 9 not in the dim
+    facts = spark.readStream.schema("loc_id LONG, v LONG").csv(fact_dir)
+    dim = spark.createDataFrame(
+        [(1, "Bandung"), (2, "Bogor"), (3, "Depok")], ["loc_id", "city"]
+    )
+    q = (
+        enrich_stream_static(facts, dim, "loc_id")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+    finally:
+        q.stop()
+    got = {
+        r["loc_id"]: (r["v"], r["city"])
+        for r in spark.sql("select * from enrich_test").collect()
+    }
+    assert got == {1: (10, "Bandung"), 2: (20, "Bogor"), 9: (90, None)}
 
 
 def test_interval_join_streams(spark, tmp_path):
