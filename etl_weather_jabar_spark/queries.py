@@ -3410,6 +3410,68 @@ def datetime_surface_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "array_setops_doc_halves",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_NORM_TOKENS_SQL} AS toks FROM documents
+    ), h AS (
+        SELECT doc_id, toks, len(toks) // 2 AS half, len(toks) AS n FROM t
+    ), ab AS (
+        SELECT doc_id,
+               list_distinct(toks[1:half]) AS da,
+               list_distinct(toks[half+1:n]) AS db
+        FROM h
+    )
+    SELECT doc_id,
+           CAST(len(da) AS BIGINT) AS n_distinct_a,
+           CAST(len(db) AS BIGINT) AS n_distinct_b,
+           CAST(len(list_intersect(da, db)) AS BIGINT) AS n_shared,
+           CAST(len(list_filter(da, x -> NOT list_contains(db, x)))
+               AS BIGINT) AS n_only_a,
+           CAST(CASE WHEN len(list_distinct(list_concat(da, db))) > 0 THEN
+               {_sql_halfup('len(list_intersect(da, db)) * 1000000',
+                            'len(list_distinct(list_concat(da, db)))')}
+           ELSE 0 END AS BIGINT) AS jaccard_units
+    FROM ab
+    """,
+)
+def array_setops_doc_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation surface (intersect/except/union/distinct/slice):
+    split each document's token array in half and measure vocabulary
+    overlap between the halves — a narrow, shuffle-free self-similarity
+    signal (repetitive docs score high; also a cheap template detector).
+    Sizes and an integer-unit Jaccard only — the set results themselves
+    have engine-specific ordering, so they never leave the expression."""
+    from .functions.text import tokens as _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    half = F.floor(n / 2).cast("int")
+    da = F.array_distinct(F.slice(toks, F.lit(1), half))
+    db = F.array_distinct(F.slice(toks, half + F.lit(1), n - half))
+    with_ab = docs.select("doc_id", da.alias("da"), db.alias("db"))
+    shared = F.size(F.array_intersect(F.col("da"), F.col("db"))).cast("bigint")
+    uni = F.size(F.array_union(F.col("da"), F.col("db"))).cast("bigint")
+    return with_ab.select(
+        "doc_id",
+        F.size("da").cast("bigint").alias("n_distinct_a"),
+        F.size("db").cast("bigint").alias("n_distinct_b"),
+        shared.alias("n_shared"),
+        F.size(F.array_except(F.col("da"), F.col("db")))
+        .cast("bigint")
+        .alias("n_only_a"),
+        F.when(
+            uni > 0,
+            _half_up_div(shared * F.lit(1000000).cast("bigint"), uni),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("jaccard_units"),
+    )
+
+
+@_register(
     "embedding_quantize_error",
     """
     WITH flat AS (
