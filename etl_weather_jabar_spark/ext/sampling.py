@@ -98,6 +98,67 @@ def stratified_hash_sample(
     return df.where(b < thresh)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str | Column,
+    weight_units: Column,
+    k: int,
+    *,
+    salt: str = "wsample",
+    tiebreak: str | Column | None = None,
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows (priority
+    sampling, Duffield/Lund/Thorup): each row gets priority ``w / u`` for a
+    content-hashed uniform ``u``; the top-k priorities form the sample.
+    Heavier rows are proportionally more likely in, yet membership is a
+    pure function of content — stable across reruns and cluster layouts.
+
+    The priority is computed as ``(w << 32) // u`` in exact integer
+    arithmetic (``u`` = 32 bits of the salted md5, never zero), so any
+    engine reproduces the exact same sample. ``weight_units`` must be a
+    positive bigint with ``w < 2**20`` (keeps every intermediate under
+    2**53, where the floor-division identity below is exact); scale
+    accordingly. Top-k compiles to TakeOrderedAndProject (per-partition
+    heaps + single merge — no global sort at 100 TB).
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    tb = key_col if tiebreak is None else (
+        F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key_col.cast("string"), F.lit(":" + salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    a = weight_units.cast("bigint") * F.lit(2**32).cast("bigint")
+    # exact floor division: (a - a mod u) / u — numerator and quotient both
+    # < 2**53, so the double division is exact (same identity as
+    # queries._half_up_div)
+    priority = ((a - F.pmod(a, u)) / u).cast("bigint")
+    return (
+        df.withColumn("priority_units", priority)
+        .orderBy(F.col("priority_units").desc(), tb)
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    key_expr: str, weight_expr: str, k: int, *, salt: str = "wsample"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`'s priority + order clause —
+    returns the ``ORDER BY``-ready priority expression (exact integers)."""
+    u = (
+        f"(CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8) "
+        f"AS BIGINT) + 1)"
+    )
+    return f"(CAST({weight_expr} AS BIGINT) * {2**32}) // {u}"
+
+
 def split_sql(key_expr: str, *, salt: str = "split", train: float = 0.8, val: float = 0.1) -> str:
     """The DuckDB-equivalent CASE expression for :func:`hash_split` —
     letting the oracle (or any SQL engine) reproduce the assignment."""

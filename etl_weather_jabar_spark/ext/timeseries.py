@@ -1,0 +1,71 @@
+"""Exponentially-weighted smoothing over event streams, shuffle-minimal.
+
+EWMA is the classic telemetry smoother, but its textbook recurrence
+(``s_t = a*x_t + (1-a)*s_{t-1}``) is sequential per key and float-ordered
+— useless as a distributed, cross-engine-verifiable operator. This module
+uses the *dyadic* form (decay 1/2 per step over a bounded trailing
+window): every weight is a power of two, so the whole computation is
+exact 64-bit integer arithmetic on integer-unit measures, reproducible
+bit-for-bit in any engine.
+
+Execution shape: one window shuffle (partition by key, order by time)
+collects the trailing frame as an array; the weighted sum is a zip_with +
+aggregate higher-order function — JVM-side, codegen'd, no UDF. At 100 TB
+the single shuffle is the floor for any ordered-per-key computation; the
+bounded frame (default 8 rows) keeps per-row state O(1).
+
+Reference parity: the reference's recap pipeline smooths nothing (raw
+hourly means only, transform_recap.py); this is a driver-mandated
+training-pipeline extension (feature engineering over event telemetry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dyadic_ewma(
+    df: DataFrame,
+    key: str,
+    order: list[str | Column],
+    units: Column,
+    *,
+    depth: int = 8,
+    out_col: str = "ewma_units",
+) -> DataFrame:
+    """Append a dyadic-EWMA column over the trailing ``depth`` rows per key.
+
+    The i-th newest row in the frame gets weight ``2**(n-i)`` (newest
+    heaviest, halving per step back); the output is
+    ``round_half_up(sum(w_i * x_i) / sum(w_i))`` in exact integers.
+    ``units`` must be an exact integer-unit measure (bigint).
+    """
+    if not 1 <= depth <= 32:
+        raise ValueError("depth must be in [1, 32] (weights fit in bigint)")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-(depth - 1), Window.currentRow)
+    )
+    # Frame array is oldest->newest; weights [1, 2, 4, ...] align so the
+    # newest row takes 2**(n-1). Products stay < 2**53 for unit values
+    # < 2**(53 - depth).
+    arr = F.collect_list(units).over(w)
+    weights = F.slice(
+        F.array(*[F.lit(2**j).cast("bigint") for j in range(depth)]),
+        1,
+        F.size(arr),
+    )
+    num = F.aggregate(
+        F.zip_with(arr, weights, lambda x, wt: x * wt),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        weights, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    a = num * 2 + den
+    b = den * 2
+    half_up = ((a - F.pmod(a, b)) / b).cast("bigint")
+    return df.withColumn(out_col, half_up).withColumn("n_window", F.size(arr))

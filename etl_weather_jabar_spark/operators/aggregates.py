@@ -14,7 +14,7 @@ Semantics pinned from the reference (SURVEY §7.2 watch-list):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .joins import grid_align, minute_grid
@@ -86,6 +86,71 @@ def hourly_data_points(obs: DataFrame) -> DataFrame:
             )
         ).alias("data_points")
     )
+
+
+def equi_width_histogram(
+    df: DataFrame, units: Column, width_units: int, *, out_prefix: str = "bin"
+) -> DataFrame:
+    """Equi-width histogram of an exact integer-unit measure: one
+    partial-aggregable groupBy on ``floor(units / width)`` — the shuffle
+    carries |bins| rows per map task, not |rows|, so it scales to any
+    data size. Negative values floor toward -inf (true bins, not
+    truncation). Output: ``bin`` (bigint index), ``{prefix}_lo_units``
+    (inclusive lower edge), ``n`` (bigint count).
+
+    This is the distributed analogue of a profiler's value-distribution
+    pane; downstream it feeds skew detection (a histogram of join-key
+    frequencies) and outlier gates.
+    """
+    u = units.cast("bigint")
+    wlit = F.lit(int(width_units)).cast("bigint")
+    # exact floor division (see queries._half_up_div for the identity)
+    bin_idx = ((u - F.pmod(u, wlit)) / wlit).cast("bigint")
+    return (
+        df.select(bin_idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * wlit).alias(f"{out_prefix}_lo_units"),
+            "n",
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    units: Column,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str = "w_units",
+) -> DataFrame:
+    """Per-group winsorization: clip an exact integer-unit measure to its
+    group's [lo, hi] percentiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition, and
+    integer inputs keep the interpolation arithmetic engine-identical).
+
+    Two-phase plan: a partial-aggregable groupBy computes the tiny
+    per-group bound table, which broadcast-joins back onto the fact — no
+    second shuffle of the big side. The standard outlier gate before
+    training-statistics aggregation.
+    """
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(units, F.lit(lo)).alias("__plo"),
+        F.percentile(units, F.lit(hi)).alias("__phi"),
+    )
+    clipped = (
+        df.withColumn("__u", units.cast("bigint"))
+        .join(F.broadcast(bounds), on=keys)
+        .withColumn(
+            out_col,
+            F.greatest(F.least(F.col("__u").cast("double"), F.col("__phi")), F.col("__plo")),
+        )
+        .drop("__plo", "__phi", "__u")
+    )
+    return clipped
 
 
 def daily_recap(obs: DataFrame) -> DataFrame:

@@ -29,12 +29,16 @@ from .ext.dedup_text import (
     minhash_lsh_candidates,
     simhash64,
 )
+from .ext.profiling import profile_columns
 from .ext.sampling import (
     _hex_thresh,
     hash_split,
     split_sql as _split_sql,
     stratified_hash_sample,
+    weighted_sample,
+    weighted_sample_sql,
 )
+from .ext.timeseries import dyadic_ewma
 from .ext.similarity import brute_force_topk
 from .functions.text import (
     LANG_MARKERS,
@@ -46,7 +50,11 @@ from .functions.text import (
     token_count_ws,
 )
 from .functions.weather import heat_index_c
-from .operators.aggregates import deterministic_mode
+from .operators.aggregates import (
+    deterministic_mode,
+    equi_width_histogram,
+    winsorize,
+)
 from .operators.dedup import dedupe_keep_first, find_duplicate_groups
 from .operators.partitioning import spread
 from .sources.parquet import load_table
@@ -3519,6 +3527,193 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_saturated"),
         F.max("abs_err").alias("max_abs_err"),
+    )
+
+
+@_register(
+    "profile_orders",
+    """
+    WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+               nullif(o_orderstatus, 'O') AS status_nullable
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM src
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), min(o_orderpriority),
+           max(o_orderpriority) FROM src
+    UNION ALL
+    SELECT 'o_totalprice_cents', count(*), count(*) - count(cents),
+           count(DISTINCT cents),
+           CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR) FROM src
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(od),
+           count(DISTINCT od), min(od), max(od) FROM src
+    UNION ALL
+    SELECT 'status_nullable', count(*), count(*) - count(status_nullable),
+           count(DISTINCT status_nullable), min(status_nullable),
+           max(status_nullable) FROM src
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (ext/profiling.py): null counts, exact
+    distinct cardinalities, and ranges for seven orders columns in ONE
+    scan (Catalyst's Expand rewrite of multi-count-distinct), where the
+    oracle needs seven. `status_nullable` exercises the null-counting
+    path (nullif creates real nulls); doubles are profiled as cents
+    units, timestamps as sortable formatted strings."""
+    orders = load_table(spark, sf_dir, "orders")
+    specs = [
+        ("o_orderkey", F.col("o_orderkey")),
+        ("o_custkey", F.col("o_custkey")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_totalprice_cents", F.round(F.col("o_totalprice") * 100).cast("bigint")),
+        ("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+        ("status_nullable", F.nullif(F.col("o_orderstatus"), F.lit("O"))),
+    ]
+    return profile_columns(orders, specs)
+
+
+@_register(
+    "histogram_totalprice",
+    """
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    )
+    SELECT cents // 50000 AS bin,
+           (cents // 50000) * 50000 AS bin_lo_units,
+           count(*) AS n
+    FROM c GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (operators/aggregates.py::
+    equi_width_histogram): $500 bins over order totals via a
+    partial-aggregable groupBy on exact floor-divided cents — the
+    map-side combine means the shuffle moves |bins| rows per task
+    regardless of table size. The profiler's distribution pane and the
+    input to skew detection."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return equi_width_histogram(orders, cents, 50000)
+
+
+@_register(
+    "weighted_sample_docs",
+    f"""
+    SELECT doc_id, n_chars,
+           {weighted_sample_sql('doc_id', 'n_chars', 100)} AS priority_units
+    FROM documents
+    ORDER BY priority_units DESC, doc_id
+    LIMIT 100
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling (ext/sampling.py::
+    weighted_sample — priority sampling, Duffield/Lund/Thorup): top-100
+    documents by exact-integer priority w/u with a content-hashed u.
+    Longer documents are proportionally likelier, membership is a pure
+    function of content (stable across reruns/appends), and the plan is
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return weighted_sample(
+        docs, "doc_id", F.col("n_chars"), 100, tiebreak="doc_id"
+    ).select("doc_id", "n_chars", "priority_units")
+
+
+@_register(
+    "ewma_user_value",
+    f"""
+    WITH r AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS u,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ), j AS (
+        SELECT r1.event_id, r1.user_id,
+               sum(r2.u * (1 << (7 - (r1.rn - r2.rn)))) AS num,
+               sum(1 << (7 - (r1.rn - r2.rn))) AS den,
+               count(*) AS n_window
+        FROM r r1 JOIN r r2
+          ON r1.user_id = r2.user_id AND r2.rn BETWEEN r1.rn - 7 AND r1.rn
+        GROUP BY 1, 2
+    )
+    SELECT event_id, user_id,
+           CAST({_sql_halfup('num', 'den')} AS BIGINT) AS ewma_units,
+           CAST(n_window AS INTEGER) AS n_window
+    FROM j
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic EWMA (ext/timeseries.py): per-user exponential smoothing of
+    event values over the trailing 8 rows, decay 1/2 per step, in exact
+    integer arithmetic (every weight a power of two). Spark computes it
+    with ONE window shuffle + array HOFs; the oracle uses an O(depth·n)
+    self-join — same integers, since round_half_up(num/den) is invariant
+    under the 2^(8-n) common scaling between the two weight layouts."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    out = dyadic_ewma(ev, "user_id", [F.col("ts"), F.col("event_id")], cents)
+    return out.select("event_id", "user_id", "ewma_units", "n_window")
+
+
+@_register(
+    "winsorize_event_values",
+    """
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(CAST(round(value * 100) AS BIGINT), 0.05) AS plo,
+               quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) AS phi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           greatest(least(CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE),
+                          b.phi), b.plo) AS w_units,
+           CAST(CASE WHEN CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE)
+                          < b.plo
+                       OR CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE)
+                          > b.phi
+                THEN 1 ELSE 0 END AS INTEGER) AS is_clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/aggregates.py::winsorize): clip
+    event values to their type's [p05, p95] — the standard outlier gate
+    before training statistics. The tiny per-type bound table
+    broadcast-joins back onto the facts (no second shuffle of the big
+    side). Clipped values stay un-rounded doubles: the interpolation
+    arithmetic is engine-identical on integer-cent inputs, and no float
+    ever passes through an order-dependent SUM."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    out = winsorize(ev, ["event_type"], cents, out_col="w_units")
+    # a row was clipped iff winsorization changed its value
+    return out.select(
+        "event_id",
+        "event_type",
+        "w_units",
+        (F.col("w_units") != cents.cast("double"))
+        .cast("int")
+        .alias("is_clipped"),
     )
 
 
