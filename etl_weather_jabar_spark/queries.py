@@ -3717,4 +3717,188 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS status, o_orderpriority AS prio
+        FROM orders
+    ), new AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                   + CASE WHEN o_orderkey % 101 = 0 THEN 500 ELSE 0 END
+                   AS cents,
+               o_orderstatus AS status, o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000,
+               CAST(round(o_totalprice * 100) AS BIGINT),
+               o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 89 = 0
+    ), d AS (
+        SELECT coalesce(o.k, n.k) AS k,
+               CASE WHEN o.k IS NULL THEN 'added'
+                    WHEN n.k IS NULL THEN 'removed'
+                    WHEN o.cents IS DISTINCT FROM n.cents
+                      OR o.status IS DISTINCT FROM n.status
+                      OR o.prio IS DISTINCT FROM n.prio THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL THEN
+                   array_to_string(list_sort(list_filter([
+                       CASE WHEN o.cents IS DISTINCT FROM n.cents
+                            THEN 'cents' END,
+                       CASE WHEN o.status IS DISTINCT FROM n.status
+                            THEN 'status' END,
+                       CASE WHEN o.prio IS DISTINCT FROM n.prio
+                            THEN 'prio' END],
+                       x -> x IS NOT NULL)), ',')
+               ELSE '' END AS changed_cols_s
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT change_type, changed_cols_s,
+           count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+    FROM d WHERE change_type <> 'unchanged'
+    GROUP BY 1, 2
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation (operators/diff.py::
+    snapshot_diff): the 'new' snapshot is the orders table with
+    deterministic simulated deletes (key%97), updates (+$5 on key%101),
+    and inserts (key%89 re-keyed) — the diff classifies every key and
+    names the changed columns. One shuffle per side on the key; zero if
+    both snapshots were written bucketed by it."""
+    from .operators.diff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    new = (
+        base.where(F.col("k") % 97 != 0)
+        .withColumn(
+            "cents",
+            F.col("cents")
+            + F.when(F.col("k") % 101 == 0, F.lit(500)).otherwise(F.lit(0)),
+        )
+        .unionByName(
+            base.where(F.col("k") % 89 == 0).withColumn(
+                "k", F.col("k") + F.lit(100000000)
+            )
+        )
+    )
+    d = snapshot_diff(base, new, ["k"], ["cents", "status", "prio"])
+    return d.groupBy(
+        "change_type",
+        F.array_join("changed_cols", ",").alias("changed_cols_s"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )
+
+
+@_register(
+    "scd2_user_status",
+    """
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), chg AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM o WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id),
+               '%Y-%m-%d %H:%M:%S'), '') AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM chg
+    """,
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension assembly (operators/scd.py::scd2_from_changes):
+    collapse each user's event-type stream into validity intervals —
+    consecutive duplicate values merge into one run, each run stamped
+    [valid_from, valid_to) with the open run flagged current. One
+    key-partitioned sort drives both window passes."""
+    from .operators.scd import scd2_from_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_from_changes(
+        ev, "user_id", [F.col("ts"), F.col("event_id")], ["event_type"]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from_0", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to_0", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+@_register(
+    "session_window_native",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS u,
+               CASE WHEN ts - lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ), g AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           CAST(sum(u) AS BIGINT) AS value_cents
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-min gap) as a batch
+    groupBy — the same merge semantics Structured Streaming uses for
+    stateful sessionization (streaming/stateful.py), here verified
+    against a gaps-and-islands oracle. Events whose gap equals the
+    timeout start a NEW session (half-open [ts, ts+gap) ranges)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    agg = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).cast("bigint").alias("value_cents"),
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "value_cents",
+    )
+
+
 ALL = sorted(QUERIES)
