@@ -153,6 +153,44 @@ def winsorize(
     return clipped
 
 
+def standardize(
+    df: DataFrame,
+    keys: list[str],
+    units: Column,
+    *,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score standardization of an exact integer-unit measure
+    — the feature-normalization step before training statistics, in a
+    form that is bit-identical across engines.
+
+    The algebra keeps every intermediate exact:
+    ``z = (x*n - su) / sqrt(n*sq - su^2)`` — numerator and the sqrt
+    argument are exact 64-bit integers (population variance scaled by
+    n^2), so the only float ops are one correctly-rounded sqrt and one
+    division, identical on any IEEE engine. Zero-variance groups get
+    z = 0. Same two-phase plan as :func:`winsorize`: tiny moment table,
+    broadcast back, no second shuffle of the facts.
+    """
+    u = units.cast("bigint")
+    moments = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(u).alias("__su"),
+        F.sum(u * u).alias("__sq"),
+    )
+    var_n2 = F.col("__n") * F.col("__sq") - F.col("__su") * F.col("__su")
+    z = F.when(
+        var_n2 > 0,
+        (u * F.col("__n") - F.col("__su")).cast("double")
+        / F.sqrt(var_n2.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.join(F.broadcast(moments), on=keys)
+        .withColumn(out_col, z)
+        .drop("__n", "__su", "__sq")
+    )
+
+
 def daily_recap(obs: DataFrame) -> DataFrame:
     """The full Gold assembly (daily_compile_weather.py:96-134), one
     distributed plan instead of the reference's 27 per-location round-trips

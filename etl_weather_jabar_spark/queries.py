@@ -53,6 +53,7 @@ from .functions.weather import heat_index_c
 from .operators.aggregates import (
     deterministic_mode,
     equi_width_histogram,
+    standardize,
     winsorize,
 )
 from .operators.dedup import dedupe_keep_first, find_duplicate_groups
@@ -3898,6 +3899,118 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
         "value_cents",
+    )
+
+
+@_register(
+    "standardize_event_values",
+    """
+    WITH u AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events
+    ), m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(u) AS BIGINT) AS su,
+               CAST(sum(u * u) AS BIGINT) AS sq
+        FROM u GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN m.n * m.sq - m.su * m.su > 0 THEN
+               CAST(e.u * m.n - m.su AS DOUBLE)
+                   / sqrt(CAST(m.n * m.sq - m.su * m.su AS DOUBLE))
+           ELSE 0.0 END AS z
+    FROM u e JOIN m USING (event_type)
+    """,
+)
+def standardize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature standardization (operators/
+    aggregates.py::standardize): z = (x*n - su)/sqrt(n*sq - su^2) keeps
+    every intermediate an exact integer, so the one sqrt and one divide
+    are bit-identical across engines — no float mean/std ever
+    materializes. Moment table broadcasts back; facts shuffle once for
+    the groupBy and never again."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    out = standardize(ev, ["event_type"], cents, out_col="z")
+    return out.select("event_id", "event_type", "z")
+
+
+@_register("heavy_hitters_tokens")
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus tokens by Misra-Gries estimate (ext/
+    heavy_hitters.py): per-partition mergeable summaries cap the shuffle
+    at k rows per partition regardless of vocabulary size — the
+    approximate sibling of the exact ngram_topk_vocab. Rows-only check:
+    estimates depend on partition boundaries (always within n/k of
+    truth — pytest pins the bound); no SQL oracle can reproduce them."""
+    from .ext.heavy_hitters import heavy_hitters
+    from .functions.text import tokens as _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", 200, top=50)
+
+
+@_register(
+    "conditional_surface_orders",
+    """
+    WITH s AS (
+        SELECT o_orderstatus AS status,
+               nullif(o_orderstatus, 'O') AS s_null,
+               coalesce(nullif(o_orderpriority, '1-URGENT'), 'DEFAULTED')
+                   AS prio_d,
+               least(o_orderkey % 7, o_custkey % 7) AS lo,
+               greatest(o_orderkey % 7, o_custkey % 7) AS hi
+        FROM orders
+    )
+    SELECT status,
+           count(*) AS n,
+           count(s_null) AS n_not_o,
+           CAST(sum(CASE WHEN s_null IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS nvl2_sum,
+           count(DISTINCT prio_d) AS n_prio_kinds,
+           CAST(sum(CASE WHEN prio_d = 'DEFAULTED' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_defaulted,
+           CAST(sum(lo) AS BIGINT) AS sum_lo,
+           CAST(sum(hi) AS BIGINT) AS sum_hi
+    FROM s GROUP BY 1
+    """,
+)
+def conditional_surface_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling scalar surface (nullif, coalesce, nvl2,
+    least, greatest) — the SQL-dialect corner every migrating user hits
+    first, pinned against the oracle. least/greatest run on modular key
+    arithmetic; nvl2 maps to the oracle's CASE (DuckDB lacks it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    s_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    prio_d = F.coalesce(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+        F.lit("DEFAULTED"),
+    )
+    lo = F.least(F.col("o_orderkey") % 7, F.col("o_custkey") % 7)
+    hi = F.greatest(F.col("o_orderkey") % 7, F.col("o_custkey") % 7)
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            s_null.alias("s_null"),
+            prio_d.alias("prio_d"),
+            lo.alias("lo"),
+            hi.alias("hi"),
+            F.nvl2(s_null, F.lit(1), F.lit(0)).alias("nvl2_v"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("s_null").alias("n_not_o"),
+            F.sum("nvl2_v").cast("bigint").alias("nvl2_sum"),
+            F.count_distinct("prio_d").alias("n_prio_kinds"),
+            F.sum((F.col("prio_d") == "DEFAULTED").cast("int"))
+            .cast("bigint")
+            .alias("n_defaulted"),
+            F.sum("lo").cast("bigint").alias("sum_lo"),
+            F.sum("hi").cast("bigint").alias("sum_hi"),
+        )
     )
 
 
