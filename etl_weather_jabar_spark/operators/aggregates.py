@@ -126,6 +126,7 @@ def winsorize(
     lo: float = 0.05,
     hi: float = 0.95,
     out_col: str = "w_units",
+    approx: bool = False,
 ) -> DataFrame:
     """Per-group winsorization: clip an exact integer-unit measure to its
     group's [lo, hi] percentiles (linear interpolation — Spark
@@ -136,10 +137,21 @@ def winsorize(
     per-group bound table, which broadcast-joins back onto the fact — no
     second shuffle of the big side. The standard outlier gate before
     training-statistics aggregation.
+
+    Exact ``percentile`` buffers each group's values in executor memory —
+    correct for verification, wrong for a 100 TB group. Pass
+    ``approx=True`` for the scale path (t-digest ``percentile_approx``,
+    bounded state, mergeable partials); bounds then carry the sketch's
+    rank error but the clip semantics are unchanged.
     """
+    pctl = (
+        (lambda c, p: F.percentile_approx(c, p, 10_000).cast("double"))
+        if approx
+        else (lambda c, p: F.percentile(c, p))
+    )
     bounds = df.groupBy(*keys).agg(
-        F.percentile(units, F.lit(lo)).alias("__plo"),
-        F.percentile(units, F.lit(hi)).alias("__phi"),
+        pctl(units, F.lit(lo)).alias("__plo"),
+        pctl(units, F.lit(hi)).alias("__phi"),
     )
     clipped = (
         df.withColumn("__u", units.cast("bigint"))

@@ -134,6 +134,19 @@ def test_winsorize_clips_to_interpolated_bounds(spark):
     assert vals[50] == 50.0
 
 
+def test_winsorize_approx_close_to_exact(spark):
+    """The t-digest scale path lands within one unit of the exact bounds
+    on a smooth distribution."""
+    df = spark.createDataFrame([("g", i) for i in range(1, 1001)], ["k", "u"])
+    exact = winsorize(df, ["k"], F.col("u").cast("bigint"), out_col="w")
+    approx = winsorize(
+        df, ["k"], F.col("u").cast("bigint"), out_col="w", approx=True
+    )
+    e = {r["u"]: r["w"] for r in exact.collect()}
+    a = {r["u"]: r["w"] for r in approx.collect()}
+    assert all(abs(e[u] - a[u]) <= 1.0 for u in e)
+
+
 def test_winsorize_broadcasts_bounds(spark):
     ev = load_table(spark, SF, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")

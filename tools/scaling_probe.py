@@ -34,7 +34,11 @@ from etl_weather_jabar_spark.ext.sequencing import (  # noqa: E402
     chunk_documents,
     pack_sequences,
 )
+from etl_weather_jabar_spark.ext.heavy_hitters import heavy_hitters  # noqa: E402
+from etl_weather_jabar_spark.ext.timeseries import dyadic_ewma  # noqa: E402
+from etl_weather_jabar_spark.operators.aggregates import winsorize  # noqa: E402
 from etl_weather_jabar_spark.operators.dedup import dedupe_keep_first  # noqa: E402
+from etl_weather_jabar_spark.operators.diff import snapshot_diff  # noqa: E402
 from etl_weather_jabar_spark.queries import _dec_sum  # noqa: E402
 from etl_weather_jabar_spark.session import get_spark  # noqa: E402
 from etl_weather_jabar_spark.sources.parquet import load_table  # noqa: E402
@@ -198,6 +202,69 @@ def main() -> None:
         "int8_quantize": (
             lambda: quantize_int8(emb),
             lambda: quantize_int8(replicate(emb, k, "vec_id")),
+        ),
+        # one key-partitioned window shuffle + HOF weighted sum; offset
+        # user ids so key cardinality (and sort-run count) scales too
+        "dyadic_ewma": (
+            lambda: dyadic_ewma(
+                events, "user_id", [F.col("ts"), F.col("event_id")],
+                F.round(F.col("value") * 100).cast("bigint"),
+            ),
+            lambda: dyadic_ewma(
+                replicate(events, k, "user_id"),
+                "user_id", [F.col("ts"), F.col("event_id")],
+                F.round(F.col("value") * 100).cast("bigint"),
+            ),
+        ),
+        # native session merge: state per key bounded by open sessions
+        "session_window_agg": (
+            lambda: events.groupBy(
+                "user_id", F.session_window("ts", "30 minutes")
+            ).agg(F.count(F.lit(1)).alias("n")),
+            lambda: replicate(events, k, "user_id")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        # full-outer key join, both snapshots replicated -> linear output
+        "snapshot_diff": (
+            lambda: snapshot_diff(
+                orders, orders.where(F.col("o_orderkey") % 97 != 0),
+                ["o_orderkey"], ["o_totalprice", "o_orderstatus"],
+            ),
+            lambda: snapshot_diff(
+                replicate(orders, k, "o_orderkey"),
+                replicate(orders, k, "o_orderkey").where(
+                    F.col("o_orderkey") % 97 != 0
+                ),
+                ["o_orderkey"], ["o_totalprice", "o_orderstatus"],
+            ),
+        ),
+        # shuffle capped at k_counters·partitions rows however large the
+        # input; vocabulary constant across mult, volume scales
+        "mg_heavy_hitters": (
+            lambda: heavy_hitters(
+                docs.select(
+                    F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+                ),
+                "t", 200,
+            ),
+            lambda: heavy_hitters(
+                replicate(docs, k, "doc_id").select(
+                    F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+                ),
+                "t", 200,
+            ),
+        ),
+        # t-digest bounds + broadcast-back clip (the 100 TB winsorize path)
+        "winsorize_approx": (
+            lambda: winsorize(
+                events, ["event_type"],
+                F.round(F.col("value") * 100).cast("bigint"), approx=True,
+            ),
+            lambda: winsorize(
+                replicate(events, k, "event_id"), ["event_type"],
+                F.round(F.col("value") * 100).cast("bigint"), approx=True,
+            ),
         ),
     }
 
