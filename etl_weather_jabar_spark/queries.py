@@ -92,10 +92,18 @@ def _units(col, k: int):
 def _half_up_div(num, den):
     """round-half-up(num/den) as floor((2·num+den)/(2·den)), exact ints.
     Ties round toward +inf (so −0.5 → 0), identically in both engines —
-    the SQL twin `_sql_halfup` implements the same floor formula."""
+    the SQL twin `_sql_halfup` implements the same floor formula.
+
+    The division must be EXACT over the full bigint range: pmod makes the
+    numerator an exact multiple of b, and the divide runs in decimal —
+    a double divide is only exact below 2^53, and ppm-scale shares over
+    TPC-H-sized sums exceed that (off-by-one vs DuckDB's integer `//`).
+    """
     a = num * 2 + den
     b = den * 2
-    return ((a - F.pmod(a, b)) / b).cast("bigint")
+    return (
+        (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+    ).cast("bigint")
 
 
 def _dec_sum(col, nd: int = 2, k: int | None = None):
@@ -4011,6 +4019,74 @@ def conditional_surface_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lo").cast("bigint").alias("sum_lo"),
             F.sum("hi").cast("bigint").alias("sum_hi"),
         )
+    )
+
+
+@_register(
+    "window_value_surface",
+    f"""
+    WITH rev AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS prio,
+               nullif(o_orderpriority, '1-URGENT') AS prio_n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT status, prio,
+           rank() OVER w AS rnk,
+           first_value(prio) OVER w AS first_prio,
+           nth_value(prio, 2) OVER w AS second_prio,
+           last_value(prio) OVER (PARTITION BY status
+               ORDER BY prio_n NULLS LAST, prio
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_prio,
+           CAST({_sql_halfup('rev * 1000000',
+                             'sum(rev) OVER (PARTITION BY status)')}
+               AS BIGINT) AS share_units
+    FROM rev
+    WINDOW w AS (PARTITION BY status ORDER BY prio_n NULLS LAST, prio)
+    """,
+)
+def window_value_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value-function surface (first_value / nth_value /
+    last_value with an explicit full frame / rank / ratio-to-report) over
+    a nullable sort key with PINNED null placement — Spark defaults to
+    NULLS FIRST for ASC where DuckDB defaults to NULLS LAST, the classic
+    silent migration bug; asc_nulls_last makes both engines agree.
+    nth_value(2) runs on the default growing frame (NULL until two rows),
+    last_value on the explicit unbounded frame (the default frame would
+    just echo the current row). The share is an exact integer
+    ratio-to-report against an unordered partition total."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rev = (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias(
+                "prio_n"
+            ),
+            cents.alias("c"),
+        )
+        .groupBy("status", "prio", "prio_n")
+        .agg(F.sum("c").cast("bigint").alias("rev"))
+    )
+    w = Window.partitionBy("status").orderBy(
+        F.col("prio_n").asc_nulls_last(), F.col("prio")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_total = Window.partitionBy("status")
+    return rev.select(
+        "status",
+        "prio",
+        F.rank().over(w).alias("rnk"),
+        F.first_value(F.col("prio")).over(w).alias("first_prio"),
+        F.nth_value(F.col("prio"), 2).over(w).alias("second_prio"),
+        F.last_value(F.col("prio")).over(w_full).alias("last_prio"),
+        _half_up_div(
+            F.col("rev") * F.lit(1000000).cast("bigint"),
+            F.sum("rev").over(w_total),
+        ).alias("share_units"),
     )
 
 

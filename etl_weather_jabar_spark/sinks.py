@@ -28,6 +28,44 @@ def overwrite(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+# Formats beyond parquet (SURVEY §2.1 S3: the reference also moves JSON
+# between stages; ORC is Spark's other native columnar format). Parquet
+# stays the default everywhere — these exist so a reference user's JSON
+# hand-offs and any ORC estate keep working unchanged.
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", *, mode: str = "overwrite"
+) -> None:
+    """Write in any supported format. JSON/CSV are row formats: no column
+    pruning, no predicate pushdown, heavier bytes — interchange only,
+    never the analytical store."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(path)
+
+
+def read_table_fmt(spark, path: str, fmt: str = "parquet", schema=None) -> DataFrame:
+    """Read any supported format. Pass an explicit ``schema`` for the row
+    formats — schema inference costs an extra full scan AND degrades
+    types (JSON has no timestamp/decimal; CSV has no types at all), the
+    same trap sources/jsonsrc.py documents for the reference's inputs."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"format must be one of {_FORMATS}")
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("json", "csv"):
+        r = r.option("inferSchema", True)
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.load(path)
+
+
 def append_dedup_keyed(
     df: DataFrame,
     path: str,
