@@ -150,6 +150,60 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row (per
+    ``on`` keys) with ``right_ts >= left_ts`` — the mirror of
+    :func:`asof_join_backward` ("what happened next"), same scalable
+    shape: union + one running ``first(..., ignorenulls)`` over the
+    forward frame, ONE shuffle on the key. Left rows sort before right
+    rows at equal timestamps, so a same-instant match counts.
+    ``tolerance_seconds`` nulls out matches further ahead than the
+    window."""
+    carried = right_cols or [c for c in right.columns if c not in (*on, right_ts)]
+    l_tag = left.withColumn("__is_left", F.lit(True)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    r_tag = (
+        right.select(*on, right_ts, *carried)
+        .withColumn("__is_left", F.lit(False))
+        .withColumn("__ts", F.col(right_ts))
+    )
+    both = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = both
+    src = F.when(~F.col("__is_left"), F.col("__ts"))
+    out = out.withColumn("__asof_ts", F.first(src, ignorenulls=True).over(w))
+    for c in carried:
+        out = out.withColumn(
+            c,
+            F.first(F.when(~F.col("__is_left"), F.col(c)), ignorenulls=True).over(w),
+        )
+    out = out.where(F.col("__is_left"))
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__asof_ts").cast("long") - F.col("__ts").cast("long")
+            <= tolerance_seconds
+        )
+        for c in carried:
+            out = out.withColumn(c, F.when(fresh, F.col(c)))
+        out = out.withColumn("__asof_ts", F.when(fresh, F.col("__asof_ts")))
+    return out.withColumnRenamed("__asof_ts", "asof_ts").drop(
+        "__is_left", "__ts"
+    )
+
+
 def range_join_bucketed(
     fact: DataFrame,
     intervals: DataFrame,

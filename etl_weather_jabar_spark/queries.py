@@ -4090,4 +4090,152 @@ def window_value_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "asof_next_purchase_after_click",
+    """
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id < 25) c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/joins.py::asof_join_forward): for
+    each click, the user's NEXT purchase at-or-after it — conversion-lag
+    analysis, the mirror of asof_last_click_before_purchase. Same
+    union + forward-frame first(ignorenulls) shape: one shuffle on
+    user_id, no range explosion."""
+    from .operators.joins import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where((F.col("event_type") == "click") & (F.col("user_id") < 25))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    out = asof_join_forward(
+        clicks, purchases, ["user_id"], "ts", "p_ts", right_cols=[]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "next_purchase_ts"
+        ),
+    )
+
+
+@_register(
+    "peak_concurrency_by_type",
+    """
+    WITH d AS (
+        SELECT event_type, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+    ), r AS (
+        SELECT event_type,
+               sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS running
+        FROM d
+    )
+    SELECT event_type, CAST(max(running) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals
+    FROM r GROUP BY 1
+    """,
+)
+def peak_concurrency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval algebra: each event holds a 30-min half-open
+    interval; +1/-1 deltas sorted by (time, delta) — ends before starts
+    at the same instant, so touching intervals don't overlap — and a
+    running sum whose max is the peak concurrency per type. The max is
+    order-independent within equal (t, delta) ties, so no further
+    tie-break is needed. One shuffle; the 100 TB form partitions the
+    sweep by key exactly like this."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = (
+        starts.unionByName(ends)
+        .withColumn("running", F.sum("delta").over(w))
+    )
+    return running.groupBy("event_type").agg(
+        F.max("running").cast("bigint").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+    )
+
+
+@_register(
+    "mad_outliers_by_type",
+    """
+    WITH u AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS u
+        FROM events
+    ), med AS (
+        SELECT event_type, quantile_cont(u, 0.5) AS med
+        FROM u GROUP BY 1
+    ), mad AS (
+        SELECT u.event_type,
+               quantile_cont(abs(CAST(u.u AS DOUBLE) - m.med), 0.5) AS mad
+        FROM u JOIN med m USING (event_type) GROUP BY 1, m.med
+    )
+    SELECT u.event_type, m.med, d.mad,
+           CAST(sum(CASE WHEN abs(CAST(u.u AS DOUBLE) - m.med)
+                              > 3.0 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM u JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation per group and
+    the |x - med| > 3·1.4826·MAD count — the estimator winsorization
+    can't give you when the tails are heavy enough to drag the
+    percentiles themselves. Integer cents keep both quantile
+    interpolations exact-half results, so med/MAD/counts are
+    bit-identical cross-engine. Two tiny broadcast joins back; the facts
+    shuffle once per quantile pass."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("u"),
+    )
+    med = u.groupBy("event_type").agg(
+        F.percentile(F.col("u"), F.lit(0.5)).alias("med")
+    )
+    dev = u.join(F.broadcast(med), on="event_type").withColumn(
+        "adev", F.abs(F.col("u").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.drop("med")), on="event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                (F.col("adev") > 3.0 * 1.4826 * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)

@@ -198,6 +198,45 @@ def test_asof_join_backward(spark):
     assert tol == {"t1": None, "t2": 101.0, "t3": None, "t4": None}
 
 
+def test_asof_join_forward(spark):
+    from etl_weather_jabar_spark.operators.joins import asof_join_forward
+
+    quotes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 100.0),
+            (1, "2024-01-01 09:05:00", 101.0),
+            (2, "2024-01-01 09:02:00", 50.0),
+        ],
+        ["sym", "qts", "price"],
+    ).withColumn("qts", F.col("qts").cast("timestamp"))
+    trades = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:03:00", "t1"),   # -> 09:05 quote (101.0)
+            (1, "2024-01-01 09:05:00", "t2"),   # same-instant -> 101.0
+            (1, "2024-01-01 09:06:00", "t3"),   # after last quote -> null
+            (2, "2024-01-01 09:01:00", "t4"),   # -> 09:02 quote (50.0)
+            (3, "2024-01-01 09:10:00", "t5"),   # no quotes for key -> null
+        ],
+        ["sym", "tts", "tid"],
+    ).withColumn("tts", F.col("tts").cast("timestamp"))
+    out = {
+        r["tid"]: r["price"]
+        for r in asof_join_forward(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts"
+        ).collect()
+    }
+    assert out == {"t1": 101.0, "t2": 101.0, "t3": None, "t4": 50.0, "t5": None}
+    # tolerance: t1's next quote is 120s ahead; a 60s horizon nulls it
+    tol = {
+        r["tid"]: r["price"]
+        for r in asof_join_forward(
+            trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+            tolerance_seconds=60,
+        ).collect()
+    }
+    assert tol == {"t1": None, "t2": 101.0, "t3": None, "t4": 50.0, "t5": None}
+
+
 def test_tpch_q6_q15_q17_plans(spark):
     """The three partsupp-free TPC-H stragglers keep their intended shapes:
     Q6 fully pushes down and moves no data rows, Q15/Q17 broadcast the
