@@ -169,3 +169,46 @@ def split_sql(key_expr: str, *, salt: str = "split", train: float = 0.8, val: fl
         f"CASE WHEN {b} < '{t_hi}' THEN 'train' "
         f"WHEN {b} < '{v_hi}' THEN 'val' ELSE 'test' END"
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str | Column,
+    n_shards: int,
+    *,
+    salt: str = "shard",
+    out_col: str = "shard",
+    hash_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training exports: every
+    row gets a shard id and a within-shard sort key, both pure functions of
+    its stable id. Training runs want corpus order decorrelated from
+    ingest order (adjacent crawl pages in one batch bias SGD), but
+    ``orderBy(rand())`` is neither reproducible nor append-stable — this
+    is, and any engine can audit the assignment from content alone.
+
+    shard  = first 15 md5 hex digits (60 bits, fits bigint) mod n_shards;
+    rank   = the full 32-hex digest — sorting a shard by it yields the
+             same pseudo-random permutation on every run.
+
+    The physical write is ``.repartition(n_shards, col(out_col))
+    .sortWithinPartitions(hash_col)`` — one shuffle, each output file one
+    shard, intra-file order deterministic. (Reference parity: none — the
+    reference has no export path; driver-mandated training-pipeline
+    extension alongside :func:`hash_split`.)
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(key_col.cast("string"), F.lit(":" + salt)))
+    num = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    return df.withColumn(hash_col, h).withColumn(
+        out_col, F.pmod(num, F.lit(n_shards)).cast("int")
+    )
+
+
+def shards_sql(key_expr: str, n_shards: int, *, salt: str = "shard") -> tuple[str, str]:
+    """DuckDB twin of :func:`shuffle_shards` — (shard_expr, rank_expr)."""
+    h = f"md5(CAST({key_expr} AS VARCHAR) || ':{salt}')"
+    shard = f"CAST(CAST('0x' || substr({h}, 1, 15) AS BIGINT) % {n_shards} AS INTEGER)"
+    return shard, h

@@ -33,6 +33,8 @@ from .ext.profiling import profile_columns
 from .ext.sampling import (
     _hex_thresh,
     hash_split,
+    shards_sql,
+    shuffle_shards,
     split_sql as _split_sql,
     stratified_hash_sample,
     weighted_sample,
@@ -53,6 +55,7 @@ from .functions.weather import heat_index_c
 from .operators.aggregates import (
     deterministic_mode,
     equi_width_histogram,
+    exact_distinct_bitmap,
     standardize,
     winsorize,
 )
@@ -4235,6 +4238,339 @@ def mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
             F.count(F.lit(1)).alias("n"),
         )
+    )
+
+
+# =========================================================================
+# Behavioral-analytics operators (cohort / funnel / running distinct) and
+# bitmap exact-distinct — the query shapes a product-analytics user of the
+# reference would reach for next, each with a DuckDB twin.
+# =========================================================================
+
+
+@_register(
+    "cohort_retention_weekly",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(datediff('day', DATE '2024-01-01',
+                                   CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+        FROM events
+    ), cohort AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1
+    )
+    SELECT c.cohort_wk, a.wk - c.cohort_wk AS weeks_since,
+           count(*) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their FIRST
+    event, counted again in every later week they were active — the
+    (cohort, weeks_since) triangle behind every retention curve.
+
+    Scale shape: events collapse to distinct (user, week) FIRST (the big
+    cardinality drop happens before any join), then first-week and the
+    join back both hash on user_id — one partitioning reused across the
+    agg and the join, no broadcast needed at any scale. The final matrix
+    is tiny (weeks²)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("bigint")
+    act = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_register(
+    "funnel_signup_purchase",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1
+    ), s4 AS (
+        SELECT e.user_id, min(e.ts) AS t4
+        FROM events e JOIN s3 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1
+    )
+    SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+    UNION ALL SELECT '2_view', count(*) FROM s2
+    UNION ALL SELECT '3_click', count(*) FROM s3
+    UNION ALL SELECT '4_purchase', count(*) FROM s4
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users signup → view → click → purchase, each
+    step STRICTLY after the previous step's first completion (the min-ts
+    chaining form — no per-user event sorting, no sessionization).
+
+    Each stage is a filtered aggregate joined to the previous stage's
+    per-user min — every join and groupBy hashes on user_id, so the
+    partitioning set up by stage 1 is reused down the whole chain; stage
+    outputs shrink monotonically. Strict '>' makes the chain
+    deterministic even under equal timestamps."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(typ: str, prev: DataFrame, prev_t: str, t: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == typ)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(t))
+        )
+
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after("view", s1, "t1", "t2")
+    s3 = first_after("click", s2, "t2", "t3")
+    s4 = first_after("purchase", s3, "t3", "t4")
+    stages = [("1_signup", s1), ("2_view", s2), ("3_click", s3), ("4_purchase", s4)]
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        for name, df in stages
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@_register(
+    "cumulative_distinct_users",
+    """
+    WITH first AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY 1
+    ), daily AS (
+        SELECT d, count(*) AS new_users FROM first GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+    FROM daily
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day — the growth curve query. A naive
+    form distinct-counts an expanding window (quadratic); this one marks
+    each user's FIRST day (one user-keyed agg), so daily new-user counts
+    sum cumulatively to the exact distinct-to-date figure.
+
+    The only window runs over the aggregated day domain (≤ #days rows) —
+    a bounded single-reducer step no matter how large the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@_register(
+    "time_weighted_avg_value",
+    f"""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS u,
+               CAST(floor((lead(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    - epoch_us(ts)) / 1000000.0) AS BIGINT) AS dur_s
+        FROM events
+    ), agg AS (
+        SELECT event_type,
+               sum(CAST(u * dur_s AS BIGINT)) AS num,
+               sum(dur_s) AS den,
+               count(*) AS n_intervals
+        FROM seq WHERE dur_s IS NOT NULL
+        GROUP BY 1 HAVING sum(dur_s) > 0
+    )
+    SELECT event_type, n_intervals,
+           CAST({_sql_halfup('CAST(num AS BIGINT)', 'CAST(den AS BIGINT)')}
+                AS DOUBLE) / 100.0 AS twa_value
+    FROM agg
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each observation holds
+    until the user's next event, so its value is weighted by that holding
+    duration (the irregular-sampling mean — plain avg() over-weights
+    bursts). The sensor/price analytics query the row-weighted A4 can't
+    answer.
+
+    One shuffle (user window for lead), then a partial-aggregating
+    groupBy. Exact integer moments: cents × whole seconds, summed as
+    int64 (< 2^58 at any plausible per-user horizon), divided half-up —
+    bit-identical cross-engine, same model as the _dec_* helpers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "event_type",
+        _units(F.col("value"), 2).alias("u"),
+        F.floor((F.lead(us).over(w) - us) / 1000000.0).cast("bigint").alias(
+            "dur_s"
+        ),
+    )
+    agg = (
+        seq.where(F.col("dur_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("u") * F.col("dur_s")).alias("num"),
+            F.sum("dur_s").alias("den"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .where(F.col("den") > 0)
+    )
+    return agg.select(
+        "event_type",
+        "n_intervals",
+        (_half_up_div(F.col("num"), F.col("den")).cast("double") / 100.0).alias(
+            "twa_value"
+        ),
+    )
+
+
+@_register(
+    "bitmap_distinct_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type computed via mergeable bitmaps
+    (operators/aggregates.py::exact_distinct_bitmap) — the oracle is plain
+    count(DISTINCT), proving the bitmap path is exact, not approximate.
+    See the operator docstring for the 100 TB story (bounded ≤4 KB bitmap
+    shuffle vs all-distinct-values exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    return exact_distinct_bitmap(ev, ["event_type"], "user_id")
+
+
+# =========================================================================
+# Text/tokenization surface extensions: edit distance, positional explode,
+# deterministic shuffle-sharding
+# =========================================================================
+
+
+@_register(
+    "levenshtein_adjacent_docs",
+    """
+    WITH d AS (
+        SELECT doc_id, lang, substr(text, 1, 40) AS p FROM documents
+    )
+    SELECT lang, doc_id,
+           lag(doc_id) OVER w AS prev_id,
+           CAST(levenshtein(p, lag(p) OVER w) AS BIGINT) AS edit_dist
+    FROM d WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+    QUALIFY prev_id IS NOT NULL
+    """,
+)
+def levenshtein_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance surface: Levenshtein between each document's 40-char
+    prefix and its doc_id-predecessor within the same language — the
+    fuzzy-matching primitive (typo-tolerant dedup, OCR drift detection)
+    exercised as a deterministic windowed pairing rather than an O(n²)
+    self-join. Spark's levenshtein is a JVM builtin (no UDF); the lag
+    window is the only shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("p")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            F.lag("doc_id").over(w).alias("prev_id"),
+            F.levenshtein(F.col("p"), F.lag("p").over(w))
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+        .where(F.col("prev_id").isNotNull())
+    )
+
+
+@_register(
+    "posexplode_token_positions",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS pos,
+           unnest(ss) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS ss
+          FROM documents WHERE doc_id % 20 = 0)
+    """,
+)
+def posexplode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW surface): every token of every 20th
+    document with its 0-based position — the tokenize-with-offsets
+    primitive under span labeling and n-gram windows. posexplode is a
+    zero-shuffle Generate (rows fan out in place, no exchange); the
+    filter prunes at the scan."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 20 == 0)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    return d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+
+
+_SHARD_EXPR, _RANK_EXPR = shards_sql("doc_id", 8)
+
+
+@_register(
+    "shuffle_shards_docs",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, {_SHARD_EXPR} AS shard, {_RANK_EXPR} AS shuffle_rank
+        FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           min(shuffle_rank) AS first_rank,
+           max(shuffle_rank) AS last_rank
+    FROM assigned GROUP BY 1
+    """,
+)
+def shuffle_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle-sharding for training export
+    (ext/sampling.py::shuffle_shards): content-hashed shard id + in-shard
+    pseudo-random rank, audited here per shard (count + first/last rank —
+    the rank extremes pin the permutation, not just the assignment).
+    The real export writes with repartition(n, shard) +
+    sortWithinPartitions(rank): one shuffle, reproducible files."""
+    d = load_table(spark, sf_dir, "documents")
+    assigned = shuffle_shards(d, "doc_id", 8)
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("shuffle_rank").alias("first_rank"),
+        F.max("shuffle_rank").alias("last_rank"),
     )
 
 

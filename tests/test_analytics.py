@@ -1,0 +1,116 @@
+"""Behavioral-analytics + bitmap-distinct operator semantics on hand-built
+data where the expected answer is computable by eye (the sf-scale oracle
+twins in queries.py pin cross-engine agreement; these pin the semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_weather_jabar_spark.ext.sampling import shuffle_shards
+from etl_weather_jabar_spark.operators.aggregates import exact_distinct_bitmap
+
+
+def test_bitmap_distinct_matches_count_distinct(spark):
+    # ids straddle several 32768-wide bitmap buckets to force real merges
+    df = spark.range(0, 200_000, 7).withColumn(
+        "g", (F.col("id") % 3).cast("string")
+    )
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in exact_distinct_bitmap(df, ["g"], "id").collect()
+    }
+    want = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("id").alias("n")).collect()
+    }
+    assert got == want and len(got) == 3
+
+
+def test_bitmap_distinct_counts_duplicates_once(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 99_999)], ["g", "uid"]
+    )
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in exact_distinct_bitmap(df, ["g"], "uid").collect()
+    }
+    assert got == {"a": 2, "b": 1}
+
+
+def test_funnel_requires_strict_step_order(spark):
+    # user 1 completes signup→view in order; user 2 viewed BEFORE signup
+    # (must not count at the view stage); user 3 never signed up.
+    rows = [
+        (1, "signup", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-01 11:00:00"),
+        (2, "view", "2024-01-01 09:00:00"),
+        (2, "signup", "2024-01-01 10:00:00"),
+        (3, "view", "2024-01-01 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    assert s1.count() == 2  # users 1 and 2 signed up
+    assert [r["user_id"] for r in s2.collect()] == [1]  # only user 1 in order
+
+
+def test_time_weighted_average_known_series(spark):
+    # one user, value 10.00 held 30 s then 20.00 held 10 s, last row open:
+    # twa = (1000*30 + 2000*10) / 40 = 1250 cents = 12.50
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (1, 2, "2024-01-01 00:00:30", 20.0),
+        (1, 3, "2024-01-01 00:00:40", 99.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("u"),
+        F.floor((F.lead(us).over(w) - us) / 1000000.0)
+        .cast("bigint")
+        .alias("dur_s"),
+    ).where(F.col("dur_s").isNotNull())
+    agg = seq.agg(
+        F.sum(F.col("u") * F.col("dur_s")).alias("num"),
+        F.sum("dur_s").alias("den"),
+    ).collect()[0]
+    assert agg["num"] / agg["den"] == 1250.0
+
+
+def test_shuffle_shards_deterministic_append_stable_and_complete(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["shard"], r["shuffle_rank"])
+         for r in shuffle_shards(df, "doc_id", 8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shuffle_rank"])
+         for r in shuffle_shards(df, "doc_id", 8).collect()}
+    assert a == b  # reproducible
+    assert {s for s, _ in a.values()} == set(range(8))  # every shard hit
+    # append-stability: assignment of old rows unchanged by new rows
+    sub = {r["doc_id"]: (r["shard"], r["shuffle_rank"])
+           for r in shuffle_shards(
+               df.where(F.col("doc_id") < 500), "doc_id", 8
+           ).collect()}
+    assert all(a[k] == v for k, v in sub.items())
+    # rough balance: no shard more than 2x the mean
+    from collections import Counter
+
+    counts = Counter(s for s, _ in a.values())
+    assert max(counts.values()) < 2 * (2000 / 8)
