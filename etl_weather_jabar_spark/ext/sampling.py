@@ -207,6 +207,74 @@ def shuffle_shards(
     )
 
 
+def mixture_resample(
+    df: DataFrame,
+    stratum: str,
+    weights: dict[str, int],
+    key: str | Column,
+    *,
+    default_weight: int = 1,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample strata so the
+    kept corpus matches target proportions ``weights`` (integer weights;
+    share of stratum s = w_s / Σw) — the domain-reweighting step in front
+    of every large pretraining run (web vs books vs code mixing).
+
+    The largest feasible corpus honoring the proportions without
+    upsampling is T = min_s floor(n_s · Σw / w_s); each stratum keeps its
+    first k_s = floor(w_s · T / Σw) rows in salted-md5 order (content-
+    addressed, so the kept set is stable across reruns and engines —
+    ties on the hash broken by the key itself).
+
+    Plan shape: a tiny per-stratum count aggregate (rows = #strata) joined
+    back broadcast, plus one rank window partitioned by stratum. The
+    window is the only data-sized shuffle; at 100 TB with skewed strata
+    the rank-within-stratum can swap in windows.scalable rank, same
+    contract. All arithmetic is exact bigint (n·Σw stays far below 2^63).
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    w_expr = F.lit(default_weight)
+    for value, w in sorted(weights.items()):
+        if w < 1:
+            raise ValueError("weights must be positive integers")
+        w_expr = F.when(F.col(stratum) == value, F.lit(w)).otherwise(w_expr)
+    tagged = df.withColumn("__w", w_expr.cast("bigint"))
+    stats = tagged.groupBy(stratum, "__w").agg(F.count(F.lit(1)).alias("__n"))
+    # Σw must cover strata present in the data (declared or default)
+    sum_w = stats.agg(F.sum("__w").alias("sw"))
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    def _floordiv(a, b):
+        # exact bigint floor division over the full range (decimal divide —
+        # a double '/' is only exact below 2^53)
+        return (
+            (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+        ).cast("bigint")
+
+    caps = (
+        stats.crossJoin(F.broadcast(sum_w))
+        .withColumn(
+            "__t",
+            F.min(
+                _floordiv(F.col("__n") * F.col("sw"), F.col("__w"))
+            ).over(wall),
+        )
+        .withColumn("__k", _floordiv(F.col("__w") * F.col("__t"), F.col("sw")))
+        .select(stratum, "__k")
+    )
+    h = F.md5(F.concat(key_col.cast("string"), F.lit(":" + salt)))
+    wrank = Window.partitionBy(stratum).orderBy(h.asc(), key_col.asc())
+    return (
+        tagged.drop("__w")
+        .withColumn("__rank", F.row_number().over(wrank))
+        .join(F.broadcast(caps), on=stratum)
+        .where(F.col("__rank") <= F.col("__k"))
+        .drop("__rank", "__k")
+    )
+
+
 def shards_sql(key_expr: str, n_shards: int, *, salt: str = "shard") -> tuple[str, str]:
     """DuckDB twin of :func:`shuffle_shards` — (shard_expr, rank_expr)."""
     h = f"md5(CAST({key_expr} AS VARCHAR) || ':{salt}')"

@@ -24,6 +24,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change log onto a base snapshot → the new snapshot.
+
+    The inverse of :func:`snapshot_diff`: given yesterday's table and a log
+    of keyed upserts/deletes (``op_col`` ∈ {'U','D'}, ordered per key by
+    ``seq_col``), materialize today's table. Keep-last semantics: for each
+    key the highest-``seq_col`` record wins; a winning 'D' removes the key
+    (a later 'U' resurrects it — the upsert-after-delete case). The base
+    rows participate at ``seq = 0``, so change sequences must be positive.
+
+    One plan: union → per-key keep-last window → filter. The only shuffle
+    is the window partition on the key — the same exchange a MERGE would
+    need, with none of the per-row lookup cost the reference's
+    find-then-update sink pays (daily_compile_weather.py:136-142). Output
+    keeps the winning row's full width plus ``seq_col`` (lineage: which
+    change produced this row; 0 = carried over from base).
+
+    At 100 TB: base >> changes, so the union is dominated by the base
+    scan; if base is written bucketed on the key (sinks.py::write_bucketed)
+    the exchange on the base side disappears and only the (small) change
+    log shuffles.
+    """
+    cols = [c for c in base.columns if c not in (seq_col, op_col)]
+    b = base.select(*cols).withColumn(
+        seq_col, F.lit(0).cast("bigint")
+    ).withColumn(op_col, F.lit("U"))
+    c = changes.select(
+        *cols, F.col(seq_col).cast("bigint").alias(seq_col), op_col
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        b.unionByName(c)
+        .withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col(op_col) == "U"))
+        .select(*cols, seq_col)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -4574,4 +4574,454 @@ def shuffle_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Data-integrity, CDC-apply, corpus-hygiene, and graph operators
+# =========================================================================
+
+
+def _sql_shingles(n: int, t: str = "t") -> str:
+    """DuckDB twin of functions.text.shingles over a token-list column
+    ``t``: word n-grams, or the whole joined text when the doc is shorter
+    than n tokens."""
+    return (
+        f"CASE WHEN len({t}) <= {n} THEN [array_to_string({t}, ' ')] "
+        f"ELSE list_transform(range(1, len({t}) - {n} + 2), "
+        f"i -> array_to_string({t}[i:i+{n - 1}], ' ')) END"
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_sql_shingles(3)}) AS sh FROM t),
+    kept AS (SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+        WHERE df <= 200),
+    sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM kept a JOIN kept b USING (sh) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+           {_sql_halfup('inter * 1000000', 'sa.sz + sb.sz - inter')}
+               AS jaccard_ppm
+    FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+           JOIN sz sb ON sb.doc_id = p.doc_b
+    WHERE 2 * inter >= sa.sz + sb.sz - inter
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (the ground truth MinHash-LSH
+    approximates): distinct 3-gram shingles per doc, pairs generated by
+    joining on the shingle, Jaccard ≥ 0.5 decided in exact integer
+    arithmetic (2·|∩| ≥ |∪|). Shingles whose document frequency exceeds a
+    cap are dropped first — stop-shingle removal, the standard exact-dedup
+    scale lever: a shingle shared by d docs contributes O(d²) pairs, so
+    the cap turns the worst-case quadratic bucket into a bounded one
+    (identically on both engines, so the oracle still matches). The
+    shingle groupBy, the pair join, and the count reuse one hash
+    partitioning on `sh`; Spark reuses the exchange for both sides of the
+    self-join (ReusedExchange)."""
+    from .functions.text import shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
+    ).distinct()
+    kept = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .where(F.col("df") <= 200)
+        .drop("df")
+    )
+    sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b"))
+    un = F.col("size_a") + F.col("size_b") - F.col("inter")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.lit(2) * F.col("inter") >= un)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            _half_up_div(
+                F.col("inter") * F.lit(1000000).cast("bigint"), un
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+@_register(
+    "apply_cdc_snapshot",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               o_totalprice AS price, CAST(0 AS BIGINT) AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 3 <> 0),
+    c1 AS (
+        SELECT o_orderkey AS k, 'X' AS status, o_totalprice + 100.0 AS price,
+               CAST(1 + o_orderkey % 7 AS BIGINT) AS seq,
+               CASE WHEN o_orderkey % 10 = 5 THEN 'D' ELSE 'U' END AS op
+        FROM orders WHERE o_orderkey % 5 = 0),
+    c2 AS (
+        SELECT o_orderkey AS k, 'Y' AS status, o_totalprice + 5.0 AS price,
+               CAST(8 + o_orderkey % 2 AS BIGINT) AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 15 = 0),
+    log AS (SELECT * FROM base UNION ALL SELECT * FROM c1
+            UNION ALL SELECT * FROM c2),
+    win AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+                   AS rn FROM log)
+    SELECT k, status, price, seq AS version
+    FROM win WHERE rn = 1 AND op = 'U'
+    """,
+)
+def apply_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators/diff.py::apply_cdc): base snapshot + keyed
+    upsert/delete log → new snapshot, keep-last per key. The log is
+    synthesized from orders so the oracle can replay it: inserts (keys
+    absent from base), updates, deletes, and the upsert-after-delete
+    resurrection case (keys ≡ 15 mod 30 get a delete at seq ≤ 7 and an
+    update at seq ≥ 8) are all present. One window shuffle on the key —
+    the MERGE exchange, without per-row lookups."""
+    from .operators.diff import apply_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.where(k % 3 != 0).select(
+        k.alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    c1 = o.where(k % 5 == 0).select(
+        k.alias("k"),
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") + 100.0).alias("price"),
+        (F.lit(1) + k % 7).cast("bigint").alias("seq"),
+        F.when(k % 10 == 5, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    c2 = o.where(k % 15 == 0).select(
+        k.alias("k"),
+        F.lit("Y").alias("status"),
+        (F.col("o_totalprice") + 5.0).alias("price"),
+        (F.lit(8) + k % 2).cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    out = apply_cdc(base, c1.unionByName(c2), ["k"])
+    return out.select("k", "status", "price", F.col("seq").alias("version"))
+
+
+@_register(
+    "benchmark_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_NORM_TOKENS_SQL} AS t FROM documents),
+    sh AS (SELECT doc_id, lang, unnest({_sql_shingles(5)}) AS sh FROM t),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+    cont AS (SELECT DISTINCT doc_id FROM train JOIN bench USING (sh))
+    SELECT d.lang, count(*) AS n_train,
+           count(cont.doc_id) AS n_contaminated
+    FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN cont ON cont.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: flag training documents sharing any
+    5-gram shingle with a held-out benchmark set (here: doc_id ≡ 0 mod
+    97) — the n-gram-overlap decontamination step every pretraining
+    pipeline runs before training. The benchmark shingle set is tiny
+    relative to the corpus, so it broadcasts: the contamination check is
+    a broadcast semi-join against the training shingles — no data-sized
+    shuffle at 100 TB, the corpus is scanned once."""
+    from .functions.text import shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 5)).alias("sh"))
+    bench = sh.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    train_sh = (
+        sh.where(F.col("doc_id") % 97 != 0).select("doc_id", "sh").distinct()
+    )
+    cont = (
+        train_sh.join(F.broadcast(bench), "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    train_docs = docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "lang")
+    return (
+        train_docs.join(cont, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("c").alias("n_contaminated"),
+        )
+    )
+
+
+@_register(
+    "doc_repetition_signals",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents),
+    bg AS (SELECT doc_id, unnest({_sql_shingles(2)}) AS g FROM t),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     max(c) AS top_c, count(*) AS n_uniq
+              FROM bgc GROUP BY 1),
+    tg AS (SELECT doc_id, unnest({_sql_shingles(3)}) AS g FROM t),
+    tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+    tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                     count(*) AS t_uniq
+              FROM tgc GROUP BY 1)
+    SELECT b.doc_id AS doc_id, b.n_bigrams,
+           {_sql_halfup('b.top_c * 1000000', 'b.n_bigrams')}
+               AS top_bigram_ppm,
+           {_sql_halfup('t.t_uniq * 1000000', 't.n_trigrams')}
+               AS uniq_trigram_ppm
+    FROM bstat b JOIN tstat t ON t.doc_id = b.doc_id
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, per document: the top
+    bigram's share of all bigrams (boilerplate/chant detector) and the
+    distinct-trigram fraction (low ⇒ looping text). Both as exact ppm
+    integers. Two explode→groupBy branches over the same scan, joined on
+    doc_id; every aggregation is partial-agg friendly and the join keys
+    are the natural partitioning."""
+    from .functions.text import shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+
+    def gram_counts(n: int):
+        return (
+            docs.select(
+                "doc_id", F.explode(shingles(F.col("text"), n)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    bstat = gram_counts(2).groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_uniq"),
+    )
+    tstat = gram_counts(3).groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"), F.count(F.lit(1)).alias("t_uniq")
+    )
+    m = F.lit(1000000).cast("bigint")
+    return bstat.join(tstat, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        _half_up_div(F.col("top_c") * m, F.col("n_bigrams")).alias(
+            "top_bigram_ppm"
+        ),
+        _half_up_div(F.col("t_uniq") * m, F.col("n_trigrams")).alias(
+            "uniq_trigram_ppm"
+        ),
+    )
+
+
+@_register(
+    "mixture_resample_docs",
+    """
+    WITH w AS (SELECT doc_id, source, n_chars,
+            CAST(CASE WHEN source IN ('src0', 'src1') THEN 3
+                 WHEN source IN ('src2', 'src3', 'src4') THEN 2
+                 ELSE 1 END AS BIGINT) AS w
+        FROM documents),
+    st AS (SELECT source, w, count(*) AS n FROM w GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM st),
+    caps AS (SELECT source, (w * t) // sw AS k FROM (
+        SELECT source, w, sw, min((n * sw) // w) OVER () AS t
+        FROM st, tot)),
+    ranked AS (SELECT doc_id, source, n_chars,
+        row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mixture') ASC,
+                     doc_id ASC) AS r
+        FROM w)
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked JOIN caps USING (source)
+    WHERE r <= k
+    GROUP BY 1
+    """,
+)
+def mixture_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (ext/sampling.py::mixture_resample):
+    downsample sources so the kept corpus matches target weights
+    (src0/src1 ×3, src2-4 ×2, rest ×1) — the DoReMi/Pile-style domain
+    reweighting step, deterministic and content-addressed (salted-md5
+    rank within stratum, so the kept set is append-stable and
+    reproducible in any engine). Audited here per source: rows kept and
+    characters kept."""
+    from .ext.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = mixture_resample(
+        docs,
+        "source",
+        {"src0": 3, "src1": 3, "src2": 2, "src3": 2, "src4": 2},
+        "doc_id",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+@_register(
+    "referential_integrity_audit",
+    f"""
+    WITH osnap AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+    csnap AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+    SELECT 'lineitem->orders' AS relation, count(*) AS n_child,
+           count(*) - count(p.o_orderkey) AS n_orphans,
+           {_sql_halfup('(count(*) - count(p.o_orderkey)) * 1000000',
+                        'count(*)')} AS orphan_ppm
+    FROM lineitem c LEFT JOIN osnap p ON p.o_orderkey = c.l_orderkey
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           count(*) - count(p.c_custkey),
+           {_sql_halfup('(count(*) - count(p.c_custkey)) * 1000000',
+                        'count(*)')}
+    FROM orders c LEFT JOIN csnap p ON p.c_custkey = c.o_custkey
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*),
+           count(*) - count(p.s_suppkey),
+           {_sql_halfup('(count(*) - count(p.s_suppkey)) * 1000000',
+                        'count(*)')}
+    FROM lineitem c LEFT JOIN supplier p ON p.s_suppkey = c.l_suppkey
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the star schema: for each
+    child→parent relation, how many child rows point at a missing parent
+    (parents deliberately degraded to even-keyed snapshots so the orphan
+    counts are non-trivial; lineitem→supplier is audited against the full
+    dimension as the clean control). The nightly data-quality gate before
+    a warehouse publish. Each audit is a left join + count — parent key
+    sets are narrow single-column projections, broadcast when small; the
+    output is three rows."""
+    m = F.lit(1000000).cast("bigint")
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str):
+        n_child = F.count(F.lit(1))
+        n_orph = F.count(F.lit(1)) - F.count(F.col(pkey))
+        return (
+            child.select(ckey)
+            .join(parent.select(pkey), child[ckey] == parent[pkey], "left")
+            .agg(
+                F.lit(name).alias("relation"),
+                n_child.alias("n_child"),
+                n_orph.alias("n_orphans"),
+                _half_up_div(n_orph * m, n_child).alias("orphan_ppm"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    osnap = orders.where(F.col("o_orderkey") % 2 == 0)
+    csnap = cust.where(F.col("c_custkey") % 2 == 0)
+    return (
+        audit(li, "l_orderkey", osnap, "o_orderkey", "lineitem->orders")
+        .unionByName(
+            audit(orders, "o_custkey", csnap, "c_custkey", "orders->customer")
+        )
+        .unionByName(
+            audit(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier")
+        )
+    )
+
+
+@_register(
+    "listagg_status_history",
+    """
+    SELECT c.c_custkey AS custkey,
+           count(o.o_orderkey) AS n_orders,
+           string_agg(o.o_orderstatus, ''
+                      ORDER BY o.o_orderdate, o.o_orderkey) AS status_seq
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 100 = 0
+    GROUP BY 1
+    """,
+)
+def listagg_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP, Spark ≥4.0):
+    each sampled customer's order-status history concatenated in
+    (orderdate, orderkey) order — the compact-event-history pattern
+    (journey strings for sequence mining). Posed through the SQL surface;
+    the WITHIN GROUP order is total, so the string is deterministic."""
+    from .sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey,
+               count(o.o_orderkey) AS n_orders,
+               listagg(o.o_orderstatus, '')
+                   WITHIN GROUP (ORDER BY o.o_orderdate, o.o_orderkey)
+                   AS status_seq
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey % 100 = 0
+        GROUP BY c.c_custkey
+        """
+    )
+
+
+@_register(
+    "triangle_count",
+    """
+    WITH e AS (
+        SELECT DISTINCT least(o_custkey % 1000, o_orderkey % 1000) AS a,
+               greatest(o_custkey % 1000, o_orderkey % 1000) AS b
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+          AND o_custkey % 1000 <> o_orderkey % 1000)
+    SELECT count(*) AS n_triangles, (SELECT count(*) FROM e) AS n_edges
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (ext/graph.py::count_triangles) over
+    an undirected graph (nodes = key residues, edges synthesized from
+    orders): the canonical graph-locality statistic. Edges are stored once in (lo, hi) order so
+    each triangle a<b<c is counted exactly once by the two-join wedge
+    closure — two shuffles on node keys, no driver-side adjacency. At
+    real scale the standard refinement is degree-ordering instead of
+    value-ordering to keep high-degree wedge fan-out bounded; the join
+    shape is identical."""
+    from .ext.graph import count_triangles
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.where(F.col("o_orderkey") % 10 == 0).select(
+        (F.col("o_custkey") % 1000).alias("src"),
+        (F.col("o_orderkey") % 1000).alias("dst"),
+    )
+    return count_triangles(edges)
+
+
 ALL = sorted(QUERIES)

@@ -66,3 +66,44 @@ def test_scd2_single_sort_two_windows(spark):
     out = scd2_from_changes(df, "k", [F.col("t"), F.col("tb")], ["status"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_apply_cdc_upsert_delete_resurrect(spark):
+    from etl_weather_jabar_spark.operators.diff import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "s"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),   # plain update
+            (3, None, 1, "D"),   # delete
+            (5, "e", 1, "U"),    # insert (absent from base)
+            (4, None, 1, "D"),   # delete...
+            (4, "d2", 2, "U"),   # ...then resurrect at a later seq
+            (9, None, 3, "D"),   # delete of a key that never existed: no-op
+        ],
+        ["k", "s", "seq", "op"],
+    )
+    out = {
+        r["k"]: (r["s"], r["seq"])
+        for r in apply_cdc(base, changes, ["k"]).collect()
+    }
+    assert out == {
+        1: ("a", 0),   # untouched base row carries seq 0
+        2: ("b2", 1),
+        4: ("d2", 2),
+        5: ("e", 1),
+    }
+
+
+def test_apply_cdc_keep_last_within_key(spark):
+    from etl_weather_jabar_spark.operators.diff import apply_cdc
+
+    base = spark.createDataFrame([(1, "x")], ["k", "s"])
+    changes = spark.createDataFrame(
+        [(1, "v1", 1, "U"), (1, "v3", 3, "U"), (1, "v2", 2, "U")],
+        ["k", "s", "seq", "op"],
+    )
+    rows = apply_cdc(base, changes, ["k"]).collect()
+    assert [(r["k"], r["s"], r["seq"]) for r in rows] == [(1, "v3", 3)]

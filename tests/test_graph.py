@@ -113,3 +113,25 @@ def test_components_match_union_find_on_random_graphs(spark, impl):
         assert got == want
 
     check()
+
+
+def test_count_triangles_known_graph(spark):
+    from etl_weather_jabar_spark.ext.graph import count_triangles
+
+    # square 1-2-3-4 plus diagonal 1-3 => triangles {1,2,3} and {1,3,4};
+    # edges given in mixed orientation with a duplicate and a self-loop
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (4, 1), (1, 3), (3, 1), (2, 2)],
+        ["src", "dst"],
+    )
+    row = count_triangles(edges).collect()[0]
+    assert (row["n_triangles"], row["n_edges"]) == (2, 5)
+
+
+def test_count_triangles_triangle_free(spark):
+    from etl_weather_jabar_spark.ext.graph import count_triangles
+
+    # a path graph has no triangles
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    row = count_triangles(edges).collect()[0]
+    assert (row["n_triangles"], row["n_edges"]) == (0, 3)

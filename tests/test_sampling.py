@@ -83,3 +83,51 @@ def test_split_sql_matches_spark(spark):
         f"SELECT count(*) FROM split_parity WHERE split <> ({split_sql('k')})"
     ).fetchone()[0]
     assert mism == 0
+
+
+def test_mixture_resample_hits_target_proportions(spark):
+    from etl_weather_jabar_spark.ext.sampling import mixture_resample
+
+    # 3 strata x 90 rows each; weights 2:1:default(1) => sum_w = 4,
+    # T = min(90*4/2, 90*4/1, 90*4/1) = 180; k = (w*T)//4 = 90, 45, 45
+    rows = [(i, f"s{i % 3}") for i in range(270)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    kept = mixture_resample(df, "src", {"s0": 2, "s1": 1}, "id")
+    counts = {
+        r["src"]: r["n"]
+        for r in kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"s0": 90, "s1": 45, "s2": 45}
+
+
+def test_mixture_resample_deterministic_and_append_stable(spark):
+    from etl_weather_jabar_spark.ext.sampling import mixture_resample
+
+    rows = [(i, f"s{i % 2}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    w = {"s0": 1, "s1": 1}
+    a = {r["id"] for r in mixture_resample(df, "src", w, "id").collect()}
+    b = {r["id"] for r in mixture_resample(df, "src", w, "id").collect()}
+    assert a == b and len(a) == 100  # balanced strata: nothing dropped
+    # growing one stratum never evicts rows previously kept from it when
+    # its cap also grows: check subset relation on the shared prefix
+    rows2 = rows + [(i, "s0") for i in range(100, 140)]
+    df2 = spark.createDataFrame(rows2, ["id", "src"])
+    kept2 = {
+        r["id"]
+        for r in mixture_resample(df2, "src", w, "id").collect()
+        if r["src"] == "s1"
+    }
+    kept1 = {r for r in a if r % 2 == 1}
+    # s1 unchanged (still 50 rows, cap still 50): identical kept set
+    assert kept2 == kept1
+
+
+def test_mixture_resample_rejects_bad_weights(spark):
+    from etl_weather_jabar_spark.ext.sampling import mixture_resample
+
+    df = spark.createDataFrame([(1, "a")], ["id", "src"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_resample(df, "src", {"a": 0}, "id")
