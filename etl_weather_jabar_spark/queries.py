@@ -5024,4 +5024,224 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_triangles(edges)
 
 
+@_register(
+    "recursive_cte_rollup",
+    """
+    WITH RECURSIVE up AS (
+        SELECT o_orderkey AS node, o_orderkey AS anc, 0 AS depth FROM orders
+        UNION ALL
+        SELECT node, anc // 10, depth + 1 FROM up WHERE anc >= 10
+    )
+    SELECT anc AS root, count(*) AS n_nodes,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM up WHERE anc < 10
+    GROUP BY 1
+    """,
+)
+def recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark ≥4.0 WITH RECURSIVE): roll every order key up
+    its implicit decimal hierarchy (parent = key DIV 10) to the root
+    digit — the org-chart/BOM ancestor walk that needed iterative
+    driver loops before recursion landed in Spark SQL. Each node has one
+    parent, so the recursion is linear (no path explosion) and terminates
+    at the ~6-level key depth; each iteration is a distributed join+filter
+    stage, state never leaves executors."""
+    from .sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE up AS (
+            SELECT o_orderkey AS node, o_orderkey AS anc, 0 AS depth
+            FROM orders
+            UNION ALL
+            SELECT node, anc DIV 10, depth + 1 FROM up WHERE anc >= 10
+        )
+        SELECT anc AS root, count(*) AS n_nodes,
+               CAST(max(depth) AS BIGINT) AS max_depth
+        FROM up WHERE anc < 10
+        GROUP BY anc
+        """
+    )
+
+
+@_register(
+    "lateral_topk_orders",
+    """
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           t.o_totalprice AS price
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    WHERE c.c_custkey % 50 = 0
+    """,
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark ≥3.2): each sampled customer's
+    two largest orders, written as the SQL-standard lateral top-k rather
+    than a window + filter. Catalyst decorrelates it into a
+    ranked join — same physical shape as the window form, posed through
+    the lateral surface. Total order (price DESC, key ASC) keeps the two
+    rows deterministic."""
+    from .sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               t.o_totalprice AS price
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        WHERE c.c_custkey % 50 = 0
+        """
+    )
+
+
+@_register(
+    "variant_props_deciles",
+    """
+    SELECT event_type,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+               AS k_decile,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def variant_props_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark ≥4.0): ``parse_json`` into the
+    binary VARIANT type, ``variant_get`` a typed field out, and aggregate
+    into deciles. The companion to json_props_extract (schema-on-read
+    struct): VARIANT keeps the full document queryable without declaring
+    a schema — the shape a 100 TB ingest keeps for long-tail fields,
+    with hot fields shredded to columns at write."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", (k - F.pmod(k, F.lit(10)))
+                  .cast("bigint").alias("k10"))
+        .select("event_type", (F.col("k10") / 10).cast("bigint").alias("k_decile"))
+        .groupBy("event_type", "k_decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "map_functions_surface",
+    f"""
+    SELECT user_id, event_type, count(*) AS n,
+           {_sql_sum('value')} AS value_sum
+    FROM events
+    WHERE user_id % 100 = 0
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-user event-type counts and value
+    sums assembled into two maps (map_from_entries), fused with
+    map_zip_with, thresholded with map_filter, and exploded back to
+    rows. The oracle is the equivalent flat GROUP BY/HAVING — proving
+    the map round-trip loses nothing. Maps stay executor-side
+    (collect_list feeds map_from_entries inside the aggregate); the
+    explode is a zero-shuffle Generate."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 100 == 0)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_units(F.col("value"), 2)).alias("sv"),
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("mn"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "sv"))
+        ).alias("mv"),
+    )
+    zipped = maps.select(
+        "user_id",
+        F.map_filter(
+            F.map_zip_with(
+                "mn", "mv", lambda k, n, sv: F.struct(n.alias("n"), sv.alias("sv"))
+            ),
+            lambda k, v: v["n"] >= 3,
+        ).alias("m"),
+    )
+    return zipped.select(
+        "user_id", F.explode("m").alias("event_type", "v")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("v.n").alias("n"),
+        (F.col("v.sv") / 100.0).alias("value_sum"),
+    )
+
+
+@_register(
+    "bit_aggregate_surface",
+    """
+    SELECT event_type,
+           bit_and(event_id) AS id_and,
+           bit_or(event_id) AS id_or,
+           bit_xor(event_id) AS id_xor,
+           CAST(sum(bit_count(event_id)) AS BIGINT) AS popcount_sum,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def bit_aggregate_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate surface: AND/OR/XOR folds plus total popcount
+    per group — the flag-mask reconciliation idiom (which permission bits
+    are universal / ever-set / toggled an odd number of times). All
+    JVM-side partial-aggregating builtins: each is commutative and
+    associative, so map-side combine halves the shuffle like any sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("id_and"),
+        F.bit_or("event_id").alias("id_or"),
+        F.bit_xor("event_id").alias("id_xor"),
+        F.sum(F.bit_count("event_id").cast("bigint")).alias("popcount_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "exact_numeric_surface",
+    """
+    SELECT event_id,
+           value,
+           CAST(floor(value) AS BIGINT) AS fl,
+           CAST(ceil(value) AS BIGINT) AS ce,
+           abs(value) AS ab,
+           CAST(sign(value) AS BIGINT) AS sg,
+           sqrt(abs(value)) AS sq,
+           CAST(((event_id % 7) + 7) % 7 AS BIGINT) AS m7
+    FROM events
+    WHERE event_id % 997 = 0
+    """,
+)
+def exact_numeric_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-IEEE numeric scalar surface: floor/ceil/abs/sign/pmod and a
+    correctly-rounded sqrt over a sampled row set — every function here
+    is bit-deterministic across engines (no transcendentals, whose last
+    ulp IEEE does not pin down), so the oracle compares raw doubles with
+    no rounding escape hatch. The filter prunes at the parquet scan."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.where(F.col("event_id") % 997 == 0).select(
+        "event_id",
+        v.alias("value"),
+        F.floor(v).cast("bigint").alias("fl"),
+        F.ceil(v).cast("bigint").alias("ce"),
+        F.abs(v).alias("ab"),
+        F.signum(v).cast("bigint").alias("sg"),
+        F.sqrt(F.abs(v)).alias("sq"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("bigint").alias("m7"),
+    )
+
+
 ALL = sorted(QUERIES)

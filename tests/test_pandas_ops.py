@@ -1,0 +1,109 @@
+"""Cogrouped applyInPandas + Python UDTF escape-hatch surfaces.
+
+Each Python-side operator is asserted EQUAL to a native DataFrame plan on
+the same input — the escape hatches are pinned without being load-bearing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_weather_jabar_spark.ext.pandas_ops import (
+    reconcile_order_totals,
+    reconcile_order_totals_native,
+    register_chunk_udtf,
+)
+from etl_weather_jabar_spark.sources.parquet import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _degraded_inputs(spark):
+    # drop some headers (→ orphan_lines) and some lines (→ no_lines)
+    orders = load_table(spark, SF_DIR, "orders").where(
+        F.col("o_orderkey") % 7 != 0
+    )
+    lineitem = load_table(spark, SF_DIR, "lineitem").where(
+        F.col("l_orderkey") % 5 != 0
+    )
+    return orders, lineitem
+
+
+def test_cogroup_reconcile_matches_native_join(spark):
+    orders, lineitem = _degraded_inputs(spark)
+    via_pandas = {
+        r["o_orderkey"]: (
+            r["header_cents"],
+            r["lines_cents"],
+            r["delta_cents"],
+            r["n_lines"],
+            r["status"],
+        )
+        for r in reconcile_order_totals(orders, lineitem).collect()
+    }
+    via_native = {
+        r["o_orderkey"]: (
+            r["header_cents"],
+            r["lines_cents"],
+            r["delta_cents"],
+            r["n_lines"],
+            r["status"],
+        )
+        for r in reconcile_order_totals_native(orders, lineitem).collect()
+    }
+    assert via_pandas == via_native
+    statuses = {s for (*_, s) in via_pandas.values()}
+    # the degraded inputs must actually exercise all classification arms
+    assert {"orphan_lines", "no_lines"} <= statuses
+
+
+def test_cogroup_reconcile_tolerance_gate(spark):
+    orders = spark.createDataFrame(
+        [(1, 10.00), (2, 10.00)], ["o_orderkey", "o_totalprice"]
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 9.99), (2, 9.00)], ["l_orderkey", "l_extendedprice"]
+    )
+    out = {
+        r["o_orderkey"]: r["status"]
+        for r in reconcile_order_totals(
+            orders, lineitem, tol_cents=5
+        ).collect()
+    }
+    assert out == {1: "match", 2: "mismatch"}
+
+
+def test_chunk_udtf_spans(spark):
+    register_chunk_udtf(spark)
+    rows = spark.sql("SELECT * FROM chunk_spans(300, 120, 30)").collect()
+    assert [(r["chunk_start"], r["chunk_end"]) for r in rows] == [
+        (0, 120),
+        (90, 210),
+        (180, 300),
+    ]
+    # short doc: single whole-doc chunk; degenerate args: no rows
+    assert [
+        (r["chunk_start"], r["chunk_end"])
+        for r in spark.sql("SELECT * FROM chunk_spans(50, 120, 30)").collect()
+    ] == [(0, 50)]
+    assert spark.sql("SELECT * FROM chunk_spans(50, 0, 0)").count() == 0
+
+
+def test_chunk_udtf_lateral_per_row(spark):
+    register_chunk_udtf(spark)
+    spark.createDataFrame(
+        [(1, 200), (2, 90)], ["doc_id", "n_chars"]
+    ).createOrReplaceTempView("docs_len")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.chunk_start, s.chunk_end
+        FROM docs_len d, LATERAL chunk_spans(d.n_chars, 120, 30) s
+        ORDER BY d.doc_id, s.chunk_start
+        """
+    ).collect()
+    assert [(r["doc_id"], r["chunk_start"], r["chunk_end"]) for r in rows] == [
+        (1, 0, 120),
+        (1, 90, 200),
+        (2, 0, 90),
+    ]

@@ -113,3 +113,40 @@ def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
     replay = run(str(tmp_path / "ck2"), str(tmp_path / "out2"))
     assert first == replay and len(first) == 2
     assert any(n == 2 for (_, n) in first.values())  # 08:00 window has 2 obs
+
+
+def test_drop_duplicates_within_watermark_api(spark):
+    """dropDuplicatesWithinWatermark (Spark >=3.5): unlike dropDuplicates,
+    state for a key is evicted once the watermark passes its event time,
+    so unbounded streams don't accumulate unbounded dedup state. Within
+    one availableNow batch the duplicates all fall inside the watermark
+    and must collapse."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        landing, ckpt = f"{d}/in", f"{d}/ckpt"
+        os.makedirs(landing)
+        rows = [
+            {"k": 1, "ts": "2024-01-01 10:00:00"},
+            {"k": 1, "ts": "2024-01-01 10:03:00"},  # dup inside watermark
+            {"k": 2, "ts": "2024-01-01 10:01:00"},
+        ]
+        with open(f"{landing}/b.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        stream = (
+            spark.readStream.schema("k INT, ts STRING")
+            .json(landing)
+            .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["k"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ddww_test")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r["k"] for r in spark.sql("SELECT k FROM ddww_test").collect())
+        assert got == [1, 2]
