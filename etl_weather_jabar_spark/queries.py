@@ -5045,10 +5045,14 @@ def recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loops before recursion landed in Spark SQL. Each node has one
     parent, so the recursion is linear (no path explosion) and terminates
     at the ~6-level key depth; each iteration is a distributed join+filter
-    stage, state never leaves executors."""
+    stage, state never leaves executors. The accumulated-row guard
+    (spark.sql.cteRecursionRowLimit, default 1M) is raised explicitly:
+    rows ≈ input × depth crosses 1M just past sf0.1 — at real scale the
+    guard must be sized to input × depth or the query dies mid-recursion."""
     from .sources.parquet import register_views
 
     register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     return spark.sql(
         """
         WITH RECURSIVE up AS (
@@ -5241,6 +5245,78 @@ def exact_numeric_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(v).cast("bigint").alias("sg"),
         F.sqrt(F.abs(v)).alias("sq"),
         F.pmod(F.col("event_id"), F.lit(7)).cast("bigint").alias("m7"),
+    )
+
+
+@_register(
+    "null_safe_join_counts",
+    """
+    WITH a AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr,
+                      count(*) AS n_even
+               FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+    b AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr,
+                 count(*) AS n_odd
+          FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+    SELECT coalesce(a.pr, b.pr) AS priority_nulled, a.n_even, b.n_odd
+    FROM a FULL OUTER JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): two halves of
+    orders aggregated on a deliberately NULLed key, then joined so the
+    NULL groups MATCH each other instead of silently dropping (the
+    standard '=' behavior that loses the unknown-key bucket in every
+    reconciliation report). Catalyst plans EqualNullSafe as a hash join
+    key, not a nested loop — same exchange as a plain equi-join."""
+    o = load_table(spark, sf_dir, "orders")
+    pr = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pr")
+    a = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .groupBy(pr)
+        .agg(F.count(F.lit(1)).alias("n_even"))
+    )
+    b = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .groupBy(pr)
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    return a.join(b, a["pr"].eqNullSafe(b["pr"]), "full_outer").select(
+        F.coalesce(a["pr"], b["pr"]).alias("priority_nulled"),
+        "n_even",
+        "n_odd",
+    )
+
+
+@_register(
+    "xml_roundtrip_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_xml,
+           event_type AS t_xml
+    FROM events WHERE event_id % 101 = 0
+    """,
+)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML path (Spark ≥4.0 built-in from_xml): serialize two fields into
+    an XML fragment per row, parse it back with an explicit schema, and
+    emit the extracted values — the oracle recomputes them directly, so
+    any loss in the XML round-trip (escaping, type coercion) fails the
+    hash. The parse is a JVM-side StaxXmlParser expression: no UDF, scan
+    filter pushed down."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    xml = F.concat(
+        F.lit("<r><k>"),
+        k.cast("string"),
+        F.lit("</k><t>"),
+        F.col("event_type"),
+        F.lit("</t></r>"),
+    )
+    parsed = F.from_xml(xml, "k BIGINT, t STRING")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_xml"),
+        parsed.getField("t").alias("t_xml"),
     )
 
 

@@ -266,3 +266,47 @@ def test_tpch_q6_q15_q17_plans(spark):
     )
     assert "BroadcastHashJoin" in p17  # pruned part side broadcasts
     assert p17.count("Exchange hashpartitioning") == 1  # window shuffle only
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    """Join-strategy hints are the manual override when stats mislead the
+    planner (the 100 TB escape hatch for a mis-broadcast): each hint must
+    actually flip the physical strategy."""
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+
+    def plan_of(j):
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    merged = li.join(
+        orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "SortMergeJoin" in plan_of(merged)
+    broadcasted = li.join(
+        orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "BroadcastHashJoin" in plan_of(broadcasted)
+    hashed = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in plan_of(hashed)
+    # same rows whatever the strategy
+    assert merged.count() == broadcasted.count() == hashed.count()
+
+
+def test_observe_metrics_piggyback_on_one_pass(spark):
+    """df.observe(): row-count/sum metrics collected DURING the action —
+    the audit counters a pipeline wants without paying a second scan."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity")).alias("qty_sum"),
+    )
+    n_written = observed.where(F.col("l_quantity") > 0).count()
+    got = obs.get
+    assert got["n_rows"] >= n_written and got["n_rows"] > 0
+    assert got["qty_sum"] > 0

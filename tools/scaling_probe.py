@@ -37,8 +37,9 @@ from etl_weather_jabar_spark.ext.sequencing import (  # noqa: E402
 from etl_weather_jabar_spark.ext.heavy_hitters import heavy_hitters  # noqa: E402
 from etl_weather_jabar_spark.ext.timeseries import dyadic_ewma  # noqa: E402
 from etl_weather_jabar_spark.operators.aggregates import winsorize  # noqa: E402
+from etl_weather_jabar_spark.ext.graph import count_triangles  # noqa: E402
 from etl_weather_jabar_spark.operators.dedup import dedupe_keep_first  # noqa: E402
-from etl_weather_jabar_spark.operators.diff import snapshot_diff  # noqa: E402
+from etl_weather_jabar_spark.operators.diff import apply_cdc, snapshot_diff  # noqa: E402
 from etl_weather_jabar_spark.queries import _dec_sum  # noqa: E402
 from etl_weather_jabar_spark.session import get_spark  # noqa: E402
 from etl_weather_jabar_spark.sources.parquet import load_table  # noqa: E402
@@ -110,6 +111,92 @@ def main() -> None:
             pack_sequences(counted, "n", budget=512)
             .groupBy("seq_id")
             .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    def synth_docs(mult: int):
+        # 5k·mult docs of 50 tokens over a 1k-word vocab, text a pure
+        # function of the id — distinct across copies, so near-dup pairs
+        # come only from chance shingle collisions (plan probe, not a
+        # duplicate-density probe)
+        return spark.range(5_000 * mult).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(49)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.col("id") * 53 + i * 8191, F.lit(1009)),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+
+    def jaccard_pairs(d):
+        from etl_weather_jabar_spark.functions.text import shingles
+        from pyspark.sql import Window
+
+        sh = d.select(
+            "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
+        ).distinct()
+        kept = (
+            sh.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+            )
+            .where(F.col("df") <= 200)
+            .drop("df")
+        )
+        return (
+            kept.alias("a")
+            .join(kept.alias("b"), "sh")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+
+    def synth_graph(mult: int):
+        # 2k·mult nodes, avg degree ~30, endpoints hash-derived from the id
+        n = 2_000 * mult
+        return spark.range(30 * n).select(
+            F.pmod(F.col("id") * 2654435761, F.lit(n)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n)).alias("dst"),
+        )
+
+    def recursive_rollup(o):
+        # rows accumulate across iterations (input × depth): the default
+        # 1M guard dies at ~sf0.1×8 — size it to the data like any limit
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+        o.createOrReplaceTempView("probe_orders")
+        return spark.sql(
+            """
+            WITH RECURSIVE up AS (
+                SELECT o_orderkey AS node, o_orderkey AS anc, 0 AS depth
+                FROM probe_orders
+                UNION ALL
+                SELECT node, anc DIV 10, depth + 1 FROM up WHERE anc >= 10
+            )
+            SELECT anc AS root, count(*) AS n_nodes, max(depth) AS max_depth
+            FROM up WHERE anc < 10 GROUP BY anc
+            """
+        )
+
+    def decontaminate(d, _):
+        from etl_weather_jabar_spark.functions.text import shingles
+
+        sh = d.select(
+            "doc_id", F.explode(shingles(F.col("text"), 5)).alias("sh")
+        )
+        bench = sh.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
+        train_sh = (
+            sh.where(F.col("doc_id") % 97 != 0)
+            .select("doc_id", "sh")
+            .distinct()
+        )
+        return (
+            train_sh.join(F.broadcast(bench), "sh").select("doc_id").distinct()
         )
 
     def pricing(lineitem):
@@ -254,6 +341,63 @@ def main() -> None:
                 ),
                 "t", 200,
             ),
+        ),
+        # CDC apply: union + keep-last window on the key, linear in input
+        "apply_cdc": (
+            lambda: apply_cdc(
+                orders.select("o_orderkey", "o_totalprice"),
+                orders.where(F.col("o_orderkey") % 5 == 0).select(
+                    "o_orderkey",
+                    "o_totalprice",
+                    (F.col("o_orderkey") % 7 + 1).alias("seq"),
+                    F.when(F.col("o_orderkey") % 10 == 5, F.lit("D"))
+                    .otherwise(F.lit("U"))
+                    .alias("op"),
+                ),
+                ["o_orderkey"],
+            ),
+            lambda: apply_cdc(
+                replicate(orders, k, "o_orderkey").select(
+                    "o_orderkey", "o_totalprice"
+                ),
+                replicate(orders, k, "o_orderkey")
+                .where(F.col("o_orderkey") % 5 == 0)
+                .select(
+                    "o_orderkey",
+                    "o_totalprice",
+                    (F.col("o_orderkey") % 7 + 1).alias("seq"),
+                    F.when(F.col("o_orderkey") % 10 == 5, F.lit("D"))
+                    .otherwise(F.lit("U"))
+                    .alias("op"),
+                ),
+                ["o_orderkey"],
+            ),
+        ),
+        # shingle explode → df-cap window → pair join on a SYNTHETIC corpus
+        # with distinct texts (replicating real docs k× would multiply true
+        # duplicate density and grow output k² by construction — a data
+        # property, not plan degeneracy; distinct texts isolate the plan)
+        "jaccard_pair_pipeline": (
+            lambda: jaccard_pairs(synth_docs(1)),
+            lambda: jaccard_pairs(synth_docs(k)),
+        ),
+        # wedge-closure triangle count on a constant-degree synthetic graph:
+        # nodes ×k at fixed avg degree → wedges and triangles scale ~k
+        "triangle_count": (
+            lambda: count_triangles(synth_graph(1), "src", "dst"),
+            lambda: count_triangles(synth_graph(k), "src", "dst"),
+        ),
+        # recursive CTE ancestor walk: one-parent recursion, depth fixed by
+        # key width, volume per iteration scales with input
+        "recursive_cte_rollup": (
+            lambda: recursive_rollup(orders),
+            lambda: recursive_rollup(replicate(orders, k, "o_orderkey")),
+        ),
+        # decontamination: train side scales, benchmark shingle set constant
+        # (broadcast) — the scan dominates
+        "benchmark_decontaminate": (
+            lambda: decontaminate(docs, 1),
+            lambda: decontaminate(replicate(docs, k, "doc_id"), 1),
         ),
         # t-digest bounds + broadcast-back clip (the 100 TB winsorize path)
         "winsorize_approx": (
