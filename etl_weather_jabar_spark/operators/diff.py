@@ -48,10 +48,14 @@ def apply_cdc(
     keeps the winning row's full width plus ``seq_col`` (lineage: which
     change produced this row; 0 = carried over from base).
 
-    At 100 TB: base >> changes, so the union is dominated by the base
-    scan; if base is written bucketed on the key (sinks.py::write_bucketed)
-    the exchange on the base side disappears and only the (small) change
-    log shuffles.
+    At 100 TB: base >> changes, so the cost is one full shuffle of the
+    base (the union discards any pre-existing layout — bucketing the base
+    does NOT remove this exchange). When the change set is small and the
+    base is bucketed on the key, the cheaper plan is to pre-reduce the
+    log per key (keep-last within changes only), then full-outer-join it
+    against the base bucket-aligned and pick the winner per row — same
+    semantics, no base shuffle. This function keeps the general
+    union+window form; the join form is a layout-specific rewrite.
     """
     cols = [c for c in base.columns if c not in (seq_col, op_col)]
     b = base.select(*cols).withColumn(
@@ -67,6 +71,61 @@ def apply_cdc(
         b.unionByName(c)
         .withColumn("__rn", F.row_number().over(w))
         .where((F.col("__rn") == 1) & (F.col(op_col) == "U"))
+        .select(*cols, seq_col)
+    )
+
+
+def apply_cdc_joined(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """The layout-aware rewrite of :func:`apply_cdc` for base >> changes:
+    pre-reduce the change log to its per-key winner (window over CHANGES
+    only — the small side), then resolve against the base with one
+    full-outer join. Same semantics, including delete and
+    upsert-after-delete; tested equivalent.
+
+    Why it exists: the union+window form must shuffle base+changes
+    together. Here the only data-sized exchange is on the changes side —
+    if the base is written bucketed on the key (sinks.py::write_bucketed)
+    the base scan feeds the join with NO exchange, so a 100 TB base pays
+    zero shuffle to absorb a 100 GB change log. The window's hash
+    partitioning on the key is exactly the join's requirement, so
+    Catalyst reuses it (one exchange total on the changes side).
+    """
+    cols = [c for c in base.columns if c not in (seq_col, op_col)]
+    data_cols = [c for c in cols if c not in keys]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    last = (
+        changes.select(
+            *cols, F.col(seq_col).cast("bigint").alias(seq_col), op_col
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    j = base.select(*cols).alias("b").join(last.alias("c"), on=keys, how="full_outer")
+    has_change = F.col(f"c.{op_col}").isNotNull()
+    picked = [
+        F.when(has_change, F.col(f"c.{x}")).otherwise(F.col(f"b.{x}")).alias(x)
+        for x in data_cols
+    ]
+    return (
+        j.where(~has_change | (F.col(f"c.{op_col}") == "U"))
+        .select(
+            *keys,
+            *picked,
+            F.when(has_change, F.col(f"c.{seq_col}"))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias(seq_col),
+        )
         .select(*cols, seq_col)
     )
 

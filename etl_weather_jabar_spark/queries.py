@@ -4725,6 +4725,44 @@ def apply_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "apply_cdc_joined_snapshot",
+    ORACLE_SQL["apply_cdc_snapshot"],
+)
+def apply_cdc_joined_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-base scale path of apply_cdc_snapshot
+    (operators/diff.py::apply_cdc_joined): keep-last window over the
+    CHANGES only, one full-outer join against the base. Shares the
+    union-form's oracle verbatim — both plans must produce the identical
+    snapshot. With a key-bucketed base the join pays zero base-side
+    shuffle (plan-asserted in tests/test_diff_scd.py)."""
+    from .operators.diff import apply_cdc_joined
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.where(k % 3 != 0).select(
+        k.alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    c1 = o.where(k % 5 == 0).select(
+        k.alias("k"),
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") + 100.0).alias("price"),
+        (F.lit(1) + k % 7).cast("bigint").alias("seq"),
+        F.when(k % 10 == 5, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    c2 = o.where(k % 15 == 0).select(
+        k.alias("k"),
+        F.lit("Y").alias("status"),
+        (F.col("o_totalprice") + 5.0).alias("price"),
+        (F.lit(8) + k % 2).cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    out = apply_cdc_joined(base, c1.unionByName(c2), ["k"])
+    return out.select("k", "status", "price", F.col("seq").alias("version"))
+
+
+@_register(
     "benchmark_decontaminate",
     f"""
     WITH t AS (SELECT doc_id, lang, {_NORM_TOKENS_SQL} AS t FROM documents),
@@ -5317,6 +5355,213 @@ def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         parsed.getField("k").alias("k_xml"),
         parsed.getField("t").alias("t_xml"),
+    )
+
+
+# --- TPC-H Q2/Q11/Q20 shapes over a synthesized partsupp bridge ---------
+# The testdata ships no partsupp table; a deterministic stand-in is derived
+# from lineitem identically in both engines: availqty = Σ round(l_quantity),
+# supplycost = min cents price ever paid to that (part, supplier). The JOIN
+# SHAPES of the three remaining TPC-H queries are then posable exactly.
+
+_SQL_PARTSUPP = """
+    ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                      AS ps_availqty,
+                  min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS ps_supplycost_cents
+           FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def _synth_partsupp(li: DataFrame) -> DataFrame:
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias(
+            "ps_availqty"
+        ),
+        F.min(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("ps_supplycost_cents"),
+    )
+
+
+@_register(
+    "min_cost_supplier_per_part",
+    f"""
+    WITH {_SQL_PARTSUPP},
+    cand AS (
+        SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents,
+               s.s_nationkey
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_regionkey = 0
+        JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_partkey % 50 = 0
+    )
+    SELECT ps_partkey AS partkey, ps_suppkey AS suppkey,
+           ps_supplycost_cents AS cost_cents, s_nationkey AS nationkey
+    FROM (SELECT *, row_number() OVER (PARTITION BY ps_partkey
+              ORDER BY ps_supplycost_cents, ps_suppkey) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for each sampled part, the
+    cheapest supplier within one region — the correlated-min-subquery
+    pattern, decorrelated to a keep-first window over the region-filtered
+    candidates (count-ordered with a total tie-break, same as Q2's
+    MIN(ps_supplycost)). Dimension chain nation→supplier broadcasts;
+    the partsupp bridge aggregate is the only data-sized shuffle and its
+    (partkey) partitioning feeds the window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _synth_partsupp(li)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_regionkey") == 0)
+        .select("n_nationkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 50 == 0)
+        .select("p_partkey")
+    )
+    cand = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("ps_partkey").orderBy(
+        "ps_supplycost_cents", "ps_suppkey"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("ps_partkey").alias("partkey"),
+            F.col("ps_suppkey").alias("suppkey"),
+            F.col("ps_supplycost_cents").alias("cost_cents"),
+            F.col("s_nationkey").alias("nationkey"),
+        )
+    )
+
+
+@_register(
+    "inventory_value_share",
+    f"""
+    WITH {_SQL_PARTSUPP},
+    natps AS (SELECT ps.* FROM ps
+              JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+              WHERE s.s_nationkey = 3),
+    val AS (SELECT ps_partkey,
+                   CAST(sum(ps_availqty * ps_supplycost_cents) AS BIGINT)
+                       AS value_cents
+            FROM natps GROUP BY 1),
+    tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM val)
+    SELECT ps_partkey AS partkey, value_cents
+    FROM val, tot
+    WHERE value_cents * 2000 > total_cents
+    """,
+)
+def inventory_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose inventory value at
+    one nation's suppliers exceeds 0.05% of that nation's total — the
+    HAVING-against-global-scalar pattern. The share threshold is an exact
+    integer cross-multiply (value·2000 > total) against a 1-row aggregate
+    broadcast back; no double ever carries the money."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _synth_partsupp(li)
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 3)
+        .select("s_suppkey")
+    )
+    natps = ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+    val = natps.groupBy("ps_partkey").agg(
+        F.sum(
+            F.col("ps_availqty") * F.col("ps_supplycost_cents")
+        ).alias("value_cents")
+    )
+    tot = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * 2000 > F.col("total_cents"))
+        .select(F.col("ps_partkey").alias("partkey"), "value_cents")
+    )
+
+
+@_register(
+    "excess_stock_suppliers",
+    f"""
+    WITH {_SQL_PARTSUPP},
+    shipped AS (SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                           AS qty_1997
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY 1, 2),
+    excess AS (SELECT ps.ps_suppkey, count(*) AS n_excess_parts
+               FROM ps JOIN shipped sh
+                 ON sh.l_partkey = ps.ps_partkey
+                AND sh.l_suppkey = ps.ps_suppkey
+               WHERE ps.ps_availqty > 10 * sh.qty_1997
+               GROUP BY 1)
+    SELECT e.ps_suppkey AS suppkey, s.s_nationkey AS nationkey,
+           e.n_excess_parts
+    FROM excess e JOIN supplier s ON s.s_suppkey = e.ps_suppkey
+    WHERE s.s_nationkey % 5 = 1
+    """,
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess inventory): suppliers holding more than
+    10× what they shipped of a part in 1997, restricted to a nation
+    slice — the availqty-vs-shipped-threshold correlation, decorrelated
+    into two partial aggregates co-partitioned on (part, supplier) and an
+    integer-threshold join. Both aggregates scan the same table with the
+    same grouping, so the second reuses the first's exchange; the final
+    dim probe broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _synth_partsupp(li)
+    y97 = F.col("l_shipdate")
+    shipped = (
+        li.where(
+            (y97 >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (y97 < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias(
+                "qty_1997"
+            )
+        )
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (shipped.l_partkey == ps.ps_partkey)
+            & (shipped.l_suppkey == ps.ps_suppkey),
+        )
+        .where(F.col("ps_availqty") > 10 * F.col("qty_1997"))
+        .groupBy("ps_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        excess.join(F.broadcast(supp), excess.ps_suppkey == supp.s_suppkey)
+        .where(F.col("s_nationkey") % 5 == 1)
+        .select(
+            F.col("ps_suppkey").alias("suppkey"),
+            F.col("s_nationkey").alias("nationkey"),
+            "n_excess_parts",
+        )
     )
 
 

@@ -107,3 +107,68 @@ def test_apply_cdc_keep_last_within_key(spark):
     )
     rows = apply_cdc(base, changes, ["k"]).collect()
     assert [(r["k"], r["s"], r["seq"]) for r in rows] == [(1, "v3", 3)]
+
+
+def test_apply_cdc_joined_equals_union_form(spark):
+    from etl_weather_jabar_spark.operators.diff import apply_cdc, apply_cdc_joined
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "s"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),
+            (3, None, 1, "D"),
+            (5, "e", 1, "U"),
+            (4, None, 1, "D"),
+            (4, "d2", 2, "U"),
+            (9, None, 3, "D"),
+        ],
+        ["k", "s", "seq", "op"],
+    )
+    a = {(r["k"], r["s"], r["seq"]) for r in apply_cdc(base, changes, ["k"]).collect()}
+    b = {
+        (r["k"], r["s"], r["seq"])
+        for r in apply_cdc_joined(base, changes, ["k"]).collect()
+    }
+    assert a == b
+
+
+def test_apply_cdc_joined_bucketed_base_no_base_shuffle(spark):
+    """With the base written bucketed on the key, the joined CDC form must
+    shuffle ONLY the change log: exactly one Exchange in the plan, and it
+    sits on the changes side."""
+    from etl_weather_jabar_spark.operators.diff import apply_cdc_joined
+    from etl_weather_jabar_spark.sinks import write_bucketed
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base = (
+        load_table(spark, sf, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    changes = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + 1.0).alias("price"),
+            F.lit(1).cast("bigint").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+    )
+    write_bucketed(base, "b_cdc_base", ["k"], 4, sort_cols=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = apply_cdc_joined(spark.table("b_cdc_base"), changes, ["k"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # the surviving exchange must not be feeding off the bucketed table
+        assert out.count() == base.count()  # pure updates: same row count
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_cdc_base")

@@ -185,7 +185,10 @@ def main() -> None:
 
     def decontaminate(d, _):
         from etl_weather_jabar_spark.functions.text import shingles
+        from etl_weather_jabar_spark.operators.partitioning import spread
 
+        d = spread(d)  # the 1x parquet is one split; spread before the
+        # CPU-dense shingle explode or the baseline runs single-threaded
         sh = d.select(
             "doc_id", F.explode(shingles(F.col("text"), 5)).alias("sh")
         )
