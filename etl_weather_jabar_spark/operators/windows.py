@@ -151,3 +151,47 @@ def scalable_ntile(
         rank <= F.lit(big), F.ceil(rank / F.lit(q + 1))
     ).otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(q)))
     return ranked.withColumn(tile_col, tile.cast("int")).drop("__grank")
+
+
+def scalable_topk_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    k: int,
+    *,
+    salt_by: list[str] | None = None,
+    buckets: int = 32,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Per-group top-k that survives a skewed group — the two-phase form
+    of ``row_number().over(partitionBy(keys))``.
+
+    A single window sends EVERY row of a group through one reducer; one
+    viral key at 100 TB makes that a straggler. Phase 1 salts the
+    partition with a hash of the order columns (``buckets`` ways) and
+    keeps a local top-k per (key, salt) — the survivor set is ≤ buckets·k
+    rows per group however large the group. Phase 2 re-ranks only the
+    survivors on the true key. Both phases are plain windows; the result
+    is EXACTLY the plain window's (order must be total — include a unique
+    tiebreaker, same contract as keep_first_rank).
+
+    ``salt_by`` names the plain columns hashed into the salt (default: the
+    string entries of ``order_by``); it must spread rows WITHIN a group —
+    the unique tiebreaker column is the safe choice. Sort-order
+    expressions (``.desc()``) can't be hashed, hence the separate knob.
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    salt_cols = salt_by or [c for c in order_by if isinstance(c, str)]
+    if not salt_cols:
+        raise ValueError("salt_by required when order_by has no plain names")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(buckets))
+    w_local = Window.partitionBy(*keys, "__salt").orderBy(*order_cols)
+    w_final = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__lr", F.row_number().over(w_local))
+        .where(F.col("__lr") <= k)
+        .withColumn(rank_col, F.row_number().over(w_final))
+        .where(F.col(rank_col) <= k)
+        .drop("__salt", "__lr")
+    )

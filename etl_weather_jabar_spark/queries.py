@@ -5565,4 +5565,83 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("topk_per_group_scalable", ORACLE_SQL["topk_per_group"])
+def topk_per_group_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase top-k (operators/windows.py::
+    scalable_topk_per_group): salted local top-k caps any one group's
+    reducer load at buckets·k rows, then a final re-rank over survivors.
+    Shares topk_per_group's oracle verbatim — the two plans must agree
+    row-for-row."""
+    from .operators.windows import scalable_topk_per_group
+
+    o = load_table(spark, sf_dir, "orders")
+    out = scalable_topk_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+        salt_by=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+from .operators.partitioning import morton_sql_duckdb as _morton_duck  # noqa: E402
+
+_ZB = 8  # bits per dimension
+_Z_DUCK_BUCKETS = [
+    f"(((CAST(user_id AS BIGINT) - lo_u) * {2 ** _ZB}) // (hi_u - lo_u + 1))",
+    f"(((cents - lo_c) * {2 ** _ZB}) // (hi_c - lo_c + 1))",
+]
+
+
+@_register(
+    "zorder_cluster_audit",
+    f"""
+    WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    b AS (SELECT CAST(min(user_id) AS BIGINT) AS lo_u,
+                 CAST(max(user_id) AS BIGINT) AS hi_u,
+                 min(cents) AS lo_c, max(cents) AS hi_c
+          FROM e),
+    z AS (SELECT user_id, cents,
+                 {_morton_duck(_Z_DUCK_BUCKETS, _ZB)} AS zkey
+          FROM e, b)
+    SELECT CAST(zkey >> 10 AS BIGINT) AS file_id,
+           count(*) AS n,
+           CAST(min(user_id) AS BIGINT) AS u_min,
+           CAST(max(user_id) AS BIGINT) AS u_max,
+           min(cents) AS c_min, max(cents) AS c_max
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit (operators/partitioning.py::zorder_key):
+    Morton-interleave (user_id, value-cents) into a 16-bit key, split the
+    key space into 64 'files', and report each file's min/max per
+    dimension — the min/max ranges are narrow in BOTH columns, which is
+    exactly why a z-sorted layout lets file statistics prune scans on
+    either predicate (the OPTIMIZE ZORDER story, auditable in SQL). The
+    key is exact bigint bit math, identical in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    from .operators.partitioning import zorder_key
+
+    z = zorder_key(ev, ["user_id", "cents"], bits=_ZB)
+    return z.groupBy(
+        F.shiftright(F.col("zkey"), 10).cast("bigint").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").cast("bigint").alias("u_min"),
+        F.max("user_id").cast("bigint").alias("u_max"),
+        F.min("cents").alias("c_min"),
+        F.max("cents").alias("c_max"),
+    )
+
+
 ALL = sorted(QUERIES)

@@ -310,3 +310,52 @@ def test_observe_metrics_piggyback_on_one_pass(spark):
     got = obs.get
     assert got["n_rows"] >= n_written and got["n_rows"] > 0
     assert got["qty_sum"] > 0
+
+
+def test_scalable_topk_equals_plain_window_on_skew(spark):
+    """One viral group (80% of rows) + several normal ones: the salted
+    two-phase top-k must return exactly the plain window's rows."""
+    from pyspark.sql import Window
+    from etl_weather_jabar_spark.operators.windows import scalable_topk_per_group
+
+    rows = [(0, i, float((i * 37) % 1000)) for i in range(800)]  # viral key
+    rows += [(g, 10_000 + g * 100 + i, float(i * 7)) for g in range(1, 6) for i in range(40)]
+    df = spark.createDataFrame(rows, ["grp", "uid", "score"])
+    order = [F.col("score").desc(), F.col("uid").asc()]
+    plain = (
+        df.withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("grp").orderBy(*order)),
+        )
+        .where(F.col("rnk") <= 5)
+    )
+    scal = scalable_topk_per_group(
+        df, ["grp"], order, 5, salt_by=["uid"], buckets=8
+    )
+    a = {(r["grp"], r["uid"], r["rnk"]) for r in plain.collect()}
+    b = {(r["grp"], r["uid"], r["rnk"]) for r in scal.collect()}
+    assert a == b and len(a) == 5 * 6
+
+
+def test_zorder_key_buckets_and_interleave(spark):
+    """Corners of a 2-col domain map to the extreme Morton codes, and the
+    key is reproducible bit math (no RNG, no floats)."""
+    from etl_weather_jabar_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (0, 15), (15, 0), (15, 15)], ["x", "y"]
+    )
+    out = {
+        (r["x"], r["y"]): r["zkey"]
+        for r in zorder_key(df, ["x", "y"], bits=4).collect()
+    }
+    # bucket == value here (span 16 over 4 bits); x takes even bit slots
+    assert out[(0, 0)] == 0
+    assert out[(15, 15)] == 255
+    assert out[(15, 0)] == 0b01010101  # x bits only (positions 0,2,4,6)
+    assert out[(0, 15)] == 0b10101010  # y bits only (positions 1,3,5,7)
+    # neighbors in both dims share high bits: locality in the key space
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        zorder_key(df, ["x"], bits=4)
