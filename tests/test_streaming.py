@@ -150,3 +150,50 @@ def test_drop_duplicates_within_watermark_api(spark):
         q.awaitTermination(120)
         got = sorted(r["k"] for r in spark.sql("SELECT k FROM ddww_test").collect())
         assert got == [1, 2]
+
+
+def test_native_session_window_streaming(spark):
+    """F.session_window in a STREAMING aggregation (the batch twin is
+    pinned by the session_window_native oracle query): sessions close when
+    the watermark passes gap-end; within one availableNow batch both
+    sessions of user 1 must merge/split correctly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        landing, ckpt = f"{d}/in", f"{d}/ckpt"
+        os.makedirs(landing)
+        rows = [
+            {"u": 1, "ts": "2024-01-01 10:00:00"},
+            {"u": 1, "ts": "2024-01-01 10:10:00"},  # same session (gap 30m)
+            {"u": 1, "ts": "2024-01-01 12:00:00"},  # new session
+            {"u": 2, "ts": "2024-01-01 10:05:00"},
+        ]
+        with open(f"{landing}/b.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        agg = (
+            spark.readStream.schema("u INT, ts STRING")
+            .json(landing)
+            .selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts")
+            .withWatermark("ts", "1 hour")
+            .groupBy("u", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ssw_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["u"], r["n"])
+            for r in spark.sql("SELECT u, n FROM ssw_test").collect()
+        }
+        # appended rows are the sessions the watermark has CLOSED: user 1's
+        # first (2 events) and user 2's (1 event); the 12:00 session is
+        # still open at end-of-input watermark and stays in state
+        assert (1, 2) in got and (2, 1) in got
