@@ -1090,7 +1090,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("minhash_lsh_neardup")
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates → exact shingle-Jaccard ≥ 0.5
-    (ext/dedup_text.py tier 3). Hashes are md5-derived (reproducible);
+    (ext/dedup_text.py tier 3). Hashes are xxhash64 (pure JVM fast path;
+    an md5 mode exists for bit-identical cross-engine reproduction);
     returns (id_a, id_b, jaccard)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     cand = minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
@@ -5641,6 +5642,103 @@ def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_id").cast("bigint").alias("u_max"),
         F.min("cents").alias("c_min"),
         F.max("cents").alias("c_max"),
+    )
+
+
+@_register(
+    "doc_rarity_score",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_NORM_TOKENS_SQL}) AS token
+                  FROM documents),
+    dfr AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY 1)
+    SELECT doc_id, count(*) AS n_tokens,
+           {_sql_halfup('CAST(sum(df) AS BIGINT) * 100', 'count(*)')}
+               AS mean_df_centi
+    FROM toks JOIN dfr USING (token)
+    GROUP BY 1
+    """,
+)
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-commonness quality signal: mean document frequency of a
+    doc's token occurrences (low ⇒ rare/specialist vocabulary, high ⇒
+    boilerplate) — the integer-exact stand-in for a unigram-LM perplexity
+    score (logprobs are transcendental and engine-divergent; df ranks the
+    same docs). The df table is vocabulary-sized, so it broadcasts; one
+    corpus scan + per-doc aggregate."""
+    from .functions.text import tokens as _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    dfr = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    m = F.lit(100).cast("bigint")
+    return (
+        toks.join(F.broadcast(dfr), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            _half_up_div(F.sum("df") * m, F.count(F.lit(1))).alias(
+                "mean_df_centi"
+            ),
+        )
+    )
+
+
+@_register(
+    "vocab_coverage_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_NORM_TOKENS_SQL}) AS token
+                  FROM documents),
+    voc AS (SELECT token FROM (
+        SELECT token, count(*) AS n FROM toks GROUP BY 1
+        ORDER BY n DESC, token ASC LIMIT 20))
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(count(v.token) AS BIGINT) AS n_in_vocab,
+           {_sql_halfup('(count(*) - count(v.token)) * 1000000',
+                        'count(*)')} AS oov_ppm
+    FROM toks LEFT JOIN voc v USING (token)
+    GROUP BY 1
+    """,
+)
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per document, how many token
+    occurrences fall inside the corpus top-20 vocabulary and the
+    out-of-vocabulary rate in exact ppm — the OOV-rate gate every
+    pretraining tokenizer build runs (high OOV ⇒ encoding blowup). The
+    vocab is a deterministic top-k (count DESC, token ASC) broadcast to a
+    left join; TakeOrdered builds it without a global sort."""
+    from .functions.text import tokens as _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    voc = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+        .select("token")
+        .withColumn("v", F.lit(1))
+    )
+    m = F.lit(1000000).cast("bigint")
+    return (
+        toks.join(F.broadcast(voc), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("v").alias("n_in_vocab"),
+            _half_up_div(
+                (F.count(F.lit(1)) - F.count("v")) * m, F.count(F.lit(1))
+            ).alias("oov_ppm"),
+        )
     )
 
 
