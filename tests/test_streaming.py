@@ -197,3 +197,56 @@ def test_native_session_window_streaming(spark):
         # first (2 events) and user 2's (1 event); the 12:00 session is
         # still open at end-of-input watermark and stays in state
         assert (1, 2) in got and (2, 1) in got
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark):
+    """Stop a streaming aggregation, land more data, restart from the SAME
+    checkpoint: the sink must reflect all data exactly once — offsets and
+    state come back from the checkpoint, not from reprocessing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        landing, ckpt = f"{d}/in", f"{d}/ckpt"
+        os.makedirs(landing)
+
+        def land(name, rows):
+            with open(f"{landing}/{name}.json", "w") as f:
+                f.write("\n".join(json.dumps(r) for r in rows))
+
+        mem_name = "restart_test"
+
+        def run_mem():
+            counts = (
+                spark.readStream.schema("k INT, ts STRING")
+                .json(landing)
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            q = (
+                counts.writeStream.format("memory")
+                .queryName(mem_name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        land("b1", [{"k": 1, "ts": "a"}, {"k": 1, "ts": "b"}, {"k": 2, "ts": "c"}])
+        run_mem()
+        first = {
+            (r["k"], r["n"])
+            for r in spark.sql(f"SELECT * FROM {mem_name}").collect()
+        }
+        assert first == {(1, 2), (2, 1)}
+        # second run from the same checkpoint sees ONLY the new file, but
+        # complete-mode state restores prior counts: totals, not deltas
+        land("b2", [{"k": 1, "ts": "d"}, {"k": 3, "ts": "e"}])
+        run_mem()
+        second = {
+            (r["k"], r["n"])
+            for r in spark.sql(f"SELECT * FROM {mem_name}").collect()
+        }
+        assert second == {(1, 3), (2, 1), (3, 1)}
