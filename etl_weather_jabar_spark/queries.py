@@ -5742,4 +5742,67 @@ def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "param_sql_group_by_all",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {_sql_sum('l_extendedprice')} AS revenue
+    FROM lineitem WHERE l_quantity > 25
+    GROUP BY ALL
+    """,
+)
+def param_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-frontend conveniences, both Spark ≥3.4/4.0: a NAMED-PARAMETER
+    query (`:thr` bound via spark.sql(args=...) — injection-safe
+    templating, plan cacheable across bindings) grouped with GROUP BY ALL
+    (every non-aggregate select item becomes a key). The oracle is the
+    same query with the literal inlined."""
+    from .sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    su = (
+        "(CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0)"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               {su} AS revenue
+        FROM lineitem WHERE l_quantity > :thr
+        GROUP BY ALL
+        """,
+        args={"thr": 25},
+    )
+
+
+@_register(
+    "file_lineage_counts",
+    """
+    SELECT 'lineitem.parquet' AS file_name, count(*) AS n FROM lineitem
+    UNION ALL SELECT 'orders.parquet', count(*) FROM orders
+    UNION ALL SELECT 'events.parquet', count(*) FROM events
+    """,
+)
+def file_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level lineage via the hidden `_metadata` column (Spark ≥3.4):
+    per-input-file row counts without any path bookkeeping in user code —
+    the provenance hook a 100 TB ingest uses to trace bad rows back to
+    the file that delivered them (the reference carries lineage by hand
+    in `dag_times`, fetch_weather.py:177-181). The oracle pins the
+    counts per known file name, so the metadata column must attribute
+    every row to the right file."""
+    parts = []
+    for t in ("lineitem", "orders", "events"):
+        parts.append(
+            load_table(spark, sf_dir, t)
+            .select(F.col("_metadata.file_name").alias("file_name"))
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 ALL = sorted(QUERIES)
