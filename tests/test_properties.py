@@ -185,3 +185,56 @@ def test_scalable_ntile_matches_sql_ntile(spark, rows, n):
         ).collect()
     }
     assert got == want
+
+
+# --- CDC apply vs a pure-Python replay oracle --------------------------
+
+CDC_BASE = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 99)),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],  # base is a snapshot: one row per key
+)
+CDC_CHANGES = st.lists(
+    st.tuples(
+        st.integers(0, 8),    # key (can be absent from base → insert)
+        st.integers(0, 99),   # payload
+        st.integers(1, 9),    # seq (positive; ties possible across keys)
+        st.sampled_from(["U", "D"]),
+    ),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: (t[0], t[2]),  # one change per (key, seq)
+)
+
+
+def _replay(base, changes):
+    """Pure-Python keep-last CDC replay: the semantic oracle."""
+    state = {k: (v, 0) for k, v in base}
+    last = {}
+    for k, v, seq, op in changes:
+        if k not in last or seq > last[k][0]:
+            last[k] = (seq, v, op)
+    for k, (seq, v, op) in last.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (v, seq)
+    return state
+
+
+@given(base=CDC_BASE, changes=CDC_CHANGES)
+@settings(max_examples=8, deadline=None)
+def test_apply_cdc_both_forms_match_python_replay(spark, base, changes):
+    from etl_weather_jabar_spark.operators.diff import apply_cdc, apply_cdc_joined
+
+    b = spark.createDataFrame(base, "k int, v int") if base else (
+        spark.createDataFrame([], "k int, v int")
+    )
+    c = spark.createDataFrame(
+        changes, "k int, v int, seq int, op string"
+    ) if changes else spark.createDataFrame([], "k int, v int, seq int, op string")
+    want = _replay(base, changes)
+    for fn in (apply_cdc, apply_cdc_joined):
+        got = {r["k"]: (r["v"], r["seq"]) for r in fn(b, c, ["k"]).collect()}
+        assert got == want, fn.__name__
