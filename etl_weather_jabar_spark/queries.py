@@ -5805,4 +5805,153 @@ def file_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register(
+    "copurchase_pairs_topk",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey % 200 AS pg
+                FROM lineitem),
+    pairs AS (SELECT a.pg AS part_a, b.pg AS part_b, count(*) AS support
+              FROM lp a JOIN lp b
+                ON b.l_orderkey = a.l_orderkey AND a.pg < b.pg
+              GROUP BY 1, 2)
+    SELECT part_a, part_b, support FROM pairs
+    ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 25
+    """,
+)
+def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part-group pairs appearing in
+    the same order (frequent-itemset support counting, the recommender
+    starting point). The within-basket self-join is bounded by basket
+    size (≤17 lines ⇒ ≤136 pairs per order) — unlike the document
+    near-dup joins, no cap is needed because the grouping key (order)
+    physically bounds the fan-out. One shuffle on orderkey, reused by
+    both join sides (ReusedExchange), then partial-agg counts and a
+    TakeOrdered top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("pg")
+    ).distinct()
+    pairs = (
+        lp.alias("a")
+        .join(lp.alias("b"), "l_orderkey")
+        .where(F.col("a.pg") < F.col("b.pg"))
+        .groupBy(F.col("a.pg").alias("part_a"), F.col("b.pg").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return pairs.orderBy(
+        F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(25)
+
+
+@_register(
+    "abc_classification_parts",
+    """
+    WITH rev AS (SELECT l_partkey % 500 AS part_g,
+                        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+                 FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+    ranked AS (SELECT part_g, cents, t,
+                      CAST(sum(cents) OVER (ORDER BY cents DESC, part_g ASC)
+                           AS BIGINT) AS cum
+               FROM rev, tot)
+    SELECT CASE WHEN (cum - cents) * 100 < t * 80 THEN 'A'
+                WHEN (cum - cents) * 100 < t * 95 THEN 'B'
+                ELSE 'C' END AS klass,
+           count(*) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_cents
+    FROM ranked GROUP BY 1
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: rank part groups by revenue,
+    class A until the running share crosses 80%, B until 95%, C after —
+    decided in exact integer cross-multiplies on cents (a part is in A iff
+    the cumulative BEFORE it is under 80% of total). The ranking window
+    runs over the per-part AGGREGATE (hundreds of rows), not the fact
+    table — the single-partition window is stats-sized, the data-sized
+    work is one partial-agg groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy((F.col("l_partkey") % 500).alias("part_g")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("part_g").asc())
+    ranked = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cum", F.sum("cents").over(w)
+    )
+    before = (F.col("cum") - F.col("cents")) * 100
+    klass = (
+        F.when(before < F.col("t") * 80, F.lit("A"))
+        .when(before < F.col("t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        ranked.select(klass.alias("klass"), "cents")
+        .groupBy("klass")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+        )
+    )
+
+
+@_register(
+    "rfm_segment_counts",
+    """
+    WITH cust AS (
+        SELECT o_custkey AS ck,
+               CAST(date_diff('day', max(o_orderdate),
+                              TIMESTAMP '1998-08-01 00:00:00') AS BIGINT)
+                   AS rec_days,
+               count(*) AS freq,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS mon_cents
+        FROM orders GROUP BY 1),
+    scored AS (SELECT ck,
+        CAST(ntile(4) OVER (ORDER BY rec_days ASC, ck ASC) AS INT) AS r,
+        CAST(ntile(4) OVER (ORDER BY freq DESC, ck ASC) AS INT) AS f,
+        CAST(ntile(4) OVER (ORDER BY mon_cents DESC, ck ASC) AS INT) AS m
+        FROM cust)
+    SELECT r, f, m, count(*) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles, the
+    classic CRM cut): per customer, days since last order vs a fixed
+    reference date, order count, and lifetime cents, each quartiled with
+    a total-order ntile, then segment population counts. The three
+    windows run over the per-customer AGGREGATE — like
+    ntile_cume_dist_customers this keeps the single-reducer global
+    window as the semantic reference; scalable_ntile is the drop-in
+    scale path (tested equivalent)."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = F.lit("1998-08-01 00:00:00").cast("timestamp_ntz")
+    cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.datediff(ref, F.max("o_orderdate")).cast("bigint").alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "mon_cents"
+        ),
+    )
+    scored = cust.select(
+        "ck",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("rec_days").asc(), F.col("ck").asc()))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("ck").asc()))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("mon_cents").desc(), F.col("ck").asc()))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 ALL = sorted(QUERIES)
