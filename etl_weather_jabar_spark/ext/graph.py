@@ -223,3 +223,72 @@ def count_triangles(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return tri.crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank on a directed graph → ``(node, rank)``,
+    ranks summing to 1. The canonical iterative-join workload: each round
+    is contribs = ranks ⋈ edges → groupBy(dst) → sum, then the damping
+    update — all distributed, with two model-sized driver touches per
+    round (the 1-row dangling-mass aggregate, and localCheckpoint to cut
+    the growing lineage, same policy as connected_components).
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly, so
+    total rank is conserved every round (the invariant the tests pin).
+    Duplicate edges are collapsed; self-loops count as ordinary edges.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("u"),
+            F.col(dst).cast("bigint").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        linked = ranks.join(deg, ranks.node == deg.u, "left")
+        contribs = (
+            linked.where(F.col("outdeg").isNotNull())
+            .join(e, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        dangling = (
+            linked.where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+            .collect()[0]["dm"]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -5954,4 +5954,29 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rows-only: iterative float algorithm — no SQL twin; invariants (python-
+# reference equality, mass conservation, cycle uniformity) are pinned in
+# tests/test_graph.py
+@_register("pagerank_residue_graph")
+def pagerank_residue_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration PageRank (ext/graph.py::pagerank) over the synthetic
+    residue graph used by triangle_count: top-20 nodes by rank with a
+    total-order tie-break. Each of the 8 rounds is a distributed
+    join→groupBy; only the 1-row dangling-mass aggregate touches the
+    driver."""
+    from .ext.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.where(F.col("o_orderkey") % 10 == 0).select(
+        (F.col("o_custkey") % 1000).alias("src"),
+        (F.col("o_orderkey") % 1000).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=8)
+    return (
+        ranks.select("node", F.round(F.col("rank") * 1e9).cast("bigint").alias("rank_nano"))
+        .orderBy(F.col("rank_nano").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 ALL = sorted(QUERIES)

@@ -135,3 +135,57 @@ def test_count_triangles_triangle_free(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
     row = count_triangles(edges).collect()[0]
     assert (row["n_triangles"], row["n_edges"]) == (0, 3)
+
+
+def _pagerank_py(edges, iterations=10, d=0.85):
+    """Pure-Python reference (same dangling-redistribution semantics)."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    rank = {x: 1.0 / n for x in nodes}
+    for _ in range(iterations):
+        contrib = {x: 0.0 for x in nodes}
+        for u, v in edges:
+            contrib[v] += rank[u] / out[u]
+        dangling = sum(r for x, r in rank.items() if x not in out)
+        base = (1 - d) / n + d * dangling / n
+        rank = {x: base + d * contrib[x] for x in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_reference_and_conserves_mass(spark):
+    from etl_weather_jabar_spark.ext.graph import pagerank
+
+    # hub-and-spoke plus a dangling sink and a 2-cycle
+    edges = [(1, 0), (2, 0), (3, 0), (0, 4), (5, 6), (6, 5), (3, 4)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=8
+        ).collect()
+    }
+    want = _pagerank_py(edges, iterations=8)
+    assert set(got) == set(want)
+    for x in want:
+        assert abs(got[x] - want[x]) < 1e-9, (x, got[x], want[x])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    # node 4 collects from the hub and node 3: it must outrank the leaves
+    assert got[4] > got[1]
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from etl_weather_jabar_spark.ext.graph import pagerank
+
+    # a directed cycle is rank-uniform at every iteration count
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    ranks = [
+        r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=3
+        ).collect()
+    ]
+    assert len(ranks) == 5
+    assert all(abs(r - 0.2) < 1e-12 for r in ranks)
