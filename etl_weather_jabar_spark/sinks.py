@@ -191,3 +191,45 @@ def compact(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def optimize_zorder(
+    spark,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """OPTIMIZE-style table maintenance: rewrite a parquet dataset
+    Z-order-clustered on ``zorder_cols`` into ``n_files`` right-sized
+    files (compaction + multi-dimensional clustering in one pass — the
+    Delta/Iceberg ``OPTIMIZE ... ZORDER BY`` shape).
+
+    Plan: compute the Morton key (operators/partitioning.py::zorder_key),
+    ``repartitionByRange`` on it (range partitioner samples split points
+    → balanced files), sort within partitions, drop the key, atomically
+    swap via the same tmp-rename as :func:`compact`. After the rewrite
+    every file's min/max stats are narrow in EVERY z-ordered column, so
+    scans filtering on any of them skip most files — the test measures
+    exactly that via the `_metadata` file column.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .operators.partitioning import zorder_key
+
+    df = spark.read.parquet(path)
+    z = zorder_key(df, zorder_cols, bits=bits)
+    tmp = path.rstrip("/") + ".zorder.tmp"
+    (
+        z.repartitionByRange(n_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -256,3 +256,36 @@ def test_compact_small_files(spark, tmp_path):
     after = len(glob.glob(path + "/*.parquet"))
     assert before >= 30 and after == n == 1
     assert spark.read.parquet(path).count() == rows_before
+
+
+def test_optimize_zorder_clusters_both_dimensions(spark, tmp_path):
+    """After OPTIMIZE-ZORDER, each output file's min/max range is a small
+    slice of the domain in BOTH clustered columns — the file-stats
+    pruning property — while a plain single-column sort only achieves it
+    for the leading column."""
+    import random
+
+    from etl_weather_jabar_spark.sinks import optimize_zorder
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(20000)]
+    path = str(tmp_path / "t")
+    spark.createDataFrame(rows, ["x", "y"]).repartition(8).write.parquet(path)
+
+    def avg_span(col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.col("_metadata.file_name").alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r["span"] for r in per_file) / len(per_file)
+
+    # random layout: every file spans ~the whole domain in both dims
+    assert avg_span("x") > 900 and avg_span("y") > 900
+    n = optimize_zorder(spark, path, ["x", "y"], n_files=16, bits=8)
+    assert n == 16
+    got = spark.read.parquet(path)
+    assert got.count() == 20000
+    # z-ordered layout: files cover a fraction of the domain in BOTH dims
+    assert avg_span("x") < 450 and avg_span("y") < 450
