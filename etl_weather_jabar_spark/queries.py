@@ -5979,4 +5979,107 @@ def pagerank_residue_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "quality_cascade_audit",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM t),
+    bg AS (SELECT doc_id, unnest({_sql_shingles(2)}) AS g FROM t),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    rep AS (SELECT doc_id,
+                   {_sql_halfup('max(c) * 1000000', 'CAST(sum(c) AS BIGINT)')}
+                       AS top_bigram_ppm
+            FROM bgc GROUP BY 1),
+    toks AS (SELECT doc_id, unnest(t) AS token FROM t),
+    voc AS (SELECT token FROM (
+        SELECT token, count(*) AS n FROM toks GROUP BY 1
+        ORDER BY n DESC, token ASC LIMIT 20)),
+    oov AS (SELECT doc_id,
+                   {_sql_halfup('(count(*) - count(v.token)) * 1000000',
+                                'count(*)')} AS oov_ppm
+            FROM toks LEFT JOIN voc v USING (token) GROUP BY 1),
+    verdicts AS (
+        SELECT lens.doc_id, lens.n_tokens,
+               CASE WHEN lens.n_tokens < 24 THEN 'too_short'
+                    WHEN rep.top_bigram_ppm > 80000 THEN 'repetitive'
+                    WHEN oov.oov_ppm > 350000 THEN 'high_oov'
+                    ELSE 'pass' END AS verdict
+        FROM lens JOIN rep ON rep.doc_id = lens.doc_id
+                  JOIN oov ON oov.doc_id = lens.doc_id)
+    SELECT verdict, count(*) AS n_docs,
+           {_sql_halfup('CAST(sum(n_tokens) AS BIGINT) * 100', 'count(*)')}
+               AS avg_tokens_centi
+    FROM verdicts GROUP BY 1
+    """,
+)
+def quality_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade with reason attribution: every document is
+    judged by a priority chain (too short → repetitive top-bigram → high
+    OOV → pass) and the audit reports the population and mean length per
+    FIRST-failing reason — the funnel report a pretraining filter
+    pipeline publishes so a corpus change can be traced to the gate that
+    ate it. All three signals reuse the engine's exact-integer forms
+    (token counts, halfup ppm shares, top-k vocab broadcast); one corpus
+    scan feeds three aggregate branches joined on doc_id."""
+    from .functions.text import shingles, tokens as _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    m = F.lit(1000000).cast("bigint")
+    lens = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    rep = (
+        docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), 2)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            _half_up_div(F.max("c") * m, F.sum("c")).alias("top_bigram_ppm")
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    voc = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+        .select("token")
+        .withColumn("v", F.lit(1))
+    )
+    oov = (
+        toks.join(F.broadcast(voc), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            _half_up_div(
+                (F.count(F.lit(1)) - F.count("v")) * m, F.count(F.lit(1))
+            ).alias("oov_ppm")
+        )
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < 24, F.lit("too_short"))
+        .when(F.col("top_bigram_ppm") > 80000, F.lit("repetitive"))
+        .when(F.col("oov_ppm") > 350000, F.lit("high_oov"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        lens.join(rep, "doc_id")
+        .join(oov, "doc_id")
+        .select(verdict.alias("verdict"), "n_tokens")
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _half_up_div(
+                F.sum("n_tokens") * F.lit(100).cast("bigint"),
+                F.count(F.lit(1)),
+            ).alias("avg_tokens_centi"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)
