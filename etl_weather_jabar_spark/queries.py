@@ -6082,4 +6082,45 @@ def quality_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "governance_mask_try_surface",
+    """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS masked_name,
+           100.0 / nullif(CAST(c_custkey % 3 AS BIGINT) - 1, 0) AS safe_div,
+           try_cast(c_name[10:] AS BIGINT) AS parsed_id,
+           CASE WHEN c_custkey % 16 > 7 THEN NULL
+                ELSE 9223372036854775800 + c_custkey % 16 END AS near_max
+    FROM customer WHERE c_custkey % 25 = 0
+    """,
+)
+def governance_mask_try_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance + ANSI-safety surface: ``mask()`` (Spark ≥3.4 data
+    masking: upper→X, lower→x, digit→n, punctuation kept — the
+    PII-redaction builtin) and the ``try_*`` family — this engine runs
+    ANSI mode (session default in Spark 4), where overflow and bad casts
+    THROW, so try_divide / try_cast / try_add are the sanctioned per-row
+    escape valves that return NULL instead of failing the job. The oracle
+    reproduces mask with regex classes and the try semantics with
+    nullif/CASE (division by zero and overflow both → NULL in DuckDB)."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 25 == 0
+    )
+    den = (F.col("c_custkey") % 3).cast("bigint") - 1
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_name"),
+        F.try_divide(F.lit(100.0), F.nullif(den, F.lit(0))).alias("safe_div"),
+        F.expr("try_cast(substring(c_name, 10) AS BIGINT)").alias(
+            "parsed_id"
+        ),
+        # genuinely overflows for c_custkey % 16 > 7 → NULL, not a job kill
+        F.try_add(
+            F.lit(9223372036854775800), (F.col("c_custkey") % 16)
+        ).alias("near_max"),
+    )
+
+
 ALL = sorted(QUERIES)
