@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query (same column aliases).
     Keys absent here (vs queries()) are the genuinely non-SQL ops —
-    sketch-based approximates and the banded MinHash/SimHash pipelines —
-    which get the driver's rows-only check and golden pytest coverage."""
+    sketch-based approximates, the banded MinHash/SimHash pipelines, and
+    iterative float algorithms (PageRank) — which get the driver's
+    rows-only check and golden pytest coverage."""
     return dict(_q.ORACLE_SQL)
