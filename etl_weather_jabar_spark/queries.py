@@ -6123,4 +6123,50 @@ def governance_mask_try_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "relational_division_ranked",
+    """
+    WITH classes AS (SELECT count(DISTINCT o_orderpriority) AS nc
+                     FROM orders),
+    cover AS (SELECT o_custkey,
+                     count(DISTINCT o_orderpriority) AS np,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1)
+    SELECT o_custkey AS custkey, n_orders,
+           CAST(dense_rank() OVER (ORDER BY n_orders DESC) AS BIGINT)
+               AS volume_rank
+    FROM cover, classes WHERE np = nc
+    """,
+)
+def relational_division_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): customers whose orders span EVERY
+    priority class that exists in the data — the division-by-distinct-
+    count decomposition (per-key distinct count equals the global class
+    count, itself computed, never hardcoded), which is how the
+    universally-quantified EXISTS is posed without a nested NOT EXISTS
+    pair. Qualifying customers are then tied-rank ordered by volume with
+    dense_rank (equal counts share a rank, no gaps). The division is one
+    partial-agg groupBy + a 1-row class-count broadcast; the window runs
+    over the qualifying aggregate only."""
+    o = load_table(spark, sf_dir, "orders")
+    classes = o.agg(
+        F.countDistinct("o_orderpriority").alias("nc")
+    )
+    cover = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("np"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    qual = cover.crossJoin(F.broadcast(classes)).where(
+        F.col("np") == F.col("nc")
+    )
+    return qual.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_orders",
+        F.dense_rank()
+        .over(Window.orderBy(F.col("n_orders").desc()))
+        .cast("bigint")
+        .alias("volume_rank"),
+    )
+
+
 ALL = sorted(QUERIES)
