@@ -6169,4 +6169,45 @@ def relational_division_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_e2e_shrinkage",
+    f"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT c.cluster_id) AS n_kept,
+           count(*) - count(DISTINCT c.cluster_id) AS n_removed,
+           CAST(sum(CASE WHEN c.doc_id <> c.cluster_id THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_removed
+    FROM ({_lsh_cluster_sql()}) c
+    JOIN documents d ON d.doc_id = c.doc_id
+    """,
+)
+def dedup_e2e_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup dedup ledger: run the full
+    candidates→clusters pipeline (lsh_neardup_clusters: MinHash banding →
+    star edges → connected components), elect the min-id survivor per
+    cluster (the cluster label IS the survivor), and account for what
+    dedup removes — documents dropped and characters reclaimed. This is
+    the before/after number a corpus curation run reports; the whole
+    chain, including the transitive closure, is reproduced in the oracle
+    via the recursive CTE nested as a subquery."""
+    clusters = lsh_neardup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_kept"),
+        (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias(
+            "n_removed"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("cluster_id"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("chars_removed"),
+    )
+
+
 ALL = sorted(QUERIES)
