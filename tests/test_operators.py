@@ -359,3 +359,29 @@ def test_zorder_key_buckets_and_interleave(spark):
 
     with _p.raises(ValueError):
         zorder_key(df, ["x"], bits=4)
+
+
+def test_pandas_api_on_spark_parity(spark):
+    """pyspark.pandas (the pandas API on Spark): the migration surface for
+    pandas codebases — same groupby/agg answers as the native DataFrame
+    API, distributed underneath. Pinned on a testdata slice."""
+    import pyspark.pandas as ps
+
+    native = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    pdf = ps.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    via_ps = (
+        pdf.groupby(["l_returnflag", "l_linestatus"])
+        .size()
+        .reset_index(name="n")
+    )
+    got = {
+        (row["l_returnflag"], row["l_linestatus"]): int(row["n"])
+        for _, row in via_ps.to_pandas().iterrows()
+    }
+    assert got == native and len(got) >= 3
