@@ -238,3 +238,83 @@ def test_apply_cdc_both_forms_match_python_replay(spark, base, changes):
     for fn in (apply_cdc, apply_cdc_joined):
         got = {r["k"]: (r["v"], r["seq"]) for r in fn(b, c, ["k"]).collect()}
         assert got == want, fn.__name__
+
+
+# --- Z-order key vs a pure-Python Morton replay -------------------------
+
+
+def _morton_py(rows, bits):
+    xs = [x for x, _ in rows]
+    ys = [y for _, y in rows]
+    lox, hix, loy, hiy = min(xs), max(xs), min(ys), max(ys)
+
+    def bucket(v, lo, hi):
+        return ((v - lo) * (1 << bits)) // (hi - lo + 1)
+
+    out = {}
+    for x, y in rows:
+        bx, by = bucket(x, lox, hix), bucket(y, loy, hiy)
+        z = 0
+        for i in range(bits):
+            z |= ((bx >> i) & 1) << (2 * i)
+            z |= ((by >> i) & 1) << (2 * i + 1)
+        out[(x, y)] = z
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 10**6)),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    ),
+    bits=st.integers(2, 10),
+)
+@settings(max_examples=8, deadline=None)
+def test_zorder_key_matches_python_morton(spark, rows, bits):
+    from etl_weather_jabar_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["zkey"]
+        for r in zorder_key(df, ["x", "y"], bits=bits).collect()
+    }
+    assert got == _morton_py(rows, bits)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],  # uid unique => total order
+    ),
+    k=st.integers(1, 5),
+    buckets=st.integers(1, 6),
+)
+@settings(max_examples=8, deadline=None)
+def test_scalable_topk_property_equals_plain_window(spark, rows, k, buckets):
+    from pyspark.sql import Window
+
+    from etl_weather_jabar_spark.operators.windows import scalable_topk_per_group
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["grp", "uid", "score"])
+    order = [F.col("score").desc(), F.col("uid").asc()]
+    plain = {
+        (r["grp"], r["uid"], r["rnk"])
+        for r in df.withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("grp").orderBy(*order)),
+        )
+        .where(F.col("rnk") <= k)
+        .collect()
+    }
+    scal = {
+        (r["grp"], r["uid"], r["rnk"])
+        for r in scalable_topk_per_group(
+            df, ["grp"], order, k, salt_by=["uid"], buckets=buckets
+        ).collect()
+    }
+    assert scal == plain
