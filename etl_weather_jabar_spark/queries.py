@@ -6210,4 +6210,68 @@ def dedup_e2e_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "session_transition_matrix",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS sid
+        FROM flagged
+    ), trans AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id, sid ORDER BY ts, event_id
+               ) AS prev_type,
+               event_type AS next_type
+        FROM sess
+    )
+    SELECT prev_type, next_type, count(*) AS n
+    FROM trans WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive events INSIDE a
+    session (30-min gap sessionization → cumulative session id → lag
+    within (user, session)) — the behavioral-analytics matrix under
+    next-action prediction and funnel diagnosis. Session boundaries cut
+    transitions: the last event of one session never pairs with the
+    first of the next. Two window passes (user, then user+session) and a
+    tiny types² aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(prev_ts.isNull() | (gap_s > 1800), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_session").over(w).cast("bigint")
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    trans = sess.select(
+        F.lag("event_type").over(ws).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        trans.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 ALL = sorted(QUERIES)
