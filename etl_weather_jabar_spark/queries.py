@@ -6274,4 +6274,43 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "benford_digit_audit",
+    f"""
+    WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+               FROM orders WHERE o_totalprice > 0)
+    SELECT digit, count(*) AS n,
+           {_sql_halfup('count(*) * 1000000',
+                        '(SELECT count(*) FROM d)')} AS share_ppm
+    FROM d GROUP BY 1
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the leading-digit distribution of order
+    totals in exact ppm — the classic anomaly screen (organic monetary
+    data tracks log10(1+1/d); fabricated or capped data doesn't). Digit
+    extraction is integer string math on cents (no float log), the share
+    an exact half-up ppm against a 1-row total broadcast; nine output
+    rows."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            _half_up_div(
+                F.col("n") * F.lit(1000000).cast("bigint"), F.col("t")
+            ).alias("share_ppm"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)
