@@ -385,3 +385,23 @@ def test_pandas_api_on_spark_parity(spark):
         for _, row in via_ps.to_pandas().iterrows()
     }
     assert got == native and len(got) >= 3
+
+
+def test_zorder_key_three_columns(spark):
+    """zorder_key generalizes past 2 dims: 3 columns × 4 bits interleave
+    into a 12-bit key with each column owning every third bit slot."""
+    from etl_weather_jabar_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0, 0), (15, 0, 0), (0, 15, 0), (0, 0, 15), (15, 15, 15)],
+        ["x", "y", "z"],
+    )
+    out = {
+        (r["x"], r["y"], r["z"]): r["zkey"]
+        for r in zorder_key(df, ["x", "y", "z"], bits=4).collect()
+    }
+    assert out[(0, 0, 0)] == 0
+    assert out[(15, 15, 15)] == (1 << 12) - 1
+    assert out[(15, 0, 0)] == 0b001001001001  # x owns slots 0,3,6,9
+    assert out[(0, 15, 0)] == 0b010010010010  # y owns slots 1,4,7,10
+    assert out[(0, 0, 15)] == 0b100100100100  # z owns slots 2,5,8,11
