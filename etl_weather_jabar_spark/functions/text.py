@@ -92,3 +92,13 @@ def quality_score(col: Column) -> Column:
     punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
     stop_score = F.least(stopword_ratio(col) * 10.0, F.lit(1.0))
     return F.round((len_score + punct_score + stop_score) / 3.0, 4)
+
+
+def feature_hash_slot(token: Column, dim: int, salt: str = "fh") -> Column:
+    """The hashing-trick slot for a token: 32 bits of a salted md5 modulo
+    ``dim``. md5 (not xxhash64) so any engine reproduces the assignment —
+    the same cross-engine contract as ext/sampling's hash decisions."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(token, F.lit(":" + salt))), 1, 8), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(dim))

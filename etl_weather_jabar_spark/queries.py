@@ -6313,4 +6313,53 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FH_DIM = 64
+
+
+@_register(
+    "feature_hash_audit",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_NORM_TOKENS_SQL}) AS token
+                  FROM documents WHERE doc_id % 4 = 0),
+    slotted AS (SELECT doc_id,
+                       CAST('0x' || substr(md5(token || ':fh'), 1, 8)
+                            AS BIGINT) % {_FH_DIM} AS slot
+                FROM toks)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS l1,
+           count(*) AS n_nonzero,
+           CAST(max(c) AS BIGINT) AS max_slot_count
+    FROM (SELECT doc_id, slot, count(*) AS c FROM slotted GROUP BY 1, 2)
+    GROUP BY 1
+    """,
+)
+def feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing): tokens mapped to a fixed
+    64-dim slot space by salted md5 — the vocabulary-free
+    featurizer that needs no fitted dictionary, so it streams and scales
+    without a vocab broadcast. Audited per document: L1 mass (token
+    count), occupied slots, and the heaviest slot (collision pressure —
+    occupancy below the token count IS the hash collision the trick
+    trades for boundlessness). Slot math is md5-deterministic, so the
+    oracle reproduces the exact assignment."""
+    from .functions.text import feature_hash_slot, tokens as _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents")).where(
+        F.col("doc_id") % 4 == 0
+    )
+    slotted = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    ).select(
+        "doc_id", feature_hash_slot(F.col("token"), _FH_DIM).alias("slot")
+    )
+    per_slot = slotted.groupBy("doc_id", "slot").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_slot.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("l1"),
+        F.count(F.lit(1)).alias("n_nonzero"),
+        F.max("c").cast("bigint").alias("max_slot_count"),
+    )
+
+
 ALL = sorted(QUERIES)
