@@ -6362,4 +6362,50 @@ def feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "contingency_expected_counts",
+    f"""
+    WITH c AS (SELECT event_type, CAST(user_id % 5 AS BIGINT) AS ub,
+                      count(*) AS obs
+               FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS r
+           FROM c GROUP BY 1),
+    ct AS (SELECT ub, CAST(sum(obs) AS BIGINT) AS cl FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c)
+    SELECT c.event_type, c.ub, c.obs,
+           {_sql_halfup('r * cl * 1000', 'n')} AS expected_milli
+    FROM c JOIN rt USING (event_type) JOIN ct USING (ub), tot
+    """,
+)
+def contingency_expected_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence-test preparation (the chi-square contingency table):
+    observed counts per (event_type × user bucket) beside the
+    under-independence expectation row·col/N — computed as an exact
+    half-up milli-count, so no float sum ever crosses engines. Feature-
+    association auditing in pipelines (is event mix independent of the
+    user segment?); the marginals are category-sized and broadcast back
+    onto the cell table."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 5).cast("bigint").alias("ub")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = c.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = c.groupBy("ub").agg(F.sum("obs").alias("cl"))
+    tot = c.agg(F.sum("obs").alias("n"))
+    return (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "ub")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "ub",
+            "obs",
+            _half_up_div(
+                F.col("r") * F.col("cl") * F.lit(1000).cast("bigint"),
+                F.col("n"),
+            ).alias("expected_milli"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)
