@@ -6408,4 +6408,71 @@ def contingency_expected_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "gini_revenue_concentration",
+    f"""
+    WITH cust AS (SELECT o_custkey,
+                         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS cents
+                  FROM orders GROUP BY 1),
+    ranked AS (SELECT cents,
+                      CAST(row_number() OVER (ORDER BY cents ASC,
+                                              o_custkey ASC) AS BIGINT) AS r
+               FROM cust),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(cents) AS total_h,
+                 sum(r * cents) AS rx
+          FROM ranked)
+    SELECT n AS n_customers, CAST(total_h AS BIGINT) AS total_cents,
+           CAST({_sql_halfup('(2 * rx - (n + 1) * total_h) * 1000000',
+                             'n * total_h')} AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as an exact Gini coefficient in ppm: rank
+    customers by lifetime cents (total order), then
+    G = (2·Σ(rank·x) − (n+1)·Σx) / (n·Σx) — every term a bigint, the
+    final division the engine's half-up decimal divide, so the
+    inequality statistic is bit-identical across engines (float Lorenz
+    integration never is). The ppm numerator exceeds int64 at TPC-H
+    scale, so the final arithmetic runs wide — decimal(38,0) in Spark,
+    hugeint in DuckDB — per the engine's overflow discipline (ANSI mode
+    would otherwise kill the job). The ranking window runs over the
+    per-customer AGGREGATE; the data-sized work is one groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = cust.select(
+        "cents", F.row_number().over(w).cast("bigint").alias("r")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("cents")).alias("rx"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    num = (
+        2 * F.col("rx") - (dec(F.col("n")) + 1) * dec(F.col("total_cents"))
+    ) * 1000000
+    den = dec(F.col("n")) * dec(F.col("total_cents"))
+    # half-up in wide decimal: same floor identity as _half_up_div, with
+    # every intermediate inside decimal(38,0)'s range
+    a = num * 2 + den
+    b = den * 2
+    gini = ((a - F.pmod(a, b)) / b).cast("bigint")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        "total_cents",
+        gini.alias("gini_ppm"),
+    )
+
+
 ALL = sorted(QUERIES)
