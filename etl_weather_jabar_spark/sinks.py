@@ -199,6 +199,7 @@ def optimize_zorder(
     zorder_cols: list[str],
     n_files: int = 8,
     bits: int = 8,
+    bounds_path: str | None = None,
 ) -> int:
     """OPTIMIZE-style table maintenance: rewrite a parquet dataset
     Z-order-clustered on ``zorder_cols`` into ``n_files`` right-sized
@@ -212,16 +213,35 @@ def optimize_zorder(
     every file's min/max stats are narrow in EVERY z-ordered column, so
     scans filtering on any of them skip most files — the test measures
     exactly that via the `_metadata` file column.
+
+    With ``bounds_path`` the layout is APPEND-STABLE: the first OPTIMIZE
+    computes the per-column min/max and persists it there; every later
+    OPTIMIZE (and :func:`append_zordered`) reuses the frozen bounds, so a
+    value buckets identically across rewrites and incremental appends —
+    re-clustering never reshuffles rows merely because the corpus
+    min/max drifted.
     """
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
-    from .operators.partitioning import zorder_key
+    from .operators.partitioning import (
+        compute_zorder_bounds,
+        load_zorder_bounds,
+        save_zorder_bounds,
+        zorder_key,
+    )
 
     df = spark.read.parquet(path)
-    z = zorder_key(df, zorder_cols, bits=bits)
+    bounds = None
+    if bounds_path is not None:
+        try:
+            bounds = load_zorder_bounds(spark, bounds_path)
+        except Exception:
+            bounds = compute_zorder_bounds(df, zorder_cols)
+            save_zorder_bounds(spark, bounds, bounds_path)
+    z = zorder_key(df, zorder_cols, bits=bits, bounds=bounds)
     tmp = path.rstrip("/") + ".zorder.tmp"
     (
         z.repartitionByRange(n_files, F.col("zkey"))
@@ -233,3 +253,34 @@ def optimize_zorder(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def append_zordered(
+    df,
+    path: str,
+    zorder_cols: list[str],
+    bounds_path: str,
+    n_files: int = 1,
+    bits: int = 8,
+) -> None:
+    """Incremental write into a z-ordered table WITHOUT a full rewrite:
+    cluster the new batch by the table's FROZEN bounds (``bounds_path``
+    from :func:`optimize_zorder`) and append. Because the bucketing is
+    bounds-stable, the new files' min/max stats line up with the existing
+    layout — pruning quality degrades only with file count, which the
+    periodic :func:`compact` / :func:`optimize_zorder` pass restores.
+    Out-of-range values clamp into edge buckets (stats remain valid).
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.partitioning import load_zorder_bounds, zorder_key
+
+    bounds = load_zorder_bounds(df.sparkSession, bounds_path)
+    z = zorder_key(df, zorder_cols, bits=bits, bounds=bounds)
+    (
+        z.repartitionByRange(n_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("append")
+        .parquet(path)
+    )

@@ -289,3 +289,56 @@ def test_optimize_zorder_clusters_both_dimensions(spark, tmp_path):
     assert got.count() == 20000
     # z-ordered layout: files cover a fraction of the domain in BOTH dims
     assert avg_span("x") < 450 and avg_span("y") < 450
+
+
+def test_append_zordered_with_frozen_bounds(spark, tmp_path):
+    """The incremental side of OPTIMIZE-ZORDER: the first optimize freezes
+    per-column bounds; append_zordered clusters later batches by those
+    SAME bounds, so appended files keep narrow per-file min/max spans that
+    line up with the existing layout — no full-table rewrite per batch."""
+    import random
+
+    from etl_weather_jabar_spark.sinks import append_zordered, optimize_zorder
+
+    rng = random.Random(11)
+    path = str(tmp_path / "t")
+    bpath = str(tmp_path / "t_bounds")
+    base = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(8000)]
+    spark.createDataFrame(base, ["x", "y"]).repartition(4).write.parquet(path)
+    optimize_zorder(spark, path, ["x", "y"], n_files=8, bits=8, bounds_path=bpath)
+    files_before = {
+        r["f"]
+        for r in spark.read.parquet(path)
+        .select(F.col("_metadata.file_name").alias("f"))
+        .distinct()
+        .collect()
+    }
+
+    batch = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(4000)]
+    append_zordered(
+        spark.createDataFrame(batch, ["x", "y"]), path, ["x", "y"], bpath,
+        n_files=4,
+    )
+    got = spark.read.parquet(path)
+    assert got.count() == 12000
+    # appended files (not present before) are themselves narrow in both dims
+    per_file = (
+        got.groupBy(F.col("_metadata.file_name").alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    new = [r for r in per_file if r["f"] not in files_before]
+    assert new, "append produced no new files"
+    # a file whose zkey range straddles a Morton quadrant boundary can span
+    # a full dimension, so the pruning-relevant metric is the AVERAGE span:
+    # an unclustered 4000-row batch puts ~1020 in both dims in every file;
+    # 4 z-ordered ranges (random split points → ~2 straddlers) land ~500-750
+    avg_sx = sum(r["sx"] for r in new) / len(new)
+    avg_sy = sum(r["sy"] for r in new) / len(new)
+    assert avg_sx < 880 and avg_sy < 880, (avg_sx, avg_sy)
+    # a second optimize with the same bounds_path reuses the frozen stats
+    optimize_zorder(spark, path, ["x", "y"], n_files=12, bits=8, bounds_path=bpath)
+    assert spark.read.parquet(path).count() == 12000
