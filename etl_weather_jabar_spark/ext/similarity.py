@@ -334,6 +334,109 @@ def ivf_topk_indexed(
     )
 
 
+def append_to_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new batch against the
+    stored centroids and append into the partitioned inverted lists. No
+    retraining, no touch of existing partitions — the 100 TB append cost
+    is O(|batch| × n_clusters) similarity evaluations plus a
+    partitionBy(cid) write of the batch. Centroids stay frozen (the same
+    append-stability contract as the z-order frozen bounds): recall decays
+    only as the data distribution drifts, which :func:`ivf_index_stats`
+    measures and :func:`recluster_ivf_index` repairs.
+    """
+    cents = load_ivf_centroids(new_rows.sparkSession, path)
+    assigned = _assign_nearest(spread(new_rows), cents, id_col, vec_col)
+    assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/lists")
+
+
+def ivf_index_stats(spark, path: str, vec_col: str = "embedding") -> DataFrame:
+    """Index-health metrics per inverted list — the drift signal that
+    decides when to recluster:
+
+    * ``n`` — member count (imbalance = hot probe partitions),
+    * ``mean_cos`` / ``min_cos`` — how well the frozen centroid still
+      represents its members (drops as appended data drifts away).
+
+    One partition-parallel scan of the lists joined to the broadcast
+    centroids; output is n_clusters rows.
+    """
+    cents = load_ivf_centroids(spark, path)
+    lists = spark.read.parquet(f"{path}/lists")
+    # _scored_against_centroids crosses against ALL centroids; keep only
+    # each row's own list's centroid score
+    scored = _scored_against_centroids(
+        lists.withColumnRenamed("cid", "__own"), cents, vec_col
+    ).where(F.col("cid") == F.col("__own"))
+    return (
+        scored.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__sim"), 6).alias("mean_cos"),
+            F.round(F.min("__sim"), 6).alias("min_cos"),
+        )
+        .orderBy("cid")
+    )
+
+
+def recluster_ivf_index(
+    spark,
+    path: str,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Repair drift: refine the EXISTING centroids with ``iters`` Lloyd
+    iterations over the full stored corpus (warm-start — no reseeding, so
+    far cheaper and more stable than retraining from scratch) and rewrite
+    the inverted lists under the refined centroids. Atomic swap via
+    tmp-rename, same pattern as sinks.compact. Returns the new centroids.
+    """
+    import os
+    import shutil
+
+    cents = load_ivf_centroids(spark, path)
+    vecs = spark.read.parquet(f"{path}/lists").select(id_col, vec_col).persist()
+    try:
+        for _ in range(iters):
+            assigned = _assign_nearest(vecs, cents, id_col, vec_col).select(
+                "cid", F.posexplode(vec_col).alias("pos", "v")
+            )
+            means = (
+                assigned.groupBy("cid", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+            cents = [
+                (
+                    cid,
+                    [by_cid[cid][p] for p in sorted(by_cid[cid])]
+                    if cid in by_cid
+                    else prev,
+                )
+                for cid, prev in cents
+            ]
+        assigned = _assign_nearest(vecs, cents, id_col, vec_col)
+        tmp_lists = f"{path}/lists.tmp"
+        assigned.write.partitionBy("cid").mode("overwrite").parquet(tmp_lists)
+    finally:
+        vecs.unpersist()
+    shutil.rmtree(f"{path}/lists")
+    os.rename(tmp_lists, f"{path}/lists")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        schema="cid INT, cv ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
 def _srp_signature(vec, dim: int, n_bits: int, table: int):
     """Signed-random-projection signature as a bigint bucket key.
 

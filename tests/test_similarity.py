@@ -168,3 +168,61 @@ def test_hll_daily_sketch_merge_accuracy(spark):
     assert set(merged) == set(exact)
     for t, e in exact.items():
         assert abs(merged[t] - e) / e < 0.05, (t, merged[t], e)
+
+
+def test_ivf_append_stats_recluster(spark, tmp_path):
+    """Index maintenance lifecycle: append new vectors without retraining
+    (centroids frozen, only the batch assigned), drift stats see the new
+    members, and a warm-start recluster refines centroids + rewrites the
+    lists while keeping the index fully searchable."""
+    from etl_weather_jabar_spark.ext.similarity import (
+        append_to_ivf_index,
+        ivf_index_stats,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+        recluster_ivf_index,
+        save_ivf_index,
+    )
+
+    corpus = _corpus(spark)
+    path = str(tmp_path / "ivf")
+    cents = save_ivf_index(corpus, path, n_clusters=8, iters=2)
+
+    # append a batch of exact copies of vec 0 with fresh ids
+    rng = random.Random(13)
+    batch = spark.createDataFrame(
+        [(1000 + i, corpus.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+         for i in range(3)]
+        + [(2000 + i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(20)],
+        SCHEMA,
+    )
+    append_to_ivf_index(batch, path)
+    # centroids untouched by append
+    assert load_ivf_centroids(spark, path) == sorted(cents)
+    total = spark.read.parquet(f"{path}/lists").count()
+    assert total == 200 + 23
+
+    stats = ivf_index_stats(spark, path).collect()
+    assert sum(r["n"] for r in stats) == 223
+    assert all(-1.0 <= r["min_cos"] <= r["mean_cos"] <= 1.0 for r in stats)
+
+    # a query for vec 0 now finds the appended exact copies (cosine 1)
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = {
+        r["vec_id"]
+        for r in ivf_topk_indexed(spark, path, queries, k=5, n_probe=4).collect()
+    }
+    assert {1000, 1001, 1002} <= hits
+
+    # warm-start recluster: deterministic, keeps every row, still searchable
+    new_cents = recluster_ivf_index(spark, path, iters=2)
+    assert len(new_cents) == 8
+    assert load_ivf_centroids(spark, path) == sorted(new_cents)
+    assert spark.read.parquet(f"{path}/lists").count() == 223
+    hits2 = {
+        r["vec_id"]
+        for r in ivf_topk_indexed(spark, path, queries, k=5, n_probe=4).collect()
+    }
+    assert {1000, 1001, 1002} <= hits2
