@@ -6475,4 +6475,83 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "regression_surface",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*)                                            AS n,
+             sum(CAST(round(l_quantity) AS BIGINT))              AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))   AS sy,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT))            AS sxx,
+             sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST({_sql_halfup('(n*sxy - sx*sy) * 1000000',
+                             '(n*sxx - sx*sx) * 100')} AS DOUBLE)
+             / 1000000.0 AS slope_dollars_per_qty,
+           CAST({_sql_halfup('(sy*sxx - sx*sxy)',
+                             '(n*sxx - sx*sx)')} AS DOUBLE)
+             / 100.0 AS intercept_dollars,
+           CAST({_sql_halfup('(n*sxy - sx*sy) * 10000',
+                             '(n*n) * 100')} AS DOUBLE)
+             / 10000.0 AS covar_pop_dollars
+    FROM m
+    """,
+)
+def regression_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS regression surface (regr_slope / regr_intercept / covar_pop) of
+    extendedprice on quantity per returnflag — computed from exact integer
+    moment sums (n, Σx, Σy, Σx², Σxy in quantity-units × price-cents), so
+    the fitted coefficients are bit-identical across engines; the native
+    regr_* aggregates sum doubles and drift in the last digits under
+    parallel reduction. One shuffle (the groupBy); the closed forms
+    slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept = (ΣyΣx²−ΣxΣxy)/same
+    are evaluated half-up in decimal(38,0) (hugeint in DuckDB). Magnitude
+    budget: nΣxy·10⁶ ≈ 10²⁶ at sf0.1, far inside decimal(38)'s range —
+    corr/r² are deliberately omitted, their cross-moment PRODUCT exceeds
+    128-bit at TPC-H scale (would need a two-level rescale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    xu = F.round(F.col("l_quantity")).cast("bigint")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xu).cast("decimal(38,0)").alias("sx"),
+        F.sum(yc).cast("decimal(38,0)").alias("sy"),
+        F.sum(xu * xu).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xu * yc).cast("decimal(38,0)").alias("sxy"),
+    )
+
+    def halfup_wide(num, den):
+        # floor((2·num+den)/(2·den)) with every intermediate decimal(38,0);
+        # the subtraction makes the numerator an exact multiple, so the
+        # decimal divide is exact (same identity as _half_up_div)
+        a = num * 2 + den
+        b = den * 2
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    num_slope = n * sxy - sx * sy
+    den_slope = n * sxx - sx * sx
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        (
+            halfup_wide(num_slope * 1000000, den_slope * 100).cast("double")
+            / 1000000.0
+        ).alias("slope_dollars_per_qty"),
+        (
+            halfup_wide(sy * sxx - sx * sxy, den_slope).cast("double") / 100.0
+        ).alias("intercept_dollars"),
+        (
+            halfup_wide(num_slope * 10000, n * n * 100).cast("double")
+            / 10000.0
+        ).alias("covar_pop_dollars"),
+    )
+
+
 ALL = sorted(QUERIES)
