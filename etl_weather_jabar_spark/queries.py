@@ -6554,4 +6554,47 @@ def regression_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ARGMAX_SQL = """
+    SELECT event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE CAST(round(value * 100) AS BIGINT) > 25000)
+             AS n_high,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                           FILTER (WHERE user_id % 2 = 0), 0) AS BIGINT)
+             AS even_user_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT) * 1000000000000
+                    + event_id) // 1000000000000 AS BIGINT)
+             AS peak_value_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT) * 1000000000000
+                    + event_id) % 1000000000000 AS BIGINT)
+             AS peak_event_id,
+           CAST(min(CAST(round(value * 100) AS BIGINT) * 1000000000000
+                    + event_id) // 1000000000000 AS BIGINT)
+             AS low_value_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT) * 1000000000000
+                    + event_id) % 1000000000000 AS BIGINT)
+             AS low_event_id
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@_register("argmax_filter_surface", _ARGMAX_SQL)
+def argmax_filter_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause + deterministic arg-max/arg-min per group.
+    The native min_by/max_by break ties arbitrarily, so the argmax packs
+    (value_cents, event_id) into one bigint — cents·10¹² + id — whose
+    plain max/min is a total order: identical answers in any engine, any
+    parallelism (the same trick as _assign_nearest's struct-max, here in
+    pure int64; cents ≤ 5.7e4 and id < 10¹² keep the pack < 2⁶³). The
+    FILTER clauses compile to conditional partial aggregates — no extra
+    scan, no join. Oracle runs the byte-identical SQL (DuckDB `//` =
+    Spark `div`-style integer division on bigints here).
+    """
+    from .sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ARGMAX_SQL.replace("//", "DIV"))
+
+
 ALL = sorted(QUERIES)
