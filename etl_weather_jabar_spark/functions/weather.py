@@ -44,3 +44,27 @@ def heat_index_c(temp_c: Column, humidity: Column) -> Column:
         + _C9 * t * t * rh * rh
     )
     return (hi_f - 32.0) * 5.0 / 9.0
+
+
+_EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km between two (lat, lon) degree pairs.
+
+    Haversine form — 2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))) —
+    as pure Column trigonometry: stays in whole-stage codegen, no UDF.
+    Well-conditioned for the station-distance range (meters to a few
+    thousand km); antipodal cancellation error (~meter scale) is far
+    below station-spacing precision.
+    """
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlmb = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(p1) * F.cos(p2) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return 2.0 * _EARTH_RADIUS_KM * F.asin(F.sqrt(a))

@@ -263,3 +263,56 @@ def grid_align(
     keys = obs.select(*group_keys).distinct()
     full = keys.crossJoin(F.broadcast(grid))
     return full.join(obs, on=[*group_keys, grid_key], how="left")
+
+
+def nearest_station(
+    points: DataFrame,
+    stations: DataFrame,
+    point_cols: tuple[str, str, str] = ("point_id", "lat", "lon"),
+    station_cols: tuple[str, str, str] = ("station_id", "lat", "lon"),
+) -> DataFrame:
+    """Nearest-station assignment: each point gets the closest station by
+    great-circle distance — the weather-engine op implied by the
+    reference's 27-station location dimension (master_location.json:
+    observations belong to their nearest regency station).
+
+    Shape for scale: the station dimension is dim-sized (27 rows for
+    Jabar; thousands at worst) → broadcast cross join, then ONE
+    aggregation takes min(struct(distance, station_id, …)) per point —
+    struct ordering makes the tie-break total (equal distances → lowest
+    station id), and the winning station's fields ride in the struct so
+    no join-back is needed. |points| × |stations| narrow rows, all
+    codegen'd trig, no shuffle except the final per-point agg — and that
+    agg combines map-side. A true ANN index (IVF over unit vectors) only
+    pays off when stations stop fitting in a broadcast.
+    """
+    pid, plat, plon = point_cols
+    sid, slat, slon = station_cols
+    from ..functions.weather import haversine_km
+
+    s = stations.select(
+        F.col(sid).alias("__sid"),
+        F.col(slat).alias("__slat"),
+        F.col(slon).alias("__slon"),
+    )
+    d = points.crossJoin(F.broadcast(s)).withColumn(
+        "__dist",
+        haversine_km(
+            F.col(plat), F.col(plon), F.col("__slat"), F.col("__slon")
+        ),
+    )
+    best = F.min(
+        F.struct(
+            F.col("__dist").alias("d"),
+            F.col("__sid").alias("s"),
+        )
+    ).alias("b")
+    return (
+        d.groupBy(pid)
+        .agg(best)
+        .select(
+            pid,
+            F.col("b.s").alias("nearest_station_id"),
+            F.round(F.col("b.d"), 6).alias("distance_km"),
+        )
+    )

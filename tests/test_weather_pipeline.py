@@ -207,3 +207,73 @@ def test_incremental_recap_rewrites_only_affected_dates(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(gold).select("date", "location_id", F.size("hourly")).collect()}
     b = {tuple(r) for r in spark.read.parquet(full).select("date", "location_id", F.size("hourly")).collect()}
     assert a == b
+
+
+def test_haversine_and_nearest_station(spark):
+    """haversine_km against a pure-Python replay (same formula, same
+    radius) and nearest_station against brute-force argmin; the plan must
+    broadcast the station dim and contain exactly one aggregation."""
+    import math
+
+    from etl_weather_jabar_spark.functions.weather import haversine_km
+    from etl_weather_jabar_spark.operators.joins import nearest_station
+
+    # Jabar-like coordinates: Bandung, Bogor, Bekasi, Cirebon
+    stations = [
+        (1, -6.9175, 107.6191),
+        (2, -6.5971, 106.8060),
+        (3, -6.2383, 106.9756),
+        (4, -6.7320, 108.5523),
+    ]
+    points = [
+        (10, -6.90, 107.60),   # ~Bandung
+        (11, -6.60, 106.80),   # ~Bogor
+        (12, -6.45, 107.90),   # between, nearer Bandung
+        (13, -6.73, 108.55),   # ~Cirebon (near-exact)
+    ]
+
+    def py_hav(a, b, c, d):
+        R = 6371.0088
+        p1, p2 = math.radians(a), math.radians(c)
+        dphi = math.radians(c - a) / 2
+        dl = math.radians(d - b) / 2
+        h = math.sin(dphi) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+        return 2 * R * math.asin(math.sqrt(h))
+
+    sdf = spark.createDataFrame(stations, ["station_id", "lat", "lon"])
+    pdf = spark.createDataFrame(points, ["point_id", "lat", "lon"])
+
+    # column function matches the python replay to float precision
+    got_d = {
+        r["point_id"]: r["d"]
+        for r in pdf.crossJoin(
+            sdf.selectExpr(
+                "station_id AS s", "lat AS slat", "lon AS slon"
+            ).where(F.col("s") == 1)
+        )
+        .select(
+            "point_id",
+            haversine_km(
+                F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")
+            ).alias("d"),
+        )
+        .collect()
+    }
+    for pid, plat, plon in points:
+        want = py_hav(plat, plon, stations[0][1], stations[0][2])
+        assert abs(got_d[pid] - want) < 1e-9
+
+    out = nearest_station(pdf, sdf)
+    got = {r["point_id"]: r["nearest_station_id"] for r in out.collect()}
+    want = {
+        pid: min(
+            stations, key=lambda s: (py_hav(plat, plon, s[1], s[2]), s[0])
+        )[0]
+        for pid, plat, plon in points
+    }
+    assert got == want == {10: 1, 11: 2, 12: 1, 13: 4}
+    dists = {r["point_id"]: r["distance_km"] for r in out.collect()}
+    assert dists[13] < 1.0  # near-exact station hit
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
