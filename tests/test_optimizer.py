@@ -92,3 +92,48 @@ def test_nested_schema_pruning_reads_one_field(spark, tmp_path):
     assert "keep_me" in read_schema
     assert "heavy_payload_field" not in read_schema, read_schema
     assert q.where(F.col("k") == 3).count() > 0
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """Runtime bloom-filter join pruning (Spark 3.3+): a selective filter
+    on one join side injects a bloom-filter semi-filter into the OTHER
+    side's scan, so at 100 TB the big probe side drops non-matching rows
+    before the shuffle. Thresholds are sized for clusters (10 GB scan
+    floor), so the test lowers them to make the optimization observable
+    on test data — the assertion is the mechanism, not the defaults."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, SF_DIR, "orders")
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    li.write.parquet(fact_p)
+    o.select("o_orderkey", "o_orderpriority").write.parquet(dim_p)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force a shuffle join: broadcast joins don't need the bloom filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        q = fact.join(dim, fact.l_orderkey == dim.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = _plan(q).lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan[:2000]
+        rows = q.collect()
+        assert len(rows) == 1 and rows[0]["n"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
