@@ -35,6 +35,7 @@ from etl_weather_jabar_spark.ext.sequencing import (  # noqa: E402
     pack_sequences,
 )
 from etl_weather_jabar_spark.ext.heavy_hitters import heavy_hitters  # noqa: E402
+from etl_weather_jabar_spark.ext.profiling import profile_columns  # noqa: E402
 from etl_weather_jabar_spark.ext.timeseries import dyadic_ewma  # noqa: E402
 from etl_weather_jabar_spark.operators.aggregates import winsorize  # noqa: E402
 from etl_weather_jabar_spark.ext.graph import count_triangles  # noqa: E402
@@ -402,6 +403,55 @@ def main() -> None:
             lambda: decontaminate(docs, 1),
             lambda: decontaminate(replicate(docs, k, "doc_id"), 1),
         ),
+        # typed stats agg + two-level hash-agg distinct (zero sorts); the
+        # distinct-pair shuffle scales with distinct values, not rows
+        "table_profile": (
+            lambda: profile_columns(
+                orders,
+                [
+                    ("o_orderkey", F.col("o_orderkey")),
+                    ("o_orderstatus", F.col("o_orderstatus")),
+                    (
+                        "o_totalprice_cents",
+                        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+                    ),
+                ],
+            ),
+            lambda: profile_columns(
+                replicate(orders, k, "o_orderkey"),
+                [
+                    ("o_orderkey", F.col("o_orderkey")),
+                    ("o_orderstatus", F.col("o_orderstatus")),
+                    (
+                        "o_totalprice_cents",
+                        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+                    ),
+                ],
+            ),
+        ),
+        # exact-integer OLS moment sums: partial-agg combine, 3-row shuffle
+        "regression_moments": (
+            lambda: li.groupBy("l_returnflag").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round("l_quantity").cast("bigint")).alias("sx"),
+                F.sum(
+                    F.round(F.col("l_quantity"))
+                    .cast("bigint")
+                    * F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).alias("sxy"),
+            ),
+            lambda: replicate(li, k, "l_orderkey")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round("l_quantity").cast("bigint")).alias("sx"),
+                F.sum(
+                    F.round(F.col("l_quantity"))
+                    .cast("bigint")
+                    * F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).alias("sxy"),
+            ),
+        ),
         # t-digest bounds + broadcast-back clip (the 100 TB winsorize path)
         "winsorize_approx": (
             lambda: winsorize(
@@ -435,8 +485,16 @@ def main() -> None:
         lines.append(f"| {name} | {t1:.2f} | {tk:.2f} | {tk / t1:.1f}× |")
         print(lines[-1], flush=True)
     path = os.path.join(REPO, "SCALING.md")
+    # preserve the hand-written deployment-sizing section (everything from
+    # its heading on) across regenerations — only the table is generated
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = "## Deployment sizing"
+        if marker in old:
+            tail = "\n" + old[old.index(marker):].rstrip() + "\n"
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(f"wrote {path}")
 
 
