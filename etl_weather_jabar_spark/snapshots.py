@@ -1,0 +1,149 @@
+"""Snapshot-versioned parquet tables: atomic commits, snapshot-isolated
+readers, time travel — the transactional layer the reference gets from
+MongoDB's per-document atomicity (upsert `update_one($set)` else insert,
+dags/daily_compile_weather.py:136-142) re-expressed for immutable files.
+
+Layout::
+
+    <table>/data/<commit>-partNNNN.parquet   immutable data files
+    <table>/_manifests/v{N:010d}.json        full file listing per version
+
+A commit writes its data files first, then publishes a manifest naming
+every LIVE file of the new version. Readers resolve ONE manifest and read
+exactly those files — a reader holding version N is untouched by any
+later commit (snapshot isolation), and `version=` gives time travel.
+Publication is `open(path, "x")` — atomic on POSIX; a concurrent writer
+that loses the race re-resolves and retries against the next version
+(optimistic concurrency, single winner per version).
+
+Scale notes: the manifest is O(live files) JSON — fine into the tens of
+thousands of files; production formats (Delta/Iceberg) switch to delta
+logs + checkpoints for millions, same read protocol. Data files are never
+mutated or renamed after publish, so object stores without atomic rename
+need only the tiny manifest PUT-if-absent. Orphan data files from a lost
+race are invisible (no manifest names them) and reclaimable by a GC pass
+(`vacuum`).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _versions(path: str) -> list[int]:
+    return sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(_manifest_dir(path), "v*.json"))
+    )
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(path), f"v{version:010d}.json")) as f:
+        return json.load(f)
+
+
+def snapshot_write(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` to the versioned table at ``path``; returns the new
+    version. ``mode="append"`` keeps prior files live, ``"overwrite"``
+    starts the listing fresh (old versions stay readable — overwrite is
+    logical, not physical). Retries the manifest publish on a lost race.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+
+    commit = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f"_staging-{commit}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = []
+    for i, part in enumerate(sorted(glob.glob(os.path.join(staging, "*.parquet")))):
+        name = f"{commit}-part{i:04d}.parquet"
+        os.rename(part, os.path.join(data_dir, name))
+        new_files.append(name)
+    shutil.rmtree(staging)
+
+    while True:
+        vs = _versions(path)
+        base = _read_manifest(path, vs[-1])["files"] if vs and mode == "append" else []
+        version = (vs[-1] if vs else 0) + 1
+        manifest = {
+            "version": version,
+            "op": mode,
+            "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "files": base + new_files,
+        }
+        target = os.path.join(_manifest_dir(path), f"v{version:010d}.json")
+        try:
+            with open(target, "x") as f:  # atomic create-if-absent
+                json.dump(manifest, f)
+            return version
+        except FileExistsError:
+            continue  # lost the race: re-resolve latest and retry
+
+
+def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
+    """The table as of ``version`` (default: latest). The returned plan
+    names the snapshot's exact files, so later commits cannot change what
+    this DataFrame reads."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    files = _read_manifest(path, v)["files"]
+    if not files:
+        raise FileNotFoundError(f"version {v} is empty")
+    return spark.read.parquet(
+        *[os.path.join(path, "data", f) for f in files]
+    )
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """All committed versions, oldest first: version, op, ts, n_files."""
+    out = []
+    for v in _versions(path):
+        m = _read_manifest(path, v)
+        out.append(
+            {
+                "version": m["version"],
+                "op": m["op"],
+                "ts": m["ts"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """GC: drop manifests older than the newest ``keep_versions`` and
+    delete data files no retained manifest references (orphans from lost
+    commit races are collected too). Returns the deleted file names.
+    Readers of vacuumed versions break — same contract as Delta VACUUM."""
+    vs = _versions(path)
+    keep = vs[-keep_versions:] if keep_versions > 0 else []
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v)["files"])
+    deleted = []
+    for f in glob.glob(os.path.join(path, "data", "*.parquet")):
+        if os.path.basename(f) not in live:
+            os.remove(f)
+            deleted.append(os.path.basename(f))
+    for v in vs:
+        if v not in keep:
+            os.remove(os.path.join(_manifest_dir(path), f"v{v:010d}.json"))
+    return sorted(deleted)

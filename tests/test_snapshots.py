@@ -1,0 +1,93 @@
+"""Snapshot-versioned tables: atomic commits, snapshot isolation, time
+travel, optimistic-concurrency retry, and vacuum GC."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from etl_weather_jabar_spark.snapshots import (
+    snapshot_history,
+    snapshot_read,
+    snapshot_write,
+    vacuum,
+)
+from etl_weather_jabar_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_snapshot_commit_read_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    r = load_table(spark, SF, "region")
+    n = load_table(spark, SF, "nation")
+
+    v1 = snapshot_write(r.select(F.col("r_name").alias("name")), path)
+    v2 = snapshot_write(n.select(F.col("n_name").alias("name")), path)
+    assert (v1, v2) == (1, 2)
+    assert snapshot_read(spark, path).count() == 5 + 25
+    assert snapshot_read(spark, path, version=1).count() == 5
+
+    # logical overwrite: v3 is fresh, v1/v2 still readable
+    v3 = snapshot_write(
+        r.select(F.col("r_name").alias("name")).limit(2), path, mode="overwrite"
+    )
+    assert v3 == 3
+    assert snapshot_read(spark, path).count() == 2
+    assert snapshot_read(spark, path, version=2).count() == 30
+
+    hist = snapshot_history(path)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["op"] for h in hist] == ["append", "append", "overwrite"]
+
+
+def test_snapshot_isolation_pinned_reader(spark, tmp_path):
+    """A DataFrame resolved at version N must return N's rows even after
+    later commits — the plan names the snapshot's files, so nothing a
+    writer does can change what the reader sees."""
+    path = str(tmp_path / "t")
+    r = load_table(spark, SF, "region").select(F.col("r_name").alias("name"))
+    snapshot_write(r, path)
+    pinned = snapshot_read(spark, path)  # resolves v1's file list NOW
+    snapshot_write(r, path)  # v2 doubles the table
+    snapshot_write(r, path)  # v3
+    assert pinned.count() == 5
+    assert snapshot_read(spark, path).count() == 15
+
+
+def test_snapshot_concurrent_commit_retries(spark, tmp_path):
+    """Losing the publish race must retry onto the next version, never
+    overwrite the winner's manifest."""
+    path = str(tmp_path / "t")
+    r = load_table(spark, SF, "region").select(F.col("r_name").alias("name"))
+    snapshot_write(r, path)
+    # simulate a concurrent winner taking v2
+    winner = os.path.join(path, "_manifests", f"v{2:010d}.json")
+    v1 = json.load(open(os.path.join(path, "_manifests", f"v{1:010d}.json")))
+    json.dump({**v1, "version": 2}, open(winner, "x"))
+    v = snapshot_write(r, path)
+    assert v == 3  # retried past the conflict
+    assert json.load(open(winner))["files"] == v1["files"]  # winner intact
+    assert snapshot_read(spark, path).count() == 10  # v1 files + new files
+
+
+def test_snapshot_vacuum_collects_orphans_and_old_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    r = load_table(spark, SF, "region").select(F.col("r_name").alias("name"))
+    snapshot_write(r, path)
+    snapshot_write(r.limit(3), path, mode="overwrite")
+    # orphan file (e.g. from a crashed commit): invisible, then collected
+    orphan = os.path.join(path, "data", "deadbeef-part0000.parquet")
+    open(orphan, "w").write("junk")
+    before = snapshot_read(spark, path).count()
+    deleted = vacuum(path, keep_versions=1)
+    assert "deadbeef-part0000.parquet" in deleted
+    assert snapshot_read(spark, path).count() == before == 3
+    hist = snapshot_history(path)
+    assert [h["version"] for h in hist] == [2]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, path, version=1)
