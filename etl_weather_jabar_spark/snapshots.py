@@ -147,3 +147,27 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         if v not in keep:
             os.remove(os.path.join(_manifest_dir(path), f"v{v:010d}.json"))
     return sorted(deleted)
+
+
+def snapshot_merge(
+    spark,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> int:
+    """MERGE INTO for the versioned table: apply a keyed upsert/delete log
+    (:func:`operators.diff.apply_cdc` semantics — highest ``seq`` per key
+    wins, 'D' deletes, later 'U' resurrects) onto the latest snapshot and
+    commit the result as one atomic overwrite version. Readers see either
+    the pre-merge or post-merge table, never a mix; the pre-merge version
+    stays time-travelable. Copy-on-write at table granularity — the
+    honest minimal form; per-file copy-on-write needs file↔key pruning
+    stats (the Delta/Iceberg refinement, same commit protocol)."""
+    from .operators.diff import apply_cdc
+
+    base = snapshot_read(spark, path)
+    merged = apply_cdc(base, changes, keys, seq_col=seq_col, op_col=op_col)
+    return snapshot_write(merged.drop(seq_col), path, mode="overwrite")

@@ -91,3 +91,27 @@ def test_snapshot_vacuum_collects_orphans_and_old_versions(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         snapshot_read(spark, path, version=1)
+
+
+def test_snapshot_merge_upsert_delete_atomic(spark, tmp_path):
+    """MERGE on the versioned table: upserts replace by key, deletes
+    remove, the merge is one atomic overwrite commit, and the pre-merge
+    version remains time-travelable."""
+    from etl_weather_jabar_spark.snapshots import snapshot_merge
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    snapshot_write(base, path)
+    changes = spark.createDataFrame(
+        [(2, "B", 1, "U"), (3, None, 1, "D"), (4, "d", 1, "U")],
+        ["k", "v", "seq", "op"],
+    )
+    v = snapshot_merge(spark, path, changes, ["k"])
+    assert v == 2
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, path).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # pre-merge snapshot intact
+    old = {(r["k"], r["v"]) for r in snapshot_read(spark, path, version=1).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
