@@ -53,11 +53,15 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def snapshot_write(df: DataFrame, path: str, mode: str = "append") -> int:
+def snapshot_write(
+    df: DataFrame, path: str, mode: str = "append", meta: dict | None = None
+) -> int:
     """Commit ``df`` to the versioned table at ``path``; returns the new
     version. ``mode="append"`` keeps prior files live, ``"overwrite"``
     starts the listing fresh (old versions stay readable — overwrite is
     logical, not physical). Retries the manifest publish on a lost race.
+    ``meta`` keys are recorded in the manifest (e.g. the streaming sink's
+    ``batch_id``).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
@@ -84,6 +88,7 @@ def snapshot_write(df: DataFrame, path: str, mode: str = "append") -> int:
             "op": mode,
             "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
             "files": base + new_files,
+            **(meta or {}),
         }
         target = os.path.join(_manifest_dir(path), f"v{version:010d}.json")
         try:
@@ -171,3 +176,39 @@ def snapshot_merge(
     base = snapshot_read(spark, path)
     merged = apply_cdc(base, changes, keys, seq_col=seq_col, op_col=op_col)
     return snapshot_write(merged.drop(seq_col), path, mode="overwrite")
+
+
+def committed_batch_ids(path: str) -> set[int]:
+    """Batch ids already committed by :func:`snapshot_stream_sink`."""
+    out = set()
+    for v in _versions(path):
+        b = _read_manifest(path, v).get("batch_id")
+        if b is not None:
+            out.add(int(b))
+    return out
+
+
+def snapshot_stream_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+):
+    """Exactly-once streaming sink: each micro-batch becomes ONE atomic
+    snapshot commit whose manifest records the batch id, and a replayed
+    batch (failure retry, or a restart re-delivering from the checkpoint)
+    is skipped because its id is already committed — Spark's standard
+    exactly-once contract (checkpointed offsets + idempotent-by-batchId
+    sink), here with the dedup ledger inside the table itself. Returns
+    the DataStreamWriter; caller picks the trigger and starts it.
+    """
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty() or batch_id in committed_batch_ids(path):
+            return
+        snapshot_write(batch, path, mode=mode, meta={"batch_id": batch_id})
+
+    return (
+        stream_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )

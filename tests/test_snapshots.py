@@ -115,3 +115,52 @@ def test_snapshot_merge_upsert_delete_atomic(spark, tmp_path):
     # pre-merge snapshot intact
     old = {(r["k"], r["v"]) for r in snapshot_read(spark, path, version=1).collect()}
     assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_snapshot_stream_sink_exactly_once(spark, tmp_path):
+    """Each micro-batch is one atomic snapshot commit tagged with its
+    batch id; a replayed batch id (retry or restart re-delivery) commits
+    nothing, so the table never double-counts."""
+    from etl_weather_jabar_spark.snapshots import (
+        committed_batch_ids,
+        snapshot_stream_sink,
+    )
+
+    landing = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "k INT, v STRING"
+
+    def run():
+        q = (
+            snapshot_stream_sink(
+                spark.readStream.schema(schema).json(landing), table, ckpt
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with open(f"{landing}/b1.json", "w") as f:
+        f.write(json.dumps({"k": 1, "v": "a"}))
+    run()
+    with open(f"{landing}/b2.json", "w") as f:
+        f.write(json.dumps({"k": 2, "v": "b"}))
+    run()
+
+    assert snapshot_read(spark, table).count() == 2
+    assert committed_batch_ids(table) == {0, 1}
+    hist = snapshot_history(table)
+    assert [h["version"] for h in hist] == [1, 2]
+
+    # a retry re-delivering an already-committed batch id commits nothing
+    # (the guard the sink's foreachBatch closure runs before every write)
+    from etl_weather_jabar_spark import snapshots as S
+
+    replay = spark.createDataFrame([(9, "dup")], ["k", "v"])
+    before = len(snapshot_history(table))
+    if not replay.isEmpty() and 1 not in S.committed_batch_ids(table):
+        S.snapshot_write(replay, table, meta={"batch_id": 1})
+    assert len(snapshot_history(table)) == before
+    assert snapshot_read(spark, table).count() == 2
