@@ -53,22 +53,11 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def snapshot_write(
-    df: DataFrame, path: str, mode: str = "append", meta: dict | None = None
-) -> int:
-    """Commit ``df`` to the versioned table at ``path``; returns the new
-    version. ``mode="append"`` keeps prior files live, ``"overwrite"``
-    starts the listing fresh (old versions stay readable — overwrite is
-    logical, not physical). Retries the manifest publish on a lost race.
-    ``meta`` keys are recorded in the manifest (e.g. the streaming sink's
-    ``batch_id``).
-    """
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"unsupported mode: {mode}")
+def _write_data_files(df: DataFrame, path: str) -> list[str]:
+    """Write ``df`` into immutable data files; returns their names.
+    Files exist but are invisible until a manifest names them."""
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    os.makedirs(_manifest_dir(path), exist_ok=True)
-
     commit = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f"_staging-{commit}")
     df.write.mode("overwrite").parquet(staging)
@@ -78,16 +67,46 @@ def snapshot_write(
         os.rename(part, os.path.join(data_dir, name))
         new_files.append(name)
     shutil.rmtree(staging)
+    return new_files
 
+
+def _file_stats(spark, path: str, files: list[str], cols: list[str]) -> dict:
+    """Per-file min/max of ``cols`` — one column-pruned scan of just the
+    named files: ``{file: {col: [lo, hi]}}`` (the manifest-side analogue
+    of parquet footer stats, queryable without opening footers)."""
+    from pyspark.sql import functions as F
+
+    if not files:
+        return {}
+    df = spark.read.parquet(*[os.path.join(path, "data", f) for f in files])
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+    rows = (
+        df.groupBy(F.col("_metadata.file_name").alias("f")).agg(*aggs).collect()
+    )
+    return {
+        r["f"]: {c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols} for r in rows
+    }
+
+
+def _publish(path: str, build) -> int:
+    """Atomically publish the next version. ``build(latest_manifest)``
+    returns ``(files, op, meta, stats)`` and is re-invoked on a lost
+    create-if-absent race, so an append that loses includes the winner's
+    files on retry (no lost update)."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
     while True:
         vs = _versions(path)
-        base = _read_manifest(path, vs[-1])["files"] if vs and mode == "append" else []
+        latest = _read_manifest(path, vs[-1]) if vs else None
+        files, op, meta, stats = build(latest)
         version = (vs[-1] if vs else 0) + 1
         manifest = {
             "version": version,
-            "op": mode,
+            "op": op,
             "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
-            "files": base + new_files,
+            "files": files,
+            "stats": stats,
             **(meta or {}),
         }
         target = os.path.join(_manifest_dir(path), f"v{version:010d}.json")
@@ -97,6 +116,46 @@ def snapshot_write(
             return version
         except FileExistsError:
             continue  # lost the race: re-resolve latest and retry
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    meta: dict | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Commit ``df`` to the versioned table at ``path``; returns the new
+    version. ``mode="append"`` keeps prior files live, ``"overwrite"``
+    starts the listing fresh (old versions stay readable — overwrite is
+    logical, not physical). Retries the manifest publish on a lost race.
+    ``meta`` keys are recorded in the manifest (e.g. the streaming sink's
+    ``batch_id``); ``stats_cols`` records per-file min/max for those
+    columns, which :func:`snapshot_merge` uses for copy-on-write file
+    pruning (carried-forward files keep their recorded stats).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+    new_files = _write_data_files(df, path)
+    stats = (
+        _file_stats(df.sparkSession, path, new_files, stats_cols)
+        if stats_cols
+        else {}
+    )
+
+    def build(latest):
+        if latest and mode == "append":
+            base, base_stats = latest["files"], latest.get("stats", {})
+        else:
+            base, base_stats = [], {}
+        return (
+            base + new_files,
+            mode,
+            meta,
+            {**{f: s for f, s in base_stats.items() if f in base}, **stats},
+        )
+
+    return _publish(path, build)
 
 
 def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
@@ -176,6 +235,93 @@ def snapshot_merge(
     base = snapshot_read(spark, path)
     merged = apply_cdc(base, changes, keys, seq_col=seq_col, op_col=op_col)
     return snapshot_write(merged.drop(seq_col), path, mode="overwrite")
+
+
+def snapshot_merge_pruned(
+    spark,
+    path: str,
+    changes: DataFrame,
+    key: str,
+    *,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    max_change_keys: int = 100_000,
+) -> int:
+    """Per-FILE copy-on-write MERGE: using the manifest's recorded
+    min/max stats for ``key`` (``snapshot_write(stats_cols=[key])``),
+    only files whose key range can contain a changed key are rewritten;
+    every other file is carried forward BY NAME — at 100 TB with a
+    clustered key this turns a full-table rewrite into touching a few
+    files, which is the entire point of Delta/Iceberg MERGE.
+
+    The changed-key set is collected when ≤ ``max_change_keys`` (exact
+    per-file membership against the [lo, hi] ranges — range overlap
+    alone would touch every file between min and max changed key);
+    larger change sets, or files with no recorded stats, degrade
+    conservatively to "touched". Same apply_cdc semantics as
+    :func:`snapshot_merge`; inserts of unseen keys land in the rewritten
+    file set. One atomic 'merge' commit; pre-merge version time-travels.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.diff import apply_cdc
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    latest = _read_manifest(path, vs[-1])
+    files, stats = latest["files"], latest.get("stats", {})
+
+    n_keys = changes.select(key).distinct().count()
+    if n_keys > max_change_keys:
+        return snapshot_merge(
+            spark, path, changes, [key], seq_col=seq_col, op_col=op_col
+        )
+    ckeys = sorted(
+        r[key] for r in changes.select(key).distinct().collect()
+    )
+
+    import bisect
+
+    def touched(f: str) -> bool:
+        s = stats.get(f, {}).get(key)
+        if s is None or s[0] is None:
+            return True  # no stats recorded -> conservative rewrite
+        i = bisect.bisect_left(ckeys, s[0])
+        return i < len(ckeys) and ckeys[i] <= s[1]
+
+    hot = [f for f in files if touched(f)]
+    cold = [f for f in files if f not in set(hot)]
+    if hot:
+        hot_df = spark.read.parquet(
+            *[os.path.join(path, "data", f) for f in hot]
+        )
+    else:
+        hot_df = snapshot_read(spark, path).limit(0)
+    merged = apply_cdc(
+        hot_df, changes, [key], seq_col=seq_col, op_col=op_col
+    ).drop(seq_col)
+    new_files = _write_data_files(merged, path)
+    new_stats = _file_stats(spark, path, new_files, [key])
+
+    def build(latest_m):
+        # cold files must still be live in the latest manifest (a racing
+        # writer may have replaced them) — otherwise retry from its view
+        live = set(latest_m["files"]) if latest_m else set()
+        carried = [f for f in cold if f in live]
+        kept_stats = {
+            f: s
+            for f, s in (latest_m.get("stats", {}) if latest_m else {}).items()
+            if f in carried
+        }
+        return (
+            carried + new_files,
+            "merge",
+            None,
+            {**kept_stats, **new_stats},
+        )
+
+    return _publish(path, build)
 
 
 def committed_batch_ids(path: str) -> set[int]:

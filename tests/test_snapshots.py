@@ -164,3 +164,50 @@ def test_snapshot_stream_sink_exactly_once(spark, tmp_path):
         S.snapshot_write(replay, table, meta={"batch_id": 1})
     assert len(snapshot_history(table)) == before
     assert snapshot_read(spark, table).count() == 2
+
+
+def test_snapshot_merge_pruned_rewrites_only_touched_files(spark, tmp_path):
+    """File-granular copy-on-write MERGE: with per-file key stats in the
+    manifest, only files whose key range contains a changed key are
+    rewritten; the rest carry forward BY NAME (byte-identical), and the
+    result equals a full-table merge."""
+    from etl_weather_jabar_spark.snapshots import snapshot_merge_pruned
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    # 4 disjoint-key-range files via range partitioning on k
+    snapshot_write(
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=["k"],
+    )
+    m1 = snapshot_history(path)
+    assert m1[-1]["n_files"] == 4
+
+    # changes hit only keys 10..15 (one file's range) + insert key 1000
+    changes = spark.createDataFrame(
+        [(10, "X", 1, "U"), (15, None, 1, "D"), (1000, "new", 1, "U")],
+        ["k", "v", "seq", "op"],
+    )
+    v = snapshot_merge_pruned(spark, path, changes, "k")
+    assert v == 2
+
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, path).collect()}
+    want = {(i, f"v{i}") for i in range(100) if i != 15}
+    want.discard((10, "v10")); want.add((10, "X")); want.add((1000, "new"))
+    assert got == want
+
+    # at least 2 of the original 4 files carried forward by name
+    import json as J
+    import os as O
+
+    v1 = J.load(open(O.path.join(path, "_manifests", f"v{1:010d}.json")))
+    v2 = J.load(open(O.path.join(path, "_manifests", f"v{2:010d}.json")))
+    carried = set(v1["files"]) & set(v2["files"])
+    assert len(carried) >= 2, (v1["files"], v2["files"])
+    assert v2["op"] == "merge"
+    # carried files keep their stats entries
+    for f in carried:
+        assert v2["stats"][f] == v1["stats"][f]
