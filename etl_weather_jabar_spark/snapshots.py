@@ -358,3 +358,44 @@ def snapshot_stream_sink(
         stream_df.writeStream.foreachBatch(commit)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def snapshot_scan(
+    spark,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping read: open ONLY the files whose recorded [min, max]
+    for ``col`` intersects [lo, hi] (manifest stats from
+    ``snapshot_write(stats_cols=...)``), then apply the exact predicate —
+    the reader-side twin of :func:`snapshot_merge_pruned`'s pruning, and
+    the manifest-level form of parquet footer skipping: with a clustered
+    ``col`` a selective scan opens a handful of files out of thousands.
+    Files without stats are read conservatively. Same rows as
+    ``snapshot_read(...).where(lo <= col <= hi)``, by construction.
+    """
+    from pyspark.sql import functions as F
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+
+    def may_match(f: str) -> bool:
+        s = stats.get(f, {}).get(col)
+        if s is None or s[0] is None:
+            return True
+        return not (s[1] < lo or s[0] > hi)
+
+    picked = [f for f in m["files"] if may_match(f)]
+    if not picked:
+        return snapshot_read(spark, path, version=v).where(F.lit(False))
+    df = spark.read.parquet(
+        *[os.path.join(path, "data", f) for f in picked]
+    )
+    return df.where((F.col(col) >= lo) & (F.col(col) <= hi))

@@ -211,3 +211,28 @@ def test_snapshot_merge_pruned_rewrites_only_touched_files(spark, tmp_path):
     # carried files keep their stats entries
     for f in carried:
         assert v2["stats"][f] == v1["stats"][f]
+
+
+def test_snapshot_scan_skips_files_by_stats(spark, tmp_path):
+    """Reader-side data skipping: a selective range predicate on the
+    stats column opens only the intersecting files (visible in the
+    plan's file listing), and returns exactly the filtered rows."""
+    from etl_weather_jabar_spark.snapshots import snapshot_scan
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    snapshot_write(
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=["k"],
+    )
+    out = snapshot_scan(spark, path, "k", 10, 15)
+    got = sorted(r["k"] for r in out.collect())
+    assert got == list(range(10, 16))
+    # the scan physically opens fewer files than the table has
+    n_read = out.select(F.input_file_name()).distinct().count()
+    assert n_read <= 2, n_read
+    # empty intersection short-circuits to zero rows
+    assert snapshot_scan(spark, path, "k", 5000, 6000).count() == 0
