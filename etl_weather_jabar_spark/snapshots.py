@@ -232,7 +232,12 @@ def snapshot_merge(
     stats (the Delta/Iceberg refinement, same commit protocol)."""
     from .operators.diff import apply_cdc
 
-    base = snapshot_read(spark, path)
+    try:
+        base = snapshot_read(spark, path)
+    except FileNotFoundError:
+        # MERGE into a not-yet-created table: base is empty with the
+        # change log's row schema (Delta's create-on-first-merge shape)
+        base = changes.drop(seq_col, op_col).limit(0)
     merged = apply_cdc(base, changes, keys, seq_col=seq_col, op_col=op_col)
     return snapshot_write(merged.drop(seq_col), path, mode="overwrite")
 

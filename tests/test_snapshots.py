@@ -236,3 +236,90 @@ def test_snapshot_scan_skips_files_by_stats(spark, tmp_path):
     assert n_read <= 2, n_read
     # empty intersection short-circuits to zero rows
     assert snapshot_scan(spark, path, "k", 5000, 6000).count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# unique keys per batch (dict); the test offsets keys by batch index so
+# appends never duplicate a key across batches — duplicate base keys under
+# a merge hit apply_cdc's DOCUMENTED equal-seq-arbitrary tie, which is not
+# what this property pins (keyed tables are fed keyed writes)
+_KV = st.dictionaries(st.integers(0, 7), st.integers(0, 99), min_size=1, max_size=4)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _KV),
+        st.tuples(st.just("overwrite"), _KV),
+        st.tuples(
+            st.just("merge"),
+            # (source_batch, k, v, op): the key is k + 10·(source % i), so
+            # merges only touch key spaces of batches that already ran —
+            # a merge-inserted key can never collide with a LATER append's
+            # space, keeping base keys unique (no equal-seq-tie ambiguity)
+            st.lists(
+                st.tuples(
+                    st.integers(0, 3),
+                    st.integers(0, 7),
+                    st.integers(0, 99),
+                    st.sampled_from(["U", "D"]),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_OPS)
+@settings(max_examples=5, deadline=None)
+def test_snapshot_ops_match_python_replay(spark, tmp_path_factory, ops):
+    """Any interleaving of append/overwrite/merge commits must equal a
+    pure-Python replay of the same operations on a keyed model — and
+    every intermediate version must still time-travel to its own replay
+    state. Write batches carry unique keys (the keyed-table contract)."""
+    from etl_weather_jabar_spark.snapshots import snapshot_merge
+
+    path = str(tmp_path_factory.mktemp("snap") / "t")
+    model: dict[int, int] = {}
+    states = []
+    for i, (kind, payload) in enumerate(ops):
+        if kind in ("append", "overwrite"):
+            rows = [(k + 10 * i, v) for k, v in sorted(payload.items())]
+            snapshot_write(
+                spark.createDataFrame(rows, "k INT, v INT"),
+                path,
+                mode=kind,
+            )
+            if kind == "overwrite":
+                model = dict(rows)
+            else:
+                model.update(dict(rows))
+        else:
+            keyed = [
+                (k + 10 * (src % max(i, 1)), v, op)
+                for src, k, v, op in payload
+            ]
+            changes = spark.createDataFrame(
+                [(k, v, j + 1, op) for j, (k, v, op) in enumerate(keyed)],
+                "k INT, v INT, seq INT, op STRING",
+            )
+            snapshot_merge(spark, path, changes, ["k"])
+            for k, v, op in keyed:
+                if op == "U":
+                    model[k] = v
+                else:
+                    model.pop(k, None)
+        states.append((len(snapshot_history(path)), dict(model)))
+
+    got = {r["k"]: r["v"] for r in snapshot_read(spark, path).collect()}
+    assert got == model
+    # time travel: each recorded version replays its own model state
+    for version, snap_model in states:
+        g = {
+            r["k"]: r["v"]
+            for r in snapshot_read(spark, path, version=version).collect()
+        }
+        assert g == snap_model
