@@ -6597,4 +6597,48 @@ def argmax_filter_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ARGMAX_SQL.replace("//", "DIV"))
 
 
+@_register(
+    "collation_group_counts",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN hash(t) % 2 = 0 THEN upper(t) ELSE t END AS t2
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                            '\\s+'),
+                                      x -> x <> '')) AS t
+            FROM documents)
+    )
+    SELECT lower(t2) AS token, count(*) AS n
+    FROM toks GROUP BY 1 HAVING count(*) >= 10
+    """,
+)
+def collation_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated grouping (Spark 4 collations): tokens are re-cased by a
+    deterministic hash, then grouped under ``COLLATE UTF8_LCASE`` — the
+    engine's case-insensitive equality does the folding, not an explicit
+    lower(). The emitted key is ``lower(ck)``: the group representative's
+    case is engine-arbitrary (any member can win), but all members of a
+    UTF8_LCASE group differ only by case, so lower() collapses them to
+    one deterministic spelling — which is exactly the oracle's
+    group-by-lower() twin. Note the hash() recase differs between
+    engines; determinism comes from BOTH sides lower-folding, so the mix
+    of cases is irrelevant to the result.
+    """
+    from .sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        r"""
+        WITH toks AS (
+          SELECT CASE WHEN hash(t) % 2 = 0 THEN upper(t) ELSE t END AS t2
+          FROM (SELECT explode(filter(split(lower(text), '\\s+'),
+                                      x -> x != '')) AS t
+                FROM documents)
+        )
+        SELECT CAST(lower(ck) AS STRING) AS token, count(*) AS n
+        FROM (SELECT t2 COLLATE UTF8_LCASE AS ck FROM toks)
+        GROUP BY ck HAVING count(*) >= 10
+        """
+    )
+
+
 ALL = sorted(QUERIES)
