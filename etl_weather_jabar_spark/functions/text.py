@@ -102,3 +102,29 @@ def feature_hash_slot(token: Column, dim: int, salt: str = "fh") -> Column:
         F.substring(F.md5(F.concat(token, F.lit(":" + salt))), 1, 8), 16, 10
     ).cast("bigint")
     return F.pmod(h, F.lit(dim))
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround, explicit character classes.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def redact_pii(col: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4", "ssn")) -> Column:
+    """Replace each PII match with a ``<KIND>`` tag — the corpus-scrubbing
+    pass every training pipeline runs before tokenization. Pure
+    regexp_replace chain: codegen'd, order fixed (email first so phone's
+    digit runs can't eat an address's digits), no UDF."""
+    out = col
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(col: Column, kind: str) -> Column:
+    """Occurrences of one PII kind (``regexp_count`` — JVM-side)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind]))

@@ -6641,4 +6641,96 @@ def collation_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?"
+
+
+@_register(
+    "pii_redact_stats",
+    f"""
+    WITH seeded AS (
+      SELECT source,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN ' mail u' || CAST(doc_id AS VARCHAR)
+                               || '@example.com now'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN ' call +62 812 5550 ' ||
+                               CAST(1000 + doc_id % 9000 AS VARCHAR)
+                          ELSE '' END AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT source,
+             len(regexp_extract_all(t, '{_PII_EMAIL}'))  AS n_email,
+             len(regexp_extract_all(t, '{_PII_PHONE}'))  AS n_phone,
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')            AS clean
+      FROM seeded
+    )
+    SELECT source,
+           count(*)                                    AS n_docs,
+           CAST(sum(n_email) AS BIGINT)                AS emails_redacted,
+           CAST(sum(n_phone) AS BIGINT)                AS phones_redacted,
+           CAST(sum(CASE WHEN clean LIKE '%<EMAIL>%'
+                          OR clean LIKE '%<PHONE>%'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+           CAST(sum(len(clean)) AS BIGINT)             AS clean_chars
+    FROM red GROUP BY source
+    """,
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrubbing (functions/text.py::redact_pii): the synthetic
+    documents carry no PII, so the query first SEEDS deterministic
+    emails/phones by doc_id (identical expression on both engines), then
+    redacts with the shared patterns — chosen to parse identically under
+    Java regex and RE2 (no backrefs/lookaround) — and reports per-source
+    redaction counts plus post-redaction character mass. Pure
+    regexp_replace/regexp_count chain: codegen'd, no UDF, one shuffle.
+    """
+    from .functions.text import pii_counts, redact_pii
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    seeded = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" mail u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call +62 812 5550 "),
+                    (1000 + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    red = seeded.select(
+        "source",
+        pii_counts(F.col("t"), "email").alias("n_email"),
+        pii_counts(F.col("t"), "phone").alias("n_phone"),
+        redact_pii(F.col("t"), kinds=("email", "phone")).alias("clean"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails_redacted"),
+        F.sum("n_phone").alias("phones_redacted"),
+        F.sum(
+            (
+                F.col("clean").contains("<EMAIL>")
+                | F.col("clean").contains("<PHONE>")
+            ).cast("bigint")
+        ).alias("docs_touched"),
+        F.sum(F.length("clean")).alias("clean_chars"),
+    )
+
+
 ALL = sorted(QUERIES)

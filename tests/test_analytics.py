@@ -114,3 +114,30 @@ def test_shuffle_shards_deterministic_append_stable_and_complete(spark):
 
     counts = Counter(s for s, _ in a.values())
     assert max(counts.values()) < 2 * (2000 / 8)
+
+
+def test_redact_pii_all_kinds(spark):
+    from etl_weather_jabar_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or call +1-555-0199 now"),
+            (2, "server 10.0.12.9 holds ssn 123-45-6789"),
+            (3, "clean text, no pii at all"),
+        ],
+        ["id", "t"],
+    )
+    out = {
+        r["id"]: r["clean"]
+        for r in df.select(
+            "id", redact_pii(F.col("t")).alias("clean")
+        ).collect()
+    }
+    assert out[1] == "mail <EMAIL> or call <PHONE> now"
+    assert out[2] == "server <IPV4> holds ssn <SSN>"
+    assert out[3] == "clean text, no pii at all"
+    counts = df.select(
+        F.sum(pii_counts(F.col("t"), "email")).alias("e"),
+        F.sum(pii_counts(F.col("t"), "ssn")).alias("s"),
+    ).collect()[0]
+    assert (counts["e"], counts["s"]) == (1, 1)
