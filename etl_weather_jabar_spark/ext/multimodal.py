@@ -1,12 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no codec libraries, so the decode kernels are STUBS —
-`_decode_image_stub` raises unless `fake=True`, in which case a
-deterministic fake (seeded from the content hash) stands in. What IS real
-and tested: the schema, the Arrow-batched ``mapInPandas`` plumbing, the
-batch shapes, and the partitioning strategy — which is the part that has to
-be right at 100 TB (binary payloads never shuffle unless the operator needs
-them; metadata-only stages prune the blob column).
+Two decode tiers:
+
+* REAL, codec-free (bottom of file): binary PPM images and 16-bit PCM WAV
+  parse with stdlib + numpy alone — `decode_ppm`/`decode_wav_pcm16`,
+  `extract_features_real` (true dimensions, channel means, RMS energy,
+  duration), `resize_ppm_images` (nearest-neighbour, re-encoded). Tested
+  against numpy ground truth computed outside Spark.
+* STUBS for compressed formats (JPEG/PNG/MP3/H.264): the container has no
+  codec libraries, so `_decode_image_stub` raises unless `fake=True`, in
+  which case a deterministic fake (seeded from the content hash) stands in.
+
+In both tiers what the 100 TB story depends on is identical and fully
+tested: the schema, the Arrow-batched ``mapInPandas`` plumbing, the batch
+shapes, and the partitioning strategy (binary payloads never shuffle unless
+the operator needs them; metadata-only stages prune the blob column).
 """
 
 from __future__ import annotations
@@ -199,3 +207,174 @@ def synthetic_media(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
         (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec-free decoders: PPM (P6) images and PCM WAV audio parse with
+# stdlib + numpy alone, so for these formats the decode path is genuinely
+# functional in this container — the NotImplementedError stubs above remain
+# only for compressed formats (JPEG/PNG/MP3/H.264) that need codec libs.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6) bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "PPM is RGB"
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6) bytes → (h, w, 3) uint8 numpy array. Raises
+    ValueError on anything that is not a P6 with maxval 255."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    parts: list[bytes] = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(parts[0]), int(parts[1]), int(parts[2])
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples, rate: int = 16000) -> bytes:
+    """int16 mono samples → WAV (PCM) bytes via the stdlib wave module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes):
+    """WAV (16-bit PCM) bytes → (rate, int16 numpy array)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        rate = wf.getframerate()
+        data = np.frombuffer(
+            wf.readframes(wf.getnframes()), dtype=np.int16
+        )
+    return rate, data
+
+
+REAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("mean_r", StringType(), True),   # fixed 4-dp strings:
+        StructField("mean_g", StringType(), True),   # deterministic across
+        StructField("mean_b", StringType(), True),   # numpy versions
+        StructField("rms", StringType(), True),
+    ]
+)
+
+
+def extract_features_real(media: DataFrame) -> DataFrame:
+    """REAL decode + featurize for codec-free formats ('image/x-ppm' →
+    per-channel means + true dimensions; 'audio/wav' → RMS energy + true
+    duration). Same Arrow/mapInPandas shape as the stub path; unsupported
+    mimes yield nulls rather than poisoning the batch (quarantine-style).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, mime, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["mime"], pdf["payload"]
+            ):
+                w = h = dur = mr = mg = mb = rms = None
+                try:
+                    if mime == "image/x-ppm":
+                        a = decode_ppm(payload)
+                        h, w = int(a.shape[0]), int(a.shape[1])
+                        m = a.reshape(-1, 3).mean(axis=0)
+                        mr, mg, mb = (f"{x:.4f}" for x in m)
+                    elif mime == "audio/wav":
+                        rate, data = decode_wav_pcm16(payload)
+                        dur = int(len(data) * 1000 // max(rate, 1))
+                        if len(data):
+                            rms = f"{float(np.sqrt(np.mean(data.astype(np.float64) ** 2))):.4f}"
+                except (ValueError, EOFError):
+                    pass  # unsupported/corrupt → null feature row
+                rows.append((mid, kind, w, h, dur, mr, mg, mb, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height", "duration_ms",
+                    "mean_r", "mean_g", "mean_b", "rms",
+                ],
+            )
+
+    return media.select("media_id", "kind", "mime", "payload").mapInPandas(
+        run, schema=REAL_FEATURE_SCHEMA
+    )
+
+
+def resize_ppm_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbour resize for PPM payloads (numpy index
+    striding — no codec libs), re-encoded as PPM. Non-PPM mimes pass
+    through untouched. Same 1→1 payload-replacing shape as resize_images.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            new_pay, new_w, new_h = [], [], []
+            for mime, payload, w0, h0 in zip(
+                pdf["mime"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                if mime == "image/x-ppm":
+                    a = decode_ppm(payload)
+                    ys = (np.arange(height) * a.shape[0] // height).astype(int)
+                    xs = (np.arange(width) * a.shape[1] // width).astype(int)
+                    new_pay.append(encode_ppm(a[ys][:, xs]))
+                    new_w.append(width)
+                    new_h.append(height)
+                else:
+                    new_pay.append(payload)
+                    new_w.append(w0)
+                    new_h.append(h0)
+            out["payload"] = new_pay
+            out["width"] = new_w
+            out["height"] = new_h
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)

@@ -102,3 +102,81 @@ def test_sample_frames_fanout(spark):
         assert [r["frame_idx"] for r in rows] == list(range(n))
         assert all(r["ts_ms"] == r["frame_idx"] * 500 for r in rows)
         assert all(len(r["payload"]) == 16 for r in rows)
+
+
+def test_real_ppm_and_wav_feature_extraction(spark):
+    """The codec-free decode path is REAL: PPM images and PCM WAVs are
+    synthesized in-test, shipped as binary payloads through the Arrow
+    mapInPandas pipeline, and the extracted dimensions / channel means /
+    RMS match numpy ground truth computed outside Spark. Unsupported
+    mimes yield null feature rows instead of failing the batch."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        encode_ppm,
+        encode_wav_pcm16,
+        extract_features_real,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint16).astype(
+        np.uint8
+    )
+    t = np.arange(16000, dtype=np.float64) / 16000.0
+    wav = (np.sin(2 * np.pi * 440 * t) * 10000).astype(np.int16)
+
+    rows = [
+        (1, "image", bytearray(encode_ppm(img)), "image/x-ppm", None, None, None),
+        (2, "audio", bytearray(encode_wav_pcm16(wav)), "audio/wav", None, None, None),
+        (3, "image", bytearray(b"\x89PNG junk"), "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features_real(media).collect()}
+
+    # image: true dims + channel means to 4 dp
+    assert (out[1]["width"], out[1]["height"]) == (32, 24)
+    want = img.reshape(-1, 3).mean(axis=0)
+    assert out[1]["mean_r"] == f"{want[0]:.4f}"
+    assert out[1]["mean_b"] == f"{want[2]:.4f}"
+
+    # audio: exact duration + RMS of the sine (~10000/sqrt(2))
+    assert out[2]["duration_ms"] == 1000
+    got_rms = float(out[2]["rms"])
+    assert abs(got_rms - 10000 / np.sqrt(2)) < 20
+
+    # compressed format without codec libs -> null features, row survives
+    assert out[3]["width"] is None and out[3]["rms"] is None
+
+
+def test_real_ppm_resize_nearest_neighbour(spark):
+    """resize_ppm_images produces a REAL thumbnail: decoded output has the
+    target shape and every pixel equals the nearest-neighbour source
+    pixel; non-PPM rows pass through untouched."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_ppm_images,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint16).astype(
+        np.uint8
+    )
+    rows = [
+        (1, "image", bytearray(encode_ppm(img)), "image/x-ppm", 16, 16, None),
+        (2, "image", bytearray(b"raw"), "application/octet-stream", 9, 9, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r for r in resize_ppm_images(media, 4, 4).collect()
+    }
+    small = decode_ppm(bytes(out[1]["payload"]))
+    assert small.shape == (4, 4, 3)
+    ys = (np.arange(4) * 16 // 4).astype(int)
+    xs = (np.arange(4) * 16 // 4).astype(int)
+    assert (small == img[ys][:, xs]).all()
+    assert (out[1]["width"], out[1]["height"]) == (4, 4)
+    assert bytes(out[2]["payload"]) == b"raw"
+    assert (out[2]["width"], out[2]["height"]) == (9, 9)
