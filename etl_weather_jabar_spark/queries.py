@@ -6733,4 +6733,108 @@ def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pit_scd2_lookup",
+    """
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), chg AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM o WHERE prev IS NULL OR prev <> event_type
+    ), scd AS (
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS vf,
+               coalesce(strftime(lead(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id),
+                   '%Y-%m-%d %H:%M:%S'), '') AS vt
+        FROM chg
+    ), p AS (
+        SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t FROM events
+        WHERE event_id <= (SELECT max(event_id) // 2 FROM events)
+    )
+    SELECT event_type, count(*) AS n_users
+    FROM scd, p WHERE vf <= t AND (vt = '' OR t < vt)
+    GROUP BY 1
+    """,
+)
+def pit_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension: how many users
+    were in each status AT time T — the temporal-join shape every
+    feature-store / training-label pipeline needs (no future leakage:
+    the row whose [valid_from, valid_to) contains T, not the latest
+    row). T is data-derived and deterministic (latest ts among the
+    first half of event ids — a 1-row broadcast), and interval
+    membership compares canonical timestamp STRINGS, the reference's
+    own stringly-typed-time trick (lexicographic = chronological).
+    Shape: one key-partitioned sort builds the intervals, a broadcast
+    probe filters them — no data-sized join.
+    """
+    from .operators.scd import scd2_from_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    scd = scd2_from_changes(
+        ev, "user_id", [F.col("ts"), F.col("event_id")], ["event_type"]
+    ).select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from_0", "yyyy-MM-dd HH:mm:ss").alias("vf"),
+        F.coalesce(
+            F.date_format("valid_to_0", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("vt"),
+    )
+    half = ev.agg((F.max("event_id") / 2).cast("bigint").alias("h"))
+    probe = (
+        ev.crossJoin(F.broadcast(half))
+        .where(F.col("event_id") <= F.col("h"))
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("t"))
+    )
+    return (
+        scd.crossJoin(F.broadcast(probe))
+        .where(
+            (F.col("vf") <= F.col("t"))
+            & ((F.col("vt") == "") | (F.col("t") < F.col("vt")))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_register(
+    "percentile_disc_surface",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.5)  AS p50,
+           quantile_disc(value, 0.9)  AS p90,
+           count(value) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_disc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate surface: ``percentile_disc(p) WITHIN GROUP``
+    (SQL:2003 inverse-distribution). Discrete percentiles return an
+    ACTUAL data value — no interpolation, no float synthesis — so raw
+    doubles compare bit-exactly across engines (both Spark and DuckDB
+    pick the lower element at even counts; probed before landing).
+    Contrast with median_value_per_type, which pins the CONTINUOUS
+    (interpolating) form.
+    """
+    from .sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               count(value) AS n
+        FROM events GROUP BY event_type
+        """
+    )
+
+
 ALL = sorted(QUERIES)
