@@ -404,3 +404,44 @@ def snapshot_scan(
         *[os.path.join(path, "data", f) for f in picked]
     )
     return df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def snapshot_optimize(
+    spark,
+    path: str,
+    zorder_cols: list[str] | None = None,
+    n_files: int = 8,
+    bits: int = 8,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE as a snapshot commit: rewrite the latest version's rows
+    into ``n_files`` right-sized files — Z-order clustered when
+    ``zorder_cols`` is given — and publish atomically as a new version.
+    Readers keep snapshot isolation throughout (pre-optimize versions
+    remain time-travelable; a reader mid-scan of vN is untouched).
+    ``stats_cols`` defaults to ``zorder_cols``, so the rewritten files'
+    manifests carry the min/max ranges that make :func:`snapshot_scan`
+    and :func:`snapshot_merge_pruned` effective — clustering is what
+    turns those stats from decoration into pruning.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.partitioning import zorder_key
+
+    df = snapshot_read(spark, path)
+    if zorder_cols:
+        out = (
+            zorder_key(df, zorder_cols, bits=bits)
+            .repartitionByRange(n_files, F.col("zkey"))
+            .sortWithinPartitions("zkey")
+            .drop("zkey")
+        )
+    else:
+        out = df.coalesce(n_files)
+    return snapshot_write(
+        out,
+        path,
+        mode="overwrite",
+        meta={"optimized": True},
+        stats_cols=stats_cols or zorder_cols,
+    )
