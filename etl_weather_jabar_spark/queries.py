@@ -6837,4 +6837,70 @@ def percentile_disc_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "weighted_median_price",
+    """
+    WITH u AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem
+    ), c AS (
+      SELECT rf, cents, q,
+             sum(q) OVER (PARTITION BY rf ORDER BY cents
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cumq,
+             sum(q) OVER (PARTITION BY rf) AS totq
+      FROM u
+    )
+    SELECT rf AS l_returnflag,
+           CAST(min(cents) AS DOUBLE) / 100.0 AS weighted_median_price,
+           CAST(min(totq) AS BIGINT) AS total_qty
+    FROM c WHERE 2 * cumq >= totq
+    GROUP BY rf
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median price per returnflag — the smallest price
+    whose cumulative quantity reaches half the group total (lower
+    weighted median, an actual data value). The running sum uses a RANGE
+    frame ordered by price alone, so equal-price rows share one
+    cumulative value and the crossing point is order-invariant — no
+    tie-break column needed, deterministic under any parallelism. All
+    arithmetic in integer cents/units; 2·cum ≥ tot avoids the half-point
+    division entirely. One shuffle (the window partition), reused by the
+    final aggregate.
+    """
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+    )
+    wc = (
+        W.partitionBy("rf")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wt = W.partitionBy("rf")
+    c = u.select(
+        "rf",
+        "cents",
+        F.sum("q").over(wc).alias("cumq"),
+        F.sum("q").over(wt).alias("totq"),
+    )
+    return (
+        c.where(2 * F.col("cumq") >= F.col("totq"))
+        .groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(
+            (F.min("cents").cast("double") / 100.0).alias(
+                "weighted_median_price"
+            ),
+            F.min("totq").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)
