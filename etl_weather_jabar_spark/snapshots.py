@@ -344,20 +344,37 @@ def snapshot_stream_sink(
     path: str,
     checkpoint_dir: str,
     mode: str = "append",
+    optimize_every: int | None = None,
+    zorder_cols: list[str] | None = None,
+    n_files: int = 8,
 ):
     """Exactly-once streaming sink: each micro-batch becomes ONE atomic
     snapshot commit whose manifest records the batch id, and a replayed
     batch (failure retry, or a restart re-delivering from the checkpoint)
     is skipped because its id is already committed — Spark's standard
     exactly-once contract (checkpointed offsets + idempotent-by-batchId
-    sink), here with the dedup ledger inside the table itself. Returns
-    the DataStreamWriter; caller picks the trigger and starts it.
+    sink), here with the dedup ledger inside the table itself.
+
+    ``optimize_every=N`` folds table maintenance into the stream: after
+    every Nth batch commit the sink runs :func:`snapshot_optimize`
+    (compaction, z-order-clustered when ``zorder_cols`` given) — the
+    answer to micro-batch small-file accretion without a separate
+    maintenance job. The optimize commit carries no batch id, so replay
+    dedup is unaffected; readers stay snapshot-isolated throughout.
+    Returns the DataStreamWriter; caller picks the trigger and starts it.
     """
 
     def commit(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty() or batch_id in committed_batch_ids(path):
             return
         snapshot_write(batch, path, mode=mode, meta={"batch_id": batch_id})
+        if optimize_every and (batch_id + 1) % optimize_every == 0:
+            snapshot_optimize(
+                batch.sparkSession,
+                path,
+                zorder_cols=zorder_cols,
+                n_files=n_files,
+            )
 
     return (
         stream_df.writeStream.foreachBatch(commit)

@@ -368,3 +368,45 @@ def test_snapshot_optimize_clusters_and_records_stats(spark, tmp_path):
     # (observed 4-5 of 8); the win is skipping the x-disjoint rest
     n_read = out.select(F.input_file_name()).distinct().count()
     assert n_read <= 6, n_read
+
+
+def test_snapshot_stream_sink_auto_optimize(spark, tmp_path):
+    """Streaming maintenance policy: with optimize_every=2, every second
+    batch commit is followed by an OPTIMIZE commit — small-file accretion
+    is repaired inside the stream, replay dedup is unaffected, and no
+    rows are lost or duplicated."""
+    from etl_weather_jabar_spark.snapshots import (
+        committed_batch_ids,
+        snapshot_stream_sink,
+    )
+
+    landing = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "k INT, v INT"
+
+    def run():
+        q = (
+            snapshot_stream_sink(
+                spark.readStream.schema(schema).json(landing),
+                table,
+                ckpt,
+                optimize_every=2,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in range(4):
+        with open(f"{landing}/b{b}.json", "w") as f:
+            f.write(json.dumps({"k": b, "v": b * 10}))
+        run()
+
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, table).collect()}
+    assert got == {(b, b * 10) for b in range(4)}
+    assert committed_batch_ids(table) == {0, 1, 2, 3}
+    ops = [h["op"] for h in snapshot_history(table)]
+    # batches 1 and 3 (0-indexed) trigger optimize -> overwrite commits
+    assert ops.count("overwrite") == 2 and ops.count("append") == 4, ops
