@@ -6903,4 +6903,73 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "contamination_score_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_sql_shingles(5)}) AS sh FROM t),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+    per AS (
+      SELECT train.doc_id,
+             count(*) AS n_sh,
+             count(bench.sh) AS n_hit
+      FROM train LEFT JOIN bench ON train.sh = bench.sh
+      GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_sh AS BIGINT) AS n_shingles,
+           CAST(n_hit AS BIGINT) AS n_overlap,
+           CAST({_sql_halfup('n_hit * 1000000', 'n_sh')} AS BIGINT)
+             AS contamination_ppm
+    FROM per
+    ORDER BY contamination_ppm DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def contamination_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination SCORE — the graded companion to
+    benchmark_decontaminate's binary flag: the share (exact ppm) of a
+    training doc's distinct 5-gram shingles that appear in the held-out
+    benchmark set, with the 20 worst offenders returned. Graded scores
+    drive the real decontamination policy (drop above a threshold,
+    downweight the tail) rather than all-or-nothing removal. Same scale
+    shape as the flag form: benchmark shingles broadcast, corpus scanned
+    once, the top-k is a TakeOrdered over per-doc aggregates.
+    """
+    from .functions.text import shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("sh")
+    ).distinct()
+    bench = sh.where(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    train = sh.where(F.col("doc_id") % 97 != 0)
+    per = (
+        train.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), "sh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    return (
+        per.select(
+            "doc_id",
+            F.col("n_sh").cast("bigint").alias("n_shingles"),
+            F.col("n_hit").cast("bigint").alias("n_overlap"),
+            _half_up_div(
+                F.col("n_hit") * F.lit(1000000).cast("bigint"),
+                F.col("n_sh"),
+            ).alias("contamination_ppm"),
+        )
+        .orderBy(F.col("contamination_ppm").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 ALL = sorted(QUERIES)
