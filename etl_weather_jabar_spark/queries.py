@@ -6972,4 +6972,74 @@ def contamination_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("multimodal_features_real")  # rows-only: binary payload ops
+def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode exercised end-to-end from the registry:
+    synthesize a small PPM image per document (pixels derived from the
+    text's md5 — deterministic), ship it as a binary payload through the
+    Arrow mapInPandas pipeline, decode with the codec-free PPM parser,
+    and aggregate the recovered dimensions and channel means per source.
+    Rows-only check (binary payloads have no SQL twin); the decoder's
+    correctness against numpy ground truth is pinned in
+    tests/test_multimodal.py.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .ext.multimodal import MEDIA_SCHEMA, extract_features_real
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+
+    def make_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .ext.multimodal import encode_ppm
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5((text or "").encode()).digest()
+                w, h = 4 + digest[0] % 5, 4 + digest[1] % 5
+                px = np.frombuffer(
+                    (digest * ((w * h * 3) // 16 + 1))[: w * h * 3],
+                    dtype=np.uint8,
+                ).reshape(h, w, 3)
+                rows.append(
+                    (
+                        int(did),
+                        "image",
+                        encode_ppm(px),
+                        "image/x-ppm",
+                        w,
+                        h,
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "mime",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    media = docs.mapInPandas(make_media, schema=MEDIA_SCHEMA)
+    feats = extract_features_real(media)
+    src = docs.select(F.col("doc_id").alias("media_id"), "source")
+    return (
+        feats.join(src, "media_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("width") * F.col("height")).alias("total_pixels"),
+            F.sum(
+                F.round(F.col("mean_r").cast("double") * 10000).cast("bigint")
+            ).alias("mean_r_e4_sum"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)
