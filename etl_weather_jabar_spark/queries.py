@@ -7042,4 +7042,67 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_dim_stats",
+    f"""
+    WITH u AS (
+      SELECT pos - 1 AS dim,
+             CAST(round(CAST(comp AS DOUBLE) * 1000000) AS BIGINT) AS v
+      FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS comp
+            FROM embeddings)
+    ), m AS (
+      SELECT dim, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+      FROM u GROUP BY 1
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(n AS BIGINT) AS n,
+           CAST({_sql_halfup('s1', 'n')} AS BIGINT) AS mean_u,
+           CAST({_sql_halfup('n * s2 - s1 * s1', 'n * n')} AS BIGINT)
+             AS var_u2
+    FROM m
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments (mean, population variance) — the
+    whitening/standardization prep for similarity search, computed on
+    micro-units (component × 10⁶ rounded to bigint) so the moment sums
+    are exact integers and both engines agree to the last digit; the
+    closed forms evaluate half-up in decimal38/hugeint. One posexplode
+    (64× narrow rows) + one 64-group aggregate — partial-agg combined,
+    no window, no collect.
+    """
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    u = em.select(
+        F.posexplode("embedding").alias("dim", "comp")
+    ).select(
+        "dim",
+        F.round(F.col("comp").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    m = u.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    n, s1, s2 = dec(F.col("n")), dec(F.col("s1")), dec(F.col("s2"))
+
+    def halfup_wide(num, den):
+        a = num * 2 + den
+        b = den * 2
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        halfup_wide(s1, n).alias("mean_u"),
+        halfup_wide(n * s2 - s1 * s1, n * n).alias("var_u2"),
+    )
+
+
 ALL = sorted(QUERIES)
