@@ -410,3 +410,33 @@ def test_snapshot_stream_sink_auto_optimize(spark, tmp_path):
     ops = [h["op"] for h in snapshot_history(table)]
     # batches 1 and 3 (0-indexed) trigger optimize -> overwrite commits
     assert ops.count("overwrite") == 2 and ops.count("append") == 4, ops
+
+
+def test_snapshot_merge_pruned_falls_back_on_large_changeset(spark, tmp_path):
+    """Above max_change_keys the pruned merge degrades to the full-table
+    form (collecting a huge key set would be a driver hazard) — same
+    result, one overwrite commit."""
+    from etl_weather_jabar_spark.snapshots import snapshot_merge_pruned
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    snapshot_write(
+        base.repartitionByRange(4, "k"), path, stats_cols=["k"]
+    )
+    changes = spark.range(0, 30).select(
+        F.col("id").alias("k"),
+        F.lit("X").alias("v"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    v = snapshot_merge_pruned(spark, path, changes, "k", max_change_keys=10)
+    assert v == 2
+    hist = snapshot_history(path)
+    assert hist[-1]["op"] == "overwrite"  # full-merge fallback, not 'merge'
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, path).collect()}
+    want = {(i, "X") for i in range(30)} | {
+        (i, str(i)) for i in range(30, 50)
+    }
+    assert got == want
