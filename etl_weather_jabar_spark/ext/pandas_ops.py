@@ -159,3 +159,61 @@ def register_chunk_udtf(spark) -> None:
                 start += step
 
     spark.udtf.register("chunk_spans", ChunkSpans)
+
+
+def groupwise_ols(
+    df,
+    group_col: str,
+    x_col,
+    y_cents,
+):
+    """Per-group OLS slope/intercept via grouped-map ``applyInPandas`` —
+    the Python escape hatch for per-group MODEL FITTING (the general
+    case: scikit-style estimators per key). This instance reproduces the
+    closed-form integer arithmetic of queries.regression_surface
+    EXACTLY: moments accumulate as arbitrary-precision python ints
+    inside the worker, the half-up division is the same floor identity —
+    so the test pins it bit-identical to the pure-Column form. At scale
+    each group must fit one executor's memory (grouped-map contract);
+    groups beyond that belong to the moment-sum Column form, which has
+    no such limit.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} STRING, n_rows BIGINT, "
+        "slope_dollars_per_qty DOUBLE, intercept_dollars DOUBLE"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(x) for x in pdf["__x"]]
+        ys = [int(y) for y in pdf["__y"]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+
+        def halfup(num: int, den: int) -> int:
+            a, b = 2 * num + den, 2 * den
+            return (a - (a % b + b) % b) // b
+
+        den = n * sxx - sx * sx
+        slope = halfup((n * sxy - sx * sy) * 1000000, den * 100) / 1e6
+        intercept = halfup(sy * sxx - sx * sxy, den) / 100.0
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_rows": [n],
+                "slope_dollars_per_qty": [slope],
+                "intercept_dollars": [intercept],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    prepared = df.select(
+        F.col(group_col),
+        F.round(x_col).cast("bigint").alias("__x"),
+        y_cents.cast("bigint").alias("__y"),
+    )
+    return prepared.groupBy(group_col).applyInPandas(fit, schema=out_schema)

@@ -107,3 +107,32 @@ def test_chunk_udtf_lateral_per_row(spark):
         (1, 90, 200),
         (2, 0, 90),
     ]
+
+
+def test_groupwise_ols_matches_column_form_exactly(spark):
+    """The grouped-map python OLS (arbitrary-precision ints in the
+    worker) must reproduce the pure-Column regression_surface
+    bit-identically — the escape-hatch-pinned-to-native-twin pattern."""
+    from etl_weather_jabar_spark.ext.pandas_ops import groupwise_ols
+    from etl_weather_jabar_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    native = {
+        r["l_returnflag"]: (
+            r["n_rows"], r["slope_dollars_per_qty"], r["intercept_dollars"]
+        )
+        for r in QUERIES["regression_surface"](spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem")
+    via_pandas = {
+        r["l_returnflag"]: (
+            r["n_rows"], r["slope_dollars_per_qty"], r["intercept_dollars"]
+        )
+        for r in groupwise_ols(
+            li,
+            "l_returnflag",
+            F.col("l_quantity"),
+            F.round(F.col("l_extendedprice") * 100),
+        ).collect()
+    }
+    assert via_pandas == native and len(native) == 3
