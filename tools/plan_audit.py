@@ -84,6 +84,14 @@ AUDIT_QUERIES = [
     "benford_digit_audit",
     "gini_revenue_concentration",
     "regression_surface",
+    "argmax_filter_surface",
+    "collation_group_counts",
+    "pii_redact_stats",
+    "pit_scd2_lookup",
+    "percentile_disc_surface",
+    "weighted_median_price",
+    "contamination_score_topk",
+    "embedding_dim_stats",
 ]
 
 
@@ -108,6 +116,8 @@ EXPECTED_NESTED_LOOP = {
     "relational_division_ranked": "per-customer aggregate × 1-row class-count broadcast",
     "benford_digit_audit": "9 digit counts × 1-row total broadcast",
     "gini_revenue_concentration": "rank×value sums × 1-row n/total broadcast",
+    "pit_scd2_lookup": "SCD2 intervals × 1-row probe-time broadcast",
+    "weighted_median_price": "per-flag aggregate feeds the window output",
 }
 
 

@@ -214,6 +214,49 @@ def main() -> None:
             )
         )
 
+    def _pii(d):
+        from etl_weather_jabar_spark.functions.text import pii_counts, redact_pii
+
+        seeded = d.withColumn(
+            "t",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit(" mail u"), F.col("doc_id").cast("string"),
+                             F.lit("@example.com now")),
+                ).otherwise(F.lit("")),
+            ),
+        )
+        return seeded.select(
+            "source",
+            pii_counts(F.col("t"), "email").alias("ne"),
+            redact_pii(F.col("t"), kinds=("email",)).alias("clean"),
+        ).groupBy("source").agg(
+            F.sum("ne").alias("e"), F.sum(F.length("clean")).alias("c")
+        )
+
+    def _wmedian(lineitem):
+        from pyspark.sql.window import Window as W
+
+        u = lineitem.select(
+            F.col("l_returnflag").alias("rf"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        )
+        wc = W.partitionBy("rf").orderBy("cents").rangeBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        c = u.select(
+            "rf", "cents",
+            F.sum("q").over(wc).alias("cumq"),
+            F.sum("q").over(W.partitionBy("rf")).alias("totq"),
+        )
+        return (
+            c.where(2 * F.col("cumq") >= F.col("totq"))
+            .groupBy("rf").agg(F.min("cents").alias("wm"))
+        )
+
     def join_agg(lineitem, o):
         return (
             lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
@@ -451,6 +494,18 @@ def main() -> None:
                     * F.round(F.col("l_extendedprice") * 100).cast("bigint")
                 ).alias("sxy"),
             ),
+        ),
+        # narrow regexp chain (seed + count + redact) — embarrassingly
+        # parallel, no shuffle before the tiny per-source aggregate
+        "pii_redact": (
+            lambda: _pii(docs),
+            lambda: _pii(replicate(docs, k, "doc_id")),
+        ),
+        # RANGE-framed cumulative weight + crossing filter: one window
+        # shuffle on the group key, linear in input
+        "weighted_median_window": (
+            lambda: _wmedian(li),
+            lambda: _wmedian(replicate(li, k, "l_orderkey")),
         ),
         # t-digest bounds + broadcast-back clip (the 100 TB winsorize path)
         "winsorize_approx": (
