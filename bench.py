@@ -58,6 +58,8 @@ TIER2_QUERIES = [
     "triangle_count",
     "apply_cdc_snapshot",
     "profile_orders",
+    "contamination_score_topk",
+    "weighted_median_price",
 ]
 
 
