@@ -7105,4 +7105,48 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "key_skew_report",
+    """
+    WITH c AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(max(n) AS BIGINT) AS max_n,
+           CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n,
+           CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n,
+           CAST((2 * max(n) * count(*) * 1000000 + sum(n))
+                 // (2 * sum(n)) AS BIGINT) AS skew_ratio_ppm
+    FROM c
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the measurement that decides between a
+    plain shuffle join, AQE skew splitting, and the salted-join operator:
+    per-key row counts reduced to key count, max, discrete p50/p99, and
+    the max/mean ratio in exact ppm (half-up integer arithmetic; the
+    discrete percentiles are integers, so every output is bit-stable).
+    Cost: one partial-agg groupBy over the key + one 1-row reagg —
+    exactly what you can afford to run before every big join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("bigint")
+        .alias("p50_n"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("bigint")
+        .alias("p99_n"),
+        _half_up_div(
+            F.max("n") * F.count(F.lit(1)) * F.lit(1000000).cast("bigint"),
+            F.sum("n"),
+        ).alias("skew_ratio_ppm"),
+    )
+
+
 ALL = sorted(QUERIES)
