@@ -462,3 +462,26 @@ def snapshot_optimize(
         meta={"optimized": True},
         stats_cols=stats_cols or zorder_cols,
     )
+
+
+def snapshot_changes(
+    spark,
+    path: str,
+    keys: list[str],
+    compare_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions — Delta's CDF
+    derived from time travel instead of stored change files: read both
+    snapshots and classify every key as added/removed/changed via
+    operators.diff.snapshot_diff (null-safe, names the changed columns).
+    O(both snapshots) per call — the honest cost of deriving changes
+    from full-snapshot manifests; a stored per-commit change log is the
+    optimization when callers poll every version.
+    """
+    from .operators.diff import snapshot_diff
+
+    old = snapshot_read(spark, path, version=from_version)
+    new = snapshot_read(spark, path, version=to_version)
+    return snapshot_diff(old, new, keys, compare_cols)

@@ -440,3 +440,33 @@ def test_snapshot_merge_pruned_falls_back_on_large_changeset(spark, tmp_path):
         (i, str(i)) for i in range(30, 50)
     }
     assert got == want
+
+
+def test_snapshot_changes_between_versions(spark, tmp_path):
+    """CDF from time travel: the diff between two committed versions
+    names every added/removed/changed key with the changed columns."""
+    from etl_weather_jabar_spark.snapshots import snapshot_changes, snapshot_merge
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "v", "w"]
+        ),
+        path,
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 20, 1, "U"), (3, None, None, 1, "D"), (4, "d", 40, 1, "U")],
+        ["k", "v", "w", "seq", "op"],
+    )
+    snapshot_merge(spark, path, changes, ["k"])
+    got = {
+        r["k"]: (r["change_type"], list(r["changed_cols"]))
+        for r in snapshot_changes(
+            spark, path, ["k"], ["v", "w"], from_version=1, to_version=2
+        ).collect()
+    }
+    assert got == {
+        2: ("changed", ["v"]),
+        3: ("removed", []),
+        4: ("added", []),
+    }
