@@ -137,3 +137,52 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split_fires(spark, tmp_path):
+    """AQE skew-join handling: a heavily skewed join key must be split at
+    runtime — the final adaptive plan marks SortMergeJoin(skew=true) with
+    an 'AQEShuffleRead coalesced and skewed' on the hot side — instead of
+    one reducer dragging the stage. Thresholds lowered to make the
+    cluster-sized defaults observable on test data; rows padded so the
+    hot partition clears the byte threshold."""
+    import random
+
+    rng = random.Random(5)
+    # 95% of left rows share one key; right side is uniform
+    left_rows = [
+        (0 if rng.random() < 0.95 else rng.randrange(200), i, "x" * 50)
+        for i in range(200_000)
+    ]
+    right_rows = [(k, f"d{k}") for k in range(200)]
+    lp = str(tmp_path / "l")
+    rp = str(tmp_path / "r")
+    spark.createDataFrame(left_rows, ["k", "v", "pad"]).repartition(8).write.parquet(lp)
+    spark.createDataFrame(right_rows, ["k", "d"]).write.parquet(rp)
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.join.preferSortMergeJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # the bare join: a downstream hash-partitioned agg would let AQE
+        # decline the split (it would force an extra exchange); the split
+        # decision is what this test pins
+        q = spark.read.parquet(lp).join(spark.read.parquet(rp), "k")
+        assert len(q.collect()) == 200_000  # executes q's own plan
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan  # AQEShuffleRead marks the split read
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
