@@ -7149,4 +7149,44 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("theta_sketch_setops_users")  # rows-only: sketch binaries
+def theta_sketch_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Spark 4 / Apache DataSketches): distinct
+    users who clicked vs who purchased, with UNION / INTERSECTION /
+    DIFFERENCE cardinalities estimated from mergeable sketches — the
+    sketch-level answer to "overlap of two audiences" that at 100 TB
+    replaces an exact distinct self-join with two KB-sized summaries.
+    Exact counts ride along so the error is visible in the result (and
+    bounded in tests). Rows-only check: sketch internals aren't SQL-
+    portable; HLL cousins are pinned in hll_sketch_rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_theta")
+    return spark.sql(
+        """
+        WITH a AS (SELECT theta_sketch_agg(user_id) s,
+                          count(DISTINCT user_id) AS exact_n
+                   FROM __ev_theta WHERE event_type = 'click'),
+             b AS (SELECT theta_sketch_agg(user_id) s,
+                          count(DISTINCT user_id) AS exact_n
+                   FROM __ev_theta WHERE event_type = 'purchase'),
+             x AS (SELECT count(DISTINCT user_id) AS exact_i FROM (
+                     SELECT user_id FROM __ev_theta
+                     WHERE event_type = 'click'
+                     INTERSECT
+                     SELECT user_id FROM __ev_theta
+                     WHERE event_type = 'purchase'))
+        SELECT a.exact_n AS clickers,
+               b.exact_n AS purchasers,
+               theta_sketch_estimate(theta_union(a.s, b.s)) AS est_union,
+               theta_sketch_estimate(theta_intersection(a.s, b.s))
+                 AS est_intersection,
+               theta_sketch_estimate(theta_difference(a.s, b.s))
+                 AS est_click_only,
+               x.exact_i AS exact_intersection
+        FROM a, b, x
+        """
+    )
+
+
 ALL = sorted(QUERIES)

@@ -45,3 +45,50 @@ def test_heavy_hitters_exact_when_k_exceeds_cardinality(spark):
     )
     est = {r["v"]: r["est"] for r in heavy_hitters(df, "v", 100).collect()}
     assert est == {"a": 5, "b": 3, "c": 2}  # no pruning -> exact counts
+
+
+def test_theta_sketch_setops_within_error(spark):
+    """Theta-sketch union/intersection/difference estimates stay within
+    a few percent of exact at this cardinality (exact below the sketch's
+    nominal entries, so estimates should be EXACT here)."""
+    from etl_weather_jabar_spark.queries import QUERIES
+
+    r = QUERIES["theta_sketch_setops_users"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r["clickers"] > 0 and r["purchasers"] > 0
+    # below nominal entries (4096) theta sketches are exact
+    exact_union = (
+        r["clickers"] + r["purchasers"] - r["exact_intersection"]
+    )
+    assert r["est_union"] == exact_union
+    assert r["est_intersection"] == r["exact_intersection"]
+    assert r["est_click_only"] == r["clickers"] - r["exact_intersection"]
+
+
+def test_approx_top_k_matches_exact_heavy_hitters(spark):
+    """approx_top_k (Spark 4): with maxItemsTracked well above the true
+    vocabulary's heavy tail, the top-k items and counts are exact —
+    cross-checked against the plain groupBy."""
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    ).where(F.col("t") != "")
+    exact = {
+        r["t"]: r["n"]
+        for r in toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("t"))
+        .limit(5)
+        .collect()
+    }
+    toks.createOrReplaceTempView("__toks_atk")
+    got = {
+        row["item"]: row["count"]
+        for row in spark.sql(
+            "SELECT approx_top_k(t, 5, 100000) AS tk FROM __toks_atk"
+        ).collect()[0]["tk"]
+    }
+    assert got == exact
