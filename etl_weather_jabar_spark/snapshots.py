@@ -485,3 +485,75 @@ def snapshot_changes(
     old = snapshot_read(spark, path, version=from_version)
     new = snapshot_read(spark, path, version=to_version)
     return snapshot_diff(old, new, keys, compare_cols)
+
+
+def snapshot_appended_rows(
+    spark, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows added between two versions of an APPEND-ONLY history, read
+    from only the files present in ``to_version`` but not
+    ``from_version`` — O(new data), no diff join, no old-version scan.
+    The manifest file-name diff is exact because data files are
+    immutable. Raises if any ``from_version`` file is gone from
+    ``to_version`` (an overwrite/merge/optimize happened in between —
+    row identity via file names no longer holds; use
+    :func:`snapshot_changes` there)."""
+    vs = _versions(path)
+    v_to = (vs[-1] if to_version is None else to_version)
+    old = set(_read_manifest(path, from_version)["files"])
+    new = _read_manifest(path, v_to)["files"]
+    removed = old - set(new)
+    if removed:
+        raise ValueError(
+            f"history v{from_version}->v{v_to} is not append-only "
+            f"({len(removed)} files rewritten); use snapshot_changes"
+        )
+    added = [f for f in new if f not in old]
+    if not added:
+        return snapshot_read(spark, path, version=v_to).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(path, "data", f) for f in added]
+    )
+
+
+def incremental_agg_update(
+    prev_agg: DataFrame,
+    new_rows: DataFrame,
+    keys: list[str],
+    agg_exprs: dict[str, str],
+) -> DataFrame:
+    """Incremental view maintenance for ADDITIVE aggregates: fold only
+    the new rows' partial aggregate into the previous materialized
+    aggregate — ``agg_exprs`` maps output column → 'sum' | 'count' | 
+    'min' | 'max' (the merge-able aggregates; avg = maintain sum+count).
+    Cost is O(new data + |aggregate|): the union re-aggregation combines
+    two already-grouped inputs, never rescanning history. min/max are
+    only correct under append-only history (deletes would need full
+    recompute — exactly the contract snapshot_appended_rows enforces).
+    """
+    from pyspark.sql import functions as F
+
+    # partial over the new rows, then merge with the previous aggregate:
+    # count partials merge by SUM; sum/min/max merge by themselves. For
+    # sum/min/max the measured column in new_rows must carry the OUTPUT
+    # name (alias it before calling).
+    combine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+    def partial(out: str, kind: str):
+        if kind == "count":
+            return F.count(F.lit(1)).alias(out)
+        return combine[kind](out).alias(out)
+
+    delta = new_rows.groupBy(*keys).agg(
+        *[partial(out, kind) for out, kind in agg_exprs.items()]
+    )
+    return (
+        prev_agg.unionByName(delta)
+        .groupBy(*keys)
+        .agg(
+            *[
+                combine[kind](out).alias(out)
+                for out, kind in agg_exprs.items()
+            ]
+        )
+    )

@@ -470,3 +470,62 @@ def test_snapshot_changes_between_versions(spark, tmp_path):
         3: ("removed", []),
         4: ("added", []),
     }
+
+
+def test_incremental_agg_maintenance_from_append_delta(spark, tmp_path):
+    """IVM over an append-only snapshot history: the maintained aggregate
+    folds in ONLY the newly-added files' rows (scan asserted) and equals
+    a full recompute; a non-append-only history is refused."""
+    from etl_weather_jabar_spark.snapshots import (
+        incremental_agg_update,
+        snapshot_appended_rows,
+    )
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7)], ["g", "x"]
+    )
+    snapshot_write(b1, path)
+    agg_exprs = {"total": "sum", "n": "count", "mx": "max"}
+    prev = b1.select("g", F.col("x").alias("total"), F.col("x").alias("mx")).groupBy(
+        "g"
+    ).agg(
+        F.sum("total").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("mx").alias("mx"),
+    )
+
+    b2 = spark.createDataFrame([("a", 100), ("c", 1)], ["g", "x"])
+    snapshot_write(b2, path)
+    delta_rows = snapshot_appended_rows(spark, path, from_version=1)
+    # only the new files are scanned
+    import os as O
+
+    v1_files = set(
+        json.load(
+            open(O.path.join(path, "_manifests", f"v{1:010d}.json"))
+        )["files"]
+    )
+    scanned = {
+        O.path.basename(r[0])
+        for r in delta_rows.select(F.input_file_name()).distinct().collect()
+    }
+    assert scanned and not (scanned & v1_files)
+
+    updated = incremental_agg_update(
+        prev,
+        delta_rows.select("g", F.col("x").alias("total"), F.col("x").alias("mx")),
+        ["g"],
+        agg_exprs,
+    )
+    got = {
+        r["g"]: (r["total"], r["n"], r["mx"]) for r in updated.collect()
+    }
+    assert got == {"a": (115, 3, 100), "b": (7, 1, 7), "c": (1, 1, 1)}
+
+    # overwrite breaks append-only row identity -> explicit refusal
+    snapshot_write(b1, path, mode="overwrite")
+    import pytest
+
+    with pytest.raises(ValueError):
+        snapshot_appended_rows(spark, path, from_version=2)
