@@ -7189,4 +7189,33 @@ def theta_sketch_setops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("approx_topk_rollup_tokens")  # rows-only: sketch state binaries
+def approx_topk_rollup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable top-k rollup (Spark 4 approx_top_k_accumulate/combine):
+    per-SOURCE token sketches combined into the global top-10 — the
+    heavy-hitter twin of hll_sketch_rollup's distinct-count rollup, and
+    the pattern that lets daily partitions keep KB-sized summaries which
+    any date range combines in O(k) instead of rescanning tokens.
+    Rows-only check (sketch state is engine-internal); exactness at this
+    vocabulary size is pinned in tests/test_stats_sketches.py.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    ).where(F.col("t") != "").createOrReplaceTempView("__toks_roll")
+    return spark.sql(
+        """
+        WITH per_source AS (
+          SELECT source, approx_top_k_accumulate(t, 100000) AS st
+          FROM __toks_roll GROUP BY source
+        )
+        SELECT tk.item AS token, tk.count AS n
+        FROM (SELECT approx_top_k_estimate(
+                        approx_top_k_combine(st), 10) AS tks
+              FROM per_source)
+        LATERAL VIEW explode(tks) AS tk
+        """
+    )
+
+
 ALL = sorted(QUERIES)

@@ -92,3 +92,35 @@ def test_approx_top_k_matches_exact_heavy_hitters(spark):
         ).collect()[0]["tk"]
     }
     assert got == exact
+
+
+def test_approx_topk_rollup_equals_exact(spark):
+    """The per-source accumulate → combine rollup returns the same top
+    tokens and counts as a flat exact groupBy at this vocabulary size."""
+    from etl_weather_jabar_spark.queries import QUERIES
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    got = {
+        r["token"]: r["n"]
+        for r in QUERIES["approx_topk_rollup_tokens"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    exact_all = {
+        r["t"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # ties at the rank-10 boundary make the exact MEMBER set ambiguous;
+    # what must hold: 10 items, every reported count is the true count,
+    # and the count profile equals the exact top-10 count profile
+    assert len(got) == 10
+    assert all(exact_all[t] == n for t, n in got.items())
+    top_counts = sorted(exact_all.values(), reverse=True)[:10]
+    assert sorted(got.values(), reverse=True) == top_counts
