@@ -119,3 +119,32 @@ def incremental_recap(
     # partition the write on it
     upsert_by_partition(recap, gold_path, ["date"])
     return recap
+
+
+def recap_to_snapshot(
+    silver_all: DataFrame,
+    silver_new: DataFrame,
+    gold_table: str,
+    keys: list[str] = ("date", "location_id"),
+) -> int:
+    """The Gold upsert (reference daily_compile_weather.py:136-142 —
+    find-by-(date,location) then $set-or-insert) onto the TRANSACTIONAL
+    table: recompute recap only for the dates the new Silver rows touch
+    (same scoping as :func:`incremental_recap`), then MERGE those rows
+    into the snapshot table keyed by (date, location_id) — one atomic
+    version per run, replay-idempotent (same input → same resulting
+    table state), pre-merge versions time-travelable. Returns the new
+    version number.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.aggregates import daily_recap
+    from ..snapshots import snapshot_merge
+
+    affected = silver_new.select("date").distinct()
+    scoped = silver_all.join(F.broadcast(affected), on="date", how="left_semi")
+    recap = daily_recap(scoped)
+    changes = recap.withColumn("seq", F.lit(1)).withColumn("op", F.lit("U"))
+    return snapshot_merge(
+        silver_all.sparkSession, gold_table, changes, list(keys)
+    )

@@ -277,3 +277,40 @@ def test_haversine_and_nearest_station(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_recap_to_snapshot_idempotent_merge(spark, tmp_path):
+    """Gold recap merged into the transactional snapshot table: one
+    atomic version per run, keyed (date, location_id) upsert semantics,
+    and a replay of the same batch converges to the same table state."""
+    from etl_weather_jabar_spark.plans.pipelines import recap_to_snapshot
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_history,
+        snapshot_read,
+    )
+    from tests.fixtures import silver_fixture
+
+    silver = silver_fixture(spark)
+    gold = str(tmp_path / "gold")
+
+    v1 = recap_to_snapshot(silver, silver, gold)
+    assert v1 == 1
+    t1 = snapshot_read(spark, gold)
+    keys1 = {
+        (r["date"], r["location_id"]) for r in t1.select(
+            "date", "location_id"
+        ).collect()
+    }
+    rows1 = sorted(map(tuple, t1.drop("hourly").collect()))
+
+    # replay: same input -> same state, one more version
+    v2 = recap_to_snapshot(silver, silver, gold)
+    assert v2 == 2
+    t2 = snapshot_read(spark, gold)
+    assert sorted(map(tuple, t2.drop("hourly").collect())) == rows1
+    assert {
+        (r["date"], r["location_id"]) for r in t2.select(
+            "date", "location_id"
+        ).collect()
+    } == keys1
+    assert [h["version"] for h in snapshot_history(gold)] == [1, 2]
