@@ -1,0 +1,202 @@
+"""Differential query fuzzer: random filter/group/aggregate shapes built
+from ONE seeded AST, rendered both as a Spark DataFrame plan and as DuckDB
+SQL, executed on the same parquet, results compared exactly.
+
+The hand-written registry pins ~160 curated shapes; this closes the gap
+BETWEEN them — operator compositions nobody thought to write down. Every
+generated aggregate follows the engine-wide determinism rules (counts,
+integer-unit sums via round(x*100), min/max on raw values), so any
+mismatch is a real semantics bug, not float noise.
+
+    python tools/fuzz_differential.py [sf_dir] [n_cases] [seed]
+
+Exit 0 iff every case matches; prints each failing case's AST.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# (table, numeric cols (int-like), cents cols (2dp doubles), string cols)
+TABLES = {
+    "orders": (
+        ["o_orderkey", "o_custkey"],
+        ["o_totalprice"],
+        ["o_orderstatus", "o_orderpriority"],
+    ),
+    "lineitem": (
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        ["l_extendedprice", "l_tax"],
+        ["l_returnflag", "l_linestatus"],
+    ),
+    "events": (
+        ["event_id", "user_id"],
+        ["value"],
+        ["event_type"],
+    ),
+}
+
+CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+def gen_case(rng: random.Random) -> dict:
+    """One random query AST: table, 0-2 filters, 0-2 group keys, 1-3 aggs."""
+    table = rng.choice(sorted(TABLES))
+    ints, cents, strs = TABLES[table]
+    filters = []
+    for _ in range(rng.randrange(3)):
+        if rng.random() < 0.6:
+            col = rng.choice(ints)
+            filters.append(("num", col, rng.choice(CMP_OPS), rng.randrange(1, 5000)))
+        else:
+            col = rng.choice(strs)
+            filters.append(("mod", rng.choice(ints), rng.randrange(2, 13), col))
+    keys = rng.sample(strs, k=rng.randrange(0, min(2, len(strs)) + 1))
+    aggs = [("count", None)]
+    for _ in range(rng.randrange(3)):
+        kind = rng.choice(["sum_units", "min", "max", "sum_int", "countd"])
+        if kind == "sum_units":
+            aggs.append((kind, rng.choice(cents)))
+        elif kind in ("min", "max", "sum_int", "countd"):
+            aggs.append((kind, rng.choice(ints)))
+    return {"table": table, "filters": filters, "keys": keys, "aggs": aggs}
+
+
+def run_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    df = load_table(spark, sf_dir, case["table"])
+    for f in case["filters"]:
+        if f[0] == "num":
+            _, col, op, lit = f
+            expr = {
+                "<": F.col(col) < lit, "<=": F.col(col) <= lit,
+                ">": F.col(col) > lit, ">=": F.col(col) >= lit,
+                "=": F.col(col) == lit, "<>": F.col(col) != lit,
+            }[op]
+            df = df.where(expr)
+        else:
+            _, icol, m, scol = f
+            # correlate a string col with an int residue: exercises
+            # string-col survival through a numeric predicate
+            df = df.where((F.col(icol) % m == 0) & F.col(scol).isNotNull())
+    agg_exprs = []
+    for i, (kind, col) in enumerate(case["aggs"]):
+        a = f"a{i}"
+        if kind == "count":
+            agg_exprs.append(F.count(F.lit(1)).alias(a))
+        elif kind == "sum_units":
+            agg_exprs.append(
+                F.sum(F.round(F.col(col) * 100).cast("bigint")).alias(a)
+            )
+        elif kind == "sum_int":
+            agg_exprs.append(F.sum(F.col(col).cast("bigint")).alias(a))
+        elif kind == "countd":
+            agg_exprs.append(F.count_distinct(F.col(col)).alias(a))
+        else:
+            agg_exprs.append(getattr(F, kind)(F.col(col)).alias(a))
+    out = (
+        df.groupBy(*case["keys"]).agg(*agg_exprs)
+        if case["keys"]
+        else df.agg(*agg_exprs)
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+def render_duckdb(case: dict) -> str:
+    where = []
+    for f in case["filters"]:
+        if f[0] == "num":
+            _, col, op, lit = f
+            where.append(f"{col} {op} {lit}")
+        else:
+            _, icol, m, scol = f
+            where.append(f"({icol} % {m} = 0 AND {scol} IS NOT NULL)")
+    sel, grp = [], []
+    for k in case["keys"]:
+        sel.append(k)
+        grp.append(k)
+    for i, (kind, col) in enumerate(case["aggs"]):
+        a = f"a{i}"
+        if kind == "count":
+            sel.append(f"count(*) AS {a}")
+        elif kind == "sum_units":
+            sel.append(f"sum(CAST(round({col} * 100) AS BIGINT)) AS {a}")
+        elif kind == "sum_int":
+            sel.append(f"sum(CAST({col} AS BIGINT)) AS {a}")
+        elif kind == "countd":
+            sel.append(f"count(DISTINCT {col}) AS {a}")
+        else:
+            sel.append(f"{kind}({col}) AS {a}")
+    sql = f"SELECT {', '.join(sel)} FROM {case['table']}"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if grp:
+        sql += " GROUP BY " + ", ".join(grp)
+    return sql
+
+
+def run_duckdb(con, case: dict):
+    rows = con.execute(render_duckdb(case)).fetchall()
+    return sorted(map(tuple, rows))
+
+
+def normalize(rows):
+    # DuckDB returns Decimal/float128-ish for some sums; unify to python
+    # ints/floats/strings for comparison
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                int(x) if isinstance(x, bool) is False and hasattr(x, "__int__")
+                and not isinstance(x, float) else x
+                for x in r
+            )
+        )
+    return out
+
+
+def main() -> int:
+    import duckdb
+
+    from etl_weather_jabar_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n_cases = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+
+    spark = get_spark("fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    rng = random.Random(seed)
+    failures = 0
+    for i in range(n_cases):
+        case = gen_case(rng)
+        a = normalize(run_spark(spark, sf_dir, case))
+        b = normalize(run_duckdb(con, case))
+        if a != b:
+            failures += 1
+            print(f"MISMATCH case {i}: {case}")
+            print(f"  sql: {render_duckdb(case)}")
+            print(f"  spark rows={len(a)} duckdb rows={len(b)}")
+            for x, y in list(zip(a, b))[:3]:
+                if x != y:
+                    print(f"  {x} != {y}")
+    print(f"{failures} mismatches over {n_cases} cases (seed {seed})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
