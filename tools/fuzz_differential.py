@@ -39,15 +39,35 @@ TABLES = {
         ["value"],
         ["event_type"],
     ),
+    "customer": (
+        ["c_custkey", "c_nationkey"],
+        ["c_acctbal"],
+        ["c_mktsegment"],
+    ),
 }
+
+# (left, right, left key, right key) equi-join shapes; inner/left fuzzed
+JOINS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+]
 
 CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
 
 
 def gen_case(rng: random.Random) -> dict:
-    """One random query AST: table, 0-2 filters, 0-2 group keys, 1-3 aggs."""
-    table = rng.choice(sorted(TABLES))
-    ints, cents, strs = TABLES[table]
+    """One random query AST: table (or an equi-join of two), 0-2 filters,
+    0-2 group keys, 1-3 aggs."""
+    join = rng.choice(JOINS) if rng.random() < 0.4 else None
+    if join:
+        lt, rt, lk, rk = join
+        li, lc, ls = TABLES[lt]
+        ri, rc, rs = TABLES[rt]
+        ints, cents, strs = li + ri, lc + rc, ls + rs
+        table = lt
+    else:
+        table = rng.choice(sorted(TABLES))
+        ints, cents, strs = TABLES[table]
     filters = []
     for _ in range(rng.randrange(3)):
         if rng.random() < 0.6:
@@ -64,7 +84,14 @@ def gen_case(rng: random.Random) -> dict:
             aggs.append((kind, rng.choice(cents)))
         elif kind in ("min", "max", "sum_int", "countd"):
             aggs.append((kind, rng.choice(ints)))
-    return {"table": table, "filters": filters, "keys": keys, "aggs": aggs}
+    return {
+        "table": table,
+        "join": join,
+        "how": rng.choice(["inner", "left"]),
+        "filters": filters,
+        "keys": keys,
+        "aggs": aggs,
+    }
 
 
 def run_spark(spark, sf_dir: str, case: dict):
@@ -73,6 +100,10 @@ def run_spark(spark, sf_dir: str, case: dict):
     from etl_weather_jabar_spark.sources.parquet import load_table
 
     df = load_table(spark, sf_dir, case["table"])
+    if case.get("join"):
+        lt, rt, lk, rk = case["join"]
+        right = load_table(spark, sf_dir, rt)
+        df = df.join(right, df[lk] == right[rk], case["how"])
     for f in case["filters"]:
         if f[0] == "num":
             _, col, op, lit = f
@@ -136,6 +167,10 @@ def render_duckdb(case: dict) -> str:
         else:
             sel.append(f"{kind}({col}) AS {a}")
     sql = f"SELECT {', '.join(sel)} FROM {case['table']}"
+    if case.get("join"):
+        lt, rt, lk, rk = case["join"]
+        jw = "JOIN" if case["how"] == "inner" else "LEFT JOIN"
+        sql += f" {jw} {rt} ON {case['table']}.{lk} = {rt}.{rk}"
     if where:
         sql += " WHERE " + " AND ".join(where)
     if grp:
