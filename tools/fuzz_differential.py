@@ -52,7 +52,76 @@ JOINS = [
     ("lineitem", "orders", "l_orderkey", "o_orderkey"),
 ]
 
+# window fuzzing needs a unique key for a TOTAL order (deterministic
+# row_number/lag under any parallelism): table -> (unique key, part col,
+# order col)
+WINDOWABLE = {
+    "orders": ("o_orderkey", "o_orderstatus", "o_custkey"),
+    "events": ("event_id", "event_type", "user_id"),
+    "customer": ("c_custkey", "c_mktsegment", "c_nationkey"),
+}
+
 CMP_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+def gen_window_case(rng: random.Random) -> dict:
+    """A window-function shape: row_number / rank / lag / running sum over
+    (partition by a string col, order by an int col with a unique-key
+    tie-break) — total order, so every output row is deterministic."""
+    table = rng.choice(sorted(WINDOWABLE))
+    uk, part, order = WINDOWABLE[table]
+    fns = rng.sample(["row_number", "rank", "lag", "runsum"], k=rng.randrange(1, 4))
+    return {"kind": "window", "table": table, "uk": uk, "part": part,
+            "order": order, "fns": fns, "limit_mod": rng.randrange(2, 7)}
+
+
+def run_window_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    df = load_table(spark, sf_dir, case["table"]).where(
+        F.col(case["uk"]) % case["limit_mod"] == 0
+    )
+    w = W.partitionBy(case["part"]).orderBy(case["order"], case["uk"])
+    cols = [F.col(case["uk"]).alias("uk")]
+    for fn in case["fns"]:
+        if fn == "row_number":
+            cols.append(F.row_number().over(w).alias("rn"))
+        elif fn == "rank":
+            cols.append(F.rank().over(w).alias("rk"))
+        elif fn == "lag":
+            cols.append(F.lag(case["uk"], 1).over(w).alias("lg"))
+        else:
+            cols.append(
+                F.sum(case["order"])
+                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                .alias("rs")
+            )
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def run_window_duckdb(con, case: dict):
+    over = (f"OVER (PARTITION BY {case['part']} "
+            f"ORDER BY {case['order']}, {case['uk']})")
+    sel = [f"{case['uk']} AS uk"]
+    for fn in case["fns"]:
+        if fn == "row_number":
+            sel.append(f"row_number() {over} AS rn")
+        elif fn == "rank":
+            sel.append(f"rank() {over} AS rk")
+        elif fn == "lag":
+            sel.append(f"lag({case['uk']}, 1) {over} AS lg")
+        else:
+            sel.append(
+                f"sum({case['order']}) OVER (PARTITION BY {case['part']} "
+                f"ORDER BY {case['order']}, {case['uk']} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs"
+            )
+    sql = (f"SELECT {', '.join(sel)} FROM {case['table']} "
+           f"WHERE {case['uk']} % {case['limit_mod']} = 0")
+    return sorted(map(tuple, con.execute(sql).fetchall()))
 
 
 def gen_case(rng: random.Random) -> dict:
@@ -218,13 +287,19 @@ def main() -> int:
     rng = random.Random(seed)
     failures = 0
     for i in range(n_cases):
-        case = gen_case(rng)
-        a = normalize(run_spark(spark, sf_dir, case))
-        b = normalize(run_duckdb(con, case))
+        if rng.random() < 0.25:
+            case = gen_window_case(rng)
+            a = normalize(run_window_spark(spark, sf_dir, case))
+            b = normalize(run_window_duckdb(con, case))
+        else:
+            case = gen_case(rng)
+            a = normalize(run_spark(spark, sf_dir, case))
+            b = normalize(run_duckdb(con, case))
         if a != b:
             failures += 1
             print(f"MISMATCH case {i}: {case}")
-            print(f"  sql: {render_duckdb(case)}")
+            if case.get("kind") != "window":
+                print(f"  sql: {render_duckdb(case)}")
             print(f"  spark rows={len(a)} duckdb rows={len(b)}")
             for x, y in list(zip(a, b))[:3]:
                 if x != y:
