@@ -19,6 +19,11 @@ SPARK_GRAFT_CONF='{"spark.sql.adaptive.enabled":"false","spark.sql.shuffle.parti
     || { echo "ADVERSARIAL FAILED"; exit 1; }
 echo "0 failures"
 
+echo "=== DIFFERENTIAL FUZZ (40 seeded cases) ==="
+python tools/fuzz_differential.py /root/testdata/sf0.01 40 7 | tail -1 | grep -q "^0 mismatches" \
+  || { echo "FUZZ FAILED"; exit 1; }
+echo "0 mismatches"
+
 echo "=== PYTEST ==="
 python -m pytest tests/ -q | tail -2
 
