@@ -42,10 +42,20 @@ def exact_dedup(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash",
+    hash_mode: str = "md5",
 ) -> DataFrame:
-    """Tier 2: 60-bit SimHash over whitespace tokens (md5-derived token
-    hashes — cross-engine reproducible; 15 hex digits = 60 usable bits).
+    """Tier 2: 60-bit SimHash over whitespace tokens.
+
+    ``hash_mode="md5"`` (default) derives the 60 bits from md5 hex —
+    bit-identical reproducible outside the JVM. ``"xx"`` hashes with
+    xxhash64 masked to 60 bits; measured NO faster at sf0.1 (1.8s vs
+    2.4s for the full fingerprint stage — the 60 per-bit partial-sum
+    aggregation dominates, not the token hash), so unlike MinHash the
+    reproducible hash is also the default here.
 
     Shape: explode tokens → hash each ONCE → one grouped aggregation with
     60 integer bit-count sums (`sum(shiftright(h, i) & 1)`), fingerprint
@@ -57,15 +67,16 @@ def simhash64(
     Note: joins the fingerprint back by ``id_col`` (non-id columns of
     ``df`` pass through).
     """
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+    else:
+        h = F.xxhash64(F.col("__t")).bitwiseAND(F.lit((1 << 60) - 1))
     th = spread(df).select(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("__t"),
-    ).select(
-        id_col,
-        F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("__h"),
-    )
+    ).select(id_col, h.alias("__h"))
     counts = th.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
