@@ -217,3 +217,55 @@ def groupwise_ols(
         y_cents.cast("bigint").alias("__y"),
     )
     return prepared.groupBy(group_col).applyInPandas(fit, schema=out_schema)
+
+
+def asof_join_pandas(
+    left,
+    right,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    carried: list[str],
+    tolerance_seconds: int | None = None,
+):
+    """Backward as-of join via cogrouped ``applyInPandas`` +
+    ``pd.merge_asof`` — the guide-book escape hatch for when the
+    union+running-last Column form (operators/joins.py::
+    asof_join_backward) can't express the semantics (e.g. nearest-
+    rather-than-backward, or interpolation). Each key's rows meet in one
+    pandas callback, sorted there; the test pins this equal to the
+    native form on the same inputs. Per-key rows must fit one executor
+    (cogroup contract) — the Column form has no such limit, which is why
+    it stays the default.
+    """
+    import pandas as pd
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in right.select(*carried).schema.fields
+        ]
+    )
+
+    def merge(_key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        l = l.sort_values(left_ts, kind="mergesort")
+        r = r.sort_values(right_ts, kind="mergesort")[[right_ts, *carried]]
+        kwargs = {}
+        if tolerance_seconds is not None:
+            kwargs["tolerance"] = pd.Timedelta(seconds=tolerance_seconds)
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            **kwargs,
+        )
+        return out[[*l.columns, *carried]]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, schema=schema)
+    )

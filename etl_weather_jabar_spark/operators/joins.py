@@ -139,7 +139,8 @@ def asof_join_backward(
     out = out.where(F.col("__is_left"))
     if tolerance_seconds is not None:
         fresh = (
-            F.col("__ts").cast("long") - F.col("__asof_ts").cast("long")
+            F.col("__ts").cast("timestamp").cast("long")
+            - F.col("__asof_ts").cast("timestamp").cast("long")
             <= tolerance_seconds
         )
         for c in carried:
@@ -193,7 +194,8 @@ def asof_join_forward(
     out = out.where(F.col("__is_left"))
     if tolerance_seconds is not None:
         fresh = (
-            F.col("__asof_ts").cast("long") - F.col("__ts").cast("long")
+            F.col("__asof_ts").cast("timestamp").cast("long")
+            - F.col("__ts").cast("timestamp").cast("long")
             <= tolerance_seconds
         )
         for c in carried:

@@ -136,3 +136,32 @@ def test_groupwise_ols_matches_column_form_exactly(spark):
         ).collect()
     }
     assert via_pandas == native and len(native) == 3
+
+
+def test_asof_join_pandas_matches_native(spark):
+    """pd.merge_asof per cogroup must equal the union+running-last native
+    as-of join on the same click/purchase shape, including the tolerance
+    cutoff."""
+    from etl_weather_jabar_spark.ext.pandas_ops import asof_join_pandas
+    from etl_weather_jabar_spark.operators.joins import asof_join_backward
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    for tol in (None, 3600):
+        native = asof_join_backward(
+            purchases, clicks, ["user_id"], "p_ts", "c_ts",
+            right_cols=["c_id"], tolerance_seconds=tol,
+        ).select("user_id", "p_id", "c_id")
+        via_pandas = asof_join_pandas(
+            purchases, clicks, "user_id", "p_ts", "c_ts", ["c_id"],
+            tolerance_seconds=tol,
+        ).select("user_id", "p_id", "c_id")
+        a = sorted(map(tuple, native.collect()))
+        b = sorted(map(tuple, via_pandas.collect()))
+        assert a == b and len(a) > 0, (tol, len(a), len(b))
