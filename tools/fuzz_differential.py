@@ -160,6 +160,11 @@ def gen_case(rng: random.Random) -> dict:
         "filters": filters,
         "keys": keys,
         "aggs": aggs,
+        # HAVING on the count agg (a0) when grouped; exercises post-agg
+        # filters surviving both planners
+        "having_min_count": (
+            rng.randrange(1, 50) if keys and rng.random() < 0.4 else None
+        ),
     }
 
 
@@ -207,6 +212,8 @@ def run_spark(spark, sf_dir: str, case: dict):
         if case["keys"]
         else df.agg(*agg_exprs)
     )
+    if case.get("having_min_count"):
+        out = out.where(F.col("a0") >= case["having_min_count"])
     return sorted(map(tuple, out.collect()))
 
 
@@ -244,6 +251,8 @@ def render_duckdb(case: dict) -> str:
         sql += " WHERE " + " AND ".join(where)
     if grp:
         sql += " GROUP BY " + ", ".join(grp)
+        if case.get("having_min_count"):
+            sql += f" HAVING count(*) >= {case['having_min_count']}"
     return sql
 
 
