@@ -313,3 +313,58 @@ def test_foreach_batch_cdc_apply_materializes_snapshot(spark, tmp_path):
         r["k"]: r["v"] for r in spark.read.parquet(snap).collect()
     }
     assert got == {2: "b2", 3: "c2"}  # 1 deleted, 2 updated, 3 upserted twice
+
+
+def test_stream_batch_parity_tumbling_counts(spark, tmp_path):
+    """Stream-batch parity: the SAME tumbling-window aggregation over the
+    SAME files must give identical results through the batch reader and
+    through an availableNow stream in complete mode — the unified-engine
+    guarantee that makes the micro-batch pipelines trustworthy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    landing = str(tmp_path / "in")
+    os.makedirs(landing)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.col("event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+    )
+    rows = [json.loads(r) for r in ev.toJSON().collect()]
+    # two landing files -> two micro-batches in one availableNow run
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(f"{landing}/b{i}.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in chunk))
+
+    schema = "event_id BIGINT, ts_s STRING, event_type STRING"
+
+    def agg(df):
+        return df.select(
+            F.to_timestamp("ts_s").alias("ts"), "event_type"
+        ).groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    batch = {
+        (str(r["w"]["start"]), r["event_type"]): r["n"]
+        for r in agg(spark.read.schema(schema).json(landing)).collect()
+    }
+
+    q = (
+        agg(spark.readStream.schema(schema).json(landing))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        (str(r["w"]["start"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM parity_counts").collect()
+    }
+    assert stream == batch and len(batch) > 10
