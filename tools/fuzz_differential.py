@@ -124,6 +124,63 @@ def run_window_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(sql).fetchall()))
 
 
+SCALARS = [
+    # (name, spark builder, duckdb renderer) over (int col i, str col s)
+    ("len_s", lambda F, i, s: F.length(F.col(s)), lambda i, s: f"length({s})"),
+    ("up_s", lambda F, i, s: F.upper(F.col(s)), lambda i, s: f"upper({s})"),
+    ("sub_s", lambda F, i, s: F.substring(F.col(s), 2, 3),
+     lambda i, s: f"substr({s}, 2, 3)"),
+    ("abs_i", lambda F, i, s: F.abs(F.col(i) - 1000),
+     lambda i, s: f"abs({i} - 1000)"),
+    ("mod_i", lambda F, i, s: F.col(i) % 7, lambda i, s: f"{i} % 7"),
+    ("case_i", lambda F, i, s: F.when(F.col(i) % 2 == 0, F.lit("even"))
+     .otherwise(F.lit("odd")),
+     lambda i, s: f"CASE WHEN {i} % 2 = 0 THEN 'even' ELSE 'odd' END"),
+    ("concat", lambda F, i, s: F.concat_ws(":", F.col(s), F.col(i).cast("string")),
+     lambda i, s: f"concat_ws(':', {s}, CAST({i} AS VARCHAR))"),
+]
+
+
+def gen_scalar_case(rng: random.Random) -> dict:
+    """Scalar projection + deterministic top-k: computed columns over a
+    unique-keyed table, ORDER BY unique key LIMIT n — row-level compare
+    of scalar-function semantics (string, arithmetic, conditional)."""
+    table = rng.choice(sorted(WINDOWABLE))
+    uk, part, order = WINDOWABLE[table]
+    picks = rng.sample(range(len(SCALARS)), k=rng.randrange(1, 4))
+    return {"kind": "scalar", "table": table, "uk": uk, "part": part,
+            "order": order, "picks": picks, "n": rng.randrange(5, 60)}
+
+
+def run_scalar_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    df = load_table(spark, sf_dir, case["table"])
+    cols = [F.col(case["uk"]).alias("uk")]
+    for p in case["picks"]:
+        name, sb, _ = SCALARS[p]
+        cols.append(sb(F, case["order"], case["part"]).alias(name))
+    return [
+        tuple(r)
+        for r in df.select(*cols)
+        .orderBy("uk")
+        .limit(case["n"])
+        .collect()
+    ]
+
+
+def run_scalar_duckdb(con, case: dict):
+    sel = [f"{case['uk']} AS uk"]
+    for p in case["picks"]:
+        name, _, dr = SCALARS[p]
+        sel.append(f"{dr(case['order'], case['part'])} AS {name}")
+    sql = (f"SELECT {', '.join(sel)} FROM {case['table']} "
+           f"ORDER BY uk LIMIT {case['n']}")
+    return [tuple(r) for r in con.execute(sql).fetchall()]
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random query AST: table (or an equi-join of two), 0-2 filters,
     0-2 group keys, 1-3 aggs."""
@@ -296,10 +353,15 @@ def main() -> int:
     rng = random.Random(seed)
     failures = 0
     for i in range(n_cases):
-        if rng.random() < 0.25:
+        roll = rng.random()
+        if roll < 0.2:
             case = gen_window_case(rng)
             a = normalize(run_window_spark(spark, sf_dir, case))
             b = normalize(run_window_duckdb(con, case))
+        elif roll < 0.4:
+            case = gen_scalar_case(rng)
+            a = normalize(run_scalar_spark(spark, sf_dir, case))
+            b = normalize(run_scalar_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
