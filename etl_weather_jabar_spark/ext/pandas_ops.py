@@ -227,12 +227,14 @@ def asof_join_pandas(
     right_ts: str,
     carried: list[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ):
     """Backward as-of join via cogrouped ``applyInPandas`` +
     ``pd.merge_asof`` — the guide-book escape hatch for when the
     union+running-last Column form (operators/joins.py::
-    asof_join_backward) can't express the semantics (e.g. nearest-
-    rather-than-backward, or interpolation). Each key's rows meet in one
+    asof_join_backward) can't express the semantics (``direction`` passes
+    through to pandas: "backward" / "forward" / "nearest" — the native
+    Column forms cover backward and forward; NEAREST exists only here). Each key's rows meet in one
     pandas callback, sorted there; the test pins this equal to the
     native form on the same inputs. Per-key rows must fit one executor
     (cogroup contract) — the Column form has no such limit, which is why
@@ -259,7 +261,7 @@ def asof_join_pandas(
             r,
             left_on=left_ts,
             right_on=right_ts,
-            direction="backward",
+            direction=direction,
             **kwargs,
         )
         return out[[*l.columns, *carried]]

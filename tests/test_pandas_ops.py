@@ -165,3 +165,28 @@ def test_asof_join_pandas_matches_native(spark):
         a = sorted(map(tuple, native.collect()))
         b = sorted(map(tuple, via_pandas.collect()))
         assert a == b and len(a) > 0, (tol, len(a), len(b))
+
+
+def test_asof_join_pandas_nearest_direction(spark):
+    """direction='nearest' (no native twin) against a hand-computed
+    fixture: each left ts matches the closest right ts either side."""
+    from datetime import datetime as dt
+
+    from etl_weather_jabar_spark.ext.pandas_ops import asof_join_pandas
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0), 100), (1, dt(2024, 1, 1, 10, 59), 101)],
+        ["k", "lts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 9, 50), 7), (1, dt(2024, 1, 1, 11, 0), 8)],
+        ["k", "rts", "rid"],
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join_pandas(
+            left, right, "k", "lts", "rts", ["rid"], direction="nearest"
+        ).collect()
+    }
+    # 10:00 is nearer 9:50 (10m) than 11:00 (60m); 10:59 nearer 11:00 (1m)
+    assert got == {100: 7, 101: 8}
