@@ -158,10 +158,19 @@ def snapshot_write(
     return _publish(path, build)
 
 
-def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
+def snapshot_read(
+    spark,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """The table as of ``version`` (default: latest). The returned plan
     names the snapshot's exact files, so later commits cannot change what
-    this DataFrame reads."""
+    this DataFrame reads. ``merge_schema=True`` unions the schemas of all
+    the version's files (schema EVOLUTION: files appended before a column
+    existed read it as NULL — the Delta/Iceberg add-column semantics);
+    the default reads with the first file's schema, which is cheaper and
+    right for schema-stable tables."""
     vs = _versions(path)
     if not vs:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -171,7 +180,10 @@ def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
     files = _read_manifest(path, v)["files"]
     if not files:
         raise FileNotFoundError(f"version {v} is empty")
-    return spark.read.parquet(
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(
         *[os.path.join(path, "data", f) for f in files]
     )
 

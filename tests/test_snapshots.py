@@ -529,3 +529,23 @@ def test_incremental_agg_maintenance_from_append_delta(spark, tmp_path):
 
     with pytest.raises(ValueError):
         snapshot_appended_rows(spark, path, from_version=2)
+
+
+def test_snapshot_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution: a later append carries a new column; reading
+    with merge_schema=True surfaces it (NULL for pre-evolution rows),
+    and old versions still read with their own schema."""
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), path
+    )
+    snapshot_write(
+        spark.createDataFrame([(3, "c", 300)], ["k", "v", "w"]), path
+    )
+    evolved = snapshot_read(spark, path, merge_schema=True)
+    assert set(evolved.columns) == {"k", "v", "w"}
+    got = {(r["k"], r["v"], r["w"]) for r in evolved.collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 300)}
+    # time travel to v1 shows the original two-column schema
+    old = snapshot_read(spark, path, version=1, merge_schema=True)
+    assert set(old.columns) == {"k", "v"}
