@@ -181,6 +181,65 @@ def run_scalar_duckdb(con, case: dict):
     return [tuple(r) for r in con.execute(sql).fetchall()]
 
 
+def gen_setop_case(rng: random.Random) -> dict:
+    """Set-operation shape: two modulus-filtered projections of one table
+    combined with UNION ALL / INTERSECT / EXCEPT, then counted. INTERSECT
+    and EXCEPT are DISTINCT-semantics in both engines; UNION ALL keeps
+    duplicates — exactly the subtle trio worth fuzzing."""
+    table = rng.choice(sorted(WINDOWABLE))
+    uk, part, order = WINDOWABLE[table]
+    return {
+        "kind": "setop",
+        "table": table,
+        "cols": [part, order],
+        "m1": rng.randrange(2, 9),
+        "m2": rng.randrange(2, 9),
+        "uk": uk,
+        "op": rng.choice(["union_all", "intersect", "except"]),
+    }
+
+
+def run_setop_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    df = load_table(spark, sf_dir, case["table"])
+    a = df.where(F.col(case["uk"]) % case["m1"] == 0).select(*case["cols"])
+    b = df.where(F.col(case["uk"]) % case["m2"] == 1).select(*case["cols"])
+    combined = {
+        "union_all": a.unionAll(b),
+        "intersect": a.intersect(b),
+        "except": a.subtract(b),  # EXCEPT DISTINCT, like DuckDB
+    }[case["op"]]
+    out = combined.groupBy(case["cols"][0]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(case["cols"][1]).cast("bigint")).alias("s"),
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+def run_setop_duckdb(con, case: dict):
+    c0, c1 = case["cols"]
+    opsql = {
+        "union_all": "UNION ALL",
+        "intersect": "INTERSECT",
+        "except": "EXCEPT",
+    }[case["op"]]
+    sql = f"""
+    WITH u AS (
+      SELECT {c0}, {c1} FROM {case['table']}
+      WHERE {case['uk']} % {case['m1']} = 0
+      {opsql}
+      SELECT {c0}, {c1} FROM {case['table']}
+      WHERE {case['uk']} % {case['m2']} = 1
+    )
+    SELECT {c0}, count(*) AS n, sum(CAST({c1} AS BIGINT)) AS s
+    FROM u GROUP BY 1
+    """
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random query AST: table (or an equi-join of two), 0-2 filters,
     0-2 group keys, 1-3 aggs."""
@@ -358,10 +417,14 @@ def main() -> int:
             case = gen_window_case(rng)
             a = normalize(run_window_spark(spark, sf_dir, case))
             b = normalize(run_window_duckdb(con, case))
-        elif roll < 0.4:
+        elif roll < 0.35:
             case = gen_scalar_case(rng)
             a = normalize(run_scalar_spark(spark, sf_dir, case))
             b = normalize(run_scalar_duckdb(con, case))
+        elif roll < 0.5:
+            case = gen_setop_case(rng)
+            a = normalize(run_setop_spark(spark, sf_dir, case))
+            b = normalize(run_setop_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
