@@ -226,3 +226,58 @@ def test_ivf_append_stats_recluster(spark, tmp_path):
         for r in ivf_topk_indexed(spark, path, queries, k=5, n_probe=4).collect()
     }
     assert {1000, 1001, 1002} <= hits2
+
+
+def test_streaming_ivf_index_maintenance(spark, tmp_path):
+    """Vector-index maintenance as a stream: embedding batches landing in
+    a directory are appended to the persisted IVF index inside
+    foreachBatch (frozen centroids, no retraining), and a search after
+    the stream drains finds the streamed vectors."""
+    import json as J
+    import os
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        append_to_ivf_index,
+        ivf_topk_indexed,
+        save_ivf_index,
+    )
+
+    corpus = _corpus(spark)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(corpus, path, n_clusters=8, iters=2)
+
+    landing = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    target = corpus.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    with open(f"{landing}/b1.json", "w") as f:
+        for i in range(3):
+            f.write(J.dumps({"vec_id": 5000 + i, "embedding": list(target)}) + "\n")
+
+    def fold(batch, _bid):
+        if not batch.isEmpty():
+            append_to_ivf_index(
+                batch.select(
+                    "vec_id", F.col("embedding").cast("array<float>")
+                ),
+                path,
+            )
+
+    q = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+        .json(landing)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = {
+        r["vec_id"]
+        for r in ivf_topk_indexed(spark, path, queries, k=5, n_probe=4).collect()
+    }
+    assert {5000, 5001, 5002} <= hits
