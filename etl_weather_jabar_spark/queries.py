@@ -7218,4 +7218,102 @@ def approx_topk_rollup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_datasheet",
+    f"""
+    WITH by_lang AS (
+      SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1
+    ),
+    dups AS (
+      SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS extra
+      FROM (SELECT md5(text) h, count(*) c FROM documents GROUP BY 1
+            HAVING count(*) > 1)
+    ),
+    toks AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(count(DISTINCT t) AS BIGINT) AS vocab
+      FROM (SELECT unnest(nt) AS t FROM
+            (SELECT {_NORM_TOKENS_SQL} AS nt FROM documents))
+    )
+    SELECT 'docs' AS metric, lang AS scope, CAST(docs AS BIGINT) AS value
+    FROM by_lang
+    UNION ALL
+    SELECT 'chars', lang, chars FROM by_lang
+    UNION ALL
+    SELECT 'dup_docs_beyond_first', 'all', extra FROM dups
+    UNION ALL
+    SELECT 'tokens', 'all', total FROM toks
+    UNION ALL
+    SELECT 'vocab', 'all', vocab FROM toks
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus data card (long format: metric, scope, value) —
+    the datasheet a training run records before consuming a corpus:
+    per-language doc/char mass, exact-duplicate excess, token volume and
+    vocabulary size. Every value an exact integer; composed from the
+    same building blocks the individual queries use (hash dedup groups,
+    normalized tokens), so the datasheet can't drift from the operators
+    it summarizes. Three scans of one small-per-doc projection, each a
+    partial-agg pipeline; union of tiny results.
+    """
+    from .functions.text import tokens as norm_tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    by_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    dups = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("extra")
+        )
+    )
+    tok = docs.select(F.explode(norm_tokens(F.col("text"))).alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.count_distinct("t").cast("bigint").alias("vocab"),
+    )
+    return (
+        by_lang.select(
+            F.lit("docs").alias("metric"),
+            F.col("lang").alias("scope"),
+            F.col("docs").cast("bigint").alias("value"),
+        )
+        .unionByName(
+            by_lang.select(
+                F.lit("chars").alias("metric"),
+                F.col("lang").alias("scope"),
+                F.col("chars").alias("value"),
+            )
+        )
+        .unionByName(
+            dups.select(
+                F.lit("dup_docs_beyond_first").alias("metric"),
+                F.lit("all").alias("scope"),
+                F.col("extra").alias("value"),
+            )
+        )
+        .unionByName(
+            tok.select(
+                F.lit("tokens").alias("metric"),
+                F.lit("all").alias("scope"),
+                F.col("total").alias("value"),
+            )
+        )
+        .unionByName(
+            tok.select(
+                F.lit("vocab").alias("metric"),
+                F.lit("all").alias("scope"),
+                F.col("vocab").alias("value"),
+            )
+        )
+    )
+
+
 ALL = sorted(QUERIES)
