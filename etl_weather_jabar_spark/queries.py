@@ -7316,4 +7316,43 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("snapshot_table_lifecycle")  # rows-only: writes a temp table
+def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional table exercised end-to-end from the registry:
+    append region names, append nation names, MERGE an upsert+delete log,
+    then report each version's row count and op plus the post-merge key
+    count — all deterministic integers. Writes under a fresh temp dir
+    (the registry contract is read-only on sf_dir, not on /tmp);
+    rows-only check (the table layout has no SQL twin). Full semantics
+    are pinned in tests/test_snapshots.py (12 tests + a hypothesis
+    python-replay property).
+    """
+    import tempfile
+
+    from .snapshots import snapshot_history, snapshot_merge, snapshot_read, snapshot_write
+
+    tmp = tempfile.mkdtemp(prefix="snap_q_")
+    path = f"{tmp}/t"
+    r = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("v")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 100).alias("k"), F.col("n_name").alias("v")
+    )
+    snapshot_write(r, path)
+    snapshot_write(n, path)
+    changes = spark.createDataFrame(
+        [(0, "ZZZ", 1, "U"), (101, None, 1, "D"), (999, "NEW", 1, "U")],
+        "k INT, v STRING, seq INT, op STRING",
+    )
+    snapshot_merge(spark, path, changes, ["k"])
+    rows = []
+    for h in snapshot_history(path):
+        cnt = snapshot_read(spark, path, version=h["version"]).count()
+        rows.append((h["version"], h["op"], cnt))
+    return spark.createDataFrame(
+        rows, "version INT, op STRING, n_rows BIGINT"
+    )
+
+
 ALL = sorted(QUERIES)
