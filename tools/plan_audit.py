@@ -92,6 +92,8 @@ AUDIT_QUERIES = [
     "weighted_median_price",
     "contamination_score_topk",
     "embedding_dim_stats",
+    "key_skew_report",
+    "corpus_datasheet",
 ]
 
 
