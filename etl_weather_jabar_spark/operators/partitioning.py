@@ -160,3 +160,36 @@ def load_zorder_bounds(spark, path: str) -> dict[str, tuple[int, int]]:
         r["col"]: (r["lo"], r["hi"])
         for r in spark.read.parquet(path).collect()
     }
+
+
+def key_distribution(df: "DataFrame", keys: list[str], top_k: int = 10):
+    """Join-key skew diagnostics for ANY key set — the operator behind
+    the ``key_skew_report`` registry query. Returns
+    ``(summary_df, heavy_df)``:
+
+    * summary — 1 row: n_keys, total_rows, max_n, and the max/mean ratio
+      in half-up integer ppm (≥ 1 000 000; a viral key shows up as a
+      multiple of the mean);
+    * heavy — the ``top_k`` hottest keys with counts (deterministic
+      tie-break by key), the candidates for salting / AQE skew split.
+
+    Cost: one partial-agg groupBy over the keys + a 1-row reagg + a
+    TakeOrdered — what you can afford before every large join.
+    """
+    from pyspark.sql import functions as F
+
+    c = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    num = F.max("n") * F.count(F.lit(1)) * F.lit(1_000_000).cast("bigint")
+    den = F.sum("n")
+    a = num * 2 + den
+    b = den * 2
+    summary = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").cast("bigint").alias("max_n"),
+        ((a - F.pmod(a, b)) / b).cast("bigint").alias("skew_ratio_ppm"),
+    )
+    heavy = c.orderBy(F.col("n").desc(), *[F.col(k) for k in keys]).limit(
+        top_k
+    )
+    return summary, heavy

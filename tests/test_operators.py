@@ -456,3 +456,24 @@ def test_zorder_key_frozen_bounds_append_stable(spark):
 
     with _p.raises(ValueError):
         zorder_key(base, ["x", "y"], bits=4, bounds={"x": (0, 15)})
+
+
+def test_key_distribution_diagnoses_skew(spark):
+    """A planted hot key shows up in both halves of the diagnostic: the
+    ppm ratio well above 1e6 and the key leading the heavy list."""
+    from etl_weather_jabar_spark.operators.partitioning import (
+        key_distribution,
+    )
+
+    rows = [(7, i) for i in range(900)] + [(k, 0) for k in range(100)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    summary, heavy = key_distribution(df, ["k"], top_k=3)
+    s = summary.collect()[0]
+    # key 7 appears in both the hot block and the uniform tail -> 100 keys
+    assert s["n_keys"] == 100 and s["total_rows"] == 1000
+    assert s["max_n"] == 901  # 900 planted + key 7 from the uniform tail
+    # ratio = max / (total/n_keys) = 901*100/1000 = 90.1x the mean
+    assert s["skew_ratio_ppm"] == 90_100_000
+    h = heavy.collect()
+    assert h[0]["k"] == 7 and h[0]["n"] == 901
+    assert all(r["n"] == 1 for r in h[1:])
