@@ -110,12 +110,20 @@ def _publish(path: str, build) -> int:
             **(meta or {}),
         }
         target = os.path.join(_manifest_dir(path), f"v{version:010d}.json")
+        # write the FULL manifest to a temp file first, then hard-link it
+        # into place: link() is create-if-absent AND the linked file is
+        # complete, so a concurrent reader can never see torn JSON (the
+        # bare open("x") + dump had that window)
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
         try:
-            with open(target, "x") as f:  # atomic create-if-absent
-                json.dump(manifest, f)
+            os.link(tmp, target)
             return version
         except FileExistsError:
             continue  # lost the race: re-resolve latest and retry
+        finally:
+            os.unlink(tmp)
 
 
 def snapshot_write(

@@ -549,3 +549,31 @@ def test_snapshot_schema_evolution_add_column(spark, tmp_path):
     # time travel to v1 shows the original two-column schema
     old = snapshot_read(spark, path, version=1, merge_schema=True)
     assert set(old.columns) == {"k", "v"}
+
+
+def test_snapshot_concurrent_writers_stress(spark, tmp_path):
+    """8 threads × 3 appends racing on one table: every commit must land
+    (no lost updates — the publish callback re-resolves on a lost race),
+    versions are a gapless sequence, and the final table holds every
+    thread's rows exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+
+    def writer(tid: int) -> None:
+        for j in range(3):
+            df = spark.createDataFrame(
+                [(tid * 100 + j, f"w{tid}b{j}")], ["k", "v"]
+            )
+            snapshot_write(df, path)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(writer, range(8)))
+
+    hist = snapshot_history(path)
+    assert [h["version"] for h in hist] == list(range(1, 25))
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, path).collect()}
+    want = {
+        (t * 100 + j, f"w{t}b{j}") for t in range(8) for j in range(3)
+    }
+    assert got == want
