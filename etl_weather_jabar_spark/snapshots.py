@@ -212,21 +212,33 @@ def snapshot_history(path: str) -> list[dict]:
     return out
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    path: str, keep_versions: int = 1, min_age_seconds: float = 3600.0
+) -> list[str]:
     """GC: drop manifests older than the newest ``keep_versions`` and
     delete data files no retained manifest references (orphans from lost
     commit races are collected too). Returns the deleted file names.
-    Readers of vacuumed versions break — same contract as Delta VACUUM."""
+    Readers of vacuumed versions break — same contract as Delta VACUUM.
+
+    ``min_age_seconds`` guards the commit race: a concurrent writer's
+    data files exist BEFORE its manifest publishes, so an unreferenced
+    file younger than the grace window is an in-flight commit, not an
+    orphan, and is left alone (Delta VACUUM's retention check, applied
+    to unreferenced files). Pass 0 only when no writer can be active."""
     vs = _versions(path)
     keep = vs[-keep_versions:] if keep_versions > 0 else []
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(path, v)["files"])
     deleted = []
+    now = time.time()
     for f in glob.glob(os.path.join(path, "data", "*.parquet")):
-        if os.path.basename(f) not in live:
-            os.remove(f)
-            deleted.append(os.path.basename(f))
+        if os.path.basename(f) in live:
+            continue
+        if now - os.path.getmtime(f) < min_age_seconds:
+            continue  # young unreferenced file = likely in-flight commit
+        os.remove(f)
+        deleted.append(os.path.basename(f))
     for v in vs:
         if v not in keep:
             os.remove(os.path.join(_manifest_dir(path), f"v{v:010d}.json"))

@@ -82,7 +82,11 @@ def test_snapshot_vacuum_collects_orphans_and_old_versions(spark, tmp_path):
     orphan = os.path.join(path, "data", "deadbeef-part0000.parquet")
     open(orphan, "w").write("junk")
     before = snapshot_read(spark, path).count()
-    deleted = vacuum(path, keep_versions=1)
+    # grace window first: young unreferenced files survive (in-flight
+    # commit protection), then age 0 collects them
+    assert vacuum(path, keep_versions=1) == []
+    assert os.path.exists(orphan)
+    deleted = vacuum(path, keep_versions=1, min_age_seconds=0)
     assert "deadbeef-part0000.parquet" in deleted
     assert snapshot_read(spark, path).count() == before == 3
     hist = snapshot_history(path)
