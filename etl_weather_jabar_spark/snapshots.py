@@ -589,3 +589,47 @@ def incremental_agg_update(
             ]
         )
     )
+
+
+def snapshot_fsck(path: str) -> dict:
+    """Table integrity check — what an operator runs before trusting a
+    snapshot table after an incident:
+
+    * ``versions_ok`` — the manifest sequence is gapless from 1,
+    * ``missing_files`` — files named by a manifest but absent on disk
+      (data loss: affected versions cannot be read),
+    * ``stats_drift`` — stats entries naming files outside the version's
+      file list (harmless but indicates a buggy writer),
+    * ``n_orphans`` — data files no manifest references (in-flight or
+      crashed commits; :func:`vacuum` reclaims them after the grace
+      window).
+
+    Pure filesystem walk — no Spark session needed, O(manifests + files).
+    """
+    vs = _versions(path)
+    versions_ok = vs == list(range(1, len(vs) + 1))
+    on_disk = {
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(path, "data", "*.parquet"))
+    }
+    missing: dict[int, list[str]] = {}
+    stats_drift: dict[int, list[str]] = {}
+    referenced: set[str] = set()
+    for v in vs:
+        m = _read_manifest(path, v)
+        files = m["files"]
+        referenced.update(files)
+        lost = [f for f in files if f not in on_disk]
+        if lost:
+            missing[v] = lost
+        drift = [f for f in m.get("stats", {}) if f not in set(files)]
+        if drift:
+            stats_drift[v] = drift
+    return {
+        "versions_ok": versions_ok,
+        "n_versions": len(vs),
+        "missing_files": missing,
+        "stats_drift": stats_drift,
+        "n_orphans": len(on_disk - referenced),
+        "ok": versions_ok and not missing and not stats_drift,
+    }

@@ -581,3 +581,36 @@ def test_snapshot_concurrent_writers_stress(spark, tmp_path):
         (t * 100 + j, f"w{t}b{j}") for t in range(8) for j in range(3)
     }
     assert got == want
+
+
+def test_snapshot_fsck_detects_corruption(spark, tmp_path):
+    """fsck: clean table reports ok; deleting a referenced data file is
+    flagged with the affected version; an orphan is counted but not an
+    error; a gap in the version sequence fails versions_ok."""
+    from etl_weather_jabar_spark.snapshots import snapshot_fsck
+
+    path = str(tmp_path / "t")
+    r = load_table(spark, SF, "region").select(F.col("r_name").alias("v"))
+    snapshot_write(r, path)
+    snapshot_write(r, path)
+    rep = snapshot_fsck(path)
+    assert rep["ok"] and rep["n_versions"] == 2 and rep["n_orphans"] == 0
+
+    # orphan: counted, not an error
+    open(os.path.join(path, "data", "aaaa-part0000.parquet"), "w").write("x")
+    rep = snapshot_fsck(path)
+    assert rep["ok"] and rep["n_orphans"] == 1
+
+    # data loss: delete one referenced file
+    victim = json.load(
+        open(os.path.join(path, "_manifests", f"v{2:010d}.json"))
+    )["files"][-1]
+    os.remove(os.path.join(path, "data", victim))
+    rep = snapshot_fsck(path)
+    assert not rep["ok"] and 2 in rep["missing_files"]
+    assert victim in rep["missing_files"][2]
+
+    # version gap
+    os.remove(os.path.join(path, "_manifests", f"v{1:010d}.json"))
+    rep = snapshot_fsck(path)
+    assert not rep["versions_ok"]
