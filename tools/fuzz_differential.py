@@ -258,15 +258,25 @@ def gen_case(rng: random.Random) -> dict:
         if rng.random() < 0.6:
             col = rng.choice(ints)
             filters.append(("num", col, rng.choice(CMP_OPS), rng.randrange(1, 5000)))
-        else:
+        elif rng.random() < 0.7:
             col = rng.choice(strs)
             filters.append(("mod", rng.choice(ints), rng.randrange(2, 13), col))
+        else:
+            # NULL machinery: nullif() creates real NULLs deterministically
+            filters.append(
+                ("nullf", rng.choice(ints), rng.randrange(2, 7),
+                 rng.choice([True, False]))
+            )
     keys = rng.sample(strs, k=rng.randrange(0, min(2, len(strs)) + 1))
     aggs = [("count", None)]
     for _ in range(rng.randrange(3)):
-        kind = rng.choice(["sum_units", "min", "max", "sum_int", "countd"])
+        kind = rng.choice(
+            ["sum_units", "min", "max", "sum_int", "countd", "count_nullable"]
+        )
         if kind == "sum_units":
             aggs.append((kind, rng.choice(cents)))
+        elif kind == "count_nullable":
+            aggs.append((kind, (rng.choice(ints), rng.randrange(2, 7))))
         elif kind in ("min", "max", "sum_int", "countd"):
             aggs.append((kind, rng.choice(ints)))
     return {
@@ -303,11 +313,15 @@ def run_spark(spark, sf_dir: str, case: dict):
                 "=": F.col(col) == lit, "<>": F.col(col) != lit,
             }[op]
             df = df.where(expr)
-        else:
+        elif f[0] == "mod":
             _, icol, m, scol = f
             # correlate a string col with an int residue: exercises
             # string-col survival through a numeric predicate
             df = df.where((F.col(icol) % m == 0) & F.col(scol).isNotNull())
+        else:
+            _, icol, m, want_null = f
+            e = F.nullif(F.col(icol) % m, F.lit(0))
+            df = df.where(e.isNull() if want_null else e.isNotNull())
     agg_exprs = []
     for i, (kind, col) in enumerate(case["aggs"]):
         a = f"a{i}"
@@ -321,6 +335,12 @@ def run_spark(spark, sf_dir: str, case: dict):
             agg_exprs.append(F.sum(F.col(col).cast("bigint")).alias(a))
         elif kind == "countd":
             agg_exprs.append(F.count_distinct(F.col(col)).alias(a))
+        elif kind == "count_nullable":
+            icol, m = col
+            # null-ignoring count over an expression with real NULLs
+            agg_exprs.append(
+                F.count(F.nullif(F.col(icol) % m, F.lit(0))).alias(a)
+            )
         else:
             agg_exprs.append(getattr(F, kind)(F.col(col)).alias(a))
     out = (
@@ -339,9 +359,13 @@ def render_duckdb(case: dict) -> str:
         if f[0] == "num":
             _, col, op, lit = f
             where.append(f"{col} {op} {lit}")
-        else:
+        elif f[0] == "mod":
             _, icol, m, scol = f
             where.append(f"({icol} % {m} = 0 AND {scol} IS NOT NULL)")
+        else:
+            _, icol, m, want_null = f
+            tail = "IS NULL" if want_null else "IS NOT NULL"
+            where.append(f"nullif({icol} % {m}, 0) {tail}")
     sel, grp = [], []
     for k in case["keys"]:
         sel.append(k)
@@ -356,6 +380,9 @@ def render_duckdb(case: dict) -> str:
             sel.append(f"sum(CAST({col} AS BIGINT)) AS {a}")
         elif kind == "countd":
             sel.append(f"count(DISTINCT {col}) AS {a}")
+        elif kind == "count_nullable":
+            icol, m = col
+            sel.append(f"count(nullif({icol} % {m}, 0)) AS {a}")
         else:
             sel.append(f"{kind}({col}) AS {a}")
     sql = f"SELECT {', '.join(sel)} FROM {case['table']}"
