@@ -154,6 +154,113 @@ def _sql_avg(x: str, nd: int = 2, k: int | None = None) -> str:
     return f"(CAST({out} AS DOUBLE) / {float(10**nd)})"
 
 
+# The whitespace token count used by token_count_stats — packing counts
+# the same way (plain lower+split, no punctuation stripping).
+_WS_TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
+
+# The normalized tokenizer chain (functions/text.py::tokens) — shared by
+# text_quality / ngram_topk_vocab / tfidf_top_terms / the simhash oracles.
+_NORM_TOKENS_SQL = """list_filter(regexp_split_to_array(
+        regexp_replace(regexp_replace(lower(trim(text)),
+            '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'),
+        ' '), t -> t <> '')"""
+
+
+def _simhash_fp_cte() -> str:
+    """Shared DuckDB CTE chain ending in ``fp(doc_id, simhash)`` — the twin
+    of ext/dedup_text.py::simhash64 in md5 mode (the registry default):
+    normalized tokens → 60-bit md5-derived hash per token → per-doc majority
+    vote per bit → fingerprint; token-less docs get fingerprint 0 (the
+    left-join/coalesce path in simhash64)."""
+    bits = ",\n               ".join(
+        f"sum((h >> {i}) & 1) AS b{i}" for i in range(60)
+    )
+    fp = "\n                 + ".join(
+        f"(CASE WHEN 2 * b{i} > n THEN {2**i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents
+    ), th AS (
+        SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(t) AS tk FROM toks)
+    ), bits AS (
+        SELECT doc_id, count(*) AS n,
+               {bits}
+        FROM th GROUP BY doc_id
+    ), fp AS (
+        SELECT d.doc_id, coalesce(b.fp0, 0)::BIGINT AS simhash
+        FROM documents d
+        LEFT JOIN (SELECT doc_id,
+                          ({fp})::BIGINT AS fp0
+                   FROM bits) b USING (doc_id)
+    )
+    """
+
+
+def _minhash_neardup_sql() -> str:
+    """DuckDB twin of the md5-mode MinHash(16)+LSH(4 bands, 5-gram
+    shingles) candidate pairs → exact shingle-Jaccard ≥ 0.5 verify
+    (ext/dedup_text.py::minhash_lsh_candidates + jaccard_verify)."""
+    mins = ",\n               ".join(
+        f"min(('0x' || substr(md5(sg || ':{i}'), 1, 15))::BIGINT) AS h{i}"
+        for i in range(16)
+    )
+    bands = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', h{o0}, h{o1}, h{o2}, h{o3})"
+        " AS bucket FROM sig".format(
+            b=b, o0=4 * b, o1=4 * b + 1, o2=4 * b + 2, o3=4 * b + 3
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+                    ELSE [array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)]
+               END AS s
+        FROM toks
+    ), shingle_rows AS (
+        SELECT DISTINCT doc_id, unnest(s) AS sg FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM shingle_rows
+        GROUP BY doc_id
+    ), banded AS (
+        {bands}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ), sz AS (
+        SELECT doc_id, count(*) AS sz FROM shingle_rows GROUP BY doc_id
+    ), inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS inter
+        FROM cand c
+        JOIN shingle_rows x ON x.doc_id = c.id_a
+        JOIN shingle_rows y ON y.doc_id = c.id_b AND y.sg = x.sg
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT c.id_a, c.id_b,
+               round(coalesce(i.inter, 0)
+                     / (sa.sz + sb.sz - coalesce(i.inter, 0))::DOUBLE,
+                     6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sz sa ON sa.doc_id = c.id_a
+        JOIN sz sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
 # =========================================================================
 # Core reference operators (SURVEY §2) on the synthetic tables
 # =========================================================================
@@ -800,11 +907,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(distinct)/median. No DuckDB oracle: sketch algorithms differ by
     engine (driver records rows-only)."""
     ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
+    # Scalar columns (not an array) so downstream harnesses can canonicalize
+    # each value independently.
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-            "value_percentiles"
-        ),
+        pct.getItem(0).alias("value_p50"),
+        pct.getItem(1).alias("value_p95"),
+        pct.getItem(2).alias("value_p99"),
     )
 
 
@@ -1085,36 +1195,52 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("cosine") >= 0.95)
 
 
-# --- MinHash-LSH near-dup (no SQL oracle: multi-stage banded-hash pipeline;
-#     verified instead by tests/test_dedup_text.py golden + metamorphic) ---
-@_register("minhash_lsh_neardup")
+@_register("minhash_lsh_neardup", _minhash_neardup_sql())
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates → exact shingle-Jaccard ≥ 0.5
-    (ext/dedup_text.py tier 3). Hashes are xxhash64 (pure JVM fast path;
-    an md5 mode exists for bit-identical cross-engine reproduction);
-    returns (id_a, id_b, jaccard)."""
+    (ext/dedup_text.py tier 3), in md5 hash mode so the whole banded
+    pipeline — candidate generation included — is reproduced bit-for-bit
+    by the DuckDB oracle (xxhash64 mode is the pure-JVM fast path for
+    production; same plan shape, different hash family). Returns
+    (id_a, id_b, jaccard)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    cand = minhash_lsh_candidates(docs, id_col="doc_id", text_col="text")
+    cand = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", hash_fn="md5"
+    )
     return jaccard_verify(cand, docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
-@_register("simhash_neardup_pairs")
+@_register(
+    "simhash_neardup_pairs",
+    _simhash_fp_cte()
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+)
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (ext/dedup_text.py tier 2b): pigeonhole
-    band join on fingerprint chunks → exact Hamming ≤ 4 filter. Rows-only
-    check (the banding pipeline has no SQL twin); planted-near-dup recall
-    is pinned in tests/test_dedup_text.py."""
+    band join on fingerprint chunks → exact Hamming ≤ 4 filter. The
+    pigeonhole banding is COMPLETE for Hamming ≤ max_hamming, so the
+    oracle is the straight quadratic self-join over md5-mode fingerprints
+    (bucket-cap never binds at oracle scale); planted-near-dup recall is
+    additionally pinned in tests/test_dedup_text.py."""
     from .ext.dedup_text import simhash_candidates
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return simhash_candidates(docs, max_hamming=4).orderBy("id_a", "id_b")
 
 
-@_register("simhash_fingerprints")
+@_register(
+    "simhash_fingerprints",
+    _simhash_fp_cte() + "\n    SELECT doc_id, simhash FROM fp\n    ",
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash fingerprints (ext/dedup_text.py tier 2) + bucket
-    counts; rows-only check (bit-construction loop is not one SQL
-    expression), golden-tested in tests/."""
+    """60-bit md5-mode SimHash fingerprints (ext/dedup_text.py tier 2) —
+    bit-identical across engines, so the 60-bit majority-vote construction
+    is verified value-for-value against the DuckDB twin."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return simhash64(docs).select("doc_id", "simhash")
 
@@ -3243,20 +3369,6 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sequence shaping + quantization (training-pipeline extensions,
 # ext/sequencing.py / ext/quantize.py)
 # =========================================================================
-
-# The whitespace token count used by token_count_stats — packing counts
-# the same way (plain lower+split, no punctuation stripping).
-_WS_TOKENS_SQL = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
-)
-
-# The normalized tokenizer chain (functions/text.py::tokens) — shared by
-# text_quality / ngram_topk_vocab / tfidf_top_terms.
-_NORM_TOKENS_SQL = """list_filter(regexp_split_to_array(
-        regexp_replace(regexp_replace(lower(trim(text)),
-            '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'),
-        ' '), t -> t <> '')"""
-
 
 @_register(
     "pack_sequences_512",
