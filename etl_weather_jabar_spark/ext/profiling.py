@@ -52,13 +52,21 @@ def profile_columns(df: DataFrame, specs: list[tuple[str, Column]]) -> DataFrame
         ]
     one = df.agg(*aggs)
     # exact distinct per column: narrow (gid, value) pairs, two hash aggs.
-    # The string cast is for a shared pair schema only — it's injective per
-    # column for the orderable-scalar inputs the contract requires, so the
-    # cardinality is the typed column's. count(distinct) ignores nulls.
+    # The string cast is for a shared pair schema only — injective per
+    # column EXCEPT for float/double signed zeros: -0.0 and 0.0 are one
+    # group to a typed count_distinct (Spark normalizes -0.0 in grouping
+    # keys) but two strings, so float-typed expressions are canonicalized
+    # with `+ 0.0` first (-0.0 + 0.0 == 0.0; every other value, NaN
+    # included, is unchanged — all NaN payloads already cast to one "NaN"
+    # string). count(distinct) ignores nulls.
+    def _canon(c: Column) -> Column:
+        dt = df.select(c).schema[0].dataType.simpleString()
+        return c + F.lit(0.0) if dt in ("float", "double") else c
+
     pairs = df.select(
-        F.posexplode(F.array(*[c.cast("string") for _, c in specs])).alias(
-            "gid", "v"
-        )
+        F.posexplode(
+            F.array(*[_canon(c).cast("string") for _, c in specs])
+        ).alias("gid", "v")
     )
     dist = (
         pairs.where(F.col("v").isNotNull())

@@ -37,8 +37,36 @@ import uuid
 from pyspark.sql import DataFrame
 
 
+class ConcurrentSnapshotError(RuntimeError):
+    """A conflicting commit landed and the operation cannot merge with it
+    safely (the Delta ConcurrentModificationException analogue)."""
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "_meta.json")
+
+
+def _read_meta(path: str) -> dict:
+    """Vacuum-survivor sidecar: ``vacuum_horizon`` (lowest retained
+    version), ``batch_ids`` (dedup ledger folded out of vacuumed
+    manifests), ``history`` (their history rows). Absent before the
+    first vacuum."""
+    try:
+        with open(_meta_path(path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"vacuum_horizon": 1, "batch_ids": [], "history": []}
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    tmp = _meta_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(path))  # atomic on POSIX
 
 
 def _versions(path: str) -> list[int]:
@@ -53,27 +81,77 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _write_data_files(df: DataFrame, path: str) -> list[str]:
-    """Write ``df`` into immutable data files; returns their names.
-    Files exist but are invisible until a manifest names them."""
+def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], dict]:
+    """Write ``df`` into immutable data files; returns (names, per-file
+    row counts). Files exist but are invisible until a manifest names
+    them. Row counts come from the parquet footers (no data scan) and
+    feed the manifest, making COUNT(*) a metadata-only operation."""
+    import pyarrow.parquet as pq
+
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     commit = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f"_staging-{commit}")
     df.write.mode("overwrite").parquet(staging)
-    new_files = []
+    new_files, row_counts = [], {}
     for i, part in enumerate(sorted(glob.glob(os.path.join(staging, "*.parquet")))):
         name = f"{commit}-part{i:04d}.parquet"
-        os.rename(part, os.path.join(data_dir, name))
+        target = os.path.join(data_dir, name)
+        os.rename(part, target)
         new_files.append(name)
+        row_counts[name] = pq.ParquetFile(target).metadata.num_rows
     shutil.rmtree(staging)
-    return new_files
+    return new_files, row_counts
+
+
+def _stats_encode(v):
+    """JSON-safe canonical encoding for manifest stats values. Temporal /
+    decimal / binary min-max values are tagged single-key dicts (a scalar
+    column value can never be a dict, so tags cannot collide with data);
+    everything else passes through. Idempotent: encoded values re-encode
+    to themselves, so carried-forward stats survive repeated publishes."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__date__": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"__dec__": str(v)}
+    if isinstance(v, (bytes, bytearray)):
+        return {"__b64__": base64.b64encode(bytes(v)).decode()}
+    return v
+
+
+def _stats_decode(v):
+    """Inverse of :func:`_stats_encode` — applied at every pruning-side
+    comparison so manifest stats compare against live values with the
+    original types (ISO strings are NOT compared to date objects)."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, dict):
+        if "__ts__" in v:
+            return datetime.datetime.fromisoformat(v["__ts__"])
+        if "__date__" in v:
+            return datetime.date.fromisoformat(v["__date__"])
+        if "__dec__" in v:
+            return decimal.Decimal(v["__dec__"])
+        if "__b64__" in v:
+            return base64.b64decode(v["__b64__"])
+    return v
 
 
 def _file_stats(spark, path: str, files: list[str], cols: list[str]) -> dict:
     """Per-file min/max of ``cols`` — one column-pruned scan of just the
     named files: ``{file: {col: [lo, hi]}}`` (the manifest-side analogue
-    of parquet footer stats, queryable without opening footers)."""
+    of parquet footer stats, queryable without opening footers). Values
+    are stored through :func:`_stats_encode`, so temporal/decimal/binary
+    keys are JSON-safe — the encode failure used to surface as a
+    json.dump TypeError AFTER data files were written (orphaning them)."""
     from pyspark.sql import functions as F
 
     if not files:
@@ -86,7 +164,11 @@ def _file_stats(spark, path: str, files: list[str], cols: list[str]) -> dict:
         df.groupBy(F.col("_metadata.file_name").alias("f")).agg(*aggs).collect()
     )
     return {
-        r["f"]: {c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols} for r in rows
+        r["f"]: {
+            c: [_stats_encode(r[f"lo_{c}"]), _stats_encode(r[f"hi_{c}"])]
+            for c in cols
+        }
+        for r in rows
     }
 
 
@@ -99,14 +181,19 @@ def _publish(path: str, build) -> int:
     while True:
         vs = _versions(path)
         latest = _read_manifest(path, vs[-1]) if vs else None
-        files, op, meta, stats = build(latest)
-        version = (vs[-1] if vs else 0) + 1
+        files, op, meta, stats, row_counts = build(latest)
+        # resume numbering past the vacuum horizon: a vacuum that dropped
+        # every manifest must not make the next commit reuse version 1
+        # (folded history is keyed by version number)
+        base_v = vs[-1] if vs else _read_meta(path)["vacuum_horizon"] - 1
+        version = base_v + 1
         manifest = {
             "version": version,
             "op": op,
             "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
             "files": files,
             "stats": stats,
+            "row_counts": row_counts,
             **(meta or {}),
         }
         target = os.path.join(_manifest_dir(path), f"v{version:010d}.json")
@@ -144,7 +231,7 @@ def snapshot_write(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
-    new_files = _write_data_files(df, path)
+    new_files, counts = _write_data_files(df, path)
     stats = (
         _file_stats(df.sparkSession, path, new_files, stats_cols)
         if stats_cols
@@ -153,14 +240,17 @@ def snapshot_write(
 
     def build(latest):
         if latest and mode == "append":
-            base, base_stats = latest["files"], latest.get("stats", {})
+            base = latest["files"]
+            base_stats = latest.get("stats", {})
+            base_counts = latest.get("row_counts", {})
         else:
-            base, base_stats = [], {}
+            base, base_stats, base_counts = [], {}, {}
         return (
             base + new_files,
             mode,
             meta,
             {**{f: s for f, s in base_stats.items() if f in base}, **stats},
+            {**{f: n for f, n in base_counts.items() if f in base}, **counts},
         )
 
     return _publish(path, build)
@@ -196,19 +286,23 @@ def snapshot_read(
     )
 
 
+def _history_row(m: dict) -> dict:
+    return {
+        "version": m["version"],
+        "op": m["op"],
+        "ts": m["ts"],
+        "n_files": len(m["files"]),
+    }
+
+
 def snapshot_history(path: str) -> list[dict]:
-    """All committed versions, oldest first: version, op, ts, n_files."""
-    out = []
+    """All committed versions, oldest first: version, op, ts, n_files.
+    Vacuumed versions survive as summary rows folded into ``_meta.json``
+    (their manifests are gone, so they are no longer time-travelable —
+    the history record is what remains)."""
+    out = list(_read_meta(path)["history"])
     for v in _versions(path):
-        m = _read_manifest(path, v)
-        out.append(
-            {
-                "version": m["version"],
-                "op": m["op"],
-                "ts": m["ts"],
-                "n_files": len(m["files"]),
-            }
-        )
+        out.append(_history_row(_read_manifest(path, v)))
     return out
 
 
@@ -239,9 +333,36 @@ def vacuum(
             continue  # young unreferenced file = likely in-flight commit
         os.remove(f)
         deleted.append(os.path.basename(f))
-    for v in vs:
-        if v not in keep:
-            os.remove(os.path.join(_manifest_dir(path), f"v{v:010d}.json"))
+    dropped = [v for v in vs if v not in keep]
+    if dropped:
+        # Fold the to-be-deleted manifests' durable state (streaming dedup
+        # batch ids + history rows + the new retention horizon) into the
+        # _meta.json sidecar BEFORE removing them — vacuum must never erase
+        # the exactly-once ledger (a stream restarted from an old checkpoint
+        # would otherwise double-append a vacuumed-away batch), and fsck
+        # validates the retained suffix against the recorded horizon. The
+        # write is atomic (tmp + rename); a crash between meta write and
+        # manifest removal only leaves duplicate ids/history rows, which
+        # the set-union / version-keyed merge absorbs on the next vacuum.
+        meta = _read_meta(path)
+        ids = set(meta["batch_ids"])
+        hist = {h["version"]: h for h in meta["history"]}
+        for v in dropped:
+            m = _read_manifest(path, v)
+            if m.get("batch_id") is not None:
+                ids.add(int(m["batch_id"]))
+            hist[v] = _history_row(m)
+        horizon = min(keep) if keep else (vs[-1] + 1 if vs else 1)
+        _write_meta(
+            path,
+            {
+                "vacuum_horizon": max(meta["vacuum_horizon"], horizon),
+                "batch_ids": sorted(ids),
+                "history": [hist[v] for v in sorted(hist)],
+            },
+        )
+    for v in dropped:
+        os.remove(os.path.join(_manifest_dir(path), f"v{v:010d}.json"))
     return sorted(deleted)
 
 
@@ -283,6 +404,7 @@ def snapshot_merge_pruned(
     seq_col: str = "seq",
     op_col: str = "op",
     max_change_keys: int = 100_000,
+    max_retries: int = 10,
 ) -> int:
     """Per-FILE copy-on-write MERGE: using the manifest's recorded
     min/max stats for ``key`` (``snapshot_write(stats_cols=[key])``),
@@ -298,72 +420,93 @@ def snapshot_merge_pruned(
     conservatively to "touched". Same apply_cdc semantics as
     :func:`snapshot_merge`; inserts of unseen keys land in the rewritten
     file set. One atomic 'merge' commit; pre-merge version time-travels.
+
+    Concurrency: the hot/cold split is only valid against the exact
+    version it was computed from, so a conflicting commit (the latest
+    manifest moved while this merge was writing) RESTARTS the whole
+    merge from the new latest version — re-split, re-read, re-apply.
+    Patching the carried-file list in the publish retry (the previous
+    behavior) silently dropped a racing append's files and any rows the
+    racer rewrote into new cold files: a lost update. The abandoned
+    attempt's data files are unreferenced and reclaimed by
+    :func:`vacuum`. After ``max_retries`` conflicts raises
+    :class:`ConcurrentSnapshotError` rather than live-locking.
     """
-    from pyspark.sql import functions as F
+    import bisect
 
     from .operators.diff import apply_cdc
 
-    vs = _versions(path)
-    if not vs:
-        raise FileNotFoundError(f"no snapshots at {path}")
-    latest = _read_manifest(path, vs[-1])
-    files, stats = latest["files"], latest.get("stats", {})
+    for _ in range(max_retries):
+        vs = _versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        base_version = vs[-1]
+        latest = _read_manifest(path, base_version)
+        files, stats = latest["files"], latest.get("stats", {})
+        counts = latest.get("row_counts", {})
 
-    n_keys = changes.select(key).distinct().count()
-    if n_keys > max_change_keys:
-        return snapshot_merge(
-            spark, path, changes, [key], seq_col=seq_col, op_col=op_col
+        n_keys = changes.select(key).distinct().count()
+        if n_keys > max_change_keys:
+            return snapshot_merge(
+                spark, path, changes, [key], seq_col=seq_col, op_col=op_col
+            )
+        ckeys = sorted(
+            r[key] for r in changes.select(key).distinct().collect()
         )
-    ckeys = sorted(
-        r[key] for r in changes.select(key).distinct().collect()
+
+        def touched(f: str) -> bool:
+            s = stats.get(f, {}).get(key)
+            if s is None or s[0] is None:
+                return True  # no stats recorded -> conservative rewrite
+            lo, hi = _stats_decode(s[0]), _stats_decode(s[1])
+            i = bisect.bisect_left(ckeys, lo)
+            return i < len(ckeys) and ckeys[i] <= hi
+
+        hot = [f for f in files if touched(f)]
+        cold = [f for f in files if f not in set(hot)]
+        if hot:
+            hot_df = spark.read.parquet(
+                *[os.path.join(path, "data", f) for f in hot]
+            )
+        else:
+            hot_df = snapshot_read(spark, path, version=base_version).limit(0)
+        merged = apply_cdc(
+            hot_df, changes, [key], seq_col=seq_col, op_col=op_col
+        ).drop(seq_col)
+        new_files, new_counts = _write_data_files(merged, path)
+        new_stats = _file_stats(spark, path, new_files, [key])
+
+        class _Conflict(Exception):
+            pass
+
+        def build(latest_m):
+            if latest_m is None or latest_m.get("version") != base_version:
+                raise _Conflict  # someone committed since the split
+            return (
+                cold + new_files,
+                "merge",
+                None,
+                {**{f: s for f, s in stats.items() if f in set(cold)},
+                 **new_stats},
+                {**{f: n for f, n in counts.items() if f in set(cold)},
+                 **new_counts},
+            )
+
+        try:
+            return _publish(path, build)
+        except _Conflict:
+            continue  # restart the whole merge from the new latest
+    raise ConcurrentSnapshotError(
+        f"merge at {path} lost {max_retries} publish races; giving up"
     )
-
-    import bisect
-
-    def touched(f: str) -> bool:
-        s = stats.get(f, {}).get(key)
-        if s is None or s[0] is None:
-            return True  # no stats recorded -> conservative rewrite
-        i = bisect.bisect_left(ckeys, s[0])
-        return i < len(ckeys) and ckeys[i] <= s[1]
-
-    hot = [f for f in files if touched(f)]
-    cold = [f for f in files if f not in set(hot)]
-    if hot:
-        hot_df = spark.read.parquet(
-            *[os.path.join(path, "data", f) for f in hot]
-        )
-    else:
-        hot_df = snapshot_read(spark, path).limit(0)
-    merged = apply_cdc(
-        hot_df, changes, [key], seq_col=seq_col, op_col=op_col
-    ).drop(seq_col)
-    new_files = _write_data_files(merged, path)
-    new_stats = _file_stats(spark, path, new_files, [key])
-
-    def build(latest_m):
-        # cold files must still be live in the latest manifest (a racing
-        # writer may have replaced them) — otherwise retry from its view
-        live = set(latest_m["files"]) if latest_m else set()
-        carried = [f for f in cold if f in live]
-        kept_stats = {
-            f: s
-            for f, s in (latest_m.get("stats", {}) if latest_m else {}).items()
-            if f in carried
-        }
-        return (
-            carried + new_files,
-            "merge",
-            None,
-            {**kept_stats, **new_stats},
-        )
-
-    return _publish(path, build)
 
 
 def committed_batch_ids(path: str) -> set[int]:
-    """Batch ids already committed by :func:`snapshot_stream_sink`."""
-    out = set()
+    """Batch ids already committed by :func:`snapshot_stream_sink`:
+    the union of ids recorded in retained manifests and ids folded into
+    ``_meta.json`` by :func:`vacuum` — so vacuuming old manifests can
+    never erase the exactly-once dedup ledger."""
+    out = set(int(b) for b in _read_meta(path)["batch_ids"])
     for v in _versions(path):
         b = _read_manifest(path, v).get("batch_id")
         if b is not None:
@@ -394,12 +537,24 @@ def snapshot_stream_sink(
     maintenance job. The optimize commit carries no batch id, so replay
     dedup is unaffected; readers stay snapshot-isolated throughout.
     Returns the DataStreamWriter; caller picks the trigger and starts it.
+
+    The committed-id set is loaded ONCE (manifests + the vacuum-surviving
+    ``_meta.json`` ledger) and cached in the sink for the stream's life —
+    the per-batch cost is a set lookup, not an O(versions) manifest
+    rescan per micro-batch (O(versions²) over the stream's life). The
+    sink is the table's single stream writer (Spark's checkpoint
+    contract), so no other process adds batch ids behind the cache.
     """
+    seen: set[int] | None = None
 
     def commit(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty() or batch_id in committed_batch_ids(path):
+        nonlocal seen
+        if seen is None:
+            seen = committed_batch_ids(path)
+        if batch.isEmpty() or batch_id in seen:
             return
         snapshot_write(batch, path, mode=mode, meta={"batch_id": batch_id})
+        seen.add(batch_id)
         if optimize_every and (batch_id + 1) % optimize_every == 0:
             snapshot_optimize(
                 batch.sparkSession,
@@ -431,6 +586,22 @@ def snapshot_scan(
     Files without stats are read conservatively. Same rows as
     ``snapshot_read(...).where(lo <= col <= hi)``, by construction.
     """
+    return snapshot_scan_multi(spark, path, {col: (lo, hi)}, version=version)
+
+
+def snapshot_scan_multi(
+    spark,
+    path: str,
+    preds: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-column data-skipping read: ``preds`` maps column → (lo, hi);
+    a file is opened only if EVERY predicate's range intersects its
+    recorded [min, max] (conjunctive pruning — the z-order companion:
+    clustering on (a, b) makes both columns' per-file ranges tight, so
+    two-column point lookups prune to ~one file). Missing stats on a
+    column read conservatively. The exact predicate conjunction is
+    applied after pruning, so the result equals the unpruned filter."""
     from pyspark.sql import functions as F
 
     vs = _versions(path)
@@ -441,18 +612,45 @@ def snapshot_scan(
     stats = m.get("stats", {})
 
     def may_match(f: str) -> bool:
-        s = stats.get(f, {}).get(col)
-        if s is None or s[0] is None:
-            return True
-        return not (s[1] < lo or s[0] > hi)
+        for col, (lo, hi) in preds.items():
+            s = stats.get(f, {}).get(col)
+            if s is None or s[0] is None:
+                continue  # no stats for this column -> can't prune on it
+            flo, fhi = _stats_decode(s[0]), _stats_decode(s[1])
+            if fhi < lo or flo > hi:
+                return False
+        return True
 
+    exact = None
+    for col, (lo, hi) in preds.items():
+        c = (F.col(col) >= lo) & (F.col(col) <= hi)
+        exact = c if exact is None else (exact & c)
     picked = [f for f in m["files"] if may_match(f)]
     if not picked:
         return snapshot_read(spark, path, version=v).where(F.lit(False))
     df = spark.read.parquet(
         *[os.path.join(path, "data", f) for f in picked]
     )
-    return df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df.where(exact)
+
+
+def snapshot_count(path: str, version: int | None = None) -> int:
+    """COUNT(*) of a snapshot from manifest row counts alone — no Spark
+    job, no file opens (the footer counts are recorded at write time).
+    Raises if the manifest predates row-count recording."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    counts = m.get("row_counts", {})
+    missing = [f for f in m["files"] if f not in counts]
+    if missing:
+        raise ValueError(
+            f"version {v} lacks row counts for {len(missing)} files "
+            "(written before row-count manifests); read and count instead"
+        )
+    return sum(counts[f] for f in m["files"])
 
 
 def snapshot_optimize(
@@ -595,7 +793,11 @@ def snapshot_fsck(path: str) -> dict:
     """Table integrity check — what an operator runs before trusting a
     snapshot table after an incident:
 
-    * ``versions_ok`` — the manifest sequence is gapless from 1,
+    * ``versions_ok`` — the retained manifests are a contiguous ascending
+      suffix of the version sequence, starting no earlier than the
+      recorded vacuum horizon (anchoring at 1 falsely flagged every
+      healthy vacuumed table, since :func:`vacuum` deletes old manifests
+      by design),
     * ``missing_files`` — files named by a manifest but absent on disk
       (data loss: affected versions cannot be read),
     * ``stats_drift`` — stats entries naming files outside the version's
@@ -607,7 +809,16 @@ def snapshot_fsck(path: str) -> dict:
     Pure filesystem walk — no Spark session needed, O(manifests + files).
     """
     vs = _versions(path)
-    versions_ok = vs == list(range(1, len(vs) + 1))
+    horizon = _read_meta(path)["vacuum_horizon"]
+    # healthy invariant: retained manifests are contiguous and start
+    # exactly at the recorded vacuum horizon (vs[0] > horizon means a
+    # manifest was deleted outside vacuum; < horizon means a stale
+    # manifest reappeared)
+    versions_ok = (
+        vs == list(range(vs[0], vs[0] + len(vs))) and vs[0] == horizon
+        if vs
+        else True
+    )
     on_disk = {
         os.path.basename(f)
         for f in glob.glob(os.path.join(path, "data", "*.parquet"))

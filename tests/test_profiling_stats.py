@@ -173,3 +173,16 @@ def test_winsorize_broadcasts_bounds(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # bounds join never shuffles the facts
+
+
+def test_profile_columns_distinct_matches_typed_count_for_signed_zero(spark):
+    """-0.0 and 0.0 are ONE value to a typed count_distinct (Spark
+    normalizes signed zeros in grouping keys) — the profile's shared
+    string-pair encoding must agree, not split them into "-0.0"/"0.0";
+    NaN stays a single distinct value."""
+    df = spark.createDataFrame(
+        [(0.0,), (-0.0,), (1.5,), (float("nan",),)], ["x"]
+    )
+    typed = df.agg(F.count_distinct("x")).collect()[0][0]
+    prof = profile_columns(df, [("x", F.col("x"))]).collect()[0]
+    assert prof["n_distinct"] == typed

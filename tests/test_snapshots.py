@@ -89,8 +89,10 @@ def test_snapshot_vacuum_collects_orphans_and_old_versions(spark, tmp_path):
     deleted = vacuum(path, keep_versions=1, min_age_seconds=0)
     assert "deadbeef-part0000.parquet" in deleted
     assert snapshot_read(spark, path).count() == before == 3
+    # vacuumed versions survive in history as summary rows (folded into
+    # _meta.json) but are no longer time-travelable
     hist = snapshot_history(path)
-    assert [h["version"] for h in hist] == [2]
+    assert [h["version"] for h in hist] == [1, 2]
     import pytest
 
     with pytest.raises(FileNotFoundError):
@@ -614,3 +616,154 @@ def test_snapshot_fsck_detects_corruption(spark, tmp_path):
     os.remove(os.path.join(path, "_manifests", f"v{1:010d}.json"))
     rep = snapshot_fsck(path)
     assert not rep["versions_ok"]
+
+
+def test_snapshot_merge_pruned_restarts_on_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A commit landing between the merge's hot/cold split and its publish
+    must RESTART the merge from the new latest version — the racer's
+    appended rows survive (no lost update), instead of the old behavior
+    of patching the carried-file list (which silently dropped them)."""
+    import etl_weather_jabar_spark.snapshots as snap
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 7)], ["k", "v"]
+    ).repartitionByRange(3, "k")
+    snap.snapshot_write(base, path, stats_cols=["k"])
+
+    changes = spark.createDataFrame([(2, "V2", 1, "U")], ["k", "v", "seq", "op"])
+    racer = spark.createDataFrame([(100, "racer")], ["k", "v"])
+
+    real_stats = snap._file_stats
+    fired = {"n": 0}
+
+    def racing_stats(*a, **kw):
+        # after the merge wrote its data files, before it publishes:
+        # another writer commits an append (only on the first attempt)
+        out = real_stats(*a, **kw)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            snap.snapshot_write(racer, path, stats_cols=["k"])
+        return out
+
+    monkeypatch.setattr(snap, "_file_stats", racing_stats)
+    v = snap.snapshot_merge_pruned(spark, path, changes, "k")
+    got = {(r["k"], r["v"]) for r in snap.snapshot_read(spark, path).collect()}
+    want = {(1, "v1"), (2, "V2"), (3, "v3"), (4, "v4"), (5, "v5"), (6, "v6"),
+            (100, "racer")}
+    assert got == want
+    assert fired["n"] == 1  # the conflict actually happened
+    assert v == 3  # base=1, racer=2, merge=3 (after one restart)
+
+
+def test_snapshot_fsck_ok_after_vacuum(spark, tmp_path):
+    """vacuum deletes old manifests BY DESIGN — fsck must not call the
+    resulting suffix a corruption (it validates against the recorded
+    vacuum horizon instead of anchoring at version 1)."""
+    from etl_weather_jabar_spark.snapshots import snapshot_fsck
+
+    path = str(tmp_path / "t")
+    r = load_table(spark, SF, "region").select(F.col("r_name").alias("v"))
+    for _ in range(4):
+        snapshot_write(r, path)
+    vacuum(path, keep_versions=2, min_age_seconds=0)
+    rep = snapshot_fsck(path)
+    assert rep["versions_ok"] and rep["ok"]
+    # and new commits after a vacuum keep it healthy
+    snapshot_write(r, path)
+    assert snapshot_fsck(path)["ok"]
+    # full vacuum: numbering resumes past the horizon, never reusing v1
+    vacuum(path, keep_versions=0, min_age_seconds=0)
+    v = snapshot_write(r, path)
+    assert v == 6
+    assert snapshot_fsck(path)["ok"]
+    assert [h["version"] for h in snapshot_history(path)] == [1, 2, 3, 4, 5, 6]
+
+
+def test_snapshot_temporal_stats_cols_json_safe(spark, tmp_path):
+    """stats_cols on date/timestamp columns must publish (the raw
+    min/max used to blow up json.dump AFTER data files were written)
+    and still prune correctly on read."""
+    import datetime
+
+    from etl_weather_jabar_spark.snapshots import snapshot_scan
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, d), d) for d in range(1, 21)], ["d", "x"]
+    ).repartitionByRange(4, "d")
+    snapshot_write(df, path, stats_cols=["d"])
+    got = snapshot_scan(
+        spark, path, "d", datetime.date(2024, 1, 3), datetime.date(2024, 1, 5)
+    )
+    assert sorted(r["x"] for r in got.collect()) == [3, 4, 5]
+    # pruning actually skipped files: fewer inputs than the full table
+    n_scanned = len(got.inputFiles())
+    assert n_scanned < 4
+
+
+def test_snapshot_batch_ledger_survives_vacuum(spark, tmp_path):
+    """Exactly-once dedup ids recorded in vacuumed-away manifests must
+    remain visible to committed_batch_ids via the _meta.json ledger."""
+    from etl_weather_jabar_spark.snapshots import committed_batch_ids
+
+    path = str(tmp_path / "t")
+    r = load_table(spark, SF, "region").select(F.col("r_name").alias("v"))
+    for b in range(4):
+        snapshot_write(r, path, meta={"batch_id": b})
+    assert committed_batch_ids(path) == {0, 1, 2, 3}
+    vacuum(path, keep_versions=1, min_age_seconds=0)
+    assert committed_batch_ids(path) == {0, 1, 2, 3}
+    vacuum(path, keep_versions=1, min_age_seconds=0)  # idempotent re-fold
+    assert committed_batch_ids(path) == {0, 1, 2, 3}
+
+
+def test_snapshot_count_metadata_only(spark, tmp_path):
+    """COUNT(*) from manifest row counts — exact across append, logical
+    overwrite, and per-file merge, without reading any data file."""
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_count,
+        snapshot_merge_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 13)], ["k", "v"]
+    ).repartitionByRange(3, "k")
+    snapshot_write(df, path, stats_cols=["k"])
+    assert snapshot_count(path) == 12
+    snapshot_write(df.limit(5), path)
+    assert snapshot_count(path) == 17
+    changes = spark.createDataFrame(
+        [(1, None, 1, "D"), (99, "new", 1, "I")], ["k", "v", "seq", "op"]
+    )
+    snapshot_merge_pruned(spark, path, changes, "k")
+    assert snapshot_count(path) == snapshot_read(spark, path).count()
+    assert snapshot_count(path, version=1) == 12  # time travel counts too
+
+
+def test_snapshot_scan_multi_column_pruning(spark, tmp_path):
+    """Conjunctive multi-column data skipping: result equals the unpruned
+    filter and opens fewer files when both columns are clustered."""
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_read,
+        snapshot_scan_multi,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(a, b, a * 100 + b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows, ["a", "b", "x"]).repartitionByRange(
+        8, "a", "b"
+    )
+    snapshot_write(df, path, stats_cols=["a", "b"])
+    got = snapshot_scan_multi(spark, path, {"a": (2, 3), "b": (0, 7)})
+    want = (
+        snapshot_read(spark, path)
+        .where((F.col("a").between(2, 3)) & (F.col("b").between(0, 7)))
+    )
+    assert sorted(r["x"] for r in got.collect()) == sorted(
+        r["x"] for r in want.collect()
+    )
+    assert len(got.inputFiles()) < 8
