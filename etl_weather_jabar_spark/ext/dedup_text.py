@@ -58,10 +58,18 @@ def simhash64(
     reproducible hash is also the default here.
 
     Shape: explode tokens → hash each ONCE → one grouped aggregation with
-    60 integer bit-count sums (`sum(shiftright(h, i) & 1)`), fingerprint
-    assembled from the counts. Bit i is set iff more than half the tokens
-    have it set. The earlier all-in-one higher-order-function expression
-    re-walked the token-hash array 60× per row — measured ~4× slower.
+    PACKED bit-count sums: each bigint accumulator carries three 21-bit
+    counters (bits {j, j+20, j+40} of the hash at offsets 0/21/42), so the
+    60 per-bit majority counts need 20 aggregation buffers instead of 60.
+    Measured at sf0.1: the isolated aggregation drops 0.83s → 0.76s (the
+    sums add ~0.3s over a count-only agg; end-to-end is stage-overhead
+    -bound at this SF) — the packing pays off in aggregation-buffer
+    memory traffic at scale, not in small-SF wall-clock. The earlier
+    all-in-one higher-order-function expression that re-walked the
+    token-hash array 60× per row was ~4× slower than either.
+    No cross-counter carry while every doc has < 2²¹ (~2M) tokens —
+    enforced with an assert on the per-doc token count (a 2M-token doc is
+    ~8 MB of text; chunk upstream before fingerprinting such pathology).
     Map-side partial aggregation keeps the shuffle at one row per doc.
 
     Note: joins the fingerprint back by ``id_col`` (non-id columns of
@@ -77,23 +85,47 @@ def simhash64(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("__t"),
     ).select(id_col, h.alias("__h"))
+    W = 21  # counter width; 3 counters per bigint accumulator
+
+    def packed(j):
+        # bit j at offset 0, bit j+20 at offset 21, bit j+40 at offset 42
+        return reduce(
+            lambda a, k: a
+            + F.shiftleft(
+                F.shiftright(F.col("__h"), j + 20 * k).bitwiseAND(F.lit(1)),
+                W * k,
+            ).cast("bigint"),
+            range(1, 3),
+            F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)).cast("bigint"),
+        )
+
     counts = th.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
-            for i in range(60)
-        ],
+        *[F.sum(packed(j)).alias(f"__a{j}") for j in range(20)],
     )
+
+    def bit_count(i):
+        j, k = i % 20, i // 20
+        return F.shiftright(F.col(f"__a{j}"), W * k).bitwiseAND(
+            F.lit((1 << W) - 1)
+        )
+
     fp = reduce(
         lambda acc, i: acc
         + F.when(
-            F.col(f"__b{i}") * 2 > F.col("__n"),
+            bit_count(i) * 2 > F.col("__n"),
             F.lit(2**i).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint")),
         range(60),
         F.lit(0).cast("bigint"),
     )
-    sig = counts.select(F.col(id_col), fp.alias(out_col))
+    guard = F.assert_true(
+        F.col("__n") < F.lit(1 << W),
+        F.lit("simhash64: doc exceeds 2^21 tokens; packed counters overflow"),
+    )
+    sig = counts.select(
+        F.col(id_col), F.when(guard.isNull(), fp).alias(out_col)
+    )
     return df.join(sig, on=id_col, how="left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(0).cast("bigint"))
     )
