@@ -129,6 +129,7 @@ def scalable_ntile(
     n: int,
     tile_col: str = "tile",
     num_partitions: int | None = None,
+    keep_rank_col: str | None = None,
 ) -> DataFrame:
     """Global ``ntile(n)`` without the single-reducer sort, via
     :func:`global_rank_scalable` + the exact SQL tile arithmetic.
@@ -136,21 +137,26 @@ def scalable_ntile(
     SQL ntile semantics: with total rows T, q = T//n, r = T%n, the first r
     tiles hold q+1 rows and the rest q. Closed form from the global rank —
     the only extra job is one count. Same total-order requirement on
-    ``order_cols`` as the rank."""
+    ``order_cols`` as the rank. ``keep_rank_col`` retains the global rank
+    under that name, from which the other distribution functions derive
+    for free on a TOTAL order (no ties): cume_dist = rank/T,
+    percent_rank = (rank-1)/(T-1)."""
     ranked = global_rank_scalable(df, order_cols, "__grank", num_partitions)
     total = df.count()
     q, r = divmod(total, n)
+    rank = F.col("__grank")
     if q == 0:
         # fewer rows than tiles: tile == rank (SQL behavior)
-        return ranked.withColumn(tile_col, F.col("__grank").cast("int")).drop(
-            "__grank"
-        )
-    big = r * (q + 1)  # rows living in the (q+1)-sized tiles
-    rank = F.col("__grank")
-    tile = F.when(
-        rank <= F.lit(big), F.ceil(rank / F.lit(q + 1))
-    ).otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(q)))
-    return ranked.withColumn(tile_col, tile.cast("int")).drop("__grank")
+        out = ranked.withColumn(tile_col, rank.cast("int"))
+    else:
+        big = r * (q + 1)  # rows living in the (q+1)-sized tiles
+        tile = F.when(
+            rank <= F.lit(big), F.ceil(rank / F.lit(q + 1))
+        ).otherwise(F.lit(r) + F.ceil((rank - F.lit(big)) / F.lit(q)))
+        out = ranked.withColumn(tile_col, tile.cast("int"))
+    if keep_rank_col is not None:
+        return out.withColumnRenamed("__grank", keep_rank_col)
+    return out.drop("__grank")
 
 
 def scalable_topk_per_group(

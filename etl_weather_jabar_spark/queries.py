@@ -1933,17 +1933,37 @@ def grouping_sets_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ntile_cume_dist_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / cume_dist / percent_rank)
-    over a global ordering. Scale note: a single unpartitioned window is a
-    one-reducer sort — at 100 TB you'd pre-bucket by range (rangeBetween on
-    a sampled quantile split) — kept here as the semantic reference; the
-    tie-break on c_custkey makes every rank deterministic."""
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.round("c_acctbal", 2), "c_custkey")
-    return c.select(
+    over a global ordering — computed via the SCALABLE two-phase global
+    rank (operators/windows.py::scalable_ntile: range-partition + local
+    sort + broadcast partition offsets), never a single-reducer
+    ``Window.orderBy``. The tie-break on c_custkey makes the order TOTAL,
+    so the tie-sensitive distribution functions collapse to rank
+    arithmetic: cume_dist = rank/T, percent_rank = (rank-1)/(T-1) —
+    exactly the oracle's window-function values."""
+    from .operators.windows import scalable_ntile
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("__bal")
+    )
+    tiled = scalable_ntile(
+        c,
+        ["__bal", "c_custkey"],
+        4,
+        tile_col="quartile",
+        keep_rank_col="__rk",
+    )
+    total = c.count()
+    rk = F.col("__rk")
+    pr = (
+        F.round((rk - 1) / F.lit(float(total - 1)), 6)
+        if total > 1
+        else F.lit(0.0)
+    )
+    return tiled.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        "quartile",
+        F.round(rk / F.lit(float(total)), 6).alias("cd"),
+        pr.alias("pr"),
     )
 
 
@@ -6036,10 +6056,13 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic CRM cut): per customer, days since last order vs a fixed
     reference date, order count, and lifetime cents, each quartiled with
     a total-order ntile, then segment population counts. The three
-    windows run over the per-customer AGGREGATE — like
-    ntile_cume_dist_customers this keeps the single-reducer global
-    window as the semantic reference; scalable_ntile is the drop-in
-    scale path (tested equivalent)."""
+    quartile assignments run on the per-customer AGGREGATE — data-sized
+    at warehouse scale — so each uses the SCALABLE two-phase ntile
+    (operators/windows.py::scalable_ntile); descending orders rank the
+    NEGATED measure (ntile over a total order depends only on the
+    ordering, so -freq asc ≡ freq desc with the same ck tie-break)."""
+    from .operators.windows import scalable_ntile
+
     o = load_table(spark, sf_dir, "orders")
     ref = F.lit("1998-08-01 00:00:00").cast("timestamp_ntz")
     cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
@@ -6049,18 +6072,12 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon_cents"
         ),
     )
-    scored = cust.select(
-        "ck",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("rec_days").asc(), F.col("ck").asc()))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("freq").desc(), F.col("ck").asc()))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("mon_cents").desc(), F.col("ck").asc()))
-        .alias("m"),
+    cust = cust.withColumn("__negf", -F.col("freq")).withColumn(
+        "__negm", -F.col("mon_cents")
     )
+    scored = scalable_ntile(cust, ["rec_days", "ck"], 4, tile_col="r")
+    scored = scalable_ntile(scored, ["__negf", "ck"], 4, tile_col="f")
+    scored = scalable_ntile(scored, ["__negm", "ck"], 4, tile_col="m")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
@@ -6258,8 +6275,12 @@ def relational_division_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     universally-quantified EXISTS is posed without a nested NOT EXISTS
     pair. Qualifying customers are then tied-rank ordered by volume with
     dense_rank (equal counts share a rank, no gaps). The division is one
-    partial-agg groupBy + a 1-row class-count broadcast; the window runs
-    over the qualifying aggregate only."""
+    partial-agg groupBy + a 1-row class-count broadcast. The dense_rank
+    is computed SCALABLY: dense_rank of a row equals the rank of its
+    DISTINCT value, so the single-reducer window runs over the distinct
+    n_orders domain (bounded by the max orders a customer can have —
+    hundreds, at any table size) and broadcast-joins back; no data-sized
+    rows pass through one reducer."""
     o = load_table(spark, sf_dir, "orders")
     classes = o.agg(
         F.countDistinct("o_orderpriority").alias("nc")
@@ -6271,13 +6292,15 @@ def relational_division_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = cover.crossJoin(F.broadcast(classes)).where(
         F.col("np") == F.col("nc")
     )
-    return qual.select(
-        F.col("o_custkey").alias("custkey"),
-        "n_orders",
-        F.dense_rank()
+    vals = qual.select("n_orders").distinct()
+    ranks = vals.withColumn(
+        "volume_rank",
+        F.row_number()
         .over(Window.orderBy(F.col("n_orders").desc()))
-        .cast("bigint")
-        .alias("volume_rank"),
+        .cast("bigint"),
+    )
+    return qual.join(F.broadcast(ranks), "n_orders").select(
+        F.col("o_custkey").alias("custkey"), "n_orders", "volume_rank"
     )
 
 
@@ -6550,18 +6573,21 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     integration never is). The ppm numerator exceeds int64 at TPC-H
     scale, so the final arithmetic runs wide — decimal(38,0) in Spark,
     hugeint in DuckDB — per the engine's overflow discipline (ANSI mode
-    would otherwise kill the job). The ranking window runs over the
-    per-customer AGGREGATE; the data-sized work is one groupBy."""
+    would otherwise kill the job). The per-customer aggregate is
+    data-sized at warehouse scale (150M customers at SF100), so the rank
+    uses the SCALABLE two-phase global rank (range partition + broadcast
+    offsets), not a single-reducer window."""
+    from .operators.windows import global_rank_scalable
+
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
             "cents"
         )
     )
-    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
-    ranked = cust.select(
-        "cents", F.row_number().over(w).cast("bigint").alias("r")
-    )
+    ranked = global_rank_scalable(
+        cust, ["cents", "o_custkey"], "r"
+    ).select("cents", F.col("r").cast("bigint").alias("r"))
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("total_cents"),
