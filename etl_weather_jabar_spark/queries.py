@@ -1488,6 +1488,80 @@ def set_ops_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bag_set_ops_suppliers",
+    """
+    SELECT 'except_all' AS segment, l_suppkey, count(*) AS n FROM (
+        SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 3
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY l_suppkey
+    UNION ALL
+    SELECT 'intersect_all' AS segment, l_suppkey, count(*) AS n FROM (
+        SELECT l_suppkey FROM lineitem WHERE l_linenumber <= 3
+        INTERSECT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    ) GROUP BY l_suppkey
+    """,
+)
+def bag_set_ops_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operators (EXCEPT ALL / INTERSECT ALL —
+    multiplicity-aware, unlike set_ops_order_status's DISTINCT forms):
+    per-supplier multiset difference/intersection of two lineitem
+    slices, aggregated to (value, multiplicity). Catalyst plans
+    exceptAll/intersectAll as a tagged union + count aggregation +
+    generate — no pairwise matching, one shuffle on the value, scale-safe
+    like any groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_linenumber") <= 3).select("l_suppkey")
+    b = li.where(F.col("l_returnflag") == "R").select("l_suppkey")
+
+    def counted(df, seg):
+        return df.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit(seg).alias("segment"), "l_suppkey", "n")
+
+    return counted(a.exceptAll(b), "except_all").unionByName(
+        counted(a.intersectAll(b), "intersect_all")
+    )
+
+
+@_register(
+    "explode_outer_tokens",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN []::VARCHAR[]
+                    ELSE {_NORM_TOKENS_SQL} END AS t
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) = 0 THEN [NULL]::VARCHAR[] ELSE t END)
+               AS token
+    FROM t
+    """,
+)
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-preserving explode (explode_outer / LEFT JOIN LATERAL unnest):
+    a document with an empty token array keeps its row with token=NULL
+    instead of vanishing — the outer-unnest semantics every flattening
+    pipeline needs for rows whose nested collection is empty. Empty
+    arrays are planted deterministically (doc_id % 7) so the
+    distinguishing path actually executes on both engines."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 20 == 0
+    )
+    toks = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(tokens(F.col("text")))
+    return docs.select(
+        "doc_id", F.explode_outer(toks).alias("token")
+    )
+
+
+@_register(
     "ngram_topk_vocab",
     """
     WITH toks AS (

@@ -240,6 +240,145 @@ def run_setop_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(sql).fetchall()))
 
 
+def gen_subquery_case(rng: random.Random) -> dict:
+    """Nested/correlated subquery shapes — EXISTS / NOT EXISTS / IN /
+    NOT IN / scalar comparison. Spark side runs the engine's DataFrame
+    decompositions (left_semi / left_anti / broadcast 1-row agg); DuckDB
+    side runs the REAL correlated subquery, so a mismatch means the
+    decomposition is not semantics-preserving. NOT IN is generated only
+    over a non-nullable key (c_custkey), where anti-join equivalence
+    holds — the NULL-poisoned NOT IN is a different operator (and the
+    registry pins it separately as a guarded anti-join)."""
+    shape = rng.choice(
+        ["exists", "not_exists", "in_sub", "not_in_sub", "scalar_max"]
+    )
+    return {
+        "kind": "subquery",
+        "shape": shape,
+        "thr": rng.randrange(1, 6),        # correlated lineitem predicate
+        "mod": rng.randrange(2, 9),         # inner-set modulus
+        "res": rng.randrange(0, 2),         # inner-set residue
+        "off": rng.randrange(1, 9) * 50_000,  # scalar-subquery offset cents
+    }
+
+
+def run_subquery_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    if case["shape"] in ("exists", "not_exists"):
+        li = load_table(spark, sf_dir, "lineitem").where(
+            F.col("l_linenumber") >= case["thr"]
+        )
+        how = "left_semi" if case["shape"] == "exists" else "left_anti"
+        out = o.join(li, o["o_orderkey"] == li["l_orderkey"], how)
+    elif case["shape"] in ("in_sub", "not_in_sub"):
+        c = load_table(spark, sf_dir, "customer").where(
+            F.col("c_nationkey") % case["mod"] == case["res"]
+        )
+        how = "left_semi" if case["shape"] == "in_sub" else "left_anti"
+        out = o.join(c, o["o_custkey"] == c["c_custkey"], how)
+    else:  # scalar_max: compare each order against an aggregate of all
+        mx = o.agg(F.max(cents).alias("__mx"))
+        out = o.crossJoin(F.broadcast(mx)).where(
+            cents > F.col("__mx") - case["off"]
+        )
+    agg = out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("s"),
+    )
+    return sorted(map(tuple, agg.collect()))
+
+
+def run_subquery_duckdb(con, case: dict):
+    if case["shape"] in ("exists", "not_exists"):
+        neg = "NOT " if case["shape"] == "not_exists" else ""
+        pred = (
+            f"{neg}EXISTS (SELECT 1 FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey "
+            f"AND l.l_linenumber >= {case['thr']})"
+        )
+    elif case["shape"] in ("in_sub", "not_in_sub"):
+        neg = "NOT " if case["shape"] == "not_in_sub" else ""
+        pred = (
+            f"o.o_custkey {neg}IN (SELECT c_custkey FROM customer "
+            f"WHERE c_nationkey % {case['mod']} = {case['res']})"
+        )
+    else:
+        pred = (
+            "CAST(round(o.o_totalprice * 100) AS BIGINT) > "
+            "(SELECT max(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            f"FROM orders) - {case['off']}"
+        )
+    sql = (
+        "SELECT o_orderstatus, count(*) AS n, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s "
+        f"FROM orders o WHERE {pred} GROUP BY 1"
+    )
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def gen_multijoin_case(rng: random.Random) -> dict:
+    """Three-way join chain lineitem→orders→customer with fuzzed join
+    types (inner/left at each hop), a modulus filter on the fact table,
+    and grouped aggregates pulling columns from ALL THREE tables — the
+    join-reordering / null-propagation surface two-table cases miss."""
+    keys = rng.sample(
+        ["l_returnflag", "o_orderstatus", "c_mktsegment"],
+        k=rng.randrange(1, 3),
+    )
+    return {
+        "kind": "multijoin",
+        "how1": rng.choice(["inner", "left"]),
+        "how2": rng.choice(["inner", "left"]),
+        "mod": rng.randrange(2, 11),
+        "keys": keys,
+        "countd": rng.choice(["o_orderkey", "c_custkey", "l_suppkey"]),
+    }
+
+
+def run_multijoin_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_suppkey") % case["mod"] == 0
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"], case["how1"]).join(
+        c, F.col("o_custkey") == c["c_custkey"], case["how2"]
+    )
+    out = j.groupBy(*case["keys"]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "s"
+        ),
+        F.count_distinct(F.col(case["countd"])).alias("d"),
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+def run_multijoin_duckdb(con, case: dict):
+    j1 = "JOIN" if case["how1"] == "inner" else "LEFT JOIN"
+    j2 = "JOIN" if case["how2"] == "inner" else "LEFT JOIN"
+    keys = ", ".join(case["keys"])
+    sql = f"""
+    SELECT {keys}, count(*) AS n,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s,
+           count(DISTINCT {case['countd']}) AS d
+    FROM lineitem {j1} orders ON l_orderkey = o_orderkey
+                  {j2} customer ON o_custkey = c_custkey
+    WHERE l_suppkey % {case['mod']} = 0
+    GROUP BY {keys}
+    """
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random query AST: table (or an equi-join of two), 0-2 filters,
     0-2 group keys, 1-3 aggs."""
@@ -440,18 +579,26 @@ def main() -> int:
     failures = 0
     for i in range(n_cases):
         roll = rng.random()
-        if roll < 0.2:
+        if roll < 0.14:
             case = gen_window_case(rng)
             a = normalize(run_window_spark(spark, sf_dir, case))
             b = normalize(run_window_duckdb(con, case))
-        elif roll < 0.35:
+        elif roll < 0.26:
             case = gen_scalar_case(rng)
             a = normalize(run_scalar_spark(spark, sf_dir, case))
             b = normalize(run_scalar_duckdb(con, case))
-        elif roll < 0.5:
+        elif roll < 0.38:
             case = gen_setop_case(rng)
             a = normalize(run_setop_spark(spark, sf_dir, case))
             b = normalize(run_setop_duckdb(con, case))
+        elif roll < 0.53:
+            case = gen_subquery_case(rng)
+            a = normalize(run_subquery_spark(spark, sf_dir, case))
+            b = normalize(run_subquery_duckdb(con, case))
+        elif roll < 0.68:
+            case = gen_multijoin_case(rng)
+            a = normalize(run_multijoin_spark(spark, sf_dir, case))
+            b = normalize(run_multijoin_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
