@@ -29,6 +29,52 @@ def stamp_group_flag(
     return df.withColumn(flag_col, F.max(flag).over(w))
 
 
+def _range_bucketed(
+    df: DataFrame, order_cols: list[str], n: int
+) -> DataFrame | None:
+    """Assign an ordered range-bucket id ``__part`` computed FROM THE DATA
+    (sampled quantile bounds of the leading order column), then ONE
+    ``repartition(n, "__part")`` + local sort.
+
+    Why not ``repartitionByRange`` + ``spark_partition_id()``: a window
+    over the physical partition id needs ClusteredDistribution(__part),
+    which RangePartitioning does not satisfy, so Catalyst inserts a
+    SECOND full exchange + re-sort before the local window — at 100 TB
+    that doubles the job's shuffle volume. A bucket id derived from the
+    data makes the hash repartition itself the satisfying distribution:
+    one shuffle, one sort (plan-asserted in tests).
+
+    Bucket monotonicity is the only correctness requirement: bucket(x) ≤
+    bucket(y) whenever x ≤ y in the total order. Counting strictly-smaller
+    bounds of the LEADING column guarantees it (rows tying on the leading
+    column stay in one bucket; bound quality affects only balance, never
+    ranks; NULLs compare to bucket 0 = NULLS FIRST; NaN > all bounds =
+    last bucket, matching Spark's sort order). Returns None when the
+    leading column is non-numeric (approxQuantile cannot sample it) —
+    callers fall back to the two-exchange form.
+    """
+    from pyspark.sql.types import NumericType
+
+    first = order_cols[0]
+    if n < 2:  # single bucket: nothing to split (and no quantiles to ask)
+        return None
+    if first not in df.columns or not isinstance(
+        df.schema[first].dataType, NumericType
+    ):
+        return None
+    qs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.stat.approxQuantile(first, qs, 0.01)))
+    if not bounds:
+        return None  # empty input (or all-null col): nothing to split
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bucket = F.size(F.filter(barr, lambda b: b < F.col(first)))
+    return (
+        df.withColumn("__part", bucket)
+        .repartition(len(bounds) + 1, "__part")
+        .sortWithinPartitions("__part", *order_cols)
+    )
+
+
 def global_rank_scalable(
     df: DataFrame,
     order_cols: list[str],
@@ -40,37 +86,44 @@ def global_rank_scalable(
     ``Window.orderBy(...)`` with no partitionBy funnels every row through
     one task — the classic 100 TB cliff. This is the two-phase form:
 
-    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
-       columns (range partitioner samples split points; each partition
-       holds a contiguous key range, internally sorted);
+    1. ordered range buckets (:func:`_range_bucketed`: data-derived bucket
+       id → ONE shuffle + ONE local sort; falls back to
+       ``repartitionByRange`` + ``spark_partition_id`` — two exchanges —
+       when the leading order column is non-numeric);
     2. per-partition local ``row_number`` + the cumulative row count of all
-       earlier partitions, added back via a broadcast join on partition id.
+       earlier buckets, added back via a broadcast join on bucket id (the
+       count aggregation reuses the bucket exchange — ReusedExchange).
 
-    The only driver-side data is one row count per partition. ``order_cols``
-    must be a TOTAL order (add a unique id as the last column) or ranks of
-    ties are partition-placement-dependent.
+    The only driver-side data is the sampled split bounds and one row
+    count per bucket. ``order_cols`` must be a TOTAL order (add a unique
+    id as the last column) or ranks of ties are placement-dependent.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    parted = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("__part", F.spark_partition_id())
-    )
+    parted = _range_bucketed(df, order_cols, n)
+    if parted is None:
+        parted = (
+            df.repartitionByRange(n, *cols)
+            .sortWithinPartitions(*cols)
+            .withColumn("__part", F.spark_partition_id())
+        )
+    # local rank FIRST (distribution + ordering already satisfied: no new
+    # exchange, no new sort), broadcast offsets joined after
+    w_local = Window.partitionBy("__part").orderBy(*cols)
+    local = parted.withColumn("__lr", F.row_number().over(w_local))
     counts = parted.groupBy("__part").count()
-    # cumulative count EXCLUSIVE of the current partition; the offsets table
-    # is |partitions| rows, so this tiny global window is driver-cheap
+    # cumulative count EXCLUSIVE of the current bucket; the offsets table
+    # is |buckets| rows, so this tiny global window is driver-cheap
     offsets = counts.select(
         "__part",
         (F.sum("count").over(Window.orderBy("__part")) - F.col("count")).alias(
             "__off"
         ),
     )
-    w_local = Window.partitionBy("__part").orderBy(*cols)
     return (
-        parted.join(F.broadcast(offsets), on="__part")
-        .withColumn(rank_col, F.row_number().over(w_local) + F.col("__off"))
-        .drop("__part", "__off")
+        local.join(F.broadcast(offsets), on="__part")
+        .withColumn(rank_col, F.col("__lr") + F.col("__off"))
+        .drop("__part", "__off", "__lr")
     )
 
 
@@ -92,15 +145,20 @@ def scalable_prefix_sum(
 
     ``exclusive=True`` yields the sum of all STRICTLY-earlier rows (0 for
     the first row) — the form sequence packing needs. ``order_cols`` must
-    be a total order or the cumsum is placement-dependent.
+    be a total order or the cumsum is placement-dependent. Uses the same
+    one-shuffle ordered bucketing as :func:`global_rank_scalable`
+    (:func:`_range_bucketed`), falling back to two exchanges for
+    non-numeric leading order columns.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    parted = (
-        df.repartitionByRange(n, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn("__part", F.spark_partition_id())
-    )
+    parted = _range_bucketed(df, order_cols, n)
+    if parted is None:
+        parted = (
+            df.repartitionByRange(n, *cols)
+            .sortWithinPartitions(*cols)
+            .withColumn("__part", F.spark_partition_id())
+        )
     sums = parted.groupBy("__part").agg(F.sum(value_col).alias("__s"))
     offsets = sums.select(
         "__part",
@@ -108,18 +166,21 @@ def scalable_prefix_sum(
             "__off"
         ),
     )
+    # local cumsum BEFORE the join (distribution + ordering satisfied on
+    # parted directly: no extra exchange or sort), offsets added after
     w_local = (
         Window.partitionBy("__part")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = F.sum(value_col).over(w_local) + F.col("__off")
+    local = parted.withColumn("__run", F.sum(value_col).over(w_local))
+    run = F.col("__run") + F.col("__off")
     if exclusive:
         run = run - F.col(value_col)
     return (
-        parted.join(F.broadcast(offsets), on="__part")
+        local.join(F.broadcast(offsets), on="__part")
         .withColumn(out_col, run)
-        .drop("__part", "__off")
+        .drop("__part", "__off", "__run")
     )
 
 

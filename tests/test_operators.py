@@ -152,12 +152,27 @@ def test_global_rank_scalable_matches_global_window(spark):
         ).collect()
     }
     assert got == want
-    # the scalable form must not contain a global (empty-partition) sort:
+    # plan shape: the data shuffles ONCE, on the data-derived ordered
+    # bucket id (hashpartitioning(__part)) — never a global
+    # (single-partition) sort, and no second full-data exchange for the
+    # local window (its distribution is satisfied by the repartition;
+    # the only other hash exchange is the counts branch's partial-agg
+    # shuffle of <= nparts rows per task)
     plan = (
         global_rank_scalable(o, ["o_totalprice", "o_orderkey"], num_partitions=7)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "rangepartitioning(o_totalprice" in plan.replace(" ", "").lower() or "RangePartitioning" in plan
+    flat = plan.replace(" ", "")
+    assert "hashpartitioning(__part" in flat
+    # exactly one SinglePartition exchange is allowed: the offsets
+    # window over the ALREADY-AGGREGATED per-bucket counts (<= nparts
+    # rows) — the raw data itself must never funnel into one partition
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "rangepartitioning" not in flat.lower()
+    # the window runs directly on the bucket exchange: exactly one Sort
+    # over the full data (__part + order cols); the tiny offsets window
+    # sorts <= nparts rows
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_asof_join_backward(spark):

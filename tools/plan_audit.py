@@ -94,6 +94,9 @@ AUDIT_QUERIES = [
     "embedding_dim_stats",
     "key_skew_report",
     "corpus_datasheet",
+    "ntile_cume_dist_customers",
+    "bag_set_ops_suppliers",
+    "explode_outer_tokens",
 ]
 
 
