@@ -123,6 +123,10 @@ EXPECTED_NESTED_LOOP = {
     "gini_revenue_concentration": "rank×value sums × 1-row n/total broadcast",
     "pit_scd2_lookup": "SCD2 intervals × 1-row probe-time broadcast",
     "weighted_median_price": "per-flag aggregate feeds the window output",
+    "contingency_expected_counts": "cell table × category-sized marginal totals broadcast",
+    "inactive_high_balance_customers": "customers × 1-row avg-balance threshold broadcast (Q22 scalar)",
+    "ivf_cosine_topk": "corpus probes × centroid-count-sized model broadcast",
+    "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
 }
 
 
