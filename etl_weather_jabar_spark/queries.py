@@ -1526,6 +1526,80 @@ def bag_set_ops_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "spatial_radius_nearest",
+    """
+    WITH e AS (
+        SELECT event_id,
+               ('0x' || substr(md5('ev:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 5000 AS x,
+               ('0x' || substr(md5('ve:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 5000 AS y
+        FROM events
+    ), s AS (
+        SELECT s_suppkey,
+               ('0x' || substr(md5('st:' || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT % 5000 AS x,
+               ('0x' || substr(md5('ts:' || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT % 5000 AS y
+        FROM supplier
+    ), pairs AS (
+        SELECT e.event_id,
+               (e.x - s.x) * (e.x - s.x) + (e.y - s.y) * (e.y - s.y) AS d2,
+               s.s_suppkey
+        FROM e JOIN s
+          ON (e.x - s.x) * (e.x - s.x) + (e.y - s.y) * (e.y - s.y) <= 40000
+    )
+    SELECT event_id,
+           CAST(min(d2 * 1000000 + s_suppkey) % 1000000 AS BIGINT)
+               AS nearest_station,
+           CAST(min(d2 * 1000000 + s_suppkey) // 1000000 AS BIGINT) AS d2
+    FROM pairs GROUP BY 1
+    """,
+)
+def spatial_radius_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join + nearest-assignment at big×big scale
+    (operators/joins.py::radius_join_gridded): grid cells of side r,
+    right side exploded to 3×3 neighbor cells, equi-join + exact integer
+    distance — never a cross join. Coordinates are md5-derived planar
+    integers (cross-engine exact; production swaps in real lat/lon with
+    a haversine post-filter, same plan shape). The nearest station per
+    event is argmin via an exact integer encode min(d2·10⁶ + id) — ties
+    on distance break to the lowest station id identically in both
+    engines. The DuckDB oracle runs the BRUTE-FORCE theta join, so a
+    match also proves the neighbor expansion finds every qualifying
+    pair."""
+    from .operators.joins import radius_join_gridded
+
+    def coords(df, idc, salt_x, salt_y):
+        def h(salt):
+            return F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(salt), F.col(idc).cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(5000),
+            )
+
+        return df.select(
+            F.col(idc), h(salt_x).alias("x"), h(salt_y).alias("y")
+        )
+
+    ev = coords(load_table(spark, sf_dir, "events"), "event_id", "ev:", "ve:")
+    st = coords(
+        load_table(spark, sf_dir, "supplier"), "s_suppkey", "st:", "ts:"
+    )
+    pairs = radius_join_gridded(
+        ev, st, ("event_id", "x", "y"), ("s_suppkey", "x", "y"), radius=200
+    )
+    enc = F.min(F.col("d2") * 1000000 + F.col("s_suppkey"))
+    return pairs.groupBy("event_id").agg(
+        F.pmod(enc, F.lit(1000000)).cast("bigint").alias("nearest_station"),
+        F.floor(enc / 1000000).cast("bigint").alias("d2"),
+    )
+
+
+@_register(
     "explode_outer_tokens",
     f"""
     WITH t AS (

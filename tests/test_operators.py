@@ -492,3 +492,38 @@ def test_key_distribution_diagnoses_skew(spark):
     h = heavy.collect()
     assert h[0]["k"] == 7 and h[0]["n"] == 901
     assert all(r["n"] == 1 for r in h[1:])
+
+
+def test_radius_join_gridded_complete_and_unique(spark):
+    """Grid-bucketed radius join: every pair within r found exactly once
+    (vs a brute-force cross join), none outside r, and the plan is an
+    equi-join on cells — no nested-loop/cartesian."""
+    import random
+
+    from etl_weather_jabar_spark.operators.joins import radius_join_gridded
+
+    rng = random.Random(5)
+    pts_a = [(i, rng.randrange(0, 3000), rng.randrange(0, 3000)) for i in range(300)]
+    pts_b = [(j, rng.randrange(0, 3000), rng.randrange(0, 3000)) for j in range(200)]
+    a = spark.createDataFrame(pts_a, ["ida", "xa", "ya"])
+    b = spark.createDataFrame(pts_b, ["idb", "xb", "yb"])
+    r = 250
+    got = sorted(
+        (row["ida"], row["idb"], row["d2"])
+        for row in radius_join_gridded(
+            a, b, ("ida", "xa", "ya"), ("idb", "xb", "yb"), radius=r
+        ).collect()
+    )
+    want = sorted(
+        (i, j, (x1 - x2) ** 2 + (y1 - y2) ** 2)
+        for i, x1, y1 in pts_a
+        for j, x2, y2 in pts_b
+        if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r
+    )
+    assert got == want  # complete, exact, and no duplicated candidates
+    plan = (
+        radius_join_gridded(a, b, ("ida", "xa", "ya"), ("idb", "xb", "yb"), r)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
