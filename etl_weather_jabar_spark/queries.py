@@ -1135,6 +1135,124 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine over two 64-dim list expressions (same sequential
+    double accumulation as functions/vectors.py::cosine_similarity)."""
+    def s(x, y):
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return f"round({s(a, b)} / (sqrt({s(a, a)}) * sqrt({s(b, b)})), 6)"
+
+
+@_register(
+    "ivf_fixed_centroids_topk",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id % 40 = 7
+    ), a0 AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos_sql('e.embedding', 'c.cv')} AS sim
+        FROM embeddings e CROSS JOIN c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM a0
+        ) WHERE rn = 1
+    ), q0 AS (
+        SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid,
+               {_cos_sql('e.embedding', 'c.cv')} AS sim
+        FROM embeddings e CROSS JOIN c
+        WHERE e.vec_id < 5
+    ), probes AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM q0
+        ) WHERE rn <= 3
+    ), cand AS (
+        SELECT p.query_id, a.vec_id,
+               {_cos_sql('a.embedding', 'p.qv')} AS cosine
+        FROM assigned a JOIN probes p ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+        ) AS INT) AS rank
+        FROM cand
+    ) WHERE rank <= 10
+    """,
+)
+def ivf_fixed_centroids_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with FIXED deterministic centroids (every
+    40th corpus vector) — the same inverted-list plan shape as the
+    trained variant (assign → probe top-3 lists → exact cosine on
+    candidates), but with no float-iterative training, so the ENTIRE
+    pipeline — assignment argmax included — is reproduced by the DuckDB
+    oracle (sequential double accumulation, ties broken by lowest
+    centroid/vector id, sims rounded to 6 dp at each ranking). The
+    trained-k-means sibling ivf_cosine_topk stays the production path;
+    this query pins the IVF probe/prune machinery cross-engine."""
+    from .ext.similarity import _scored_against_centroids
+    from .functions.vectors import cosine_similarity
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") % 40 == 7).collect()
+    ]
+    scored = _scored_against_centroids(emb, cents, "embedding")
+    sim6 = F.round(F.col("__sim"), 6)
+    packed = F.max(
+        F.struct(
+            sim6.alias("s"),
+            (-F.col("cid")).alias("nc"),
+            F.col("embedding").alias("v"),
+        )
+    ).alias("b")
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(packed)
+        .select(
+            "vec_id",
+            F.col("b.v").alias("__cvec"),
+            (-F.col("b.nc")).cast("int").alias("cid"),
+        )
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__sim"), 6).desc(), F.col("cid").asc()
+    )
+    probes = (
+        _scored_against_centroids(queries, cents, "embedding")
+        .withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= 3)
+        .select("query_id", F.col("embedding").alias("__qvec"), "cid")
+    )
+    cand = assigned.join(F.broadcast(probes), on="cid").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored2 = cand.withColumn(
+        "cosine",
+        F.round(cosine_similarity(F.col("__cvec"), F.col("__qvec")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored2.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 @_register("ivf_cosine_topk")
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (ext/similarity.py): deterministic hash-seeded

@@ -126,6 +126,7 @@ EXPECTED_NESTED_LOOP = {
     "contingency_expected_counts": "cell table × category-sized marginal totals broadcast",
     "inactive_high_balance_customers": "customers × 1-row avg-balance threshold broadcast (Q22 scalar)",
     "ivf_cosine_topk": "corpus probes × centroid-count-sized model broadcast",
+    "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
 }
 
