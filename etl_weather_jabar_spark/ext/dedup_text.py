@@ -404,3 +404,47 @@ def jaccard_verify(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tier 1 at corpus-growth time: dedup a NEW batch against the
+    corpus's PERSISTED fingerprint index, never against the corpus
+    itself — the way a 100 TB corpus actually grows (rescanning all
+    prior text per ingest would be O(corpus) per batch; the index is a
+    2-column (md5, source id) snapshot table, ~50 bytes/doc).
+
+    Steps: hash the batch (md5 of raw text — the same key
+    :func:`exact_dedup` uses), LEFT ANTI join the index (already-seen
+    content drops), keep-first within the batch, then APPEND the
+    survivors' fingerprints to the index as one atomic snapshot commit
+    (snapshots.py: concurrent ingests retry the manifest publish, so
+    two batches landing together both record their fingerprints).
+
+    First call creates the index. A crashed-and-rerun batch re-appends
+    the same fingerprints — duplicate index rows are harmless to the
+    anti join (set semantics), and vacuum/OPTIMIZE can compact them.
+    Returns the surviving rows of ``new_docs`` (recompute-safe: the
+    survivor plan is deterministic, but callers chaining heavy work
+    should persist or re-read the sink they write survivors to).
+    """
+    from ..snapshots import snapshot_read, snapshot_write
+
+    spark = new_docs.sparkSession
+    hashed = new_docs.withColumn("__h", F.md5(F.col(text_col)))
+    try:
+        idx = snapshot_read(spark, index_path).select("__h")
+        fresh = hashed.join(idx, on="__h", how="left_anti")
+    except FileNotFoundError:
+        fresh = hashed
+    survivors = dedupe_keep_first(fresh, ["__h"], order_by=[id_col])
+    snapshot_write(
+        survivors.select("__h", F.col(id_col).alias("src_id")),
+        index_path,
+        mode="append",
+    )
+    return survivors.drop("__h")

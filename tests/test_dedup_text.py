@@ -104,3 +104,34 @@ def test_simhash_candidates_finds_planted_neardup(spark):
     assert (1, 2) in got and got[(1, 2)] <= 6
     assert (2, 4) in got
     assert all(3 not in pair for pair in got)
+
+
+def test_incremental_exact_dedup_against_persisted_index(spark, tmp_path):
+    """Corpus-growth dedup: batch 2 drops content already committed by
+    batch 1 (cross-batch, via the index — not by rescanning batch 1) and
+    dedups within itself; a replayed batch contributes nothing new."""
+    from etl_weather_jabar_spark.ext.dedup_text import incremental_exact_dedup
+    from etl_weather_jabar_spark.snapshots import snapshot_read
+
+    idx = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    s1 = incremental_exact_dedup(b1, idx)
+    assert {(r["doc_id"], r["text"]) for r in s1.collect()} == {
+        (1, "alpha"),
+        (2, "beta"),
+    }
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        ["doc_id", "text"],
+    )
+    s2 = incremental_exact_dedup(b2, idx)
+    assert {(r["doc_id"], r["text"]) for r in s2.collect()} == {
+        (11, "gamma"),
+        (13, "delta"),
+    }
+    # replay of batch 2: everything already indexed
+    assert incremental_exact_dedup(b2, idx).count() == 0
+    # the index holds exactly the distinct fingerprints
+    assert snapshot_read(spark, idx).select("__h").distinct().count() == 4
