@@ -240,6 +240,104 @@ def run_setop_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(sql).fetchall()))
 
 
+def gen_rollup_case(rng: random.Random) -> dict:
+    """ROLLUP / CUBE grouping-set shapes over two string keys + a modulus
+    filter: subtotal and grand-total rows (NULL group keys) must agree
+    across engines, including how they interact with aggregates."""
+    table = rng.choice(["orders", "lineitem"])
+    ints, cents, strs = TABLES[table]
+    return {
+        "kind": "rollup",
+        "table": table,
+        "keys": rng.sample(strs, k=2),
+        "op": rng.choice(["rollup", "cube"]),
+        "icol": rng.choice(ints),
+        "mod": rng.randrange(2, 9),
+        "scol": rng.choice(ints),
+    }
+
+
+def run_rollup_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    df = load_table(spark, sf_dir, case["table"]).where(
+        F.col(case["icol"]) % case["mod"] == 0
+    )
+    grouped = (
+        df.rollup(*case["keys"])
+        if case["op"] == "rollup"
+        else df.cube(*case["keys"])
+    )
+    out = grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(case["scol"]).cast("bigint")).alias("s"),
+    )
+    return sorted(map(tuple, out.collect()), key=str)
+
+
+def run_rollup_duckdb(con, case: dict):
+    k0, k1 = case["keys"]
+    op = "ROLLUP" if case["op"] == "rollup" else "CUBE"
+    sql = f"""
+    SELECT {k0}, {k1}, count(*) AS n,
+           sum(CAST({case['scol']} AS BIGINT)) AS s
+    FROM {case['table']}
+    WHERE {case['icol']} % {case['mod']} = 0
+    GROUP BY {op} ({k0}, {k1})
+    """
+    return sorted(map(tuple, con.execute(sql).fetchall()), key=str)
+
+
+def gen_datetrunc_case(rng: random.Random) -> dict:
+    """Temporal shapes: a half-open timestamp-range filter + date_trunc
+    bucketing (year/quarter/month/day) formatted to a string — the
+    truncation boundary and range-predicate semantics must agree."""
+    table, col = rng.choice(
+        [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]
+    )
+    y = rng.randrange(1995, 1998)
+    m = rng.randrange(1, 12)
+    return {
+        "kind": "datetrunc",
+        "table": table,
+        "col": col,
+        "lo": f"{y}-{m:02d}-01 00:00:00",
+        "hi": f"{y + (1 if m >= 10 else 0)}-{(m % 10) + 3:02d}-01 00:00:00",
+        "unit": rng.choice(["year", "quarter", "month", "day"]),
+    }
+
+
+def run_datetrunc_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    c = F.col(case["col"])
+    df = load_table(spark, sf_dir, case["table"]).where(
+        (c >= F.lit(case["lo"]).cast("timestamp_ntz"))
+        & (c < F.lit(case["hi"]).cast("timestamp_ntz"))
+    )
+    out = df.groupBy(
+        F.date_format(F.date_trunc(case["unit"], c), "yyyy-MM-dd").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return sorted(map(tuple, out.collect()))
+
+
+def run_datetrunc_duckdb(con, case: dict):
+    sql = f"""
+    SELECT strftime(date_trunc('{case['unit']}', {case['col']}), '%Y-%m-%d')
+               AS b,
+           count(*) AS n
+    FROM {case['table']}
+    WHERE {case['col']} >= TIMESTAMP '{case['lo']}'
+      AND {case['col']} <  TIMESTAMP '{case['hi']}'
+    GROUP BY 1
+    """
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
 def gen_subquery_case(rng: random.Random) -> dict:
     """Nested/correlated subquery shapes — EXISTS / NOT EXISTS / IN /
     NOT IN / scalar comparison. Spark side runs the engine's DataFrame
@@ -394,18 +492,25 @@ def gen_case(rng: random.Random) -> dict:
         ints, cents, strs = TABLES[table]
     filters = []
     for _ in range(rng.randrange(3)):
-        if rng.random() < 0.6:
+        r = rng.random()
+        if r < 0.5:
             col = rng.choice(ints)
             filters.append(("num", col, rng.choice(CMP_OPS), rng.randrange(1, 5000)))
-        elif rng.random() < 0.7:
+        elif r < 0.7:
             col = rng.choice(strs)
             filters.append(("mod", rng.choice(ints), rng.randrange(2, 13), col))
-        else:
+        elif r < 0.85:
             # NULL machinery: nullif() creates real NULLs deterministically
             filters.append(
                 ("nullf", rng.choice(ints), rng.randrange(2, 7),
                  rng.choice([True, False]))
             )
+        else:
+            # LIKE prefix/contains/suffix on a string col (case-sensitive
+            # in both engines; empty matches are a valid comparison too)
+            ch = rng.choice("aeimnoprst")
+            pat = rng.choice([f"{ch}%", f"%{ch}%", f"%{ch}"])
+            filters.append(("like", rng.choice(strs), pat))
     keys = rng.sample(strs, k=rng.randrange(0, min(2, len(strs)) + 1))
     aggs = [("count", None)]
     for _ in range(rng.randrange(3)):
@@ -457,6 +562,9 @@ def run_spark(spark, sf_dir: str, case: dict):
             # correlate a string col with an int residue: exercises
             # string-col survival through a numeric predicate
             df = df.where((F.col(icol) % m == 0) & F.col(scol).isNotNull())
+        elif f[0] == "like":
+            _, scol, pat = f
+            df = df.where(F.col(scol).like(pat))
         else:
             _, icol, m, want_null = f
             e = F.nullif(F.col(icol) % m, F.lit(0))
@@ -501,6 +609,9 @@ def render_duckdb(case: dict) -> str:
         elif f[0] == "mod":
             _, icol, m, scol = f
             where.append(f"({icol} % {m} = 0 AND {scol} IS NOT NULL)")
+        elif f[0] == "like":
+            _, scol, pat = f
+            where.append(f"{scol} LIKE '{pat}'")
         else:
             _, icol, m, want_null = f
             tail = "IS NULL" if want_null else "IS NOT NULL"
@@ -591,14 +702,22 @@ def main() -> int:
             case = gen_setop_case(rng)
             a = normalize(run_setop_spark(spark, sf_dir, case))
             b = normalize(run_setop_duckdb(con, case))
-        elif roll < 0.53:
+        elif roll < 0.5:
             case = gen_subquery_case(rng)
             a = normalize(run_subquery_spark(spark, sf_dir, case))
             b = normalize(run_subquery_duckdb(con, case))
-        elif roll < 0.68:
+        elif roll < 0.62:
             case = gen_multijoin_case(rng)
             a = normalize(run_multijoin_spark(spark, sf_dir, case))
             b = normalize(run_multijoin_duckdb(con, case))
+        elif roll < 0.72:
+            case = gen_rollup_case(rng)
+            a = normalize(run_rollup_spark(spark, sf_dir, case))
+            b = normalize(run_rollup_duckdb(con, case))
+        elif roll < 0.82:
+            case = gen_datetrunc_case(rng)
+            a = normalize(run_datetrunc_spark(spark, sf_dir, case))
+            b = normalize(run_datetrunc_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
