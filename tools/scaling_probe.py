@@ -77,6 +77,7 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     events = load_table(spark, sf_dir, "events")
     emb = load_table(spark, sf_dir, "embeddings")
+    supplier = load_table(spark, sf_dir, "supplier")
 
     def sliding_30m(ev):
         return ev.groupBy(F.window("ts", "30 minutes", "10 minutes"), "event_type").agg(
@@ -264,10 +265,54 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    def _coords(df, idc, salt_x, salt_y):
+        def h(salt):
+            return F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(salt), F.col(idc).cast("string"))),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("bigint"),
+                F.lit(5000),
+            )
+        return df.select(F.col(idc), h(salt_x).alias("x"), h(salt_y).alias("y"))
+
+    def _radius(evd, sup):
+        from etl_weather_jabar_spark.operators.joins import radius_join_gridded
+
+        return radius_join_gridded(
+            _coords(evd, "event_id", "ev:", "ve:"),
+            _coords(sup, "s_suppkey", "st:", "ts:"),
+            ("event_id", "x", "y"), ("s_suppkey", "x", "y"), radius=200,
+        ).groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n"))
+
+    def _grank(o):
+        from etl_weather_jabar_spark.operators.windows import (
+            global_rank_scalable,
+        )
+
+        return global_rank_scalable(
+            o.select("o_orderkey", "o_totalprice"),
+            ["o_totalprice", "o_orderkey"],
+        ).groupBy().agg(F.sum("rank").alias("s"), F.count(F.lit(1)).alias("n"))
+
     cases = {
         "scan_agg_pricing": (
             lambda: pricing(li),
             lambda: pricing(replicate(li, k)),
+        ),
+        # coords derive from ids, so offset replicas spread over the same
+        # 5000x5000 region -> density (and pair count) scales with k
+        "spatial_radius_join": (
+            lambda: _radius(events, supplier),
+            lambda: _radius(
+                replicate(ev, k, "event_id"), replicate(supplier, k, "s_suppkey")
+            ),
+        ),
+        "global_rank_one_shuffle": (
+            lambda: _grank(orders),
+            lambda: _grank(replicate(orders, k, "o_orderkey")),
         ),
         # both sides replicated with offset orderkeys -> join cardinality
         # scales linearly, not k-squared
