@@ -307,7 +307,7 @@ def main() -> None:
         "spatial_radius_join": (
             lambda: _radius(events, supplier),
             lambda: _radius(
-                replicate(ev, k, "event_id"), replicate(supplier, k, "s_suppkey")
+                replicate(events, k, "event_id"), replicate(supplier, k, "s_suppkey")
             ),
         ),
         "global_rank_one_shuffle": (
