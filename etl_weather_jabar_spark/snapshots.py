@@ -694,6 +694,33 @@ def snapshot_optimize(
     )
 
 
+def snapshot_restore(path: str, version: int) -> int:
+    """RESTORE TABLE to an earlier version — committed as a NEW version
+    whose file listing is the old version's (Delta RESTORE semantics:
+    history moves forward, nothing is rewritten or deleted, and the
+    restore itself is time-travelable/undoable). Data files are immutable
+    and never renamed, so restoring is a metadata-only commit: the old
+    manifest's files, stats, and row counts are republished verbatim.
+    Raises if ``version`` was vacuumed (its files may be gone)."""
+    vs = _versions(path)
+    if version not in vs:
+        raise FileNotFoundError(
+            f"version {version} not retained at {path} (have {vs})"
+        )
+    old = _read_manifest(path, version)
+
+    def build(latest):
+        return (
+            old["files"],
+            "restore",
+            {"restored_from": version},
+            old.get("stats", {}),
+            old.get("row_counts", {}),
+        )
+
+    return _publish(path, build)
+
+
 def snapshot_changes(
     spark,
     path: str,

@@ -1,0 +1,75 @@
+"""Binary-file source: opaque media blobs as rows.
+
+The ingestion front door for the multimodal tier (ext/multimodal.py):
+``spark.read.format("binaryFile")`` turns a directory of image/audio/video
+files into (path, modificationTime, length, content) rows — content is the
+raw bytes, exactly the opaque ``binary`` column the decode/featurize
+operators consume. Reference parity: none (the reference ingests JSON API
+docs only); this is the driver-mandated multimodal extension's source.
+
+Scale notes: binaryFile is a real FileFormat — distributed listing,
+per-file tasks, partition-count driven by ``spark.sql.files.maxPartitionBytes``
+(size it ≥ the largest blob: one file never splits). Push the
+``pathGlobFilter`` down so non-media files are never opened, and keep the
+payload OUT of shuffles — derive metadata columns first, write payloads
+straight to a sink (the same discipline ext/multimodal.py documents).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Read every file under ``path`` (optionally matching ``glob``) as one
+    row: (media_id, file_name, mime, length, payload). ``media_id`` is a
+    deterministic 64-bit id from the file name (xxhash64 — stable across
+    reruns and engines), ``mime`` is inferred from the extension (the
+    decode operators re-verify against magic bytes)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = (
+        F.when(ext == "ppm", F.lit("image/x-ppm"))
+        .when(ext == "wav", F.lit("audio/x-wav"))
+        .when(ext.isin("jpg", "jpeg"), F.lit("image/jpeg"))
+        .when(ext == "png", F.lit("image/png"))
+        .when(ext == "mp3", F.lit("audio/mpeg"))
+        .when(ext == "mp4", F.lit("video/mp4"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    return df.select(
+        F.xxhash64(name).alias("media_id"),
+        name.alias("file_name"),
+        mime.alias("mime"),
+        F.col("length"),
+        F.col("content").alias("payload"),
+    )
+
+
+def write_binary_dir(df: DataFrame, path: str, name_col: str = "file_name",
+                     payload_col: str = "payload") -> int:
+    """Materialize payload rows back to individual files (the export side:
+    one file per row, named by ``name_col``). Driver-side iteration over a
+    toLocalIterator — streams one partition at a time, never the whole
+    table; export of blob tables is inherently a per-file operation."""
+    os.makedirs(path, exist_ok=True)
+    n = 0
+    for row in df.select(name_col, payload_col).toLocalIterator():
+        with open(os.path.join(path, row[name_col]), "wb") as f:
+            f.write(bytes(row[payload_col]))
+        n += 1
+    return n

@@ -767,3 +767,34 @@ def test_snapshot_scan_multi_column_pruning(spark, tmp_path):
         r["x"] for r in want.collect()
     )
     assert len(got.inputFiles()) < 8
+
+
+def test_snapshot_restore_metadata_only(spark, tmp_path):
+    """RESTORE: re-commits an old version's file listing as a NEW version
+    (history moves forward, restore is itself time-travelable); vacuum
+    after a restore keeps the restored files alive; restoring a vacuumed
+    version raises."""
+    import pytest
+
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_count,
+        snapshot_restore,
+    )
+
+    path = str(tmp_path / "t")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    b = spark.createDataFrame([(9, "z")], ["k", "v"])
+    snapshot_write(a, path)                       # v1
+    snapshot_write(b, path, mode="overwrite")     # v2
+    v3 = snapshot_restore(path, 1)
+    assert v3 == 3
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert snapshot_count(path) == 2
+    hist = snapshot_history(path)
+    assert [h["op"] for h in hist] == ["append", "overwrite", "restore"]
+    # the restore protects v1's files from vacuum even with keep_versions=1
+    vacuum(path, keep_versions=1, min_age_seconds=0)
+    assert snapshot_read(spark, path).count() == 2
+    with pytest.raises(FileNotFoundError):
+        snapshot_restore(path, 2)  # vacuumed away
