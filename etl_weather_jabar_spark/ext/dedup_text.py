@@ -411,6 +411,7 @@ def incremental_exact_dedup(
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sink=None,
 ) -> DataFrame:
     """Tier 1 at corpus-growth time: dedup a NEW batch against the
     corpus's PERSISTED fingerprint index, never against the corpus
@@ -420,17 +421,29 @@ def incremental_exact_dedup(
 
     Steps: hash the batch (md5 of raw text — the same key
     :func:`exact_dedup` uses), LEFT ANTI join the index (already-seen
-    content drops), keep-first within the batch, then APPEND the
-    survivors' fingerprints to the index as one atomic snapshot commit
-    (snapshots.py: concurrent ingests retry the manifest publish, so
-    two batches landing together both record their fingerprints).
+    content drops), keep-first within the batch, deliver the survivors
+    to ``sink`` (a ``DataFrame -> None`` callable that writes them to
+    the corpus), and only THEN append the survivors' fingerprints to
+    the index as one atomic snapshot commit.
 
-    First call creates the index. A crashed-and-rerun batch re-appends
-    the same fingerprints — duplicate index rows are harmless to the
-    anti join (set semantics), and vacuum/OPTIMIZE can compact them.
-    Returns the surviving rows of ``new_docs`` (recompute-safe: the
-    survivor plan is deterministic, but callers chaining heavy work
-    should persist or re-read the sink they write survivors to).
+    Ordering is the crash contract: corpus write FIRST, index commit
+    SECOND. A crash in between reruns as at-least-once — the rerun's
+    anti-join still sees the docs as fresh (fingerprints not yet
+    committed) and re-delivers them, so an idempotent sink (keyed
+    upsert, content-addressed file names, a batch-id-deduped snapshot
+    sink) makes the whole step exactly-once. The REVERSE order would be
+    at-most-once: fingerprints committed but survivors never persisted
+    means the rerun drops the batch as "already seen" — silent data
+    loss. Callers that pass ``sink=None`` take responsibility for that
+    hazard: the fingerprints are committed when this returns, so the
+    returned survivors MUST be persisted by the caller without a
+    crash window (acceptable in tests; not in an ingest job).
+
+    First call creates the index. Duplicate index rows from an
+    at-least-once rerun are harmless to the anti join (set semantics);
+    vacuum/OPTIMIZE can compact them. Concurrent batches both commit —
+    the snapshot append retries its manifest publish on a lost race.
+    Returns the surviving rows of ``new_docs``.
     """
     from ..snapshots import snapshot_read, snapshot_write
 
@@ -442,6 +455,8 @@ def incremental_exact_dedup(
     except FileNotFoundError:
         fresh = hashed
     survivors = dedupe_keep_first(fresh, ["__h"], order_by=[id_col])
+    if sink is not None:
+        sink(survivors.drop("__h"))
     snapshot_write(
         survivors.select("__h", F.col(id_col).alias("src_id")),
         index_path,

@@ -374,6 +374,7 @@ def snapshot_merge(
     *,
     seq_col: str = "seq",
     op_col: str = "op",
+    max_retries: int = 10,
 ) -> int:
     """MERGE INTO for the versioned table: apply a keyed upsert/delete log
     (:func:`operators.diff.apply_cdc` semantics — highest ``seq`` per key
@@ -382,17 +383,46 @@ def snapshot_merge(
     the pre-merge or post-merge table, never a mix; the pre-merge version
     stays time-travelable. Copy-on-write at table granularity — the
     honest minimal form; per-file copy-on-write needs file↔key pruning
-    stats (the Delta/Iceberg refinement, same commit protocol)."""
+    stats (the Delta/Iceberg refinement, same commit protocol).
+
+    Concurrency: the merged result is only valid against the exact base
+    version it was read from, so a commit landing in between RESTARTS
+    the merge from the new latest (same contract as
+    :func:`snapshot_merge_pruned`) — publishing the stale result would
+    silently drop the racer's rows. ``max_retries`` conflicts →
+    :class:`ConcurrentSnapshotError`."""
     from .operators.diff import apply_cdc
 
-    try:
-        base = snapshot_read(spark, path)
-    except FileNotFoundError:
-        # MERGE into a not-yet-created table: base is empty with the
-        # change log's row schema (Delta's create-on-first-merge shape)
-        base = changes.drop(seq_col, op_col).limit(0)
-    merged = apply_cdc(base, changes, keys, seq_col=seq_col, op_col=op_col)
-    return snapshot_write(merged.drop(seq_col), path, mode="overwrite")
+    for _ in range(max_retries):
+        vs = _versions(path)
+        base_version = vs[-1] if vs else None
+        if base_version is None:
+            # MERGE into a not-yet-created table: base is empty with the
+            # change log's row schema (Delta's create-on-first-merge shape)
+            base = changes.drop(seq_col, op_col).limit(0)
+        else:
+            base = snapshot_read(spark, path, version=base_version)
+        merged = apply_cdc(
+            base, changes, keys, seq_col=seq_col, op_col=op_col
+        ).drop(seq_col)
+        new_files, counts = _write_data_files(merged, path)
+
+        class _Conflict(Exception):
+            pass
+
+        def build(latest_m):
+            latest_v = latest_m.get("version") if latest_m else None
+            if latest_v != base_version:
+                raise _Conflict  # someone committed since the base read
+            return (new_files, "overwrite", None, {}, counts)
+
+        try:
+            return _publish(path, build)
+        except _Conflict:
+            continue  # restart from the new latest version
+    raise ConcurrentSnapshotError(
+        f"merge at {path} lost {max_retries} publish races; giving up"
+    )
 
 
 def snapshot_merge_pruned(
