@@ -1664,9 +1664,8 @@ def bag_set_ops_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON (e.x - s.x) * (e.x - s.x) + (e.y - s.y) * (e.y - s.y) <= 40000
     )
     SELECT event_id,
-           CAST(min(d2 * 1000000 + s_suppkey) % 1000000 AS BIGINT)
-               AS nearest_station,
-           CAST(min(d2 * 1000000 + s_suppkey) // 1000000 AS BIGINT) AS d2
+           (min({'d2': d2, 's': s_suppkey})).s AS nearest_station,
+           (min({'d2': d2, 's': s_suppkey})).d2 AS d2
     FROM pairs GROUP BY 1
     """,
 )
@@ -1677,11 +1676,13 @@ def spatial_radius_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance — never a cross join. Coordinates are md5-derived planar
     integers (cross-engine exact; production swaps in real lat/lon with
     a haversine post-filter, same plan shape). The nearest station per
-    event is argmin via an exact integer encode min(d2·10⁶ + id) — ties
-    on distance break to the lowest station id identically in both
-    engines. The DuckDB oracle runs the BRUTE-FORCE theta join, so a
-    match also proves the neighbor expansion finds every qualifying
-    pair."""
+    event is argmin via a lexicographic struct-min over (d2, s_suppkey)
+    — ties on distance break to the lowest station id identically in
+    both engines, and the encoding is safe at ANY scale factor (the old
+    min(d2·10⁶ + id) integer encode silently corrupted once supplier
+    keys reached 10⁶). The DuckDB oracle runs the BRUTE-FORCE theta
+    join, so a match also proves the neighbor expansion finds every
+    qualifying pair."""
     from .operators.joins import radius_join_gridded
 
     def coords(df, idc, salt_x, salt_y):
@@ -1710,10 +1711,12 @@ def spatial_radius_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = radius_join_gridded(
         ev, st, ("event_id", "x", "y"), ("s_suppkey", "x", "y"), radius=200
     )
-    enc = F.min(F.col("d2") * 1000000 + F.col("s_suppkey"))
+    best = F.min(
+        F.struct(F.col("d2").alias("d2"), F.col("s_suppkey").alias("s"))
+    )
     return pairs.groupBy("event_id").agg(
-        F.pmod(enc, F.lit(1000000)).cast("bigint").alias("nearest_station"),
-        F.floor(enc / 1000000).cast("bigint").alias("d2"),
+        best.getField("s").alias("nearest_station"),
+        best.getField("d2").alias("d2"),
     )
 
 

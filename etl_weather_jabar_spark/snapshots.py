@@ -569,18 +569,52 @@ def snapshot_stream_sink(
     Returns the DataStreamWriter; caller picks the trigger and starts it.
 
     The committed-id set is loaded ONCE (manifests + the vacuum-surviving
-    ``_meta.json`` ledger) and cached in the sink for the stream's life —
-    the per-batch cost is a set lookup, not an O(versions) manifest
-    rescan per micro-batch (O(versions²) over the stream's life). The
-    sink is the table's single stream writer (Spark's checkpoint
-    contract), so no other process adds batch ids behind the cache.
+    ``_meta.json`` ledger) and cached in the sink, then INCREMENTALLY
+    refreshed each batch from manifests newer than the cached load point
+    — the steady-state per-batch cost is one directory glob plus reads
+    of only the manifests published since the last batch (usually just
+    this sink's own), not an O(versions) rescan. The refresh means a
+    second writer against the same table (another sink instance, or a
+    manual ``snapshot_write`` carrying a ``batch_id``) is SEEN rather
+    than silently breaking exactly-once dedup behind a stale cache; the
+    single-stream-writer checkpoint contract still governs who should
+    write, but violating it no longer corrupts the ledger.
     """
+    commit = _stream_committer(path, mode, optimize_every, zorder_cols, n_files)
+    return (
+        stream_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def _stream_committer(
+    path: str,
+    mode: str = "append",
+    optimize_every: int | None = None,
+    zorder_cols: list[str] | None = None,
+    n_files: int = 8,
+):
+    """The foreachBatch closure behind :func:`snapshot_stream_sink`,
+    exposed separately so the ledger-refresh behavior is directly
+    testable without driving a real stream."""
     seen: set[int] | None = None
+    load_point = 0
 
     def commit(batch: DataFrame, batch_id: int) -> None:
-        nonlocal seen
+        nonlocal seen, load_point
         if seen is None:
             seen = committed_batch_ids(path)
+        # Re-verify against manifests published since our cached load
+        # point (ADVICE r2: the once-per-stream cache silently missed a
+        # concurrent writer's batch ids). Cheap: glob + only-new reads.
+        vs = _versions(path)
+        for v in vs:
+            if v > load_point:
+                b = _read_manifest(path, v).get("batch_id")
+                if b is not None:
+                    seen.add(int(b))
+        if vs:
+            load_point = vs[-1]
         if batch.isEmpty() or batch_id in seen:
             return
         snapshot_write(batch, path, mode=mode, meta={"batch_id": batch_id})
@@ -593,10 +627,7 @@ def snapshot_stream_sink(
                 n_files=n_files,
             )
 
-    return (
-        stream_df.writeStream.foreachBatch(commit)
-        .option("checkpointLocation", checkpoint_dir)
-    )
+    return commit
 
 
 def snapshot_scan(

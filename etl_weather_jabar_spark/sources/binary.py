@@ -18,6 +18,7 @@ straight to a sink (the same discipline ext/multimodal.py documents).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,9 +32,11 @@ def read_binary_dir(
 ) -> DataFrame:
     """Read every file under ``path`` (optionally matching ``glob``) as one
     row: (media_id, file_name, mime, length, payload). ``media_id`` is a
-    deterministic 64-bit id from the file name (xxhash64 — stable across
-    reruns and engines), ``mime`` is inferred from the extension (the
-    decode operators re-verify against magic bytes)."""
+    deterministic 64-bit id from the file path RELATIVE to the load root
+    (xxhash64 — stable across reruns and engines, and unique per file even
+    when two subdirectories contain the same basename), ``mime`` is inferred
+    from the extension (the decode operators re-verify against magic
+    bytes)."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
@@ -51,8 +54,17 @@ def read_binary_dir(
         .otherwise(F.lit("application/octet-stream"))
     )
     name = F.element_at(F.split(F.col("path"), "/"), -1)
+    # media_id hashes the load-root-relative path, not the basename:
+    # with recursive=True two subdirs may hold the same basename, and a
+    # basename-only hash would silently conflate distinct blobs in every
+    # downstream join/dedup keyed on media_id. The `path` column is a URI
+    # (file:/...); strip the scheme, then the normalized load root, so the
+    # id is stable even if the corpus directory is relocated.
+    root = os.path.abspath(path).rstrip("/")
+    no_scheme = F.regexp_replace(F.col("path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
+    rel_path = F.regexp_replace(no_scheme, "^" + re.escape(root + "/"), "")
     return df.select(
-        F.xxhash64(name).alias("media_id"),
+        F.xxhash64(rel_path).alias("media_id"),
         name.alias("file_name"),
         mime.alias("mime"),
         F.col("length"),
@@ -65,11 +77,31 @@ def write_binary_dir(df: DataFrame, path: str, name_col: str = "file_name",
     """Materialize payload rows back to individual files (the export side:
     one file per row, named by ``name_col``). Driver-side iteration over a
     toLocalIterator — streams one partition at a time, never the whole
-    table; export of blob tables is inherently a per-file operation."""
+    table; export of blob tables is inherently a per-file operation.
+
+    Names are data-controlled, so they are validated before touching the
+    filesystem: a name must be a plain basename (no separators, no '..',
+    not absolute) or the row is rejected with ValueError — otherwise a
+    crafted name could escape ``path`` and overwrite arbitrary files.
+    Duplicate names also raise (the second write would silently clobber
+    the first while the returned count still claimed both exported)."""
     os.makedirs(path, exist_ok=True)
     n = 0
+    seen: set[str] = set()
     for row in df.select(name_col, payload_col).toLocalIterator():
-        with open(os.path.join(path, row[name_col]), "wb") as f:
+        name = row[name_col]
+        if (
+            not name
+            or name in (".", "..")
+            or os.path.basename(name) != name
+            or os.sep in name
+            or (os.altsep and os.altsep in name)
+        ):
+            raise ValueError(f"write_binary_dir: unsafe file name {name!r}")
+        if name in seen:
+            raise ValueError(f"write_binary_dir: duplicate file name {name!r}")
+        seen.add(name)
+        with open(os.path.join(path, name), "wb") as f:
             f.write(bytes(row[payload_col]))
         n += 1
     return n

@@ -231,3 +231,60 @@ def test_binary_file_source_roundtrip_and_decode(spark, tmp_path):
     for name, payload in imgs.items():
         assert (out / name).read_bytes() == payload
         assert decode_ppm((out / name).read_bytes()).shape == (4, 5, 3)
+
+
+def test_binary_media_id_unique_across_subdirs(spark, tmp_path):
+    """ADVICE r2: media_id hashes the load-root-relative path, so two
+    files sharing a basename in different subdirs get DISTINCT ids, and
+    the id is stable across relocations of the corpus root."""
+    from etl_weather_jabar_spark.sources.binary import read_binary_dir
+
+    for sub, byte in (("a", b"one"), ("b", b"two")):
+        d = tmp_path / "media" / sub
+        d.mkdir(parents=True)
+        (d / "same.bin").write_bytes(byte)
+
+    df = read_binary_dir(spark, str(tmp_path / "media"), recursive=True)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert len({r["media_id"] for r in rows}) == 2  # no conflation
+    assert all(r["file_name"] == "same.bin" for r in rows)
+
+    # relocation stability: same relative layout elsewhere → same ids
+    for sub, byte in (("a", b"one"), ("b", b"two")):
+        d = tmp_path / "moved" / sub
+        d.mkdir(parents=True)
+        (d / "same.bin").write_bytes(byte)
+    moved = read_binary_dir(spark, str(tmp_path / "moved"), recursive=True)
+    assert {r["media_id"] for r in moved.collect()} == {
+        r["media_id"] for r in rows
+    }
+
+
+def test_write_binary_dir_rejects_unsafe_and_duplicate_names(spark, tmp_path):
+    """ADVICE r2: data-controlled export names cannot escape the target
+    directory ('..', separators, absolute paths all raise) and duplicate
+    names raise instead of silently clobbering."""
+    import pytest
+
+    from etl_weather_jabar_spark.sources.binary import write_binary_dir
+
+    out = tmp_path / "out"
+    for bad in ["../evil.bin", "/abs.bin", "a/b.bin", "..", ""]:
+        df = spark.createDataFrame([(bad, bytearray(b"x"))],
+                                   "file_name STRING, payload BINARY")
+        with pytest.raises(ValueError, match="unsafe"):
+            write_binary_dir(df, str(out))
+    assert not (tmp_path / "evil.bin").exists()
+
+    dup = spark.createDataFrame(
+        [("f.bin", bytearray(b"x")), ("f.bin", bytearray(b"y"))],
+        "file_name STRING, payload BINARY",
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="duplicate"):
+        write_binary_dir(dup, str(out))
+
+    ok = spark.createDataFrame([("good.bin", bytearray(b"z"))],
+                               "file_name STRING, payload BINARY")
+    assert write_binary_dir(ok, str(out)) == 1
+    assert (out / "good.bin").read_bytes() == b"z"

@@ -798,3 +798,38 @@ def test_snapshot_restore_metadata_only(spark, tmp_path):
     assert snapshot_read(spark, path).count() == 2
     with pytest.raises(FileNotFoundError):
         snapshot_restore(path, 2)  # vacuumed away
+
+
+def test_stream_sink_ledger_sees_concurrent_writer(spark, tmp_path):
+    """ADVICE r2: the sink's committed-id cache is refreshed from
+    manifests newer than its load point before every commit, so a
+    batch id committed by ANOTHER writer after the cache loaded is
+    seen and skipped instead of double-appended."""
+    from etl_weather_jabar_spark.snapshots import (
+        _stream_committer,
+        committed_batch_ids,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    commit = _stream_committer(path)
+
+    commit(spark.createDataFrame([(1, "a")], ["k", "v"]), 0)  # cache loads
+    assert committed_batch_ids(path) == {0}
+
+    # a second writer commits batch 5 behind the sink's cache
+    snapshot_write(
+        spark.createDataFrame([(5, "ext")], ["k", "v"]),
+        path,
+        meta={"batch_id": 5},
+    )
+
+    # the sink is now handed batch 5 (e.g. restarted upstream): must skip
+    commit(spark.createDataFrame([(5, "dup")], ["k", "v"]), 5)
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, path).collect()}
+    assert got == {(1, "a"), (5, "ext")}
+    assert committed_batch_ids(path) == {0, 5}
+
+    # a genuinely new batch still commits
+    commit(spark.createDataFrame([(6, "c")], ["k", "v"]), 6)
+    assert snapshot_read(spark, path).count() == 3
