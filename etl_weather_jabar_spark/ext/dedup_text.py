@@ -463,3 +463,80 @@ def incremental_exact_dedup(
         mode="append",
     )
     return survivors.drop("__h")
+
+
+def crossdoc_repeated_ngrams(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated n-gram detection: for each document, how
+    many of its token n-gram positions carry an n-gram that also occurs
+    in at least one OTHER document — the substring-duplication signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), approximated at shingle granularity so it runs as plain
+    aggregations instead of a suffix array.
+
+    Returns (id, n_ngrams, dup_ngrams, dup_bp) where dup_bp is the
+    duplicated fraction in basis points (integer ``dup·10⁴ ÷ total``,
+    exact in any engine; NULL for docs shorter than n tokens).
+
+    Scale notes (100 TB): the shingle key is a 16-hex-char md5 prefix,
+    so full text never shuffles — only (id, key) pairs. "Occurs in ≥2
+    distinct docs" is computed as ``min(id) <> max(id)`` per key: exact
+    for the ≥2 test and fully partial-aggregatable, unlike
+    count_distinct which would carry id sets through the shuffle. The
+    dup-key join is an equi-join on a uniform hash key (no skew), and
+    the per-doc rollup partial-aggregates map-side.
+    """
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    # strict positions 0..len-n (no shingle for docs shorter than n);
+    # guard the sequence: F.sequence(1, 0) would DESCEND, not be empty
+    starts = F.when(
+        F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.substring(
+                    F.md5(F.array_join(F.slice("t", i, n), " ")), 1, 16
+                ),
+            )
+        ).alias("sh"),
+    )
+    dup_keys = (
+        grams.groupBy("sh")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .where(F.col("__lo") != F.col("__hi"))
+        .select("sh")
+    )
+    per_doc = (
+        grams.join(dup_keys, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dup_ngrams"))
+    )
+    totals = toks.select(
+        F.col(id_col),
+        F.greatest(F.size("t") - F.lit(n - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_ngrams"),
+    )
+    out = totals.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_ngrams",
+        F.coalesce(F.col("dup_ngrams"), F.lit(0)).cast("bigint").alias(
+            "dup_ngrams"
+        ),
+    )
+    return out.withColumn(
+        "dup_bp",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.floor(F.col("dup_ngrams") * 10000 / F.col("n_ngrams")).cast(
+                "bigint"
+            ),
+        ),
+    )

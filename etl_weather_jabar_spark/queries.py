@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ext.dedup_text import (
+    crossdoc_repeated_ngrams,
     jaccard_verify,
     minhash_lsh_candidates,
     simhash64,
@@ -41,7 +42,7 @@ from .ext.sampling import (
     weighted_sample_sql,
 )
 from .ext.timeseries import dyadic_ewma
-from .ext.similarity import brute_force_topk
+from .ext.similarity import brute_force_topk, lsh_bucketed_topk
 from .functions.text import (
     LANG_MARKERS,
     marker_hits,
@@ -7759,6 +7760,157 @@ def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((h["version"], h["op"], cnt))
     return spark.createDataFrame(
         rows, "version INT, op STRING, n_rows BIGINT"
+    )
+
+
+@_register(
+    "srp_lsh_ann_topk",
+    f"""
+    WITH hp AS (
+        SELECT tt.t, bb.i,
+               list_transform(range(0, 64), c ->
+                   CASE WHEN substr(md5(printf('srp:%d:%d:%d', tt.t, bb.i, c)), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7')
+                        THEN 1.0 ELSE -1.0 END) AS r
+        FROM (SELECT unnest(range(0, 4)) AS t) tt,
+             (SELECT unnest(range(0, 8)) AS i) bb
+    ), sigs AS (
+        SELECT e.vec_id, hp.t,
+               CAST(sum(CASE WHEN list_sum(list_transform(range(0, 64), c ->
+                        CAST(e.embedding[c + 1] AS DOUBLE) * hp.r[c + 1])) > 0
+                        THEN (CAST(1 AS BIGINT) << hp.i) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM embeddings e CROSS JOIN hp
+        GROUP BY e.vec_id, hp.t
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+        FROM sigs s JOIN sigs q ON s.t = q.t AND s.sig = q.sig
+        WHERE q.vec_id < 5 AND s.vec_id <> q.vec_id
+    ), scored AS (
+        SELECT c.query_id, c.vec_id,
+               {{cos}} AS cosine
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN embeddings q ON q.vec_id = c.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """.replace("{cos}", _cos_sql("e.embedding", "q.embedding")),
+)
+def srp_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH ANN with a FULL DuckDB oracle
+    (ext/similarity.py::lsh_bucketed_topk): 4 tables × 8-bit SRP
+    signatures over md5-derived ±1 hyperplanes (deterministic, no stored
+    model, bit-identical across engines since the dot product is the
+    same sequential double fold) → bucket equi-join for candidates →
+    exact cosine rank on candidates only. The oracle replicates the
+    ENTIRE approximate pipeline — signatures, buckets, candidate set,
+    ranking — so the driver's hash check certifies the LSH path itself,
+    not just a brute-force stand-in. Scale: corpus signatures are one
+    narrow pass, candidates are bounded by bucket collisions (uniform
+    8-bit keys), the query side broadcasts."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(
+        emb, queries, k=10, dim=64, n_bits=8, tables=4
+    )
+
+
+@_register(
+    "crossdoc_repeated_ngrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents),
+    g AS (
+        SELECT doc_id,
+               substr(md5(array_to_string(t[p + 1:p + 8], ' ')), 1, 16) AS sh
+        FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(p)
+    ),
+    d AS (
+        SELECT sh FROM g GROUP BY sh HAVING min(doc_id) <> max(doc_id)
+    ),
+    per AS (
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS dup_ngrams
+        FROM g JOIN d USING (sh) GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(greatest(len(t.t) - 7, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(per.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+           CASE WHEN len(t.t) >= 8
+                THEN CAST(coalesce(per.dup_ngrams, 0) * 10000
+                          // (len(t.t) - 7) AS BIGINT)
+           END AS dup_bp
+    FROM toks t LEFT JOIN per USING (doc_id)
+    """,
+)
+def crossdoc_repeated_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 8-gram spans (ext/dedup_text.py::
+    crossdoc_repeated_ngrams): the Lee-et-al substring-duplication
+    signal at shingle granularity — per doc, how many of its 8-gram
+    positions carry an 8-gram occurring in ≥1 other document, as an
+    exact integer basis-point fraction. "≥2 distinct docs" is
+    min(id)≠max(id) per shingle key — exact and partial-aggregatable,
+    no count_distinct set carriage; only (id, 16-hex-key) pairs ever
+    shuffle."""
+    return crossdoc_repeated_ngrams(
+        load_table(spark, sf_dir, "documents"), n=8
+    )
+
+
+@_register(
+    "incremental_agg_view_orders",
+    """
+    WITH final AS (
+        SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey % 19 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS sum_total
+    FROM final GROUP BY 1
+    """,
+)
+def incremental_agg_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (ext/matview.py): the
+    per-priority (count, sum) view is built once from the base table,
+    then a change batch (deletes of every 17th key, re-inserts of every
+    19th) is folded in by the counting algorithm — signed delta
+    aggregation sized by the BATCH, merged by one union+re-aggregate —
+    never rescanning the base. The oracle recomputes the final state
+    from scratch, so a hash match certifies incremental == full
+    recompute. Sums are maintained in integer cents (exact under +/−
+    churn; float state would drift)."""
+    from .ext.matview import build_agg_view, delta_agg, merge_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = _units(F.col("o_totalprice"), 2)
+    view0 = build_agg_view(
+        orders, ["o_orderpriority"], measures={"cents": cents}
+    )
+    deletes = orders.where(F.col("o_orderkey") % 17 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    inserts = orders.where(F.col("o_orderkey") % 19 == 0).withColumn(
+        "op", F.lit("I")
+    )
+    changes = deletes.unionByName(inserts)
+    delta = delta_agg(
+        changes, ["o_orderpriority"], measures={"cents": cents}
+    )
+    merged = merge_view(view0, delta, ["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority",
+        "n_rows",
+        (F.col("cents") / F.lit(100.0)).alias("sum_total"),
     )
 
 

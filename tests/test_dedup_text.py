@@ -135,3 +135,30 @@ def test_incremental_exact_dedup_against_persisted_index(spark, tmp_path):
     assert incremental_exact_dedup(b2, idx).count() == 0
     # the index holds exactly the distinct fingerprints
     assert snapshot_read(spark, idx).select("__h").distinct().count() == 4
+
+
+def test_crossdoc_repeated_ngrams_planted(spark):
+    """Planted shared 8-gram across two docs is found; a doc shorter
+    than n gets n_ngrams=0 and NULL dup_bp; unique docs score 0."""
+    from etl_weather_jabar_spark.ext.dedup_text import (
+        crossdoc_repeated_ngrams,
+    )
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " alpha beta"),
+        (2, "prefix " + shared),
+        (3, "totally different words with no overlap at all here"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["dup_ngrams"], r["dup_bp"])
+        for r in crossdoc_repeated_ngrams(df, n=8).collect()
+    }
+    # doc1: 10 tokens -> 3 positions, 1 shared with doc2
+    assert got[1] == (3, 1, 3333)
+    # doc2: 9 tokens -> 2 positions, 1 shared
+    assert got[2] == (2, 1, 5000)
+    assert got[3] == (2, 0, 0)
+    assert got[4] == (0, 0, None)
