@@ -477,6 +477,185 @@ def run_multijoin_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(sql).fetchall()))
 
 
+def gen_jointype_case(rng: random.Random) -> dict:
+    """Semi / anti / full-outer join shapes over orders↔customer with a
+    modulus filter on the right side — the null-matching and
+    existence-semantics surface (inner/left hops don't cover it)."""
+    return {
+        "kind": "jointype",
+        "how": rng.choice(["semi", "anti", "full"]),
+        "mod": rng.randrange(2, 9),
+        "key": rng.choice(["o_orderstatus", "o_orderpriority"]),
+    }
+
+
+def run_jointype_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % case["mod"] == 0
+    )
+    if case["how"] in ("semi", "anti"):
+        j = o.join(
+            c,
+            o["o_custkey"] == c["c_custkey"],
+            "left_semi" if case["how"] == "semi" else "left_anti",
+        )
+        out = j.groupBy(case["key"]).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+        )
+    else:
+        j = o.join(c, o["o_custkey"] == c["c_custkey"], "full")
+        out = j.groupBy(
+            F.coalesce(F.col(case["key"]), F.lit("∅")).alias("k")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_orderkey").alias("no"),
+            F.count("c_custkey").alias("nc"),
+        )
+    return sorted(map(tuple, out.collect()))
+
+
+def run_jointype_duckdb(con, case: dict):
+    k = case["key"]
+    if case["how"] in ("semi", "anti"):
+        neg = "NOT " if case["how"] == "anti" else ""
+        sql = f"""
+        SELECT {k}, count(*) AS n, min(o_orderkey) AS mn,
+               max(o_orderkey) AS mx
+        FROM orders o
+        WHERE {neg}EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey % {case['mod']} = 0
+                             AND c.c_custkey = o.o_custkey)
+        GROUP BY {k}
+        """
+    else:
+        sql = f"""
+        SELECT coalesce({k}, '∅') AS k, count(*) AS n,
+               count(o_orderkey) AS no, count(c_custkey) AS nc
+        FROM orders o FULL JOIN
+             (SELECT * FROM customer WHERE c_custkey % {case['mod']} = 0) c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        """
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def gen_multidistinct_case(rng: random.Random) -> dict:
+    """Several COUNT(DISTINCT ...) over different columns in ONE
+    aggregate (plus a plain sum) — Catalyst plans this via Expand
+    (row multiplication per distinct group), a rewrite no single-distinct
+    case exercises."""
+    table = rng.choice(sorted(TABLES))
+    ints, cents, strs = TABLES[table]
+    picks = rng.sample(ints, k=min(len(ints), rng.randrange(2, 4)))
+    return {
+        "kind": "multidistinct",
+        "table": table,
+        "distincts": picks,
+        "sum_int": rng.choice(ints),
+        "key": rng.choice(strs) if rng.random() < 0.6 else None,
+        "mod": rng.randrange(2, 9),
+    }
+
+
+def run_multidistinct_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    ints = TABLES[case["table"]][0]
+    df = load_table(spark, sf_dir, case["table"]).where(
+        F.col(ints[0]) % case["mod"] == 0
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.count_distinct(F.col(c)).alias(f"d{i}")
+        for i, c in enumerate(case["distincts"])
+    ] + [F.sum(F.col(case["sum_int"])).cast("bigint").alias("s")]
+    out = (
+        df.groupBy(case["key"]).agg(*aggs)
+        if case["key"]
+        else df.agg(*aggs)
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+def run_multidistinct_duckdb(con, case: dict):
+    ints = TABLES[case["table"]][0]
+    ds = ", ".join(
+        f"count(DISTINCT {c}) AS d{i}"
+        for i, c in enumerate(case["distincts"])
+    )
+    key = f"{case['key']}, " if case["key"] else ""
+    group = f"GROUP BY {case['key']}" if case["key"] else ""
+    sql = f"""
+    SELECT {key}count(*) AS n, {ds},
+           CAST(sum({case['sum_int']}) AS BIGINT) AS s
+    FROM {case['table']} WHERE {ints[0]} % {case['mod']} = 0 {group}
+    """
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def gen_qualify_case(rng: random.Random) -> dict:
+    """Top-k-per-group: row_number over a TOTAL order, filtered ≤ k —
+    the QUALIFY shape (Spark plans filter-above-window; DuckDB runs the
+    subquery form). k and the direction are fuzzed."""
+    table = rng.choice(sorted(WINDOWABLE))
+    uk, part, order = WINDOWABLE[table]
+    return {
+        "kind": "qualify",
+        "table": table,
+        "uk": uk,
+        "part": part,
+        "order": order,
+        "k": rng.randrange(1, 6),
+        "desc": rng.random() < 0.5,
+    }
+
+
+def run_qualify_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    df = load_table(spark, sf_dir, case["table"])
+    ordc = (
+        F.col(case["order"]).desc()
+        if case["desc"]
+        else F.col(case["order"]).asc()
+    )
+    ukc = (
+        F.col(case["uk"]).desc() if case["desc"] else F.col(case["uk"]).asc()
+    )
+    w = W.partitionBy(case["part"]).orderBy(ordc, ukc)
+    out = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= case["k"])
+        .select(case["part"], F.col(case["uk"]).alias("uk"), "rn")
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+def run_qualify_duckdb(con, case: dict):
+    d = "DESC" if case["desc"] else "ASC"
+    sql = f"""
+    SELECT {case['part']}, {case['uk']} AS uk, rn FROM (
+        SELECT {case['part']}, {case['uk']},
+               CAST(row_number() OVER (PARTITION BY {case['part']}
+                   ORDER BY {case['order']} {d}, {case['uk']} {d}) AS INT)
+                   AS rn
+        FROM {case['table']}
+    ) WHERE rn <= {case['k']}
+    """
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random query AST: table (or an equi-join of two), 0-2 filters,
     0-2 group keys, 1-3 aggs."""
@@ -706,18 +885,30 @@ def main() -> int:
             case = gen_subquery_case(rng)
             a = normalize(run_subquery_spark(spark, sf_dir, case))
             b = normalize(run_subquery_duckdb(con, case))
-        elif roll < 0.62:
+        elif roll < 0.58:
             case = gen_multijoin_case(rng)
             a = normalize(run_multijoin_spark(spark, sf_dir, case))
             b = normalize(run_multijoin_duckdb(con, case))
-        elif roll < 0.72:
+        elif roll < 0.66:
             case = gen_rollup_case(rng)
             a = normalize(run_rollup_spark(spark, sf_dir, case))
             b = normalize(run_rollup_duckdb(con, case))
-        elif roll < 0.82:
+        elif roll < 0.72:
             case = gen_datetrunc_case(rng)
             a = normalize(run_datetrunc_spark(spark, sf_dir, case))
             b = normalize(run_datetrunc_duckdb(con, case))
+        elif roll < 0.78:
+            case = gen_jointype_case(rng)
+            a = normalize(run_jointype_spark(spark, sf_dir, case))
+            b = normalize(run_jointype_duckdb(con, case))
+        elif roll < 0.86:
+            case = gen_multidistinct_case(rng)
+            a = normalize(run_multidistinct_spark(spark, sf_dir, case))
+            b = normalize(run_multidistinct_duckdb(con, case))
+        elif roll < 0.92:
+            case = gen_qualify_case(rng)
+            a = normalize(run_qualify_spark(spark, sf_dir, case))
+            b = normalize(run_qualify_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
