@@ -60,6 +60,9 @@ TIER2_QUERIES = [
     "profile_orders",
     "contamination_score_topk",
     "weighted_median_price",
+    "crossdoc_repeated_ngrams",
+    "srp_lsh_ann_topk",
+    "incremental_agg_view_orders",
 ]
 
 

@@ -22,9 +22,16 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from etl_weather_jabar_spark.ext.dedup_text import (  # noqa: E402
+    crossdoc_repeated_ngrams,
     exact_dedup,
     minhash_signatures,
 )
+from etl_weather_jabar_spark.ext.matview import (  # noqa: E402
+    build_agg_view,
+    delta_agg,
+    merge_view,
+)
+from etl_weather_jabar_spark.ext.similarity import lsh_bucketed_topk  # noqa: E402
 from etl_weather_jabar_spark.ext.graph import (  # noqa: E402
     connected_components,
     connected_components_star,
@@ -286,6 +293,25 @@ def main() -> None:
             _coords(sup, "s_suppkey", "st:", "ts:"),
             ("event_id", "x", "y"), ("s_suppkey", "x", "y"), radius=200,
         ).groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n"))
+
+    def _matview(o):
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        view0 = build_agg_view(
+            o, ["o_orderpriority"], measures={"cents": cents}
+        )
+        changes = (
+            o.where(F.col("o_orderkey") % 17 == 0)
+            .withColumn("op", F.lit("D"))
+            .unionByName(
+                o.where(F.col("o_orderkey") % 19 == 0).withColumn(
+                    "op", F.lit("I")
+                )
+            )
+        )
+        delta = delta_agg(
+            changes, ["o_orderpriority"], measures={"cents": cents}
+        )
+        return merge_view(view0, delta, ["o_orderpriority"])
 
     def _grank(o):
         from etl_weather_jabar_spark.operators.windows import (
@@ -562,6 +588,40 @@ def main() -> None:
                 replicate(events, k, "event_id"), ["event_type"],
                 F.round(F.col("value") * 100).cast("bigint"), approx=True,
             ),
+        ),
+        # shingle-hash explode → min/max-per-key dup test → key join →
+        # per-doc rollup, on SYNTHETIC distinct texts (plan probe — the
+        # dup-key set stays near-empty, so the ratio isolates the explode
+        # + two shuffles, not duplicate density)
+        "crossdoc_repeated_ngrams": (
+            lambda: crossdoc_repeated_ngrams(synth_docs(1), n=8),
+            lambda: crossdoc_repeated_ngrams(synth_docs(k), n=8),
+        ),
+        # SRP signatures over the corpus (one narrow pass), broadcast
+        # query side, bucket equi-join candidates: corpus ×k, queries
+        # fixed → candidate count scales with bucket occupancy (~k)
+        "srp_lsh_topk": (
+            lambda: lsh_bucketed_topk(
+                emb,
+                emb.where(F.col("vec_id") < 5).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ),
+                k=10,
+            ),
+            lambda: lsh_bucketed_topk(
+                replicate(emb, k, "vec_id"),
+                emb.where(F.col("vec_id") < 5).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ),
+                k=10,
+            ),
+        ),
+        # incremental view maintenance: base view build + signed delta agg
+        # + union merge — both aggregations partial-combine map-side, the
+        # merge shuffle carries |groups| rows regardless of input size
+        "matview_maintenance": (
+            lambda: _matview(orders),
+            lambda: _matview(replicate(orders, k, "o_orderkey")),
         ),
     }
 
