@@ -69,3 +69,71 @@ def dyadic_ewma(
     b = den * 2
     half_up = ((a - F.pmod(a, b)) / b).cast("bigint")
     return df.withColumn(out_col, half_up).withColumn("n_window", F.size(arr))
+
+
+def _half_up_div_ts(num: Column, den: Column) -> Column:
+    """round-half-up(num/den) in exact integer arithmetic (same floor
+    formula as queries._half_up_div; duplicated to keep ext/ free of the
+    registry module). den must be > 0."""
+    a = num * 2 + den
+    b = den * 2
+    return (
+        (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+    ).cast("bigint")
+
+
+def linear_interpolate(
+    df: DataFrame,
+    part_col: str,
+    time_col: Column,
+    tiebreak_col: str,
+    value_units: Column,
+    out_col: str = "filled_units",
+) -> DataFrame:
+    """Linear interpolation of missing readings between each key's
+    neighboring observations — the step up from LOCF when the measure is
+    continuous (sensor series, rates): a missing row at time t between
+    observations (t0,v0) and (t1,v1) gets v0 + (v1−v0)·(t−t0)/(t1−t0),
+    round-half-up in exact integer units so every engine lands on the
+    same integer. Leading/trailing gaps (no neighbor on one side) stay
+    NULL — interpolation is strictly interior, unlike LOCF. Equal
+    timestamps degrade to the earlier observation (slope denominator
+    would be 0).
+
+    ``time_col`` must be an exact integer clock (e.g. unix_micros);
+    ``value_units`` an integer-unit measure, NULL where missing.
+
+    Scale: one shuffle on ``part_col``; the prev/next carriers are
+    last/first IGNORE NULLS over growing/shrinking rows frames — O(1)
+    state per row, no self-join against the observation set.
+    """
+    d = df.withColumn("__t", time_col).withColumn("__v", value_units)
+    obs = F.when(
+        F.col("__v").isNotNull(), F.struct(F.col("__t"), F.col("__v"))
+    )
+    order = [F.col("__t"), F.col(tiebreak_col)]
+    w_prev = (
+        Window.partitionBy(part_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(part_col)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    d = d.withColumn("__p", F.last(obs, ignorenulls=True).over(w_prev))
+    d = d.withColumn("__n", F.first(obs, ignorenulls=True).over(w_next))
+    pt, pv = F.col("__p.__t"), F.col("__p.__v")
+    nt, nv = F.col("__n.__t"), F.col("__n.__v")
+    interp = F.when(nt > pt, pv + _half_up_div_ts(
+        (nv - pv) * (F.col("__t") - pt), nt - pt
+    )).otherwise(pv)
+    return d.withColumn(
+        "__fill",
+        F.when(
+            F.col("__v").isNotNull(), F.col("__v")
+        ).when(
+            F.col("__p").isNotNull() & F.col("__n").isNotNull(), interp
+        ),
+    ).withColumnRenamed("__fill", out_col).drop("__t", "__v", "__p", "__n")

@@ -7914,4 +7914,112 @@ def incremental_agg_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "linear_interp_gap_fill",
+    f"""
+    WITH e AS (
+        SELECT event_id, user_id, ts, epoch_us(ts) AS te,
+               CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE CAST(round(value * 100) AS BIGINT) END AS vc
+        FROM events
+    ), w AS (
+        SELECT *,
+               last_value(CASE WHEN vc IS NOT NULL
+                               THEN {{'t': te, 'v': vc}} END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY te, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS p,
+               first_value(CASE WHEN vc IS NOT NULL
+                                THEN {{'t': te, 'v': vc}} END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY te, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS n
+        FROM e
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           CAST(vc AS DOUBLE) / 100.0 AS v,
+           CAST(CASE WHEN vc IS NOT NULL THEN vc
+                WHEN p IS NOT NULL AND n IS NOT NULL THEN
+                  CASE WHEN n.t > p.t
+                       THEN p.v + {_sql_halfup("(n.v - p.v) * (te - p.t)",
+                                               "n.t - p.t")}
+                       ELSE p.v END
+           END AS DOUBLE) / 100.0 AS filled
+    FROM w
+    """,
+)
+def linear_interp_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing readings (ext/timeseries.py::
+    linear_interpolate) — the continuous-measure upgrade of
+    locf_gap_fill: a planted-missing row (event_id % 11) between two of
+    the user's observations gets the time-weighted value, round-half-up
+    in exact integer cents so both engines land on the same integer;
+    edge gaps stay NULL. Clock is unix MICROseconds (second-rounding
+    differs across engines); only timestamp DIFFERENCES enter the math,
+    so the session-timezone offset cancels. One shuffle on user_id."""
+    from .ext.timeseries import linear_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.when(
+        F.col("event_id") % 11 == 0, F.lit(None).cast("bigint")
+    ).otherwise(_units(F.col("value"), 2))
+    d = ev.withColumn("__vc", vc)
+    out = linear_interpolate(
+        d,
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        "event_id",
+        F.col("__vc"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        (F.col("__vc") / F.lit(100.0)).alias("v"),
+        (F.col("filled_units") / F.lit(100.0)).alias("filled"),
+    )
+
+
+@_register(
+    "skyline_parts",
+    """
+    WITH s AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+               p_size
+        FROM part WHERE p_partkey % 3 = 0
+    )
+    SELECT p_partkey, price_c, p_size
+    FROM s p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s q
+        WHERE q.price_c <= p.price_c AND q.p_size <= p.p_size
+          AND (q.price_c < p.price_c OR q.p_size < p.p_size)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (operators/skyline.py::skyline_2d):
+    the non-dominated (cheapest, smallest) parts under minimize-both
+    dominance. The engine runs the scalable reduction — per-price min
+    size + ONE bucketed exclusive prefix-min over the distinct-price
+    table (no global sort, no self-join); the DuckDB oracle is the
+    brute-force quadratic NOT EXISTS, so a hash match proves the
+    reduction's dominance algebra, including equal-point and same-price
+    tie handling."""
+    from .operators.skyline import skyline_2d
+
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 3 == 0)
+        .select(
+            "p_partkey",
+            _units(F.col("p_retailprice"), 2).alias("price_c"),
+            "p_size",
+        )
+    )
+    return skyline_2d(pts, "price_c", "p_size")
+
+
 ALL = sorted(QUERIES)

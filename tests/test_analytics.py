@@ -141,3 +141,71 @@ def test_redact_pii_all_kinds(spark):
         F.sum(pii_counts(F.col("t"), "ssn")).alias("s"),
     ).collect()[0]
     assert (counts["e"], counts["s"]) == (1, 1)
+
+
+def test_skyline_2d_dominance_algebra(spark):
+    """Skyline keeps equal points (neither dominates), keeps only the
+    min-y per x, and kills any point with a cheaper-or-equal smaller-y
+    dominator — checked against a python brute force."""
+    import itertools
+    import random as _r
+
+    from etl_weather_jabar_spark.operators.skyline import skyline_2d
+
+    rng = _r.Random(7)
+    pts = [(i, rng.randrange(0, 40), rng.randrange(0, 40))
+           for i in range(120)]
+    pts += [(900, 5, 5), (901, 5, 5)]          # duplicate frontier point
+    pts += [(902, 5, 9), (903, 6, 5)]          # same-x and same-y ties
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in pts if q[0] != p[0]
+        )
+
+    want = {p[0] for p in pts if not dominated(p)}
+    assert got == want
+    assert {900, 901} <= got or {900, 901}.isdisjoint(got)  # pair together
+
+
+def test_skyline_2d_null_coordinates_excluded(spark):
+    from etl_weather_jabar_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, None, 0), (3, 0, None)],
+        "id INT, x INT, y INT",
+    )
+    assert [r["id"] for r in skyline_2d(df, "x", "y").collect()] == [1]
+
+
+def test_linear_interpolate_edges(spark):
+    """Interior gaps interpolate (round-half-up), edge gaps stay NULL,
+    equal-timestamp neighbors degrade to the earlier observation."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.timeseries import linear_interpolate
+
+    rows = [
+        # (id, user, t_us, units or None)
+        (0, 1, 0, None),        # leading gap -> NULL
+        (1, 1, 100, 1000),
+        (2, 1, 150, None),      # halfway -> 1250 (exact .5 rounds up)
+        (3, 1, 200, 1500),
+        (4, 1, 260, None),      # 60% toward 1800 at t=260? next obs:
+        (5, 1, 300, 1800),      # (260-200)/(300-200)=0.6 -> 1500+180=1680
+        (6, 1, 400, None),      # trailing gap -> NULL
+        (7, 2, 10, 500),
+        (8, 2, 10, None),       # equal ts -> earlier obs value 500
+        (9, 2, 10, 700),
+    ]
+    df = spark.createDataFrame(rows, "id INT, u INT, t LONG, v LONG")
+    out = linear_interpolate(df, "u", F.col("t"), "id", F.col("v"))
+    got = {r["id"]: r["filled_units"] for r in out.collect()}
+    assert got[0] is None and got[6] is None
+    assert got[1] == 1000 and got[3] == 1500
+    assert got[2] == 1250
+    assert got[4] == 1680
+    assert got[8] == 500
