@@ -8022,4 +8022,77 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(pts, "price_c", "p_size")
 
 
+@_register(
+    "hash_range_reconcile_orders",
+    """
+    WITH l AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v1,
+               o_orderstatus AS v2
+        FROM orders
+    ), r AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 31 = 0 THEN 100 ELSE 0 END AS v1,
+               o_orderstatus AS v2
+        FROM orders WHERE o_orderkey % 23 <> 0
+    ), fl AS (
+        SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 64
+                   AS bucket,
+               ('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                   || CAST(v1 AS VARCHAR) || '|' || v2), 1, 15))::BIGINT AS d
+        FROM l
+    ), fr AS (
+        SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 64
+                   AS bucket,
+               ('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
+                   || CAST(v1 AS VARCHAR) || '|' || v2), 1, 15))::BIGINT AS d
+        FROM r
+    ), al AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_l,
+               bit_xor(d) AS x_l FROM fl GROUP BY bucket
+    ), ar AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_r,
+               bit_xor(d) AS x_r FROM fr GROUP BY bucket
+    )
+    SELECT coalesce(al.bucket, ar.bucket) AS bucket,
+           coalesce(n_l, 0) AS n_l, coalesce(n_r, 0) AS n_r,
+           coalesce(x_l, 0) AS x_l, coalesce(x_r, 0) AS x_r
+    FROM al FULL JOIN ar ON al.bucket = ar.bucket
+    WHERE coalesce(n_l, 0) <> coalesce(n_r, 0)
+       OR coalesce(x_l, 0) <> coalesce(x_r, 0)
+    """,
+)
+def hash_range_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy reconciliation (operators/diff.py::
+    hash_range_reconcile): orders vs a drifted replica (every 23rd key
+    dropped, every 31st price nudged) — 64 key-digest buckets, each side
+    folds to (count, XOR-of-row-digests) per bucket, only disagreeing
+    buckets survive. The shuffle carries 2x64 rows however large the
+    table; money is digested as exact integer cents so the row digest is
+    engine-portable (double->string formatting is not)."""
+    from .operators.diff import hash_range_reconcile
+
+    orders = load_table(spark, sf_dir, "orders")
+    lhs = orders.select(
+        F.col("o_orderkey").alias("k"),
+        _units(F.col("o_totalprice"), 2).alias("v1"),
+        F.col("o_orderstatus").alias("v2"),
+    )
+    rhs = (
+        orders.where(F.col("o_orderkey") % 23 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (
+                _units(F.col("o_totalprice"), 2)
+                + F.when(F.col("o_orderkey") % 31 == 0, F.lit(100)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("v1"),
+            F.col("o_orderstatus").alias("v2"),
+        )
+    )
+    return hash_range_reconcile(lhs, rhs, ["k"], ["v1", "v2"], n_buckets=64)
+
+
 ALL = sorted(QUERIES)

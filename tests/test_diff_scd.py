@@ -172,3 +172,28 @@ def test_apply_cdc_joined_bucketed_base_no_base_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_cdc_base")
+
+
+def test_hash_range_reconcile_localizes_and_clears(spark):
+    """Identical tables produce NO disagreeing buckets; a single-row
+    value edit flips exactly one bucket; a dropped row flips exactly
+    one bucket (count mismatch)."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.operators.diff import hash_range_reconcile
+
+    base = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 100).alias("v"),
+    )
+    assert hash_range_reconcile(base, base, ["k"], ["v"], 32).count() == 0
+
+    edited = base.withColumn(
+        "v", F.when(F.col("k") == 123, F.lit(999)).otherwise(F.col("v"))
+    )
+    d1 = hash_range_reconcile(base, edited, ["k"], ["v"], 32).collect()
+    assert len(d1) == 1 and d1[0]["n_l"] == d1[0]["n_r"]
+
+    dropped = base.where(F.col("k") != 77)
+    d2 = hash_range_reconcile(base, dropped, ["k"], ["v"], 32).collect()
+    assert len(d2) == 1 and d2[0]["n_l"] == d2[0]["n_r"] + 1
