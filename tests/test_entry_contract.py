@@ -44,3 +44,27 @@ def test_queries_run_and_alias_consistently(spark):
             sql = o[name].lower()
             for c in cols:
                 assert c.lower() in sql, f"{name}: column {c} not in oracle SQL"
+
+
+def test_cli_list_and_run(spark, tmp_path, capsys):
+    """python -m etl_weather_jabar_spark: list prints every registry
+    name; run executes a query and writes the chosen format without
+    collecting to the driver."""
+    from etl_weather_jabar_spark.__main__ import main
+    from etl_weather_jabar_spark.queries import ALL
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == list(ALL)
+
+    dest = str(tmp_path / "res")
+    rc = main([
+        "run", "recap_daily_agg",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", dest, "--format", "csv",
+    ])
+    assert rc == 0
+    got = spark.read.option("header", "true").csv(dest)
+    assert got.count() > 0
+
+    assert main(["run", "no_such_query"]) == 2
