@@ -8095,4 +8095,45 @@ def hash_range_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_range_reconcile(lhs, rhs, ["k"], ["v1", "v2"], n_buckets=64)
 
 
+@_register(
+    "rolling_median_5",
+    """
+    SELECT event_id, user_id,
+           CAST(vc AS DOUBLE) / 100.0 AS v,
+           median(vc) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           ) / 100.0 AS med
+    FROM (
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    )
+    """,
+)
+def rolling_median_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over a centered 5-row window per user — the
+    robust-smoothing twin of rolling_3row_avg. Exactness across engines:
+    the measure is integer cents, and both Spark's percentile(_, 0.5)
+    and DuckDB's median use linear interpolation, whose only fractional
+    case here is (a+b)/2 of two bigints — exactly representable in a
+    double, so edge frames (even counts) compare exactly too. One
+    shuffle on user_id, O(frame) state per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    vc = _units(F.col("value"), 2)
+    return ev.withColumn("__vc", vc).select(
+        "event_id",
+        "user_id",
+        (F.col("__vc") / F.lit(100.0)).alias("v"),
+        (F.expr("percentile(__vc, 0.5D)").over(w) / F.lit(100.0)).alias(
+            "med"
+        ),
+    )
+
+
 ALL = sorted(QUERIES)
