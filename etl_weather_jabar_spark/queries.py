@@ -7724,7 +7724,23 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("snapshot_table_lifecycle")  # rows-only: writes a temp table
+@_register(
+    "snapshot_table_lifecycle",
+    # The observable lifecycle output IS deterministic, so it gets a SQL
+    # twin after all: v1 = |region|, v2 = |region|+|nation|, v3 = same
+    # (the merge's upsert of an existing key and insert+delete cancel;
+    # the merge commit records op 'overwrite' — copy-on-write publish).
+    """
+    SELECT CAST(1 AS INT) AS version, 'append' AS op,
+           (SELECT count(*) FROM region) AS n_rows
+    UNION ALL
+    SELECT 2, 'append',
+           (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+    UNION ALL
+    SELECT 3, 'overwrite',
+           (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+    """,
+)
 def snapshot_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transactional table exercised end-to-end from the registry:
     append region names, append nation names, MERGE an upsert+delete log,
