@@ -29,3 +29,38 @@ def test_differential_fuzz_30_cases(spark):
         a = normalize(run_spark(spark, SF, case))
         b = normalize(run_duckdb(con, case))
         assert a == b, (i, case)
+
+
+def test_differential_fuzz_new_families(spark):
+    """Seeded pass over the r3 families: jointype (semi/anti/full),
+    multi-distinct aggregates (Expand), top-k-per-group (qualify)."""
+    import random
+
+    from tools.fuzz_differential import (
+        gen_jointype_case,
+        gen_multidistinct_case,
+        gen_qualify_case,
+        run_jointype_duckdb,
+        run_jointype_spark,
+        run_multidistinct_duckdb,
+        run_multidistinct_spark,
+        run_qualify_duckdb,
+        run_qualify_spark,
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    rng = random.Random(4321)
+    fams = [
+        (gen_jointype_case, run_jointype_spark, run_jointype_duckdb),
+        (gen_multidistinct_case, run_multidistinct_spark,
+         run_multidistinct_duckdb),
+        (gen_qualify_case, run_qualify_spark, run_qualify_duckdb),
+    ]
+    for i in range(12):
+        gen, rs, rd = fams[i % 3]
+        case = gen(rng)
+        a = normalize(rs(spark, SF, case))
+        b = normalize(rd(con, case))
+        assert a == b, (i, case)
