@@ -64,3 +64,59 @@ def test_repeated_maintenance_is_exact(spark):
             view, delta_agg(ch, ["k"], measures={"cents": F.col("c_")}), ["k"]
         )
     assert _view_dict(view) == {"a": (1, 333), "b": (6, 106)}
+
+
+def test_streaming_materialized_view_maintenance(spark, tmp_path):
+    """Streaming MV: each micro-batch of I/D changes folds into a
+    snapshot-persisted aggregate view via delta_agg + merge_view inside
+    foreachBatch — after two batches the view equals a full recompute of
+    the surviving rows (the streaming twin of incremental_agg_view)."""
+    import json as _json
+    import os
+
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    landing = str(tmp_path / "in")
+    view_tbl = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "k STRING, c_ LONG, op STRING"
+
+    def commit(batch, batch_id):
+        delta = delta_agg(batch, ["k"], measures={"cents": F.col("c_")})
+        try:
+            cur = snapshot_read(spark, view_tbl)
+        except FileNotFoundError:
+            cur = delta.limit(0)
+        snapshot_write(
+            merge_view(cur, delta, ["k"]), view_tbl, mode="overwrite"
+        )
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).json(landing)
+            .writeStream.foreachBatch(commit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [("a", 100, "I"), ("a", 250, "I"), ("b", 40, "I")]
+    with open(f"{landing}/b1.json", "w") as f:
+        f.write("\n".join(
+            _json.dumps({"k": k, "c_": c, "op": o}) for k, c, o in b1
+        ))
+    run()
+    b2 = [("b", 40, "D"), ("a", 9, "I"), ("c", 7, "I")]
+    with open(f"{landing}/b2.json", "w") as f:
+        f.write("\n".join(
+            _json.dumps({"k": k, "c_": c, "op": o}) for k, c, o in b2
+        ))
+    run()
+
+    got = _view_dict(snapshot_read(spark, view_tbl))
+    assert got == {"a": (3, 359), "c": (1, 7)}  # group b died
