@@ -8152,4 +8152,41 @@ def rolling_median_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "equidepth_histogram_totalprice",
+    """
+    WITH t AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey,
+               ntile(10) OVER (ORDER BY round(o_totalprice * 100),
+                               o_orderkey) AS bin
+        FROM orders
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM t GROUP BY bin
+    """,
+)
+def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the quantile-bucket twin of the equi-width
+    histogram_totalprice): 10 equal-population bins over order value via
+    operators/windows.py::scalable_ntile — global tile assignment with
+    NO single-reducer sort (range-bucketed rank + closed-form SQL tile
+    arithmetic), then per-bin count/min/max. The oracle runs DuckDB's
+    native ntile over the same total order, so the match certifies the
+    scalable tile arithmetic including the T%n remainder tiles."""
+    from .operators.windows import scalable_ntile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        _units(F.col("o_totalprice"), 2).alias("cents"), "o_orderkey"
+    )
+    tiled = scalable_ntile(orders, ["cents", "o_orderkey"], 10, "bin")
+    return tiled.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
 ALL = sorted(QUERIES)

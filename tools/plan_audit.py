@@ -68,6 +68,13 @@ AUDIT_QUERIES = [
     "apply_cdc_joined_snapshot",
     "min_cost_supplier_per_part",
     "inventory_value_share",
+    "srp_lsh_ann_topk",
+    "crossdoc_repeated_ngrams",
+    "incremental_agg_view_orders",
+    "skyline_parts",
+    "linear_interp_gap_fill",
+    "hash_range_reconcile_orders",
+    "rolling_median_5",
     "excess_stock_suppliers",
     "topk_per_group_scalable",
     "zorder_cluster_audit",
