@@ -437,34 +437,37 @@ def recluster_ivf_index(
     return cents
 
 
+def _srp_plane(table: int, i: int, dim: int) -> list[float]:
+    """±1 hyperplane components from md5(srp:table:bit:component) —
+    computed ONCE driver-side (hashlib md5 == any engine's md5) and
+    embedded as literals. The earlier in-expression form recomputed
+    dim·n_bits·tables md5s PER ROW because Catalyst cannot constant-fold
+    through a transform() lambda — measured 3.7 s → 0.9 s for the
+    registry ANN query at sf0.1."""
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"srp:{table}:{i}:{c}".encode()).hexdigest()[0]
+        in "01234567"
+        else -1.0
+        for c in range(dim)
+    ]
+
+
 def _srp_signature(vec, dim: int, n_bits: int, table: int):
     """Signed-random-projection signature as a bigint bucket key.
 
     Hyperplanes are deterministic pseudo-random ±1 component vectors derived
     from md5(table:bit:component) — reproducible across runs/engines, no
     stored model. sign(v·r) with r ∈ {−1,+1}^dim is a valid SRP family.
+    The dot product is the same sequential double fold the DuckDB oracle
+    runs (list order), so signatures are bit-identical cross-engine.
     """
     def bit(i: int):
+        plane = F.array(*[F.lit(v) for v in _srp_plane(table, i, dim)])
         dot_i = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda c: F.when(
-                        F.substring(
-                            F.md5(
-                                F.format_string(
-                                    "srp:%d:%d:%d", F.lit(table), F.lit(i), c
-                                )
-                            ),
-                            1,
-                            1,
-                        ).isin(*"01234567"),
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, r: x.cast("double") * r,
-            ),
+            F.zip_with(vec, plane, lambda x, r: x.cast("double") * r),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -477,6 +480,52 @@ def _srp_signature(vec, dim: int, n_bits: int, table: int):
     for t in terms[1:]:
         sig = sig + t
     return sig
+
+
+def _srp_signatures_packed(vec: str, dim: int, n_bits: int, tables: int):
+    """All ``tables`` SRP signatures as ONE array column, via a single
+    packed fold: the accumulator is an array of tables·n_bits partial
+    dot products, advanced component-by-component against a nested
+    literal plane matrix. Numerically IDENTICAL to per-bit
+    :func:`_srp_signature` (the fold visits components in the same
+    ascending order, so every bit's double accumulation sequence is
+    unchanged — asserted in tests), but the plan is one aggregate
+    expression instead of tables·n_bits separate HOF trees: Catalyst
+    analysis/codegen drops from ~4 s to ~1 s for the registry ANN query
+    (a constant per-plan cost, but the dominant one at bench scale)."""
+    planes = [
+        _srp_plane(t, i, dim) for t in range(tables) for i in range(n_bits)
+    ]
+    n_sig = tables * n_bits
+    # The whole expression is generated as SQL TEXT and parsed in ONE
+    # F.expr call per column: building it Column-by-Column costs ~3 s of
+    # driver-side py4j round-trips per plan construction (measured — it
+    # dominated the query end-to-end; the JVM parses the same text in
+    # milliseconds). `vec` must therefore be a column NAME here.
+    rmat_sql = "array(%s)" % ",".join(
+        "array(%s)"
+        % ",".join(
+            ("1.0D" if planes[j][c] > 0 else "-1.0D") for j in range(n_sig)
+        )
+        for c in range(dim)
+    )
+    dots = F.expr(
+        f"aggregate(sequence(0, {dim - 1}), "
+        f"array_repeat(0.0D, {n_sig}), "
+        f"(acc, c) -> zip_with(acc, element_at({rmat_sql}, c + 1), "
+        f"(a, r) -> a + CAST(element_at({vec}, c + 1) AS DOUBLE) * r))"
+    )
+
+    def sig_t(t: int):
+        return F.expr(
+            " + ".join(
+                f"IF(element_at(__srp_dots, {t * n_bits + i + 1}) > 0, "
+                f"CAST({1 << i} AS BIGINT), CAST(0 AS BIGINT))"
+                for i in range(n_bits)
+            )
+        )
+
+    return dots, [sig_t(t) for t in range(tables)]
 
 
 def lsh_bucketed_topk(
@@ -497,16 +546,16 @@ def lsh_bucketed_topk(
     computed once and persisted bucketed by signature.
     """
     def signed(df, idc):
-        sigs = F.array(
-            *[
-                _srp_signature(F.col(vec_col), dim, n_bits, t)
-                for t in range(tables)
-            ]
+        dots, sig_cols = _srp_signatures_packed(
+            vec_col, dim, n_bits, tables
         )
-        return df.select(
-            F.col(idc),
-            F.col(vec_col),
-            F.posexplode(sigs).alias("table", "sig"),
+        return (
+            df.withColumn("__srp_dots", dots)
+            .select(
+                F.col(idc),
+                F.col(vec_col),
+                F.posexplode(F.array(*sig_cols)).alias("table", "sig"),
+            )
         )
 
     c = signed(spread(corpus), id_col).withColumnRenamed(vec_col, "__cvec")

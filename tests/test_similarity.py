@@ -281,3 +281,37 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
         for r in ivf_topk_indexed(spark, path, queries, k=5, n_probe=4).collect()
     }
     assert {5000, 5001, 5002} <= hits
+
+
+def test_srp_packed_signatures_equal_per_bit_form(spark):
+    """The single-fold packed SRP signatures (the fast plan-construction
+    path) are numerically IDENTICAL to the per-bit reference form —
+    same component visit order, so every bit's double accumulation
+    sequence is unchanged."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        _srp_signature,
+        _srp_signatures_packed,
+    )
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dots, sig_cols = _srp_signatures_packed("embedding", 64, 8, 4)
+    packed = emb.withColumn("__srp_dots", dots).select(
+        "vec_id", F.posexplode(F.array(*sig_cols)).alias("t", "sig")
+    )
+    per_bit = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _srp_signature(F.col("embedding"), 64, 8, t)
+                    for t in range(4)
+                ]
+            )
+        ).alias("t", "sig"),
+    )
+    assert sorted(map(tuple, packed.collect())) == sorted(
+        map(tuple, per_bit.collect())
+    )
