@@ -8189,4 +8189,107 @@ def equidepth_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_register(
+    "ohlc_hourly_value",
+    """
+    WITH e AS (
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d %H') AS hour,
+               epoch_us(ts) AS te, event_id,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    )
+    SELECT event_type, hour,
+           (min({'t': te, 'e': event_id, 'v': vc})).v AS open_c,
+           max(vc) AS high_c,
+           min(vc) AS low_c,
+           (max({'t': te, 'e': event_id, 'v': vc})).v AS close_c,
+           CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY 1, 2
+    """,
+)
+def ohlc_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the candlestick resample every metrics/ticker
+    pipeline needs): per (type, hour), open = value at the earliest
+    (ts, event_id), close at the latest, high/low = max/min — open and
+    close via lexicographic struct-min/max (argmin/argmax with a total
+    order, so ties are deterministic), all in ONE partial-aggregatable
+    pass: no window, no self-join, shuffle carries one row per group.
+    Timestamps enter the structs as epoch MICROseconds (the session-tz
+    offset is constant, so the ordering — the only thing used — is
+    engine-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    te = F.unix_micros(F.col("ts").cast("timestamp"))
+    vc = _units(F.col("value"), 2)
+    d = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        te.alias("__te"),
+        "event_id",
+        vc.alias("__vc"),
+    )
+    obs = F.struct(
+        F.col("__te").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("__vc").alias("v"),
+    )
+    return d.groupBy("event_type", "hour").agg(
+        F.min(obs).getField("v").alias("open_c"),
+        F.max("__vc").alias("high_c"),
+        F.min("__vc").alias("low_c"),
+        F.max(obs).getField("v").alias("close_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "regex_extract_all_surface",
+    """
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'),
+               ','), '') AS all_nums,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS INT)
+               AS n_cap_words,
+           split_part(text, ' ', 2) AS second_token,
+           coalesce(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(lower(text), '[a-z]{12,}'))), '|'), '')
+               AS long_words
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def regex_extract_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract-ALL regex surface (string_surface_docs covers first-match
+    only): every numeric run joined to one string, capitalized-word
+    count, positional split_part, and the sorted-distinct set of long
+    words — generator-free (regexp_extract_all returns the array
+    directly), narrow projection, scan-level filter. Patterns stay in
+    the Java∩RE2 common subset; arrays are sorted+joined so the compare
+    is order-insensitive."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"[0-9]+")), ","
+        ).alias("all_nums"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Z][a-z]+"))
+        ).alias("n_cap_words"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias(
+            "second_token"
+        ),
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit(r"[a-z]{12,}")
+                    )
+                )
+            ),
+            "|",
+        ).alias("long_words"),
+    )
+
+
 ALL = sorted(QUERIES)
