@@ -8292,4 +8292,71 @@ def regex_extract_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "source_vocab_overlap",
+    f"""
+    WITH v AS (
+        SELECT DISTINCT source, unnest({_NORM_TOKENS_SQL}) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_common * 10000 // (sa.n + sb.n - n_common) AS BIGINT)
+               AS jaccard_bp
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-similarity audit: pairwise vocabulary Jaccard between
+    sources (which slices of the corpus speak the same language?) —
+    distinct (source, token) once, token-keyed self-join counts the
+    intersection per ordered pair, union size by inclusion–exclusion,
+    similarity as exact integer basis points. The join key is the token
+    (uniform, high-cardinality — no skew); with S sources a token in k
+    sources contributes k(k-1)/2 pair rows, bounded by S²/2 per token.
+    No per-pair rescan of the corpus."""
+    from .functions.text import tokens
+
+    v = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "token")
+    b = v.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    out = inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.floor(F.col("n_common") * 10000 / union_n)
+        .cast("bigint")
+        .alias("jaccard_bp"),
+    )
+
+
 ALL = sorted(QUERIES)
