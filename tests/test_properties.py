@@ -318,3 +318,88 @@ def test_scalable_topk_property_equals_plain_window(spark, rows, k, buckets):
         ).collect()
     }
     assert scal == plain
+
+
+SKY_PTS = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pts=SKY_PTS)
+@settings(max_examples=8, deadline=None)
+def test_skyline_matches_brute_force_dominance(spark, pts):
+    """skyline_2d ≡ quadratic dominance filter on arbitrary point sets
+    (dense ranges force heavy x/y ties and duplicate points)."""
+    from etl_weather_jabar_spark.operators.skyline import skyline_2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    want = {
+        i
+        for i, x, y in rows
+        if not any(
+            qx <= x and qy <= y and (qx < x or qy < y)
+            for j, qx, qy in rows
+            if j != i
+        )
+    }
+    assert got == want
+
+
+INTERP_SERIES = st.lists(
+    st.tuples(
+        st.integers(0, 100),              # time
+        st.one_of(st.none(), st.integers(-500, 500)),  # units or missing
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(series=INTERP_SERIES)
+@settings(max_examples=8, deadline=None)
+def test_linear_interpolate_matches_python_reference(spark, series):
+    """linear_interpolate ≡ a pure-python reference: interior gaps get
+    v0 + half-up((v1-v0)(t-t0)/(t1-t0)), edges stay None, equal-ts
+    neighbors degrade to the earlier observation."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.timeseries import linear_interpolate
+
+    rows = [(i, 1, t, v) for i, (t, v) in enumerate(series)]
+    df = spark.createDataFrame(rows, "id INT, u INT, t LONG, v LONG")
+    out = linear_interpolate(df, "u", F.col("t"), "id", F.col("v"))
+    got = {r["id"]: r["filled_units"] for r in out.collect()}
+
+    ordered = sorted(rows, key=lambda r: (r[2], r[0]))  # (t, id)
+
+    def halfup(num, den):
+        return (2 * num + den) // (2 * den)
+
+    want = {}
+    for pos, (i, _, t, v) in enumerate(ordered):
+        if v is not None:
+            want[i] = v
+            continue
+        prev = next(
+            ((pt, pv) for _, _, pt, pv in reversed(ordered[:pos])
+             if pv is not None),
+            None,
+        )
+        nxt = next(
+            ((nt, nv) for _, _, nt, nv in ordered[pos + 1:]
+             if nv is not None),
+            None,
+        )
+        if prev is None or nxt is None:
+            want[i] = None
+        elif nxt[0] > prev[0]:
+            want[i] = prev[1] + halfup(
+                (nxt[1] - prev[1]) * (t - prev[0]), nxt[0] - prev[0]
+            )
+        else:
+            want[i] = prev[1]
+    assert got == want
