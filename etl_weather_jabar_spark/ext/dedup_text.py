@@ -527,12 +527,12 @@ def crossdoc_repeated_ngrams(
             "dup_ngrams"
         ),
     )
+    # `div` = exact integer division (floor(a / b) on doubles would take
+    # the 2^53 / one-ulp divergence path vs the oracle's integer `//`)
     return out.withColumn(
         "dup_bp",
         F.when(
             F.col("n_ngrams") > 0,
-            F.floor(F.col("dup_ngrams") * 10000 / F.col("n_ngrams")).cast(
-                "bigint"
-            ),
+            F.expr("dup_ngrams * 10000 div n_ngrams"),
         ),
     )

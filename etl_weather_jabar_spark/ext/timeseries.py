@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import half_up_div
+
 
 def dyadic_ewma(
     df: DataFrame,
@@ -71,17 +73,6 @@ def dyadic_ewma(
     return df.withColumn(out_col, half_up).withColumn("n_window", F.size(arr))
 
 
-def _half_up_div_ts(num: Column, den: Column) -> Column:
-    """round-half-up(num/den) in exact integer arithmetic (same floor
-    formula as queries._half_up_div; duplicated to keep ext/ free of the
-    registry module). den must be > 0."""
-    a = num * 2 + den
-    b = den * 2
-    return (
-        (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
-    ).cast("bigint")
-
-
 def linear_interpolate(
     df: DataFrame,
     part_col: str,
@@ -126,9 +117,13 @@ def linear_interpolate(
     d = d.withColumn("__n", F.first(obs, ignorenulls=True).over(w_next))
     pt, pv = F.col("__p.__t"), F.col("__p.__v")
     nt, nv = F.col("__n.__t"), F.col("__n.__v")
-    interp = F.when(nt > pt, pv + _half_up_div_ts(
-        (nv - pv) * (F.col("__t") - pt), nt - pt
-    )).otherwise(pv)
+    # value-delta × time-delta: promote to decimal BEFORE multiplying —
+    # a large gap times a large swing exceeds 2^63 and would silently
+    # wrap in bigint (non-ANSI) where the SQL twin (HUGEINT) is exact
+    num = (nv - pv).cast("decimal(38,0)") * (F.col("__t") - pt)
+    interp = F.when(
+        nt > pt, pv + half_up_div(num, nt - pt)
+    ).otherwise(pv)
     return d.withColumn(
         "__fill",
         F.when(

@@ -52,6 +52,7 @@ from .functions.text import (
     token_count_bpe_ish,
     token_count_ws,
 )
+from .functions.exact import half_up_div
 from .functions.weather import heat_index_c
 from .operators.aggregates import (
     deterministic_mode,
@@ -94,20 +95,11 @@ def _units(col, k: int):
 
 
 def _half_up_div(num, den):
-    """round-half-up(num/den) as floor((2·num+den)/(2·den)), exact ints.
-    Ties round toward +inf (so −0.5 → 0), identically in both engines —
-    the SQL twin `_sql_halfup` implements the same floor formula.
-
-    The division must be EXACT over the full bigint range: pmod makes the
-    numerator an exact multiple of b, and the divide runs in decimal —
-    a double divide is only exact below 2^53, and ppm-scale shares over
-    TPC-H-sized sums exceed that (off-by-one vs DuckDB's integer `//`).
-    """
-    a = num * 2 + den
-    b = den * 2
-    return (
-        (a - F.pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
-    ).cast("bigint")
+    """round-half-up(num/den), exact — the shared implementation lives in
+    functions/exact.py::half_up_div (decimal-promoted so 64-bit
+    intermediates can't wrap); the SQL twin `_sql_halfup` mirrors the
+    same floor formula."""
+    return half_up_div(num, den)
 
 
 def _dec_sum(col, nd: int = 2, k: int | None = None):
@@ -7958,8 +7950,9 @@ def incremental_agg_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN vc IS NOT NULL THEN vc
                 WHEN p IS NOT NULL AND n IS NOT NULL THEN
                   CASE WHEN n.t > p.t
-                       THEN p.v + {_sql_halfup("(n.v - p.v) * (te - p.t)",
-                                               "n.t - p.t")}
+                       THEN p.v + {_sql_halfup(
+                           "(n.v - p.v)::HUGEINT * (te - p.t)",
+                           "n.t - p.t")}
                        ELSE p.v END
            END AS DOUBLE) / 100.0 AS filled
     FROM w
@@ -8268,13 +8261,18 @@ def regex_extract_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 5 == 0
     )
+    # idx=0 (whole match) is REQUIRED: these patterns have no capture
+    # groups, and Spark's regexp_extract_all defaults to group 1 — which
+    # throws REGEX_GROUP_INDEX at runtime on the first matching row (the
+    # sf corpora happen to contain no digits, so a missing idx would be
+    # invisible to the oracle gate; the pytest below plants matches).
     return docs.select(
         "doc_id",
         F.array_join(
-            F.regexp_extract_all("text", F.lit(r"[0-9]+")), ","
+            F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0), ","
         ).alias("all_nums"),
         F.size(
-            F.regexp_extract_all("text", F.lit(r"[A-Z][a-z]+"))
+            F.regexp_extract_all("text", F.lit(r"[A-Z][a-z]+"), 0)
         ).alias("n_cap_words"),
         F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias(
             "second_token"
@@ -8283,7 +8281,7 @@ def regex_extract_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(
                 F.array_distinct(
                     F.regexp_extract_all(
-                        F.lower(F.col("text")), F.lit(r"[a-z]{12,}")
+                        F.lower(F.col("text")), F.lit(r"[a-z]{12,}"), 0
                     )
                 )
             ),
@@ -8346,16 +8344,16 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("src_b"), F.col("n").alias("n_b")
     )
     out = inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
-    union_n = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    # `div` = exact integer division, matching the oracle's `//`
     return out.select(
         "src_a",
         "src_b",
         "n_common",
         "n_a",
         "n_b",
-        F.floor(F.col("n_common") * 10000 / union_n)
-        .cast("bigint")
-        .alias("jaccard_bp"),
+        F.expr("n_common * 10000 div (n_a + n_b - n_common)").alias(
+            "jaccard_bp"
+        ),
     )
 
 

@@ -602,12 +602,16 @@ def _stream_committer(
 
     def commit(batch: DataFrame, batch_id: int) -> None:
         nonlocal seen, load_point
-        if seen is None:
-            seen = committed_batch_ids(path)
         # Re-verify against manifests published since our cached load
         # point (ADVICE r2: the once-per-stream cache silently missed a
         # concurrent writer's batch ids). Cheap: glob + only-new reads.
+        # The first batch seeds from the vacuum-surviving _meta.json
+        # ledger and then reads the listed manifests through the SAME
+        # loop — one read per manifest per sink lifetime, no double
+        # startup scan, no race window between ledger and listing.
         vs = _versions(path)
+        if seen is None:
+            seen = set(int(b) for b in _read_meta(path)["batch_ids"])
         for v in vs:
             if v > load_point:
                 b = _read_manifest(path, v).get("batch_id")

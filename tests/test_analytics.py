@@ -209,3 +209,45 @@ def test_linear_interpolate_edges(spark):
     assert got[2] == 1250
     assert got[4] == 1680
     assert got[8] == 500
+
+
+def test_regex_extract_all_surface_with_planted_matches(spark, tmp_path):
+    """regexp_extract_all must run with group idx=0 (patterns have no
+    capture groups): plant digit/capital/long-word matches — the sf
+    corpora contain none, so only this test executes the matching
+    path — and compare against the DuckDB oracle on the same rows."""
+    import duckdb
+
+    from etl_weather_jabar_spark.queries import ORACLE_SQL, QUERIES
+
+    rows = [
+        (0, "Hello World 42 and 7 extraordinarily internationalization x"),
+        (5, "no matches here"),
+        (10, "Ab 123"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (
+            r["all_nums"], r["n_cap_words"], r["second_token"],
+            r["long_words"],
+        )
+        for r in QUERIES["regex_extract_all_surface"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            ORACLE_SQL["regex_extract_all_surface"]
+        ).fetchall()
+    }
+    assert got == want
+    assert got[0][0] == "42,7"
+    assert got[0][3] == "extraordinarily|internationalization"
