@@ -664,6 +664,76 @@ def run_qualify_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(sql).fetchall()))
 
 
+def gen_selectsub_case(rng: random.Random) -> dict:
+    """Correlated scalar subquery in the SELECT list (Catalyst rewrites
+    it to a left-outer aggregate join): per-customer order count / sum /
+    max with a fuzzed inner filter; customers with no matching orders
+    must yield the subquery's NULL (or COALESCE'd 0) — the decorrelation
+    edge the WHERE-clause family never hits."""
+    return {
+        "kind": "selectsub",
+        "agg": rng.choice(["count", "sum", "max"]),
+        "mod": rng.randrange(2, 9),
+        "coalesce": rng.random() < 0.5,
+        "limit_mod": rng.randrange(2, 6),
+    }
+
+
+def run_selectsub_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % case["limit_mod"] == 0
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % case["mod"] == 0
+    )
+    # engine form: the decorrelated left-outer aggregate join Catalyst
+    # would produce, written directly (group the inner, left join back)
+    if case["agg"] == "count":
+        inner = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__v"))
+        missing = F.lit(0)  # COUNT over an empty correlated set is 0
+    elif case["agg"] == "sum":
+        inner = o.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "__v"
+            )
+        )
+        missing = F.lit(None).cast("bigint")
+    else:
+        inner = o.groupBy("o_custkey").agg(F.max("o_orderkey").alias("__v"))
+        missing = F.lit(None).cast("bigint")
+    j = c.join(inner, c["c_custkey"] == inner["o_custkey"], "left")
+    v = F.coalesce(F.col("__v"), missing.cast("bigint"))
+    if case["coalesce"]:
+        v = F.coalesce(v, F.lit(-1))
+    return sorted(
+        map(tuple, j.select(F.col("c_custkey").alias("k"), v.alias("v")).collect()),
+        key=str,
+    )
+
+
+def run_selectsub_duckdb(con, case: dict):
+    inner = {
+        "count": "count(*)",
+        "sum": "sum(CAST(round(o_totalprice * 100) AS BIGINT))",
+        "max": "max(o_orderkey)",
+    }[case["agg"]]
+    expr = (
+        f"(SELECT {inner} FROM orders o WHERE o.o_orderkey % {case['mod']} = 0"
+        f" AND o.o_custkey = c.c_custkey)"
+    )
+    if case["coalesce"]:
+        expr = f"coalesce({expr}, -1)"
+    sql = (
+        f"SELECT c_custkey AS k, CAST({expr} AS BIGINT) AS v FROM customer c "
+        f"WHERE c_custkey % {case['limit_mod']} = 0"
+    )
+    return sorted(map(tuple, con.execute(sql).fetchall()), key=str)
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random query AST: table (or an equi-join of two), 0-2 filters,
     0-2 group keys, 1-3 aggs."""
@@ -913,10 +983,14 @@ def main() -> int:
             case = gen_multidistinct_case(rng)
             a = normalize(run_multidistinct_spark(spark, sf_dir, case))
             b = normalize(run_multidistinct_duckdb(con, case))
-        elif roll < 0.92:
+        elif roll < 0.9:
             case = gen_qualify_case(rng)
             a = normalize(run_qualify_spark(spark, sf_dir, case))
             b = normalize(run_qualify_duckdb(con, case))
+        elif roll < 0.95:
+            case = gen_selectsub_case(rng)
+            a = normalize(run_selectsub_spark(spark, sf_dir, case))
+            b = normalize(run_selectsub_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
