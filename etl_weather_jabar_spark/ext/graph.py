@@ -292,3 +292,53 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Single-source BFS levels over an undirected graph: (node, level)
+    for every node reachable from ``source``, level = unweighted
+    shortest-path distance.
+
+    Frontier iteration: each round joins the CURRENT frontier (not the
+    whole visited set) against the symmetrized edge list, anti-joins the
+    already-leveled nodes away, and stamps the round number — so per
+    round the shuffle is frontier-sized, the rounds number the graph's
+    diameter, and the only driver-side data is one emptiness check per
+    round (the same iterative-algorithm discipline as
+    :func:`connected_components`: localCheckpoint every round to stop
+    lineage doubling). Unreached components simply never appear.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    levels = spark.createDataFrame(
+        [(source, 0)], "node BIGINT, level INT"
+    ).localCheckpoint()
+    frontier = levels
+    for i in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(levels.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(i))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        levels = levels.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return levels

@@ -8357,4 +8357,43 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bfs_levels_graph",
+    """
+    WITH RECURSIVE base AS (
+        SELECT DISTINCT o_custkey % 1000 AS a, o_orderkey % 1000 AS b
+        FROM orders
+        WHERE o_orderkey % 10 = 0 AND o_custkey % 1000 <> o_orderkey % 1000
+    ), e AS (SELECT a AS src, b AS dst FROM base
+             UNION SELECT b, a FROM base),
+    walk AS (
+        SELECT CAST(0 AS BIGINT) AS node, 0 AS level
+        UNION
+        SELECT e.dst, walk.level + 1 FROM walk, e
+        WHERE e.src = walk.node AND walk.level < 30
+    )
+    SELECT node, CAST(min(level) AS INT) AS level FROM walk GROUP BY node
+    """,
+)
+def bfs_levels_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest-path levels (ext/graph.py::bfs_levels)
+    over the same synthesized residue graph as triangle_count: the
+    engine runs frontier iteration (frontier-sized shuffles, O(diameter)
+    rounds, localCheckpoint lineage discipline); the oracle is a
+    recursive CTE whose min(level) per node equals BFS distance — so a
+    hash match certifies the iterative algorithm against SQL recursion
+    semantics, including the unreachable-component exclusion."""
+    from .ext.graph import bfs_levels
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.where(
+        (F.col("o_orderkey") % 10 == 0)
+        & (F.col("o_custkey") % 1000 != F.col("o_orderkey") % 1000)
+    ).select(
+        (F.col("o_custkey") % 1000).alias("src"),
+        (F.col("o_orderkey") % 1000).alias("dst"),
+    )
+    return bfs_levels(edges, source=0)
+
+
 ALL = sorted(QUERIES)
