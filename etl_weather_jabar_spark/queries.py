@@ -8396,4 +8396,63 @@ def bfs_levels_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges, source=0)
 
 
+@_register(
+    "correlation_exact_moments",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+               sum(CAST(round(l_quantity) AS HUGEINT)
+                   * CAST(round(l_quantity) AS HUGEINT)) AS sxx,
+               sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                   * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+               sum(CAST(round(l_quantity) AS HUGEINT)
+                   * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+    FROM m
+    """,
+)
+def correlation_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moment sums — the
+    deterministic twin of F.corr (whose float accumulation is
+    partition-order-dependent): per group, n/Σx/Σy/Σx²/Σy²/Σxy are
+    summed in decimal(38,0) (Spark) / HUGEINT (DuckDB) — exact, order
+    free — and only the final ratio runs in IEEE doubles (identical
+    integers → identical doubles → identical r). One partial-aggregated
+    pass; the moment shuffle is one row per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    x = F.round(F.col("l_quantity")).cast(dec)
+    y = F.round(F.col("l_extendedprice") * 100).cast(dec)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("r"),
+    )
+
+
 ALL = sorted(QUERIES)
