@@ -8455,4 +8455,83 @@ def correlation_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ks_two_sample_values",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'view')
+    ), per AS (
+        SELECT v,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM d GROUP BY v
+    ), cum AS (
+        SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+               sum(c2) OVER (ORDER BY v) AS cum2
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(c1) AS HUGEINT) AS n1,
+               CAST(sum(c2) AS HUGEINT) AS n2
+        FROM per
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(max(abs(cum1::HUGEINT * n2 - cum2::HUGEINT * n1))
+                AS BIGINT) AS ks_num,
+           round(CAST(max(abs(cum1::HUGEINT * n2 - cum2::HUGEINT * n1))
+                      AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks
+    FROM cum, tot GROUP BY n1, n2
+    """,
+)
+def ks_two_sample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, EXACT (distribution-drift
+    test between event populations): KS = max_v |F1(v) − F2(v)| computed
+    as max |cum1·n2 − cum2·n1| over the distinct-value domain — pure
+    integers until the final divide, so both engines land on the same
+    supremum and the same 6dp statistic. The cumulative counts run
+    through operators/windows.py::scalable_prefix_sum (range-bucketed,
+    no single-reducer sort — the distinct-value table is data-sized at
+    100 TB); totals travel as a broadcast 1-row aggregate (the
+    documented stats-sized cross join). Products promote to
+    decimal(38,0)/HUGEINT so counts × counts cannot wrap."""
+    from .operators.windows import scalable_prefix_sum
+
+    dec = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    per_v = ev.select(
+        _units(F.col("value"), 2).alias("v"), "event_type"
+    ).groupBy("v").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("bigint").alias("c1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).cast("bigint").alias("c2"),
+    )
+    cum = scalable_prefix_sum(
+        scalable_prefix_sum(per_v, ["v"], "c1", "cum1"), ["v"], "c2", "cum2"
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    num = F.abs(
+        F.col("cum1").cast(dec) * F.col("n2").cast(dec)
+        - F.col("cum2").cast(dec) * F.col("n1").cast(dec)
+    )
+    return j.groupBy("n1", "n2").agg(
+        F.max(num).cast("bigint").alias("ks_num"),
+        F.round(
+            F.max(num).cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double"),
+            6,
+        ).alias("ks"),
+    )
+
+
 ALL = sorted(QUERIES)
