@@ -8534,4 +8534,68 @@ def ks_two_sample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "wilson_ci_conversion",
+    """
+    WITH g AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(converted) AS BIGINT) AS k
+        FROM g
+    )
+    SELECT n, k,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1.0 - CAST(k AS DOUBLE) / n) / n
+                        + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1.0 - CAST(k AS DOUBLE) / n) / n
+                        + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_hi
+    FROM m
+    """,
+)
+def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval for the user-level conversion rate
+    (the right interval for proportions — never escapes [0,1], behaves
+    at k=0/k=n, unlike the normal approximation): counts are exact
+    integers aggregated engine-side, and the interval is a fixed IEEE
+    formula over those two integers — identical operand order in both
+    engines, so the 6dp bounds match exactly. Two partial-aggregatable
+    passes (per-user flag, then global count)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    n_d = F.col("n").cast("double")
+    p = F.col("k").cast("double") / F.col("n")
+    # literals written out (1.9208 = z²/2, 0.9604 = z²/4) so both engines
+    # parse the SAME doubles — computing z2/2 driver-side could differ
+    # from the SQL literal by an ulp
+    center = p + F.lit(1.9208) / F.col("n")
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n")
+        + F.lit(0.9604) / (n_d * F.col("n"))
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / F.col("n")
+    return m.select(
+        "n",
+        "k",
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
 ALL = sorted(QUERIES)

@@ -75,6 +75,11 @@ AUDIT_QUERIES = [
     "linear_interp_gap_fill",
     "hash_range_reconcile_orders",
     "rolling_median_5",
+    "ohlc_hourly_value",
+    "source_vocab_overlap",
+    "equidepth_histogram_totalprice",
+    "correlation_exact_moments",
+    "ks_two_sample_values",
     "excess_stock_suppliers",
     "topk_per_group_scalable",
     "zorder_cluster_audit",
