@@ -97,3 +97,39 @@ def profile_columns(df: DataFrame, specs: list[tuple[str, Column]]) -> DataFrame
         "min_s",
         "max_s",
     )
+
+
+def check_constraints(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Declarative data-quality audit: each rule is (name, boolean
+    Column) asserting what SHOULD hold per row; returns one row per rule
+    with (rule, n_rows, n_violations, pass_rate_ppm) — the
+    expectation-suite primitive (uniqueness goes through a groupBy rule
+    upstream; this is the row-local tier).
+
+    ONE aggregation pass however many rules: each rule folds to a
+    conditional count inside the same partial-aggregatable agg — no
+    per-rule scan, no driver loop. NULL rule results count as
+    violations (SQL three-valued logic would silently pass them).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum(
+                F.when(cond.isNull() | ~cond, 1).otherwise(0)
+            ).cast("bigint").alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    rows = None
+    for name, _ in rules:
+        r = one.select(
+            F.lit(name).alias("rule"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"__v_{name}").alias("n_violations"),
+            F.expr(f"(__n - __v_{name}) * 1000000 div __n").alias(
+                "pass_rate_ppm"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

@@ -8598,4 +8598,58 @@ def wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq_constraint_audit_orders",
+    """
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_pos,
+               CAST(sum(CASE WHEN NOT coalesce(
+                            o_orderstatus IN ('O','F','P'), FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+               CAST(sum(CASE WHEN NOT coalesce(
+                            o_orderdate >= TIMESTAMP '1990-01-01 00:00:00',
+                            FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+               CAST(sum(CASE WHEN NOT coalesce(o_custkey % 3 <> 1, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_fail
+        FROM orders
+    )
+    SELECT 'price_positive' AS rule, n AS n_rows, v_pos AS n_violations,
+           (n - v_pos) * 1000000 // n AS pass_rate_ppm FROM m
+    UNION ALL
+    SELECT 'status_domain', n, v_status, (n - v_status) * 1000000 // n
+    FROM m
+    UNION ALL
+    SELECT 'date_sane', n, v_date, (n - v_date) * 1000000 // n FROM m
+    UNION ALL
+    SELECT 'custkey_mod', n, v_fail, (n - v_fail) * 1000000 // n FROM m
+    """,
+)
+def dq_constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (ext/profiling.py::
+    check_constraints): four row-local rules — three that hold, one
+    planted to fail on ~1/3 of rows — audited in ONE partial-aggregated
+    pass (each rule is a conditional count inside the same agg; no
+    per-rule scan). NULL rule results count as violations; pass rates
+    as exact integer ppm."""
+    from .ext.profiling import check_constraints
+
+    orders = load_table(spark, sf_dir, "orders")
+    return check_constraints(
+        orders,
+        [
+            ("price_positive", F.col("o_totalprice") > 0),
+            ("status_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+            (
+                "date_sane",
+                F.col("o_orderdate")
+                >= F.lit("1990-01-01 00:00:00").cast("timestamp_ntz"),
+            ),
+            ("custkey_mod", F.col("o_custkey") % 3 != 1),
+        ],
+    )
+
+
 ALL = sorted(QUERIES)
