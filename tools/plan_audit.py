@@ -140,6 +140,7 @@ EXPECTED_NESTED_LOOP = {
     "ivf_cosine_topk": "corpus probes × centroid-count-sized model broadcast",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
+    "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
 }
 
 
