@@ -403,3 +403,68 @@ def test_linear_interpolate_matches_python_reference(spark, series):
         else:
             want[i] = prev[1]
     assert got == want
+
+
+CHANGE_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),   # group key
+        st.integers(-50, 50),               # measure units
+        st.sampled_from(["I", "D"]),        # op
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(base=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                               st.integers(-50, 50)),
+                     min_size=0, max_size=15),
+       changes=CHANGE_OPS)
+@settings(max_examples=8, deadline=None)
+def test_matview_maintenance_equals_recompute(spark, base, changes):
+    """Counting-algorithm view maintenance ≡ full recompute for ANY
+    base + I/D change batch, provided deletes target existing rows —
+    enforced here by treating each D as also removing one matching base
+    row from the recompute side (multiset semantics)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.matview import (
+        build_agg_view,
+        delta_agg,
+        merge_view,
+    )
+
+    # keep only deletes that match a live multiset row, like a real CDC
+    # feed would; inserts always apply
+    live = Counter(base)
+    applied = []
+    for k, v, op in changes:
+        if op == "I":
+            live[(k, v)] += 1
+            applied.append((k, v, "I"))
+        elif live[(k, v)] > 0:
+            live[(k, v)] -= 1
+            applied.append((k, v, "D"))
+
+    bdf = spark.createDataFrame(base or [("zz", 0)], ["k", "c_"]).where(
+        F.lit(bool(base))
+    ).select("k", F.col("c_").cast("bigint").alias("c_"))
+    view = build_agg_view(bdf, ["k"], measures={"cents": F.col("c_")})
+    if applied:
+        cdf = spark.createDataFrame(applied, ["k", "c_", "op"]).select(
+            "k", F.col("c_").cast("bigint").alias("c_"), "op"
+        )
+        view = merge_view(
+            view, delta_agg(cdf, ["k"], measures={"cents": F.col("c_")}),
+            ["k"],
+        )
+
+    final_rows = [kv for kv, n in live.items() for _ in range(n)]
+    want = {}
+    for k, v in final_rows:
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + v)
+    got = {r["k"]: (r["n_rows"], r["cents"]) for r in view.collect()}
+    assert got == want
