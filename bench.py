@@ -63,6 +63,8 @@ TIER2_QUERIES = [
     "crossdoc_repeated_ngrams",
     "srp_lsh_ann_topk",
     "incremental_agg_view_orders",
+    "bfs_levels_graph",
+    "ks_two_sample_values",
 ]
 
 
