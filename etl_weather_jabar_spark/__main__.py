@@ -56,14 +56,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.explain:
         df.explain("formatted")
         return 0
-    if args.out:
-        w = df.write.mode("overwrite")
-        if args.format == "csv":
-            w = w.option("header", "true")
-        getattr(w, args.format)(args.out)
-        print(f"wrote {args.out} ({args.format})")
-    else:
-        df.show(args.limit, truncate=False)
+    try:
+        if args.out:
+            w = df.write.mode("overwrite")
+            if args.format == "csv":
+                w = w.option("header", "true")
+            getattr(w, args.format)(args.out)
+            print(f"wrote {args.out} ({args.format})")
+        else:
+            df.show(args.limit, truncate=False)
+    except BrokenPipeError:  # `... | head` closed the pipe: fine
+        sys.stderr.close()
     return 0
 
 

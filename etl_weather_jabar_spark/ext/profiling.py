@@ -110,9 +110,27 @@ def check_constraints(
 
     ONE aggregation pass however many rules: each rule folds to a
     conditional count inside the same partial-aggregatable agg — no
-    per-rule scan, no driver loop. NULL rule results count as
-    violations (SQL three-valued logic would silently pass them).
+    per-rule scan, no driver loop — and the per-rule rows come from
+    exploding ONE array of structs over that single 1-row aggregate
+    (a union of N selects would instantiate the aggregation subtree N
+    times and rely on ReuseExchange to dedup it). NULL rule results
+    count as violations (SQL three-valued logic would silently pass
+    them). Rule names must be bare identifiers (they become column
+    aliases); the ppm arithmetic runs in decimal so row counts past
+    2^43 cannot wrap the ×10⁶ scaling.
     """
+    import re as _re
+
+    from ..functions.exact import floor_div
+
+    if not rules:
+        raise ValueError("check_constraints: at least one rule required")
+    for name, _ in rules:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"check_constraints: rule name {name!r} must be a bare "
+                "identifier"
+            )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, cond in rules:
         aggs.append(
@@ -121,15 +139,22 @@ def check_constraints(
             ).cast("bigint").alias(f"__v_{name}")
         )
     one = df.agg(*aggs)
-    rows = None
-    for name, _ in rules:
-        r = one.select(
-            F.lit(name).alias("rule"),
-            F.col("__n").cast("bigint").alias("n_rows"),
-            F.col(f"__v_{name}").alias("n_violations"),
-            F.expr(f"(__n - __v_{name}) * 1000000 div __n").alias(
-                "pass_rate_ppm"
-            ),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{name}").alias("v"),
+            )
+            for name, _ in rules
+        ]
+    )
+    exploded = one.select(
+        F.col("__n"), F.explode(per_rule).alias("r")
+    )
+    passed = (F.col("__n") - F.col("r.v")).cast("decimal(38,0)")
+    return exploded.select(
+        F.col("r.rule").alias("rule"),
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.col("r.v").alias("n_violations"),
+        floor_div(passed * 1000000, F.col("__n")).alias("pass_rate_ppm"),
+    )

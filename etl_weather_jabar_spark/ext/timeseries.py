@@ -67,10 +67,9 @@ def dyadic_ewma(
     den = F.aggregate(
         weights, F.lit(0).cast("bigint"), lambda acc, x: acc + x
     )
-    a = num * 2 + den
-    b = den * 2
-    half_up = ((a - F.pmod(a, b)) / b).cast("bigint")
-    return df.withColumn(out_col, half_up).withColumn("n_window", F.size(arr))
+    return df.withColumn(out_col, half_up_div(num, den)).withColumn(
+        "n_window", F.size(arr)
+    )
 
 
 def linear_interpolate(

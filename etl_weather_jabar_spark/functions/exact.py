@@ -32,3 +32,14 @@ def half_up_div(num: Column, den: Column) -> Column:
     a = num.cast(_DEC) * 2 + den.cast(_DEC)
     b = den.cast(_DEC) * 2
     return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+
+def floor_div(num: Column, den: Column) -> Column:
+    """floor(num/den) exact over the decimal(38,0) range — the engine
+    twin of SQL `//`/`div` for operands that may exceed int64 (where
+    Spark's bigint `div` would wrap and a double division would round).
+    Same exact-multiple trick as :func:`half_up_div`: subtract pmod so
+    the decimal divide has no fractional part to round. Positive den."""
+    a = num.cast(_DEC)
+    b = den.cast(_DEC)
+    return ((a - F.pmod(a, b)) / b).cast("bigint")

@@ -214,19 +214,23 @@ def hash_range_reconcile(
     md5-derived digests keep the scheme engine-portable (bit-identical
     in any engine with md5 — the registry query's DuckDB twin recomputes
     both sides in SQL).
+
+    Row serialization is UNAMBIGUOUS: each column contributes a
+    fixed-width field — 'n' for NULL, 'v'+md5(value) otherwise — so a
+    delimiter appearing IN a value cannot shift field boundaries
+    ('a|b','c' vs 'a','b|c' collide under naive concat_ws, which also
+    silently SKIPS nulls, conflating (NULL,'x') with ('x',NULL)).
     """
     def folded(df: DataFrame, side: str) -> DataFrame:
         def h(cols: list[str]):
+            fields = [
+                F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                    F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+                )
+                for c in cols
+            ]
             return F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", *[F.col(c).cast("string") for c in cols]
-                        )
-                    ),
-                    1,
-                    15,
-                ),
+                F.substring(F.md5(F.concat(*fields)), 1, 15),
                 16,
                 10,
             ).cast("bigint")

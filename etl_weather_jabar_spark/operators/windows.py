@@ -130,8 +130,8 @@ def global_rank_scalable(
 def scalable_prefix_sum(
     df: DataFrame,
     order_cols: list[str],
-    value_col: str,
-    out_col: str = "prefix_sum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "prefix_sum",
     exclusive: bool = False,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -149,7 +149,16 @@ def scalable_prefix_sum(
     one-shuffle ordered bucketing as :func:`global_rank_scalable`
     (:func:`_range_bucketed`), falling back to two exchanges for
     non-numeric leading order columns.
+
+    ``value_col``/``out_col`` accept LISTS to carry several measures
+    through ONE bucketing: a multi-measure CDF (e.g. the two-sample KS
+    statistic) pays one quantile sample, one shuffle, and one sort
+    instead of chaining a full pass per measure.
     """
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col lengths differ")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     parted = _range_bucketed(df, order_cols, n)
@@ -159,12 +168,16 @@ def scalable_prefix_sum(
             .sortWithinPartitions(*cols)
             .withColumn("__part", F.spark_partition_id())
         )
-    sums = parted.groupBy("__part").agg(F.sum(value_col).alias("__s"))
+    sums = parted.groupBy("__part").agg(
+        *[F.sum(v).alias(f"__s{i}") for i, v in enumerate(vcols)]
+    )
+    w_b = Window.orderBy("__part")
     offsets = sums.select(
         "__part",
-        (F.sum("__s").over(Window.orderBy("__part")) - F.col("__s")).alias(
-            "__off"
-        ),
+        *[
+            (F.sum(f"__s{i}").over(w_b) - F.col(f"__s{i}")).alias(f"__off{i}")
+            for i in range(len(vcols))
+        ],
     )
     # local cumsum BEFORE the join (distribution + ordering satisfied on
     # parted directly: no extra exchange or sort), offsets added after
@@ -173,15 +186,18 @@ def scalable_prefix_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = parted.withColumn("__run", F.sum(value_col).over(w_local))
-    run = F.col("__run") + F.col("__off")
-    if exclusive:
-        run = run - F.col(value_col)
-    return (
-        local.join(F.broadcast(offsets), on="__part")
-        .withColumn(out_col, run)
-        .drop("__part", "__off", "__run")
-    )
+    local = parted
+    for i, v in enumerate(vcols):
+        local = local.withColumn(f"__run{i}", F.sum(v).over(w_local))
+    out = local.join(F.broadcast(offsets), on="__part")
+    drops = ["__part"]
+    for i, (v, oc) in enumerate(zip(vcols, ocols)):
+        run = F.col(f"__run{i}") + F.col(f"__off{i}")
+        if exclusive:
+            run = run - F.col(v)
+        out = out.withColumn(oc, run)
+        drops += [f"__off{i}", f"__run{i}"]
+    return out.drop(*drops)
 
 
 def scalable_ntile(

@@ -8046,16 +8046,32 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderstatus AS v2
         FROM orders WHERE o_orderkey % 23 <> 0
     ), fl AS (
-        SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 64
-                   AS bucket,
-               ('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
-                   || CAST(v1 AS VARCHAR) || '|' || v2), 1, 15))::BIGINT AS d
+        SELECT ('0x' || substr(md5(
+                   CASE WHEN k IS NULL THEN 'n'
+                        ELSE 'v' || md5(CAST(k AS VARCHAR)) END
+               ), 1, 15))::BIGINT % 64 AS bucket,
+               ('0x' || substr(md5(
+                   CASE WHEN k IS NULL THEN 'n'
+                        ELSE 'v' || md5(CAST(k AS VARCHAR)) END
+                || CASE WHEN v1 IS NULL THEN 'n'
+                        ELSE 'v' || md5(CAST(v1 AS VARCHAR)) END
+                || CASE WHEN v2 IS NULL THEN 'n'
+                        ELSE 'v' || md5(v2) END
+               ), 1, 15))::BIGINT AS d
         FROM l
     ), fr AS (
-        SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 64
-                   AS bucket,
-               ('0x' || substr(md5(CAST(k AS VARCHAR) || '|'
-                   || CAST(v1 AS VARCHAR) || '|' || v2), 1, 15))::BIGINT AS d
+        SELECT ('0x' || substr(md5(
+                   CASE WHEN k IS NULL THEN 'n'
+                        ELSE 'v' || md5(CAST(k AS VARCHAR)) END
+               ), 1, 15))::BIGINT % 64 AS bucket,
+               ('0x' || substr(md5(
+                   CASE WHEN k IS NULL THEN 'n'
+                        ELSE 'v' || md5(CAST(k AS VARCHAR)) END
+                || CASE WHEN v1 IS NULL THEN 'n'
+                        ELSE 'v' || md5(CAST(v1 AS VARCHAR)) END
+                || CASE WHEN v2 IS NULL THEN 'n'
+                        ELSE 'v' || md5(v2) END
+               ), 1, 15))::BIGINT AS d
         FROM r
     ), al AS (
         SELECT bucket, CAST(count(*) AS BIGINT) AS n_l,
@@ -8393,7 +8409,10 @@ def bfs_levels_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 1000).alias("src"),
         (F.col("o_orderkey") % 1000).alias("dst"),
     )
-    return bfs_levels(edges, source=0)
+    # max_iter MUST equal the oracle's recursion cap (walk.level < 30
+    # emits levels <= 30): a longer engine horizon would find nodes at
+    # distance 31+ that the oracle omits
+    return bfs_levels(edges, source=0, max_iter=30)
 
 
 @_register(
@@ -8513,7 +8532,7 @@ def ks_two_sample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("c2"),
     )
     cum = scalable_prefix_sum(
-        scalable_prefix_sum(per_v, ["v"], "c1", "cum1"), ["v"], "c2", "cum2"
+        per_v, ["v"], ["c1", "c2"], ["cum1", "cum2"]
     )
     tot = per_v.agg(
         F.sum("c1").cast("bigint").alias("n1"),
@@ -8524,11 +8543,15 @@ def ks_two_sample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum1").cast(dec) * F.col("n2").cast(dec)
         - F.col("cum2").cast(dec) * F.col("n1").cast(dec)
     )
+    # denominator promoted to decimal BEFORE the product (bigint n1*n2
+    # silently wraps past ~3e9 rows per side); ks_num's bigint cast
+    # NULLs (visibly, not silently) at the same threshold, where the
+    # DuckDB twin errors — both loud, documented behaviors
     return j.groupBy("n1", "n2").agg(
         F.max(num).cast("bigint").alias("ks_num"),
         F.round(
             F.max(num).cast("double")
-            / (F.col("n1") * F.col("n2")).cast("double"),
+            / (F.col("n1").cast(dec) * F.col("n2").cast(dec)).cast("double"),
             6,
         ).alias("ks"),
     )

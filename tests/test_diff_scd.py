@@ -197,3 +197,21 @@ def test_hash_range_reconcile_localizes_and_clears(spark):
     dropped = base.where(F.col("k") != 77)
     d2 = hash_range_reconcile(base, dropped, ["k"], ["v"], 32).collect()
     assert len(d2) == 1 and d2[0]["n_l"] == d2[0]["n_r"] + 1
+
+
+def test_hash_range_reconcile_unambiguous_serialization(spark):
+    """Field framing: a delimiter inside a value must not shift field
+    boundaries, and NULL placement matters — ('a|b','c') vs ('a','b|c')
+    and (NULL,'x') vs ('x',NULL) are all detected as drift."""
+    from etl_weather_jabar_spark.operators.diff import hash_range_reconcile
+
+    schema = "k INT, v1 STRING, v2 STRING"
+    l1 = spark.createDataFrame([(1, "a|b", "c")], schema)
+    r1 = spark.createDataFrame([(1, "a", "b|c")], schema)
+    assert hash_range_reconcile(l1, r1, ["k"], ["v1", "v2"], 8).count() == 1
+
+    l2 = spark.createDataFrame([(1, None, "x")], schema)
+    r2 = spark.createDataFrame([(1, "x", None)], schema)
+    assert hash_range_reconcile(l2, r2, ["k"], ["v1", "v2"], 8).count() == 1
+
+    assert hash_range_reconcile(l1, l1, ["k"], ["v1", "v2"], 8).count() == 0
