@@ -527,3 +527,39 @@ def test_radius_join_gridded_complete_and_unique(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalable_prefix_sum_multi_column(spark):
+    """Multi-measure form (one bucketing carries several cumulative
+    sums) matches the python reference for inclusive and exclusive
+    variants. (Compared against a reference, not against chained
+    single-measure calls: nesting two identical prefix-sum plans over a
+    range source trips a pre-existing Catalyst INTERNAL_ERROR_ATTRIBUTE
+    _NOT_FOUND — one more reason the multi-column form exists.)"""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.operators.windows import (
+        scalable_prefix_sum,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("v"),
+        (F.col("id") % 7).alias("c1"),
+        (F.col("id") % 3).alias("c2"),
+    )
+    for excl in (False, True):
+        multi = scalable_prefix_sum(
+            df, ["v"], ["c1", "c2"], ["p1", "p2"], exclusive=excl
+        )
+        got = {
+            r["v"]: (r["p1"], r["p2"])
+            for r in multi.select("v", "p1", "p2").collect()
+        }
+        run1 = run2 = 0
+        for v in range(500):
+            c1, c2 = v % 7, v % 3
+            if excl:
+                assert got[v] == (run1, run2)
+            run1, run2 = run1 + c1, run2 + c2
+            if not excl:
+                assert got[v] == (run1, run2)
