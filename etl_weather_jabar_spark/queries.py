@@ -8675,4 +8675,82 @@ def dq_constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stream_matview_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_total
+    FROM orders WHERE o_orderkey % 6 <> 0 GROUP BY 1
+    """,
+)
+def stream_matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized view, end-to-end with a full oracle: order
+    changes land as json micro-batches (inserts of every even key, then
+    deletes of every 6th + inserts of the odd keys), a real Structured
+    Streaming query folds each micro-batch into a snapshot-persisted
+    per-priority (count, cents) view via the counting algorithm
+    (ext/matview.py inside foreachBatch), and the returned view must
+    hash-match a from-scratch SQL recompute of the final state — the
+    counting algorithm is batching-insensitive, so the match holds
+    however the file source groups the landing files into batches.
+    Writes only under a fresh temp dir (registry is read-only on
+    sf_dir)."""
+    import glob
+    import os
+    import tempfile
+
+    from .ext.matview import delta_agg, merge_view
+    from .snapshots import snapshot_read, snapshot_write
+
+    tmp = tempfile.mkdtemp(prefix="smv_q_")
+    landing, view_tbl, ckpt = f"{tmp}/in", f"{tmp}/view", f"{tmp}/ckpt"
+    os.makedirs(landing)
+    orders = load_table(spark, sf_dir, "orders")
+    cents = _units(F.col("o_totalprice"), 2)
+
+    def batch_df(pred, op):
+        return orders.where(pred).select(
+            F.col("o_orderpriority").alias("k"),
+            cents.alias("c_"),
+            F.lit(op).alias("op"),
+        )
+
+    b1 = batch_df(F.col("o_orderkey") % 2 == 0, "I")
+    b2 = batch_df(F.col("o_orderkey") % 6 == 0, "D").unionByName(
+        batch_df(F.col("o_orderkey") % 2 == 1, "I")
+    )
+    for i, b in enumerate([b1, b2]):
+        d = f"{tmp}/stage{i}"
+        b.write.json(d)
+        for j, part in enumerate(sorted(glob.glob(f"{d}/part-*.json"))):
+            os.rename(part, f"{landing}/b{i}_{j:04d}.json")
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        delta = delta_agg(batch, ["k"], measures={"cents": F.col("c_")})
+        try:
+            cur = snapshot_read(spark, view_tbl)
+        except FileNotFoundError:
+            cur = delta.limit(0)
+        snapshot_write(
+            merge_view(cur, delta, ["k"]), view_tbl, mode="overwrite"
+        )
+
+    q = (
+        spark.readStream.schema("k STRING, c_ LONG, op STRING")
+        .json(landing)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return snapshot_read(spark, view_tbl).select(
+        F.col("k").alias("o_orderpriority"),
+        "n_rows",
+        (F.col("cents") / F.lit(100.0)).alias("sum_total"),
+    )
+
+
 ALL = sorted(QUERIES)
