@@ -189,3 +189,22 @@ def test_pagerank_uniform_on_cycle(spark):
     ]
     assert len(ranks) == 5
     assert all(abs(r - 0.2) < 1e-12 for r in ranks)
+
+
+def test_bfs_levels_hand_built_graph(spark):
+    """BFS levels on a known graph: shortest distances through a cycle,
+    undirected traversal (edges stored one direction), unreachable
+    component absent, source at level 0."""
+    from etl_weather_jabar_spark.ext.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [
+            (0, 1), (1, 2), (2, 3), (3, 0),   # 4-cycle: dist(2) = 2
+            (3, 4),                            # tail off the cycle
+            (9, 8),                            # unreachable component
+        ],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["level"] for r in bfs_levels(edges, 0).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+    assert 8 not in got and 9 not in got
