@@ -58,8 +58,27 @@ def merge_view(
     measure_cols = [c for c in view.columns if c not in keys]
     merged = view.unionByName(delta.select(*view.columns))
     aggs = [F.sum(c).cast("bigint").alias(c) for c in measure_cols]
+    # A negative maintained count means the change feed deleted rows the
+    # view never counted (inconsistent or reordered feed). Silently
+    # filtering it would drop the pending deletes and let a later insert
+    # resurrect the group with an overstated count — fail loudly instead.
+    # assert_true lives INSIDE the filter condition so column pruning
+    # cannot eliminate it (it returns NULL when the predicate holds).
+    guard = F.assert_true(
+        F.col(count_col) >= 0,
+        F.concat(
+            F.lit("merge_view: maintained count went negative "
+                  "(inconsistent change feed) for group "),
+            *[F.concat(F.lit(f"{k}="),
+                       F.coalesce(F.col(k).cast("string"), F.lit("NULL")),
+                       F.lit(" "))
+              for k in keys],
+        ),
+    )
     return (
-        merged.groupBy(*keys).agg(*aggs).where(F.col(count_col) > 0)
+        merged.groupBy(*keys)
+        .agg(*aggs)
+        .where(guard.isNull() & (F.col(count_col) > 0))
     )
 
 
@@ -75,3 +94,55 @@ def build_agg_view(
     for name, expr in (measures or {}).items():
         aggs.append(F.sum(expr).cast("bigint").alias(name))
     return base.groupBy(*keys).agg(*aggs)
+
+
+def idempotent_view_commit(
+    spark,
+    view_tbl: str,
+    batch: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    measures: dict[str, Column] | None = None,
+    op_col: str = "op",
+) -> bool:
+    """Fold one change micro-batch into a snapshot-persisted view state,
+    EXACTLY ONCE per ``batch_id``: foreachBatch is at-least-once, so a
+    retried micro-batch would double-apply its delta. The applied batch
+    ids ride in the view snapshot's manifest meta (the same ledger
+    pattern as ``snapshots.snapshot_stream_sink``); a batch whose id is
+    already recorded is skipped. Returns True if the batch was applied,
+    False if it was a duplicate replay.
+
+    This is the commit body the streaming materialized-view query
+    (``queries.stream_matview_orders``) runs inside foreachBatch —
+    extracted so replay idempotency is directly unit-testable."""
+    from ..snapshots import (
+        _read_manifest,
+        _versions,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    try:
+        vs = _versions(view_tbl)
+        applied = (
+            list(_read_manifest(view_tbl, vs[-1]).get("applied_batch_ids", []))
+            if vs
+            else []
+        )
+    except FileNotFoundError:
+        applied = []
+    if int(batch_id) in applied:
+        return False
+    delta = delta_agg(batch, keys, op_col=op_col, measures=measures)
+    try:
+        cur = snapshot_read(spark, view_tbl)
+    except FileNotFoundError:
+        cur = delta.limit(0)
+    snapshot_write(
+        merge_view(cur, delta, keys),
+        view_tbl,
+        mode="overwrite",
+        meta={"applied_batch_ids": applied + [int(batch_id)]},
+    )
+    return True

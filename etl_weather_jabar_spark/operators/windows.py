@@ -159,6 +159,17 @@ def scalable_prefix_sum(
     ocols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(vcols) != len(ocols):
         raise ValueError("value_col and out_col lengths differ")
+    # out_cols must not collide: a duplicate out_col, or an out_col equal
+    # to a value/order column, would be overwritten mid-loop and the
+    # exclusive-mode subtraction F.col(v) would read the replaced column
+    if len(set(ocols)) != len(ocols):
+        raise ValueError(f"scalable_prefix_sum: duplicate out_cols {ocols}")
+    clash = set(ocols) & (set(vcols) | set(order_cols))
+    if clash:
+        raise ValueError(
+            f"scalable_prefix_sum: out_cols collide with value/order cols: "
+            f"{sorted(clash)}"
+        )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     parted = _range_bucketed(df, order_cols, n)

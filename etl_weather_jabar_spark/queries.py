@@ -8701,8 +8701,8 @@ def stream_matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from .ext.matview import delta_agg, merge_view
-    from .snapshots import snapshot_read, snapshot_write
+    from .ext.matview import idempotent_view_commit
+    from .snapshots import snapshot_read
 
     tmp = tempfile.mkdtemp(prefix="smv_q_")
     landing, view_tbl, ckpt = f"{tmp}/in", f"{tmp}/view", f"{tmp}/ckpt"
@@ -8728,13 +8728,12 @@ def stream_matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(part, f"{landing}/b{i}_{j:04d}.json")
 
     def commit(batch: DataFrame, batch_id: int) -> None:
-        delta = delta_agg(batch, ["k"], measures={"cents": F.col("c_")})
-        try:
-            cur = snapshot_read(spark, view_tbl)
-        except FileNotFoundError:
-            cur = delta.limit(0)
-        snapshot_write(
-            merge_view(cur, delta, ["k"]), view_tbl, mode="overwrite"
+        # exactly-once per batch_id: a foreachBatch retry replays the
+        # batch, and idempotent_view_commit skips ids already recorded in
+        # the view snapshot's manifest meta
+        idempotent_view_commit(
+            spark, view_tbl, batch, batch_id, ["k"],
+            measures={"cents": F.col("c_")},
         )
 
     q = (
@@ -8745,7 +8744,12 @@ def stream_matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_matview_orders: stream did not finish within 300s — "
+            "refusing to return a partial view"
+        )
     return snapshot_read(spark, view_tbl).select(
         F.col("k").alias("o_orderpriority"),
         "n_rows",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import re
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,6 +64,29 @@ def read_binary_dir(
     root = os.path.abspath(path).rstrip("/")
     no_scheme = F.regexp_replace(F.col("path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/")
     rel_path = F.regexp_replace(no_scheme, "^" + re.escape(root + "/"), "")
+    # On this Spark line, binaryFile's `path` is the DECODED
+    # Path.toString (probed: spaces, '%', '+', '#' all arrive literal),
+    # so the raw strip above matches any root. Hadoop variants that DO
+    # percent-encode the URI path would never match it, though, and
+    # media_id would silently fall back to hashing the absolute URI (not
+    # relocation-stable) — so also try the encoded-root form and decode
+    # the remainder. In a URI *path* '+' is a literal plus (the +=space
+    # rule is query-string-only) while url_decode follows URLDecoder, so
+    # '+' is re-framed as %2B before decoding.
+    enc_root = urllib.parse.quote(root, safe="/")
+    if enc_root != root:
+        enc_rel = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(
+                    no_scheme, "^" + re.escape(enc_root + "/"), ""
+                ),
+                r"\+",
+                "%2B",
+            )
+        )
+        rel_path = F.when(
+            no_scheme.startswith(enc_root + "/"), enc_rel
+        ).otherwise(rel_path)
     return df.select(
         F.xxhash64(rel_path).alias("media_id"),
         name.alias("file_name"),

@@ -120,3 +120,61 @@ def test_streaming_materialized_view_maintenance(spark, tmp_path):
 
     got = _view_dict(snapshot_read(spark, view_tbl))
     assert got == {"a": (3, 359), "c": (1, 7)}  # group b died
+
+
+def test_merge_view_negative_count_raises(spark):
+    """ADVICE r3: a change feed that deletes from a group the view never
+    counted drives the maintained count negative — merge_view must fail
+    loudly instead of silently dropping the pending deletes (a later
+    insert would otherwise resurrect the group with an overstated
+    count)."""
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    view = spark.createDataFrame(
+        [("a", 1, 100)], "k STRING, n_rows BIGINT, cents BIGINT"
+    )
+    bad_delta = spark.createDataFrame(
+        [("ghost", -2, -50)], "k STRING, n_rows BIGINT, cents BIGINT"
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException, Exception)) as e:
+        merge_view(view, bad_delta, ["k"]).collect()
+    assert "negative" in str(e.value)
+
+    # the guard does NOT fire on a consistent feed (count reaches 0 → drop)
+    ok_delta = spark.createDataFrame(
+        [("a", -1, -100)], "k STRING, n_rows BIGINT, cents BIGINT"
+    )
+    assert merge_view(view, ok_delta, ["k"]).count() == 0
+
+
+def test_idempotent_view_commit_skips_replayed_batch(spark, tmp_path):
+    """ADVICE r3: a retried foreachBatch micro-batch (same batch_id) must
+    NOT double-apply its delta; a new batch_id still applies."""
+    from etl_weather_jabar_spark.ext.matview import idempotent_view_commit
+    from etl_weather_jabar_spark.snapshots import snapshot_read
+
+    tbl = str(tmp_path / "view")
+    b0 = spark.createDataFrame(
+        [("a", 100, "I"), ("a", 50, "I"), ("b", 7, "I")],
+        "k STRING, c_ LONG, op STRING",
+    )
+    assert idempotent_view_commit(
+        spark, tbl, b0, 0, ["k"], measures={"cents": F.col("c_")}
+    )
+    first = _view_dict(snapshot_read(spark, tbl))
+    assert first == {"a": (2, 150), "b": (1, 7)}
+
+    # replay of batch 0 (at-least-once retry): skipped, state unchanged
+    assert not idempotent_view_commit(
+        spark, tbl, b0, 0, ["k"], measures={"cents": F.col("c_")}
+    )
+    assert _view_dict(snapshot_read(spark, tbl)) == first
+
+    # a genuinely new batch id still applies
+    b1 = spark.createDataFrame(
+        [("b", 7, "D"), ("c", 1, "I")], "k STRING, c_ LONG, op STRING"
+    )
+    assert idempotent_view_commit(
+        spark, tbl, b1, 1, ["k"], measures={"cents": F.col("c_")}
+    )
+    assert _view_dict(snapshot_read(spark, tbl)) == {"a": (2, 150), "c": (1, 1)}

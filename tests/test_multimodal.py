@@ -288,3 +288,32 @@ def test_write_binary_dir_rejects_unsafe_and_duplicate_names(spark, tmp_path):
                                "file_name STRING, payload BINARY")
     assert write_binary_dir(ok, str(out)) == 1
     assert (out / "good.bin").read_bytes() == b"z"
+
+
+def test_binary_media_id_stable_with_uri_encoded_root(spark, tmp_path):
+    """ADVICE r3: roots (or subdirs) containing characters that
+    binaryFile percent-encodes in its `path` URI (spaces, '%', '+') must
+    still strip to the load-root-relative path, so media_id stays
+    relocation-stable rather than silently hashing the absolute URI."""
+    from etl_weather_jabar_spark.sources.binary import read_binary_dir
+
+    root1 = tmp_path / "media root %1" / "sub dir+x"
+    root1.mkdir(parents=True)
+    (root1 / "a b%c+d.bin").write_bytes(b"payload")
+
+    df1 = read_binary_dir(
+        spark, str(tmp_path / "media root %1"), recursive=True
+    )
+    rows1 = df1.collect()
+    assert len(rows1) == 1
+    assert rows1[0]["file_name"] == "a b%c+d.bin"
+
+    # relocate the corpus under a differently-weird root: same relative
+    # layout → same media_id
+    root2 = tmp_path / "moved copy %2" / "sub dir+x"
+    root2.mkdir(parents=True)
+    (root2 / "a b%c+d.bin").write_bytes(b"payload")
+    rows2 = read_binary_dir(
+        spark, str(tmp_path / "moved copy %2"), recursive=True
+    ).collect()
+    assert rows2[0]["media_id"] == rows1[0]["media_id"]

@@ -563,3 +563,26 @@ def test_scalable_prefix_sum_multi_column(spark):
             run1, run2 = run1 + c1, run2 + c2
             if not excl:
                 assert got[v] == (run1, run2)
+
+
+def test_scalable_prefix_sum_rejects_colliding_out_cols(spark):
+    """ADVICE r3: an out_col equal to a later value_col (or a duplicate
+    out_col) would be overwritten mid-loop, so the exclusive-mode
+    subtraction would read the replaced column — rejected up front."""
+    import pytest
+
+    from etl_weather_jabar_spark.operators.windows import scalable_prefix_sum
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v1"), (F.col("id") * 3).alias("v2")
+    )
+    with pytest.raises(ValueError, match="collide"):
+        scalable_prefix_sum(df, ["id"], ["v1", "v2"], ["v2", "s2"])
+    with pytest.raises(ValueError, match="duplicate"):
+        scalable_prefix_sum(df, ["id"], ["v1", "v2"], ["s", "s"])
+    with pytest.raises(ValueError, match="collide"):
+        scalable_prefix_sum(df, ["id"], "v1", "id")
+    # non-colliding list form still works
+    out = scalable_prefix_sum(df, ["id"], ["v1", "v2"], ["s1", "s2"])
+    rows = {r["id"]: (r["s1"], r["s2"]) for r in out.collect()}
+    assert rows[3] == (2 * (0 + 1 + 2 + 3), 3 * (0 + 1 + 2 + 3))

@@ -283,17 +283,29 @@ def test_optimize_zorder_clusters_both_dimensions(spark, tmp_path):
 
     # random layout: every file spans ~the whole domain in both dims
     assert avg_span("x") > 900 and avg_span("y") > 900
-    n = optimize_zorder(spark, path, ["x", "y"], n_files=16, bits=8)
-    # repartitionByRange may fold a boundary partition depending on how
-    # AQE split the input for its range sample (observed once in-suite),
-    # so the file count is near-16, not exactly 16
-    assert 12 <= n <= 16
+    # ADVICE r3: the loosened 12..16/520 gate also widened the window a
+    # real clustering regression could slip through. The one observed
+    # fold came from AQE's input split feeding the range sampler — pin
+    # AQE off for the rewrite so the boundary sample is deterministic,
+    # and restore the tight ==16 / 450 asserts.
+    saved = spark.conf.get("spark.sql.adaptive.enabled", None)
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        n = optimize_zorder(spark, path, ["x", "y"], n_files=16, bits=8)
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", saved)
+    assert n == 16
     got = spark.read.parquet(path)
     assert got.count() == 20000
+    per_file = (
+        got.select(F.col("_metadata.file_name").alias("f")).distinct().count()
+    )
+    assert per_file == 16
     # z-ordered layout: files cover a fraction of the domain in BOTH
-    # dims — ideal is ~256/file at 16 files; 520 leaves headroom for
-    # range-sample variance while still far below the ~1000 random span
-    assert avg_span("x") < 520 and avg_span("y") < 520
+    # dims — ideal is ~256/file at 16 files; 450 allows boundary overlap
+    # while still far below the ~1000 random span
+    assert avg_span("x") < 450 and avg_span("y") < 450
 
 
 def test_append_zordered_with_frozen_bounds(spark, tmp_path):
