@@ -577,3 +577,114 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def srp_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 8,
+    tables: int = 4,
+    max_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS through SRP-LSH buckets —
+    the scale-safe replacement for any attribute-blocked self-join
+    (round-3 verdict item 3: a hot block degenerates to all-pairs;
+    SRP buckets never do, because the bucket population is governed by
+    the signature width, not by data skew on a label).
+
+    Candidates are pairs sharing a (table, signature) bucket in ANY of
+    ``tables`` independent 
+    ``n_bits``-bit signatures (deterministic md5-derived hyperplanes —
+    :func:`_srp_signature` — so the whole pipeline is reproducible in
+    SQL); only candidates get the exact cosine, and only pairs with
+    round(cosine, 6) >= threshold survive.
+
+    Scale dials, both documented quadratic controls:
+
+    * ``n_bits`` — expected bucket size is |corpus| / 2^n_bits per
+      table; grow it with the corpus (log2(n) - log2(target_bucket)).
+    * ``max_bucket`` — drop buckets larger than this outright: an
+      over-full bucket means the signature isn't discriminating there
+      (near-parallel mass) and its pairs are overwhelmingly
+      non-duplicates; the cap bounds the worst bucket's pair count at
+      max_bucket² regardless of the data. Use
+      :func:`srp_bucket_stats` to observe what a cap would drop.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, deduplicated across
+    tables.
+    """
+    def signed(df):
+        dots, sig_cols = _srp_signatures_packed(vec_col, dim, n_bits, tables)
+        return (
+            df.withColumn("__srp_dots", dots)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.posexplode(F.array(*sig_cols)).alias("table", "sig"),
+            )
+        )
+
+    s = signed(spread(corpus))
+    if max_bucket is not None:
+        kept = (
+            s.groupBy("table", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("table", "sig")
+        )
+        s = s.join(kept, on=["table", "sig"])
+    a = s.select(
+        "table", "sig", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = s.select(
+        "table", "sig", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    cand = (
+        a.join(b, on=["table", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+    )
+    return scored.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+def srp_bucket_stats(
+    corpus: DataFrame,
+    dim: int = 64,
+    n_bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-table SRP bucket population summary (bucket count, max/avg
+    size, pairs implied by the largest bucket) — the observability side
+    of :func:`srp_neardup_pairs`'s ``max_bucket`` knob."""
+    dots, sig_cols = _srp_signatures_packed(vec_col, dim, n_bits, tables)
+    s = (
+        spread(corpus)
+        .withColumn("__srp_dots", dots)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.array(*sig_cols)).alias("table", "sig"),
+        )
+    )
+    sizes = s.groupBy("table", "sig").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.groupBy("table")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.round(F.avg("n"), 2).alias("avg_bucket"),
+            (F.max("n") * (F.max("n") - 1) / 2).cast("bigint").alias(
+                "worst_bucket_pairs"
+            ),
+        )
+        .orderBy("table")
+    )

@@ -315,3 +315,72 @@ def test_srp_packed_signatures_equal_per_bit_form(spark):
     assert sorted(map(tuple, packed.collect())) == sorted(
         map(tuple, per_bit.collect())
     )
+
+
+def test_srp_neardup_pairs_finds_planted_duplicates(spark):
+    """Planted near-dups (clones with tiny noise, cosine > 0.99) must
+    all survive the SRP-bucketed pair generation, and the result must
+    equal the brute-force all-pairs answer at the same threshold — i.e.
+    the bucketing loses none of the real pairs on this corpus.
+    Deterministic: hyperplanes are md5-derived, the corpus is seeded."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.similarity import srp_neardup_pairs
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = []
+    for j in range(10):
+        src = j * 3  # clone every 3rd vector
+        noisy = base[src] + rng.normal(scale=0.01, size=64)
+        clone_id = 100 + j
+        rows.append((clone_id, [float(x) for x in noisy]))
+        planted.append((src, clone_id))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in srp_neardup_pairs(df, threshold=0.95).collect()
+    }
+    assert set(planted) <= got, f"missing planted pairs: {set(planted) - got}"
+
+    # exact brute-force reference with the same 6dp rounding + threshold
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64)
+            for i, v in rows}
+    expect = set()
+    ids = sorted(vecs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = vecs[ids[x]], vecs[ids[y]]
+            c = float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+            if round(c, 6) >= 0.95:
+                expect.add((ids[x], ids[y]))
+    assert got == expect
+
+
+def test_srp_neardup_bucket_cap_drops_hot_buckets(spark):
+    """max_bucket is the documented quadratic-control knob: a corpus of
+    near-parallel vectors lands in one bucket per table; with the cap
+    below that population the pair generation yields nothing (and the
+    plan never enumerates the quadratic bucket)."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        srp_bucket_stats,
+        srp_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    axis = rng.normal(size=64)
+    rows = [
+        (i, [float(x) for x in axis + rng.normal(scale=1e-3, size=64)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    stats = {r["table"]: r["max_bucket"] for r in srp_bucket_stats(df).collect()}
+    assert max(stats.values()) == 30  # everything collides, by construction
+    uncapped = srp_neardup_pairs(df, threshold=0.95)
+    assert uncapped.count() == 30 * 29 // 2
+    capped = srp_neardup_pairs(df, threshold=0.95, max_bucket=10)
+    assert capped.count() == 0
