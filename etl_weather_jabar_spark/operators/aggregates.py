@@ -277,3 +277,51 @@ def exact_distinct_bitmap(
     return per_bucket.groupBy(*keys).agg(
         F.sum(F.expr("bitmap_count(__bm)")).cast("bigint").alias(out_col)
     )
+
+
+def sql_standard_rollup(
+    df: DataFrame,
+    group_cols: list,
+    aggs: list,
+    cube: bool = False,
+) -> DataFrame:
+    """ROLLUP/CUBE with the SQL-STANDARD empty-input behavior.
+
+    The standard's ``()`` grouping set always contributes a grand-total
+    row — on EMPTY input that is one row of NULL group keys with
+    count = 0 (DuckDB, Postgres agree). Spark's Expand-based
+    rollup/cube instead yields NO rows on empty input (divergence found
+    by the round-3 differential fuzzer; absorbed there as a harness
+    carve-out). This operator restores the standard semantics on every
+    input: the non-empty grouping sets run through one Expand
+    aggregation exactly as before, and the grand total comes from a
+    separate GLOBAL aggregate — which Spark evaluates to exactly one
+    row even over an empty child. On non-empty input the result is
+    row-identical to the native rollup/cube (pinned in tests).
+
+    Scale shape: the grand-total branch is a full-reduce of
+    partial-aggregated map outputs (one extra row of traffic per map
+    task), unioned onto the grouping-set pass — no extra scan of the
+    source is needed at execution time when the plan reuses the
+    exchange, and the branch output is always exactly one row.
+
+    ``group_cols`` may be Columns (e.g. ``F.date_format(...).alias``)
+    or names; ``aggs`` must be aliased aggregate Columns.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    n = len(cols)
+    if cube:
+        sets = [
+            [cols[i] for i in range(n) if mask & (1 << i)]
+            for mask in range((1 << n) - 1, 0, -1)
+        ]
+    else:
+        sets = [cols[:i] for i in range(n, 0, -1)]
+    grouped = df.groupingSets(sets, *cols).agg(*aggs)
+    names = grouped.schema.names
+    key_fields = grouped.schema.fields[:n]
+    grand = df.agg(*aggs).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in key_fields],
+        *names[n:],
+    )
+    return grouped.unionByName(grand)

@@ -1512,6 +1512,35 @@ def rollup_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rollup_grand_total_empty",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+           count(*) AS n, {_sql_sum('value')} AS value_sum
+    FROM events
+    WHERE event_type = 'does_not_exist'
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def rollup_grand_total_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ROLLUP over an EMPTY input (operators/aggregates.py::
+    sql_standard_rollup): the standard's () grouping set contributes a
+    grand-total row even when the input has no rows — one row of NULL
+    keys with n = 0 and a NULL sum — where Spark's native Expand-based
+    rollup returns nothing (the divergence the round-3 differential
+    fuzzer found and the harness had to absorb). This query pins the
+    engine-side option against the DuckDB standard behavior; non-empty
+    equivalence with the native rollup is pinned in pytest."""
+    from .operators.aggregates import sql_standard_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return sql_standard_rollup(
+        ev.where(F.col("event_type") == "does_not_exist"),
+        [F.date_format("ts", "yyyy-MM-dd").alias("date"), F.col("event_type")],
+        [F.count(F.lit(1)).alias("n"), _dec_sum(F.col("value")).alias("value_sum")],
+    )
+
+
+@_register(
     "pivot_type_daily_value",
     f"""
     SELECT strftime(ts, '%Y-%m-%d') AS date,

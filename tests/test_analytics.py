@@ -251,3 +251,44 @@ def test_regex_extract_all_surface_with_planted_matches(spark, tmp_path):
     assert got == want
     assert got[0][0] == "42,7"
     assert got[0][3] == "extraordinarily|internationalization"
+
+
+def test_sql_standard_rollup_matches_native_on_nonempty(spark):
+    """sql_standard_rollup == native rollup/cube row-for-row on
+    non-empty input; on EMPTY input it adds the SQL-standard grand-total
+    row (count 0, NULL sum) that Spark's native Expand path drops."""
+    from etl_weather_jabar_spark.operators.aggregates import sql_standard_rollup
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("a", "x", 10)],
+        "d STRING, t STRING, v INT",
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    ]
+
+    def rows(out):
+        return sorted(
+            ((r["d"], r["t"], r["n"], r["s"]) for r in out.collect()),
+            key=str,
+        )
+
+    native_rollup = df.rollup("d", "t").agg(*aggs)
+    assert rows(sql_standard_rollup(df, ["d", "t"], aggs)) == rows(native_rollup)
+
+    native_cube = df.cube("d", "t").agg(*aggs)
+    assert rows(sql_standard_rollup(df, ["d", "t"], aggs, cube=True)) == rows(
+        native_cube
+    )
+
+    empty = df.where(F.col("v") < 0)
+    assert empty.rollup("d", "t").agg(*aggs).count() == 0  # Spark native
+    got = sql_standard_rollup(empty, ["d", "t"], aggs).collect()
+    assert [(r["d"], r["t"], r["n"], r["s"]) for r in got] == [
+        (None, None, 0, None)
+    ]
+    got_cube = sql_standard_rollup(empty, ["d", "t"], aggs, cube=True).collect()
+    assert [(r["d"], r["t"], r["n"], r["s"]) for r in got_cube] == [
+        (None, None, 0, None)
+    ]
