@@ -52,10 +52,16 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     spark = get_spark("cli")
     spark.sparkContext.setLogLevel("ERROR")
-    df = QUERIES[args.query](spark, args.sf_dir)
     if args.explain:
-        df.explain("formatted")
+        # plan-only construction: iterative builders run one
+        # representative round and skip checkpoints/convergence probes,
+        # so explain never executes jobs (planmode.plan_only)
+        from .planmode import plan_only
+
+        with plan_only():
+            QUERIES[args.query](spark, args.sf_dir).explain("formatted")
         return 0
+    df = QUERIES[args.query](spark, args.sf_dir)
     try:
         if args.out:
             w = df.write.mode("overwrite")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.text import shingles, tokens
 from ..operators.dedup import dedupe_keep_first
 from ..operators.partitioning import spread
+from ..planmode import checkpoint
 
 
 def exact_dedup(
@@ -377,12 +378,15 @@ def jaccard_verify(
     the whole LSH pipeline per consumer (measured 6× slower). Candidates
     are tiny (pairs of ids), so the checkpoint is KBs.
     """
-    pairs = pairs.localCheckpoint()
+    pairs = checkpoint(pairs)
     cand_ids = pairs.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     ).distinct()
     docs_needed = docs.join(cand_ids, on=id_col, how="left_semi")
-    sh = spread(docs_needed).select(
+    # force=True: the semi join prunes to candidate docs (small by
+    # construction), and probing a wide plan would execute the join at
+    # build time — repartition unconditionally for the CPU-dense shingle
+    sh = spread(docs_needed, force=True).select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     out = (

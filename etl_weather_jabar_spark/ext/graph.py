@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..planmode import checkpoint, converged, is_plan_only, loop_rounds
+
 
 def connected_components(
     edges: DataFrame,
@@ -55,21 +57,20 @@ def connected_components(
             F.col(dst).cast("bigint").alias("u"), F.col(src).cast("bigint").alias("v")
         )
     ).distinct()
-    sym = sym.localCheckpoint()
+    sym = checkpoint(sym)
 
-    labels = (
+    labels = checkpoint(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(loop_rounds(max_iter)):
         nbr_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = checkpoint(
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
@@ -77,17 +78,17 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+        prev = labels
+        labels = new_labels
+        if converged(
+            lambda: new_labels.alias("n")
+            .join(prev.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
-        )
-        labels = new_labels
-        if changed == 0:
+            == 0
+        ):
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
@@ -159,20 +160,26 @@ def connected_components_star(
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    e = raw.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    nodes = checkpoint(nodes)
+    e = checkpoint(raw.where(F.col("u") != F.col("v")).distinct())
     prev_sig = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(_symmetrize(e))).localCheckpoint()
-        # bit_xor, not sum: ANSI mode throws on bigint-sum overflow, and the
-        # edge set is distinct so xor is a faithful set signature.
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
-        if sig == prev_sig:
+    for _ in range(loop_rounds(max_iter)):
+        e = checkpoint(_small_star(_large_star(_symmetrize(e))))
+        if is_plan_only():
+            stable = True
+        else:
+            # bit_xor, not sum: ANSI mode throws on bigint-sum overflow,
+            # and the edge set is distinct so xor is a faithful set
+            # signature.
+            sig = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).collect()[0]
+            sig = (sig["n"], sig["h"])
+            stable = sig == prev_sig
+            prev_sig = sig
+        if stable:
             roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
             leaves = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
             labels = leaves.union(roots).distinct()
@@ -186,7 +193,6 @@ def connected_components_star(
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
             )
-        prev_sig = sig
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
@@ -250,20 +256,22 @@ def pagerank(
             F.col(dst).cast("bigint").alias("v"),
         )
         .distinct()
-        .localCheckpoint()
     )
-    nodes = (
+    e = checkpoint(e)
+    nodes = checkpoint(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    n = nodes.count()
+    # plan-only: the node-count scalar and per-round dangling mass feed
+    # literal coefficients — placeholders keep the plan shape identical
+    # without running the jobs
+    n = 1 if is_plan_only() else nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for _ in range(loop_rounds(iterations)):
         linked = ranks.join(deg, ranks.node == deg.u, "left")
         contribs = (
             linked.where(F.col("outdeg").isNotNull())
@@ -276,12 +284,14 @@ def pagerank(
             .agg(F.sum("c").alias("c"))
         )
         dangling = (
-            linked.where(F.col("outdeg").isNull())
+            0.0
+            if is_plan_only()
+            else linked.where(F.col("outdeg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
             .collect()[0]["dm"]
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (
+        ranks = checkpoint(
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
@@ -289,7 +299,6 @@ def pagerank(
                     F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
     return ranks
 
@@ -322,23 +331,22 @@ def bfs_levels(
         )
         .where(F.col("s") != F.col("d"))
         .distinct()
-        .localCheckpoint()
     )
-    levels = spark.createDataFrame(
-        [(source, 0)], "node BIGINT, level INT"
-    ).localCheckpoint()
+    sym = checkpoint(sym)
+    levels = checkpoint(
+        spark.createDataFrame([(source, 0)], "node BIGINT, level INT")
+    )
     frontier = levels
-    for i in range(1, max_iter + 1):
-        nxt = (
+    for i in range(1, loop_rounds(max_iter) + 1):
+        nxt = checkpoint(
             frontier.join(sym, frontier["node"] == sym["s"])
             .select(F.col("d").alias("node"))
             .distinct()
             .join(levels.select("node"), "node", "left_anti")
             .withColumn("level", F.lit(i))
-            .localCheckpoint()
         )
-        if nxt.limit(1).count() == 0:
+        if converged(lambda: nxt.limit(1).count() == 0):
             break
-        levels = levels.unionByName(nxt).localCheckpoint()
+        levels = checkpoint(levels.unionByName(nxt))
         frontier = nxt
     return levels

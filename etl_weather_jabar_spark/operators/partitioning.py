@@ -12,16 +12,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+_WIDE_NODE_RE = None
+
+
+def _has_wide_node(df: DataFrame) -> bool:
+    """True if the analyzed logical plan already contains a
+    shuffle-producing node (its output parallelism is then governed by
+    spark.sql.shuffle.partitions / AQE, not by input splits)."""
+    global _WIDE_NODE_RE
+    if _WIDE_NODE_RE is None:
+        import re
+
+        _WIDE_NODE_RE = re.compile(
+            r"(?m)^\s*[+:|\- ]*(Join|Aggregate|Window|Sort|Repartition"
+            r"|RepartitionByExpression|Deduplicate|GlobalLimit)\b"
+        )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return bool(_WIDE_NODE_RE.search(plan))
+
+
+def spread(
+    df: DataFrame, target: int | None = None, force: bool = False
+) -> DataFrame:
     """Ensure at least ``target`` (default: cluster parallelism) partitions
     before a CPU-dense narrow stage (shingling, hashing, vector math).
 
     No-op when the input already has enough splits — the 100 TB case, where
     the scan yields thousands of partitions — so it never adds a shuffle at
     scale; it only unlocks idle cores on small inputs.
+
+    The partition probe must never EXECUTE the plan: with AQE enabled,
+    ``df.rdd`` materializes every upstream exchange, so probing a plan
+    that already contains a join/aggregate/repartition would run those
+    shuffles at CONSTRUCTION time (observed: a double-spread executed
+    its inner repartition while merely building the query). Wide plans
+    are therefore left untouched — their output parallelism is already
+    governed by spark.sql.shuffle.partitions / AQE — and only narrow
+    scan-type plans are probed (``getNumPartitions`` there is a
+    driver-side split computation, no job). ``force=True`` skips the
+    probe and repartitions unconditionally: for call sites that KNOW the
+    input is small (e.g. candidate-pruned) and about to fan out
+    CPU-dense work.
     """
     sc = df.sparkSession.sparkContext
     tgt = target or sc.defaultParallelism
+    if force:
+        return df.repartition(tgt)
+    if _has_wide_node(df):
+        return df
     if df.rdd.getNumPartitions() < tgt:
         return df.repartition(tgt)
     return df

@@ -51,11 +51,27 @@ def ntz_from_ns_long(ns: Column) -> Column:
     )
 
 
+# Resolved-schema memo per (sf_dir, table): Spark runs one footer-reading
+# job per schemaless spark.read.parquet CALL (even for the same path), so
+# a 16-query bench pays dozens of metadata jobs and plan-only explain
+# callers pay one per table touched. The testdata is immutable for a
+# session, so the first load's resolved schema is reused via
+# reader.schema(...) — later loads are job-free at construction time.
+_SCHEMA_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # must be set before schema resolution of the read below
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (os.path.abspath(sf_dir), name)
+    cached = _SCHEMA_MEMO.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", ntz_from_ns_long(F.col("ts")))
     return df

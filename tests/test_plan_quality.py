@@ -62,3 +62,67 @@ def test_gate_is_sensitive(spark, name):
     plans clean and non-trivially."""
     plan = _plan(spark, name)
     assert "Scan parquet" in plan and len(plan) > 500
+
+
+def test_plan_only_mode_builds_heavy_queries_without_jobs(spark):
+    """planmode.plan_only: the eager builders (connected components,
+    BFS, PageRank iteration, MinHash candidate checkpoint) must build a
+    plan WITHOUT submitting a single Spark job — the contract explain/
+    plan-audit callers rely on. Verified via a job group: no job ids may
+    appear for the construction thread."""
+    from etl_weather_jabar_spark.planmode import plan_only
+    from etl_weather_jabar_spark.queries import QUERIES
+
+    from etl_weather_jabar_spark.sources.parquet import load_tables
+
+    sc = spark.sparkContext
+    sf_dir = "/root/testdata/sf0.001"
+    # warm the per-table schema memo: the FIRST schemaless read of a
+    # parquet path runs one footer job; every later load_table is
+    # job-free, which is what plan-only construction relies on
+    load_tables(spark, sf_dir)
+    heavy = [
+        "lsh_neardup_clusters",
+        "minhash_lsh_neardup",
+        "bfs_levels_graph",
+        "pagerank_residue_graph",
+    ]
+    for name in heavy:
+        group = f"planonly-{name}"
+        sc.setJobGroup(group, "plan-only build probe")
+        try:
+            with plan_only():
+                df = QUERIES[name](spark, sf_dir)
+                # explain formats the plan; it must not execute either
+                df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert list(jobs) == [], f"{name}: plan-only build ran jobs {jobs}"
+        assert df.columns  # a real schema came back
+
+
+def test_plan_only_mode_does_not_change_execution_results(spark):
+    """Outside the context nothing changes: connected components still
+    iterates to the true fixpoint (a 5-chain needs >1 round, which the
+    single plan-only round would get wrong)."""
+    from etl_weather_jabar_spark.ext.graph import connected_components
+    from etl_weather_jabar_spark.planmode import is_plan_only, plan_only
+
+    assert not is_plan_only()
+    with plan_only():
+        assert is_plan_only()
+    assert not is_plan_only()
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}

@@ -178,8 +178,14 @@ def main() -> None:
         "",
     ]
     any_flags = False
+    from etl_weather_jabar_spark.planmode import plan_only
+
     for name in AUDIT_QUERIES:
-        df = QUERIES[name](spark, sf_dir)
+        # plan-only: iterative builders emit one representative round and
+        # skip checkpoints/convergence probes — the audit reads plans, it
+        # must not execute queries
+        with plan_only():
+            df = QUERIES[name](spark, sf_dir)
         plan = formatted_plan(spark, df)
         flags = audit(plan, name)
         any_flags = any_flags or bool(flags)
