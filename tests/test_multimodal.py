@@ -317,3 +317,82 @@ def test_binary_media_id_stable_with_uri_encoded_root(spark, tmp_path):
         spark, str(tmp_path / "moved copy %2"), recursive=True
     ).collect()
     assert rows2[0]["media_id"] == rows1[0]["media_id"]
+
+
+def test_png_codec_bit_exact_all_filters():
+    """decode_png vs numpy ground truth: encode a known array with each
+    scanline filter type (0=None 1=Sub 2=Up 3=Average 4=Paeth) and every
+    supported color layout; decode must be bit-exact. Also pins the
+    malformed-input failure modes (bad CRC, truncation, non-PNG)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_weather_jabar_spark.ext.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(99)
+    shapes = [(8, 5, 3), (5, 8, 1), (4, 6, 4), (3, 3, 2), (1, 1, 3), (2, 16, 3)]
+    for shape in shapes:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in range(5):
+            png = encode_png(a, filter_type=ft)
+            b = decode_png(png)
+            assert b.shape == a.shape
+            assert (b == a).all(), f"filter {ft} shape {shape} mismatch"
+
+    # gradient image exercises predictor arithmetic beyond random noise
+    grad = np.add.outer(np.arange(16), np.arange(16))[..., None].repeat(3, 2)
+    grad = (grad * 2).astype(np.uint8)
+    for ft in range(5):
+        assert (decode_png(encode_png(grad, filter_type=ft)) == grad).all()
+
+    good = encode_png(grad, filter_type=4)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF" + good)
+    with _pytest.raises(ValueError, match="CRC"):
+        bad = bytearray(good)
+        # flip a byte inside the IDAT chunk DATA (after sig + IHDR chunk
+        # + IDAT length/tag) so the chunk parses but its CRC mismatches
+        bad[8 + 25 + 8 + 2] ^= 0xFF
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(good[: len(good) // 2])
+
+
+def test_extract_features_real_decodes_png(spark):
+    """The REAL feature path must decode PNG payloads (stdlib zlib) —
+    true dimensions and per-channel means, matching numpy computed
+    outside Spark; gray PNGs replicate the luma mean; alpha is excluded."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        encode_png,
+        extract_features_real,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(5, 5, 1), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_png(rgb, filter_type=3)), "image/png", None, None, None),
+        (2, "image", bytearray(encode_png(rgba, filter_type=4)), "image/png", None, None, None),
+        (3, "image", bytearray(encode_png(gray, filter_type=1)), "image/png", None, None, None),
+        (4, "image", bytearray(b"\x89PNG\r\n\x1a\nbroken"), "image/png", None, None, None),
+    ]
+    from etl_weather_jabar_spark.ext.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_features_real(media).collect()}
+
+    m = rgb.reshape(-1, 3).mean(axis=0)
+    assert (got[1]["width"], got[1]["height"]) == (7, 9)
+    assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == tuple(
+        f"{x:.4f}" for x in m
+    )
+    m4 = rgba[:, :, :3].reshape(-1, 3).mean(axis=0)
+    assert (got[2]["width"], got[2]["height"]) == (6, 4)
+    assert got[2]["mean_r"] == f"{m4[0]:.4f}"
+    lum = f"{float(gray[:, :, 0].mean()):.4f}"
+    assert (got[3]["mean_r"], got[3]["mean_g"], got[3]["mean_b"]) == (lum, lum, lum)
+    # corrupt PNG → quarantined null row, batch survives
+    assert got[4]["width"] is None and got[4]["mean_r"] is None
