@@ -125,6 +125,16 @@ def train_ivf_centroids(
     projection (assign, shuffle-free) + one (cid, dim)-keyed aggregation
     whose output is n_clusters × dim cells — the only thing ever collected.
     """
+    from ..planmode import is_plan_only
+
+    if is_plan_only():
+        # plan-only (explain/audit): placeholder centroids — the model is
+        # a broadcast k×dim literal table either way, so the serving plan
+        # shape is identical and no training job runs
+        return [
+            (i, [1.0 if j == i % 64 else 0.0 for j in range(64)])
+            for i in range(n_clusters)
+        ]
     # training touches the (id, vector) projection 1 + iters times →
     # persist it (at 100 TB: MEMORY_AND_DISK on the cluster; id+vector is a
     # small fraction of full rows thanks to column pruning)
@@ -181,6 +191,11 @@ def train_ivf_centroids_cached(
 ) -> list[tuple[int, list[float]]]:
     """Memoized `train_ivf_centroids`. ``cache_key`` names the corpus
     snapshot (e.g. its path); training params complete the key."""
+    from ..planmode import is_plan_only
+
+    if is_plan_only():
+        # never let plan-only placeholder centroids poison the memo
+        return train_ivf_centroids(corpus, n_clusters, iters, id_col, vec_col)
     key = (cache_key, n_clusters, iters, id_col, vec_col)
     if key not in _CENTROID_MEMO:
         _CENTROID_MEMO[key] = train_ivf_centroids(

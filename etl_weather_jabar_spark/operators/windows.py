@@ -62,8 +62,16 @@ def _range_bucketed(
         df.schema[first].dataType, NumericType
     ):
         return None
-    qs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.stat.approxQuantile(first, qs, 0.01)))
+    from ..planmode import is_plan_only
+
+    if is_plan_only():
+        # representative bounds without the approxQuantile JOB: the plan
+        # shape (bucket expr → one hash repartition → local sort) is
+        # identical for any bound values; only balance would differ
+        bounds = [float(i) for i in range(1, n)]
+    else:
+        qs = [i / n for i in range(1, n)]
+        bounds = sorted(set(df.stat.approxQuantile(first, qs, 0.01)))
     if not bounds:
         return None  # empty input (or all-null col): nothing to split
     barr = F.array(*[F.lit(b) for b in bounds])

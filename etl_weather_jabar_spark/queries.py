@@ -1134,6 +1134,28 @@ def _cos_sql(a: str, b: str) -> str:
     return f"round({_cos_raw_sql(a, b)}, 6)"
 
 
+def _md5_seed_centroids(emb, k: int = 16) -> list[tuple[int, list[float]]]:
+    """The fixed-centroid IVF seed selection: the ``k`` corpus vectors
+    with smallest md5(vec_id) (DuckDB-reproducible), collected via ONE
+    TakeOrdered of k×dim cells — O(k) at any corpus size. In plan-only
+    mode returns placeholder centroids instead (the model is a broadcast
+    k×dim literal table either way; no job runs)."""
+    from .planmode import is_plan_only
+
+    if is_plan_only():
+        return [
+            (i, [1.0 if j == i % 64 else 0.0 for j in range(64)])
+            for i in range(k)
+        ]
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    ]
+
+
 def _cos_raw_sql(a: str, b: str) -> str:
     """Unrounded DuckDB cosine — for mirroring engine paths that order by
     the RAW similarity (ext/similarity.py::_assign_nearest and the
@@ -1208,13 +1230,7 @@ def ivf_fixed_centroids_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.vectors import cosine_similarity
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(16)
-        .collect()
-    ]
+    cents = _md5_seed_centroids(emb)
     scored = _scored_against_centroids(emb, cents, "embedding")
     sim6 = F.round(F.col("__sim"), 6)
     packed = F.max(
@@ -1339,21 +1355,21 @@ def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Leaves trained-Lloyd ivf_cosine_topk as the only rows-only ANN row."""
     import tempfile
 
-    from .ext.similarity import ivf_topk_indexed, save_ivf_index
+    from .ext.similarity import ivf_topk, ivf_topk_indexed, save_ivf_index
+    from .planmode import is_plan_only
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(16)
-        .collect()
-    ]
-    idx = tempfile.mkdtemp(prefix="ivfidx_q_") + "/idx"
-    save_ivf_index(emb, idx, centroids=cents)
+    cents = _md5_seed_centroids(emb)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    if is_plan_only():
+        # the serving plan bakes the index's file paths into its scan, so
+        # a plan-only caller (no index on disk, no jobs allowed) gets the
+        # equivalent unindexed IVF plan as the representative shape
+        return ivf_topk(emb, queries, k=10, n_probe=4, centroids=cents)
+    idx = tempfile.mkdtemp(prefix="ivfidx_q_") + "/idx"
+    save_ivf_index(emb, idx, centroids=cents)
     return ivf_topk_indexed(spark, idx, queries, k=10, n_probe=4)
 
 

@@ -69,6 +69,8 @@ AUDIT_QUERIES = [
     "min_cost_supplier_per_part",
     "inventory_value_share",
     "srp_lsh_ann_topk",
+    "embedding_neardup_pairs",
+    "rollup_grand_total_empty",
     "crossdoc_repeated_ngrams",
     "incremental_agg_view_orders",
     "skyline_parts",
