@@ -146,6 +146,15 @@ def simhash_candidates(
     groupBy-bucket pair expansion as MinHash-LSH (singleton buckets die
     early, capped degenerate buckets).
 
+    Scale bound (measured in the 32× probe, SCALING.md): at FIXED
+    fingerprint width, chance chunk collisions are a birthday process —
+    expected candidate pairs ~ (max_hamming+1)·n²/2^(60/(max_hamming+1)).
+    Lower ``max_hamming`` to widen the chunk keys as the corpus grows
+    (max_hamming=1 → 30-bit chunks → ~10⁷ docs), keep ``max_bucket`` as
+    the hard cap, and at corpus sizes beyond the width budget run this
+    tier per shard or after MinHash-LSH blocking (whose banded keys are
+    effectively 256-bit and stay collision-free).
+
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
     bands = max_hamming + 1

@@ -703,3 +703,88 @@ def srp_bucket_stats(
         )
         .orderBy("table")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    k-means clustering bounds the pairwise comparisons, then within each
+    cluster the LEAST-central member of every near-duplicate pair is
+    dropped.
+
+    Deterministic, SQL-reproducible formulation:
+
+    1. assign each vector to its argmax-cosine centroid (raw similarity,
+       ties → lowest cid — exactly :func:`_assign_nearest`);
+    2. rank cluster members by centrality: round(cos-to-centroid, 6)
+       DESC, id ASC — a total order;
+    3. drop a vector iff SOME higher-ranked member of its cluster sits
+       within ``threshold`` cosine of it (non-iterative rule: the
+       neighbor's own kept/dropped state is irrelevant, per the paper's
+       one-pass variant).
+
+    Output: (id, cid, centrality, is_kept) for every corpus vector.
+
+    Scale: comparisons are pairwise WITHIN a cluster only — expected
+    cluster size |corpus|/k, so k is the quadratic dial (the paper runs
+    k ≈ n/5000; the same bound govern IVF list sizes). The centroid set
+    is model state (k×dim literals, broadcast); no global shuffle except
+    the cluster-keyed one.
+    """
+    assigned = _assign_nearest(spread(corpus), centroids, id_col, vec_col)
+    # one broadcast pass: re-score each member against its own centroid
+    scored = (
+        _scored_against_centroids(
+            assigned.withColumnRenamed("cid", "__own"), centroids, vec_col
+        )
+        .where(F.col("cid") == F.col("__own"))
+        .select(
+            F.col(id_col),
+            F.col("__own").alias("cid"),
+            F.col(vec_col),
+            F.round(F.col("__sim"), 6).alias("centrality"),
+        )
+    )
+    a = scored.select(
+        F.col("cid"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("centrality").alias("__ca"),
+    )
+    b = scored.select(
+        F.col("cid"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("centrality").alias("__cb"),
+    )
+    # u ranks above v iff (centrality, id) orders earlier; v is dropped
+    # when any such u is within threshold
+    higher = (F.col("__ca") > F.col("__cb")) | (
+        (F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb"))
+    )
+    dropped = (
+        a.join(b, on="cid")
+        .where(higher)
+        .where(
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+            >= threshold
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        scored.join(
+            dropped.withColumn("__drop", F.lit(True)), on=id_col, how="left"
+        )
+        .select(
+            id_col,
+            "cid",
+            "centrality",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
+    )

@@ -1430,6 +1430,55 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "semantic_dedup_docs",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), a0 AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos_raw_sql('e.embedding', 'c.cv')} AS sim
+        FROM embeddings e CROSS JOIN c
+    ), scored AS (
+        SELECT vec_id, embedding, CAST(cid AS INT) AS cid,
+               round(sim, 6) AS centrality
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM a0
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM scored a JOIN scored b ON a.cid = b.cid
+         AND ((a.centrality > b.centrality) OR
+              (a.centrality = b.centrality AND a.vec_id < b.vec_id))
+        WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.95
+    )
+    SELECT s.vec_id, s.cid, s.centrality,
+           (d.vec_id IS NULL) AS is_kept
+    FROM scored s LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023;
+    ext/similarity.py::semantic_dedup) over the embeddings corpus:
+    cluster every vector to its nearest fixed centroid (the 16
+    smallest-md5(vec_id) seeds — same DuckDB-reproducible selection as
+    the IVF queries), rank members by centrality (cosine to own
+    centroid), and drop any member with a HIGHER-ranked cluster-mate
+    within 0.95 cosine. Pairwise work is bounded per cluster (expected
+    |corpus|/k members — k is the quadratic dial, per the paper). The
+    oracle reproduces assignment, centrality, and the drop rule exactly;
+    the drop behavior on planted duplicates is pinned in
+    tests/test_similarity.py."""
+    from .ext.similarity import semantic_dedup
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = _md5_seed_centroids(emb)
+    return semantic_dedup(emb, cents, threshold=0.95)
+
+
 @_register("minhash_lsh_neardup", _minhash_neardup_sql())
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates → exact shingle-Jaccard ≥ 0.5

@@ -384,3 +384,59 @@ def test_srp_neardup_bucket_cap_drops_hot_buckets(spark):
     assert uncapped.count() == 30 * 29 // 2
     capped = srp_neardup_pairs(df, threshold=0.95, max_bucket=10)
     assert capped.count() == 0
+
+
+def test_semantic_dedup_drops_least_central_duplicates(spark):
+    """SemDeDup rule on a planted corpus: within a cluster, the member
+    of each near-dup pair with LOWER centrality (cosine to its own
+    centroid) is dropped; the higher-ranked survivor stays. Verified
+    against a python brute-force of the same deterministic rule."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for j in range(8):  # clone every 4th vector with tiny noise
+        src = j * 4
+        rows.append(
+            (200 + j, [float(x) for x in base[src] + rng.normal(scale=0.005, size=64)])
+        )
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    cents = [(i, [float(x) for x in base[i]]) for i in range(4)]
+
+    got = {r["vec_id"]: r for r in semantic_dedup(df, cents, threshold=0.95).collect()}
+    assert len(got) == len(rows)  # every vector gets a decision row
+
+    # brute-force reference of the same rule
+    vecs = {i: np.asarray(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+    assign, central = {}, {}
+    for i, v in vecs.items():
+        sims = [(round(cos(v, np.asarray(cv)), 10), -c) for c, cv in cents]
+        best = max(sims)
+        assign[i] = -best[1]
+        central[i] = round(cos(v, np.asarray(cents[-best[1]][1])), 6)
+    expect_drop = set()
+    for i in vecs:
+        for u in vecs:
+            if u == i or assign[u] != assign[i]:
+                continue
+            if (central[u], -u) > (central[i], -i) and round(
+                cos(vecs[u], vecs[i]), 6
+            ) >= 0.95:
+                expect_drop.add(i)
+    for i in vecs:
+        assert got[i]["cid"] == assign[i], i
+        assert got[i]["is_kept"] == (i not in expect_drop), i
+    assert expect_drop  # the corpus really contains planted duplicates
+    # and every planted pair lost exactly its less-central member
+    for j in range(8):
+        pair = {j * 4, 200 + j}
+        kept = {i for i in pair if got[i]["is_kept"]}
+        if assign[j * 4] == assign[200 + j]:  # same cluster -> one survives
+            assert len(kept) == 1, pair
