@@ -242,8 +242,8 @@ def main() -> None:
         "same dial exists as the shingle df-cap in the n-gram Jaccard "
         "tier and `max_bucket` in ext/similarity.py::srp_neardup_pairs.",
         "",
-        "**SimHash width bound (probe finding).** The tier-2 shuffle "
-        "ratio is deliberately super-linear here: pigeonhole banding "
+        "**SimHash width bound (analytical caveat).** The tier-2 ratio "
+        "above is linear at this corpus size, but pigeonhole banding "
         "over a FIXED 60-bit fingerprint has expected chance-collision "
         "pairs ~ (max_hamming+1) * n^2 / 2^(60/(max_hamming+1)) — a "
         "birthday bound, quadratic in corpus size at fixed width. The "
