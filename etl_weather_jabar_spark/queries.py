@@ -7715,6 +7715,91 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_covariance_sql() -> str:
+    num = "CAST(n AS HUGEINT) * sij - CAST(si AS HUGEINT) * sj"
+    den = "CAST(n AS HUGEINT) * n"
+    cov = f"CAST({_sql_halfup(num, den)} AS BIGINT)"
+    return f"""
+    WITH u AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings
+    ), g AS (
+      SELECT a.dim AS di, b.dim AS dj, count(*) AS n,
+             sum(CAST(a.v AS HUGEINT)) AS si,
+             sum(CAST(b.v AS HUGEINT)) AS sj,
+             sum(CAST(a.v AS HUGEINT) * b.v) AS sij
+      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim < b.dim
+      GROUP BY 1, 2
+    )
+    SELECT i, j, n, cov_u2 FROM (
+      SELECT CAST(di - 1 AS INT) AS i, CAST(dj - 1 AS INT) AS j,
+             CAST(n AS BIGINT) AS n, {cov} AS cov_u2
+      FROM g
+    ) ORDER BY abs(cov_u2) DESC, i, j LIMIT 20
+    """
+
+
+@_register("embedding_covariance_topk", _embedding_covariance_sql())
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 strongest off-diagonal covariance pairs of the embedding
+    dimensions, in EXACT integer micro-units² — the cross-dim companion
+    of `embedding_dim_stats` (redundant/correlated dimensions are what a
+    quantizer or PCA prunes first). Components scale to µ-units
+    (×10⁶ → bigint), all moment sums run in decimal(38)/HUGEINT so both
+    engines agree to the last digit, and the covariance closed form
+    n·Σxy − Σx·Σy evaluates half-up over n². Shape: one posexplode
+    (64× narrow rows), a vec_id-keyed self-join bounded at dim²/2 pairs
+    per vector, one dim-pair aggregate (d²/2 = 2016 groups at any corpus
+    size — partial-agg combined), global top-k as TakeOrdered. At
+    100 TB: the join fan-out is per-row (narrow), the aggregate output
+    is dim²-bounded, and nothing collects beyond the 20-row result."""
+    em = spread(load_table(spark, sf_dir, "embeddings"))
+    u = em.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "comp")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("comp").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    a = u.select("vec_id", F.col("dim").alias("i"), F.col("v").alias("va"))
+    b = u.select("vec_id", F.col("dim").alias("j"), F.col("v").alias("vb"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    g = (
+        a.join(b, on="vec_id")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("va"))).alias("si"),
+            F.sum(dec(F.col("vb"))).alias("sj"),
+            F.sum(dec(F.col("va")) * dec(F.col("vb"))).alias("sij"),
+        )
+    )
+    n, si, sj, sij = (dec(F.col(c)) for c in ("n", "si", "sj", "sij"))
+    num, den = n * sij - si * sj, n * n
+    half_a, half_b = num * 2 + den, den * 2
+    cov = ((half_a - F.pmod(half_a, half_b)) / half_b).cast("bigint")
+    return (
+        g.select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("n").cast("bigint").alias("n"),
+            cov.alias("cov_u2"),
+        )
+        .orderBy(F.abs(F.col("cov_u2")).desc(), "i", "j")
+        .limit(20)
+    )
+
+
+
+
 @_register(
     "key_skew_report",
     """
