@@ -64,3 +64,27 @@ def test_differential_fuzz_new_families(spark):
         a = normalize(rs(spark, SF, case))
         b = normalize(rd(con, case))
         assert a == b, (i, case)
+
+
+def test_differential_fuzz_filteragg_family(spark):
+    """Seeded pass over the r4 family: per-aggregate FILTER predicates
+    (DuckDB native FILTER clause vs Spark's conditional-aggregate
+    equivalent), including empty-match groups (count→0, sum/min/max→
+    NULL)."""
+    import random
+
+    from tools.fuzz_differential import (
+        gen_filteragg_case,
+        run_filteragg_duckdb,
+        run_filteragg_spark,
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    rng = random.Random(2718)
+    for i in range(8):
+        case = gen_filteragg_case(rng)
+        a = normalize(run_filteragg_spark(spark, SF, case))
+        b = normalize(run_filteragg_duckdb(con, case))
+        assert a == b, (i, case)

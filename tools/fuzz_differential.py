@@ -734,6 +734,107 @@ def run_selectsub_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(sql).fetchall()), key=str)
 
 
+
+def gen_filteragg_case(rng: random.Random) -> dict:
+    """Aggregates with per-aggregate predicates: DuckDB runs the
+    SQL-standard FILTER (WHERE ...) clause, Spark the conditional-
+    aggregate equivalent (agg over CASE WHEN with no ELSE — NULLs are
+    ignored by count/sum/min/max exactly as FILTER skips rows). The
+    family pins that equivalence, including the empty-match edges
+    (count -> 0, sum/min/max -> NULL) the unconditional families
+    never produce."""
+    table = rng.choice(sorted(TABLES))
+    ints, cents, strs = TABLES[table]
+    aggs = []
+    for _ in range(rng.randrange(2, 4)):
+        kind = rng.choice(["count", "sum_int", "min", "max"])
+        col = rng.choice(ints)
+        pred_col = rng.choice(ints)
+        if rng.random() < 0.5:
+            pred = ("mod", pred_col, rng.randrange(2, 9),
+                    rng.randrange(0, 3))
+        else:
+            # a high threshold makes empty-match groups likely
+            pred = ("gt", pred_col, rng.randrange(1, 8000))
+        aggs.append((kind, col, pred))
+    return {
+        "kind": "filteragg",
+        "table": table,
+        "key": rng.choice(strs) if rng.random() < 0.7 else None,
+        "mod": rng.randrange(2, 7),
+        "aggs": aggs,
+    }
+
+
+def _filteragg_pred_spark(pred):
+    from pyspark.sql import functions as F
+
+    if pred[0] == "mod":
+        _, c, m, r = pred
+        return F.col(c) % m == r
+    _, c, t = pred
+    return F.col(c) > t
+
+
+def _filteragg_pred_sql(pred):
+    if pred[0] == "mod":
+        _, c, m, r = pred
+        return f"{c} % {m} = {r}"
+    _, c, t = pred
+    return f"{c} > {t}"
+
+
+def run_filteragg_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    ints = TABLES[case["table"]][0]
+    df = load_table(spark, sf_dir, case["table"]).where(
+        F.col(ints[0]) % case["mod"] == 0
+    )
+    exprs = [F.count(F.lit(1)).alias("n")]
+    for i, (kind, col, pred) in enumerate(case["aggs"]):
+        guarded = F.when(_filteragg_pred_spark(pred), F.col(col))
+        if kind == "count":
+            e = F.count(guarded)
+        elif kind == "sum_int":
+            e = F.sum(guarded).cast("bigint")
+        elif kind == "min":
+            e = F.min(guarded)
+        else:
+            e = F.max(guarded)
+        exprs.append(e.alias(f"a{i}"))
+    out = (
+        df.groupBy(case["key"]).agg(*exprs)
+        if case["key"]
+        else df.agg(*exprs)
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+def run_filteragg_duckdb(con, case: dict):
+    ints = TABLES[case["table"]][0]
+    parts = []
+    for i, (kind, col, pred) in enumerate(case["aggs"]):
+        fn = {"count": "count", "sum_int": "sum", "min": "min", "max": "max"}[
+            kind
+        ]
+        cast = "CAST(" if kind == "sum_int" else ""
+        endcast = " AS BIGINT)" if kind == "sum_int" else ""
+        parts.append(
+            f"{cast}{fn}({col}) FILTER (WHERE "
+            f"{_filteragg_pred_sql(pred)}){endcast} AS a{i}"
+        )
+    key = f"{case['key']}, " if case["key"] else ""
+    group = f"GROUP BY {case['key']}" if case["key"] else ""
+    sql = f"""
+    SELECT {key}count(*) AS n, {', '.join(parts)}
+    FROM {case['table']} WHERE {ints[0]} % {case['mod']} = 0 {group}
+    """
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random query AST: table (or an equi-join of two), 0-2 filters,
     0-2 group keys, 1-3 aggs."""
@@ -987,10 +1088,14 @@ def main() -> int:
             case = gen_qualify_case(rng)
             a = normalize(run_qualify_spark(spark, sf_dir, case))
             b = normalize(run_qualify_duckdb(con, case))
-        elif roll < 0.95:
+        elif roll < 0.93:
             case = gen_selectsub_case(rng)
             a = normalize(run_selectsub_spark(spark, sf_dir, case))
             b = normalize(run_selectsub_duckdb(con, case))
+        elif roll < 0.97:
+            case = gen_filteragg_case(rng)
+            a = normalize(run_filteragg_spark(spark, sf_dir, case))
+            b = normalize(run_filteragg_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
