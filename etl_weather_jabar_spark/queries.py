@@ -6572,6 +6572,115 @@ def pagerank_residue_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_int_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled CTE chain for the exact integer PageRank twin. Every
+    operation is bigint floor arithmetic on positive values, so both
+    engines produce identical ranks digit-for-digit."""
+    head = f"""
+    WITH e AS (
+        SELECT DISTINCT o_custkey % 1000 AS u, o_orderkey % 1000 AS v
+        FROM orders WHERE o_orderkey % 10 = 0
+    ), nodes AS (
+        SELECT u AS node FROM e UNION SELECT v FROM e
+    ), nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+    r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r FROM nodes, nn)
+    """
+    body = ""
+    for t in range(1, iters + 1):
+        p = f"r{t - 1}"
+        body += f""",
+    c{t} AS (
+        SELECT e.v AS node, sum({p}.r // deg.d) AS c
+        FROM e JOIN deg USING (u) JOIN {p} ON {p}.node = e.u
+        GROUP BY e.v
+    ), d{t} AS (
+        SELECT coalesce(sum(r), 0) AS dm FROM {p}
+        WHERE node NOT IN (SELECT u FROM e)
+    ), r{t} AS (
+        SELECT nodes.node,
+               CAST((15 * {scale}) // (100 * n)
+                    + (85 * (coalesce(c{t}.c, 0) + dm // n)) // 100
+                    AS BIGINT) AS r
+        FROM nodes CROSS JOIN nn CROSS JOIN d{t}
+        LEFT JOIN c{t} ON c{t}.node = nodes.node
+    )"""
+    return (
+        head
+        + body
+        + f"""
+    SELECT node, r AS rank_u FROM r{iters}
+    ORDER BY r DESC, node LIMIT 20
+    """
+    )
+
+
+@_register("pagerank_exact_int", _pagerank_int_sql())
+def pagerank_exact_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in EXACT integer fixed point, hash-matched cross-engine
+    (the deterministic twin of the float `pagerank_residue_graph`, which
+    stays rows-only): ranks carry pico-units (10¹²), every step is
+    bigint floor arithmetic — contrib = r div outdeg, damping as
+    (85·x) div 100, dangling mass redistributed as dm div n — so three
+    unrolled power iterations produce identical digits in Spark and
+    DuckDB. The node count and per-round dangling mass are 1-row
+    aggregates CROSS-joined back (whitelisted broadcast pattern), so the
+    whole thing is ONE lazy plan — no driver collects at all, unlike the
+    float path's per-round dangling collect. Top-20 by (rank DESC,
+    node)."""
+    U = 10**12
+    e = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            (F.col("o_custkey") % 1000).alias("u"),
+            (F.col("o_orderkey") % 1000).alias("v"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({U} div n AS BIGINT)").alias("r")
+    )
+    for _ in range(3):
+        linked = r.join(deg, r["node"] == deg["u"], "left")
+        contribs = (
+            linked.where(F.col("d").isNotNull())
+            .select(F.col("node").alias("u"), "r", "d")
+            .join(e, on="u")
+            .select(F.col("v").alias("node"), F.expr("r div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        dang = linked.where(F.col("d").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dm")
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(contribs, on="node", how="left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((15 * {U}) div (100 * n)"
+                    " + (85 * (coalesce(c, CAST(0 AS BIGINT)) + dm div n))"
+                    " div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return (
+        r.select("node", F.col("r").alias("rank_u"))
+        .orderBy(F.col("rank_u").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 @_register(
     "quality_cascade_audit",
     f"""
