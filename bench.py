@@ -68,6 +68,19 @@ TIER2_QUERIES = [
 ]
 
 
+# Tier 3: round-4 additions — reported separately (tier3_* keys) so the
+# headline and tier2 sets stay comparable round-over-round.
+TIER3_QUERIES = [
+    "embedding_neardup_pairs",
+    "ivf_indexed_topk",
+    "semantic_dedup_docs",
+    "embedding_covariance_topk",
+    "pagerank_exact_int",
+    "rollup_grand_total_empty",
+    "multimodal_features_real",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -93,6 +106,7 @@ def main() -> None:
 
     timings = time_set(BENCH_QUERIES)
     tier2 = time_set(TIER2_QUERIES)
+    tier3 = time_set(TIER3_QUERIES)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -104,6 +118,8 @@ def main() -> None:
                 "queries": timings,
                 "tier2_value": round(sum(tier2.values()), 3),
                 "tier2_queries": tier2,
+                "tier3_value": round(sum(tier3.values()), 3),
+                "tier3_queries": tier3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -259,8 +259,11 @@ def test_sql_standard_rollup_matches_native_on_nonempty(spark):
     row (count 0, NULL sum) that Spark's native Expand path drops."""
     from etl_weather_jabar_spark.operators.aggregates import sql_standard_rollup
 
+    # NULL group values included: a NULL key row must stay distinguishable
+    # from the synthesized grand-total row in the union construction
     df = spark.createDataFrame(
-        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("a", "x", 10)],
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("a", "x", 10),
+         (None, "x", 4), ("b", None, 5), (None, None, 6)],
         "d STRING, t STRING, v INT",
     )
     aggs = [

@@ -70,6 +70,9 @@ AUDIT_QUERIES = [
     "inventory_value_share",
     "srp_lsh_ann_topk",
     "embedding_neardup_pairs",
+    "semantic_dedup_docs",
+    "embedding_covariance_topk",
+    "pagerank_exact_int",
     "rollup_grand_total_empty",
     "crossdoc_repeated_ngrams",
     "incremental_agg_view_orders",
@@ -143,6 +146,8 @@ EXPECTED_NESTED_LOOP = {
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
+    "semantic_dedup_docs": "corpus × centroid-count-sized model broadcast (SemDeDup assignment)",
+    "pagerank_exact_int": "ranks × 1-row node-count/dangling-mass broadcasts per unrolled iteration",
 }
 
 
