@@ -440,3 +440,32 @@ def test_semantic_dedup_drops_least_central_duplicates(spark):
         kept = {i for i in pair if got[i]["is_kept"]}
         if assign[j * 4] == assign[200 + j]:  # same cluster -> one survives
             assert len(kept) == 1, pair
+
+
+def test_srp_neardup_cap_preserves_recall_on_healthy_corpus(spark):
+    """On a normal (non-degenerate) corpus the bucket cap never binds:
+    capped and uncapped runs return the SAME pair set — the cap only
+    sacrifices pathological buckets, not planted near-dups."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.similarity import srp_neardup_pairs
+
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(60, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for j in range(12):
+        rows.append(
+            (300 + j,
+             [float(x) for x in base[j * 5] + rng.normal(scale=0.01, size=64)])
+        )
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in srp_neardup_pairs(df, threshold=0.95).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in srp_neardup_pairs(df, threshold=0.95, max_bucket=200).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) >= 12  # all planted pairs present
