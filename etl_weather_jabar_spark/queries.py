@@ -198,7 +198,8 @@ def _minhash_neardup_sql() -> str:
     shingles) candidate pairs → exact shingle-Jaccard ≥ 0.5 verify
     (ext/dedup_text.py::minhash_lsh_candidates + jaccard_verify)."""
     mins = ",\n               ".join(
-        f"min(('0x' || substr(md5(sg || ':{i}'), 1, 15))::BIGINT) AS h{i}"
+        f"min(('0x' || substr(md5(sg || ':{i // 2}'), "
+        f"{1 + 15 * (i % 2)}, 15))::BIGINT) AS h{i}"
         for i in range(16)
     )
     bands = "\n        UNION ALL ".join(
@@ -3736,7 +3737,8 @@ def _lsh_cluster_sql() -> str:
     """DuckDB twin of the md5-mode MinHash-LSH banding + star-edge
     connected components (16 hashes, 4 bands, 5-gram shingles)."""
     mins = ",\n               ".join(
-        f"min(('0x' || substr(md5(sg || ':{i}'), 1, 15))::BIGINT) AS h{i}"
+        f"min(('0x' || substr(md5(sg || ':{i // 2}'), "
+        f"{1 + 15 * (i % 2)}, 15))::BIGINT) AS h{i}"
         for i in range(16)
     )
     bands = "\n        UNION ALL ".join(
