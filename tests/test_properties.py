@@ -468,3 +468,40 @@ def test_matview_maintenance_equals_recompute(spark, base, changes):
         want[k] = (n + 1, s + v)
     got = {r["k"]: (r["n_rows"], r["cents"]) for r in view.collect()}
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+            st.one_of(st.none(), st.sampled_from(["x", "y"])),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_sql_standard_rollup_property(spark, rows):
+    """For ANY small frame (NULL keys included): sql_standard_rollup ==
+    native rollup row-for-row when the input is non-empty, and exactly
+    the one SQL-standard grand-total row when it is empty."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.operators.aggregates import sql_standard_rollup
+
+    df = spark.createDataFrame(rows, "d STRING, t STRING, v INT")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("v").cast("bigint").alias("s")]
+    got = sorted(
+        ((r["d"], r["t"], r["n"], r["s"])
+         for r in sql_standard_rollup(df, ["d", "t"], aggs).collect()),
+        key=str,
+    )
+    if rows:
+        native = sorted(
+            ((r["d"], r["t"], r["n"], r["s"])
+             for r in df.rollup("d", "t").agg(*aggs).collect()),
+            key=str,
+        )
+        assert got == native
+    else:
+        assert got == [(None, None, 0, None)]
