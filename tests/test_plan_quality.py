@@ -126,3 +126,44 @@ def test_plan_only_mode_does_not_change_execution_results(spark):
         for r in connected_components(chain).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_spread_never_executes_wide_plans(spark, tmp_path):
+    """spread() must (a) fan out small narrow scans, (b) leave
+    shuffle-bearing plans untouched WITHOUT executing them (df.rdd under
+    AQE materializes every upstream exchange — the round-4 build-time
+    bug), (c) repartition unconditionally under force=True."""
+    import pyspark.sql.functions as F
+
+    from etl_weather_jabar_spark.operators.partitioning import (
+        _has_wide_node,
+        spread,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(100).select("id", (F.col("id") * 2).alias("v")).coalesce(
+        1
+    ).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert not _has_wide_node(scan)
+    assert spread(scan).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+    wide = scan.groupBy("v").count()
+    assert _has_wide_node(wide)
+    joined = scan.join(scan.withColumnRenamed("v", "w"), "id")
+    assert _has_wide_node(joined)
+    reparted = scan.repartition(4)
+    assert _has_wide_node(reparted)
+
+    # wide plan: spread is the identity AND submits no job deciding so
+    sc = spark.sparkContext
+    sc.setJobGroup("spread-wide-probe", "")
+    try:
+        out = spread(wide)
+    finally:
+        sc.setJobGroup("", "")
+    assert out is wide
+    assert list(sc.statusTracker().getJobIdsForGroup("spread-wide-probe")) == []
+
+    forced = spread(joined, force=True)
+    assert forced is not joined and _has_wide_node(forced)
