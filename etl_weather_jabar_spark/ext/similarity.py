@@ -788,3 +788,88 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def incremental_semantic_dedup(
+    new_vecs: DataFrame,
+    index_path: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sink=None,
+) -> DataFrame:
+    """:func:`semantic_dedup` at corpus-growth time: dedup a NEW
+    embedding batch against the corpus's PERSISTED survivor index, never
+    against the corpus itself — O(batch × touched clusters), not
+    O(corpus), per ingest (the same contract as
+    ``ext/dedup_text.py::incremental_exact_dedup``).
+
+    Steps:
+
+    1. within-batch SemDeDup (centrality rule) keeps the batch's own
+       most-central representative of every near-dup group;
+    2. batch survivors are compared against stored survivors of the SAME
+       cluster only — the index is parquet ``partitionBy(cid)``, and the
+       touched-cid ``isin`` filter makes the read partition-PRUNED (at
+       most n_clusters values, driver-trivial);
+    3. arrival-order precedence: a batch doc within ``threshold`` of ANY
+       stored survivor drops — the earlier corpus wins, regardless of
+       centrality (deliberately different from the batch-mode rule:
+       replacing an already-delivered survivor retroactively is not a
+       thing a corpus-growth pipeline can do);
+    4. crash contract copied from incremental_exact_dedup: survivors go
+       to ``sink`` FIRST, the index append commits SECOND. A crash in
+       between reruns at-least-once — and a rerun of the same batch
+       delivers ZERO new survivors (each doc is now within threshold of
+       its own indexed copy), so an idempotent sink makes the step
+       exactly-once. Duplicate index rows from a partial append are
+       harmless: an extra survivor copy only re-drops the same
+       neighbors.
+
+    Returns the surviving (id, vector, cid) rows of ``new_vecs``.
+    """
+    spark = new_vecs.sparkSession
+    batch = semantic_dedup(new_vecs, centroids, threshold, id_col, vec_col)
+    assigned = _assign_nearest(spread(new_vecs), centroids, id_col, vec_col)
+    kept = (
+        batch.where(F.col("is_kept"))
+        .select(id_col)
+        .join(assigned, on=id_col)
+        .select(id_col, vec_col, "cid")
+    )
+    try:
+        touched = sorted(
+            r["cid"] for r in kept.select("cid").distinct().collect()
+        )
+        stored = (
+            spark.read.parquet(index_path)
+            .where(F.col("cid").isin(touched))
+            .select(
+                F.col("cid"), F.col(vec_col).alias("__sv")
+            )
+        )
+        clash = (
+            kept.join(stored, on="cid")
+            .where(
+                F.round(
+                    cosine_similarity(F.col(vec_col), F.col("__sv")), 6
+                )
+                >= threshold
+            )
+            .select(id_col)
+            .distinct()
+        )
+        kept = kept.join(clash, on=id_col, how="left_anti")
+    except Exception as e:  # first batch: no index yet
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+    # materialize once: the survivor set feeds the sink AND the index
+    # append, and must not be recomputed against a shifting index listing
+    from ..planmode import checkpoint
+
+    kept = checkpoint(kept)
+    if sink is not None:
+        sink(kept)
+    kept.write.partitionBy("cid").mode("append").parquet(index_path)
+    return kept

@@ -469,3 +469,48 @@ def test_srp_neardup_cap_preserves_recall_on_healthy_corpus(spark):
     }
     assert capped == uncapped
     assert len(capped) >= 12  # all planted pairs present
+
+
+def test_incremental_semantic_dedup_corpus_growth(spark, tmp_path):
+    """SemDeDup at corpus-growth time: batch 2's clones of batch-1
+    survivors drop via the partition-pruned index comparison, novel
+    vectors survive, and a full REPLAY of batch 2 delivers zero new
+    survivors (each doc is within threshold of its own indexed copy) —
+    the at-least-once → exactly-once contract."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(24, 64))
+    cents = [(i, [float(x) for x in base[i]]) for i in range(4)]
+    idx = str(tmp_path / "sem_idx")
+
+    def df_of(pairs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in pairs],
+            "vec_id INT, embedding ARRAY<FLOAT>",
+        )
+
+    b1 = df_of([(i, base[i]) for i in range(12)])
+    kept1 = incremental_semantic_dedup(b1, idx, cents, threshold=0.95)
+    ids1 = {r["vec_id"] for r in kept1.collect()}
+    assert ids1  # batch 1 has survivors (random vectors, no dups)
+
+    # batch 2: 4 clones of batch-1 survivors + 4 novel vectors
+    survivors = sorted(ids1)[:4]
+    b2 = df_of(
+        [(100 + j, base[s] + rng.normal(scale=0.005, size=64))
+         for j, s in enumerate(survivors)]
+        + [(200 + j, base[12 + j]) for j in range(4)]
+    )
+    kept2 = incremental_semantic_dedup(b2, idx, cents, threshold=0.95)
+    ids2 = {r["vec_id"] for r in kept2.collect()}
+    assert not (ids2 & {100, 101, 102, 103}), "clone of stored survivor kept"
+    assert {200, 201, 202, 203} <= ids2, "novel vectors must survive"
+
+    # replay of batch 2 (crash-rerun): zero new survivors
+    replay = incremental_semantic_dedup(b2, idx, cents, threshold=0.95)
+    assert replay.count() == 0
