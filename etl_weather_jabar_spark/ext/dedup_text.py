@@ -557,3 +557,131 @@ def crossdoc_repeated_ngrams(
             F.expr("dup_ngrams * 10000 div n_ngrams"),
         ),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    breaker_hexes: tuple[str, ...] = ("0", "1", "2"),
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking: split each document into variable-length
+    token chunks whose boundaries are chosen by a hash of the token
+    itself (a token is a *breaker* when the first hex char of its salted
+    md5 falls in ``breaker_hexes``; the breaker ends its chunk).
+
+    Content-defined (rather than fixed-offset) boundaries are the
+    storage-dedup trick (LBFS, Muthitacharoen et al. 2001) applied to
+    text: inserting one token near the front of a document shifts every
+    fixed-size window, but leaves all chunk boundaries after the next
+    breaker token untouched — so unchanged regions keep identical chunk
+    hashes and still dedup. With 3 of 16 hex digits as breakers the
+    expected chunk length is 16/3 ≈ 5.3 tokens.
+
+    Returns (id, chunk_id, n_toks, chunk) with chunk_id counting from 0
+    in token order. Scale notes (100 TB): the only window is an
+    exclusive running count PARTITIONed BY the document id — state is
+    bounded by one document's tokens, never global; the chunk
+    re-assembly groupBy is keyed on (id, chunk_id), uniform by
+    construction. Tokens (not full documents) flow through the explode,
+    and downstream consumers hash chunks before any cross-doc shuffle.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+    is_brk = F.substring(
+        F.md5(F.concat(F.col("tok"), F.lit(":" + salt))), 1, 1
+    ).isin(*breaker_hexes)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_chunk = toks.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum(is_brk.cast("int")).over(w), F.lit(0)).cast(
+            "bigint"
+        ),
+    )
+    return with_chunk.groupBy(id_col, "chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = 1,
+    breaker_hexes: tuple[str, ...] = ("0", "1", "2"),
+    salt: str = "cdc",
+) -> DataFrame:
+    """RefinedWeb-style line/passage dedup generalized to content-defined
+    chunks: any chunk occurring in more than ``df_cap`` distinct
+    documents is boilerplate and is removed from EVERY document, and the
+    surviving chunks are re-assembled in order (Penedo et al. 2023 run
+    exactly this shape line-wise; chunk boundaries here come from
+    ``cdc_chunks`` so the operator needs no newline structure).
+
+    Returns one row per input document:
+    (id, n_chunks, n_toks, n_kept, kept_toks, clean_fp) where clean_fp
+    is md5 of the re-assembled text ('' hashes when every chunk was
+    boilerplate) — the fingerprint travels to the driver, never the
+    rebuilt body.
+
+    Scale notes (100 TB): chunk document-frequency is computed on
+    md5(chunk) over a two-phase distinct — (hash, id) pairs, never
+    chunk text — and the hot-chunk set joins back as a left_anti on the
+    same uniform 128-bit key. The re-assembly groupBy is keyed by
+    document id; no collect, no window wider than one document.
+    """
+    chunks = cdc_chunks(docs, id_col, text_col, breaker_hexes, salt)
+    chunks = chunks.withColumn("__h", F.md5("chunk"))
+    dfreq = (
+        chunks.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    hot = dfreq.where(F.col("__df") > df_cap).select("__h")
+    kept = chunks.join(hot, "__h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_toks").cast("bigint").alias("kept_toks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_toks").cast("bigint").alias("n_toks"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        "n_toks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("kept_toks"), F.lit(0))
+        .cast("bigint")
+        .alias("kept_toks"),
+        F.coalesce(F.col("clean_fp"), F.md5(F.lit(""))).alias("clean_fp"),
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ext.dedup_text import (
+    cdc_chunk_dedup,
     crossdoc_repeated_ngrams,
     jaccard_verify,
     minhash_lsh_candidates,
@@ -9173,6 +9174,66 @@ def stream_matview_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (F.col("cents") / F.lit(100.0)).alias("sum_total"),
     )
+
+
+@_register(
+    "chunk_dedup_docs",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS pos,
+               unnest(ss) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents)
+    ),
+    cid AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(sum(CASE WHEN substr(md5(tok || ':cdc'), 1, 1)
+                                 IN ('0', '1', '2') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS chunk_id
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id, count(*) AS n_toks,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk
+        FROM cid GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS dfc
+        FROM chunks GROUP BY 1
+    ),
+    kept AS (
+        SELECT c.* FROM chunks c
+        WHERE md5(c.chunk) NOT IN (SELECT h FROM dfreq WHERE dfc > 1)
+    ),
+    reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               CAST(sum(n_toks) AS BIGINT) AS kept_toks,
+               md5(string_agg(chunk, ' ' ORDER BY chunk_id)) AS clean_fp
+        FROM kept GROUP BY 1
+    ),
+    tot AS (
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(n_toks) AS BIGINT) AS n_toks
+        FROM chunks GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_chunks, t.n_toks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.kept_toks, 0) AS kept_toks,
+           COALESCE(r.clean_fp, md5('')) AS clean_fp
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style passage dedup over content-defined chunks
+    (ext/dedup_text.py::cdc_chunk_dedup): hash-chosen chunk boundaries,
+    chunks seen in ≥2 distinct docs removed everywhere, per-doc rebuild
+    fingerprinted. The whole pipeline — boundary hash, chunk assembly,
+    document frequency, removal, re-assembly — is reproduced in the
+    oracle, so the hash match certifies every stage."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return cdc_chunk_dedup(docs)
 
 
 ALL = sorted(QUERIES)

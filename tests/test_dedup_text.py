@@ -162,3 +162,76 @@ def test_crossdoc_repeated_ngrams_planted(spark):
     assert got[2] == (2, 1, 5000)
     assert got[3] == (2, 0, 0)
     assert got[4] == (0, 0, None)
+
+
+def _py_cdc_chunks(text: str) -> list[str]:
+    """Reference chunker: breaker = md5(tok+':cdc') first hex in 012."""
+    import hashlib
+
+    chunks, cur = [], []
+    for tok in text.split():
+        cur.append(tok)
+        if hashlib.md5((tok + ":cdc").encode()).hexdigest()[0] in "012":
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_cdc_chunk_dedup_matches_python_replay(spark):
+    from collections import Counter
+    import hashlib
+
+    from etl_weather_jabar_spark.ext.dedup_text import cdc_chunk_dedup
+
+    rows = [
+        (1, BASE),
+        (2, BASE + " extra trailing words here"),  # shares a prefix run
+        (3, OTHER),
+        (4, "one"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r for r in cdc_chunk_dedup(docs).collect()
+    }
+
+    per_doc = {i: _py_cdc_chunks(t) for i, t in rows}
+    df_cnt = Counter()
+    for i, chs in per_doc.items():
+        for h in {c for c in chs}:
+            df_cnt[h] += 1
+    for i, chs in per_doc.items():
+        kept = [c for c in chs if df_cnt[c] <= 1]
+        assert out[i]["n_chunks"] == len(chs)
+        assert out[i]["n_kept"] == len(kept)
+        assert out[i]["kept_toks"] == sum(len(c.split()) for c in kept)
+        assert out[i]["clean_fp"] == hashlib.md5(
+            " ".join(kept).encode()
+        ).hexdigest()
+
+
+def test_cdc_chunks_stable_past_insertion_point(spark):
+    """The content-defined property: inserting a token near the front
+    changes only chunks up to the next breaker; later chunk hashes are
+    identical, so unchanged regions still dedup."""
+    from etl_weather_jabar_spark.ext.dedup_text import cdc_chunks
+
+    edited = "inserted " + BASE
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, edited)], ["doc_id", "text"]
+    )
+    chunks = {
+        (r["doc_id"], r["chunk_id"]): r["chunk"]
+        for r in cdc_chunks(docs).collect()
+    }
+    base_chunks = _py_cdc_chunks(BASE)
+    edit_chunks = _py_cdc_chunks(edited)
+    # python reference agrees with the Spark chunker
+    for j, c in enumerate(base_chunks):
+        assert chunks[(1, j)] == c
+    for j, c in enumerate(edit_chunks):
+        assert chunks[(2, j)] == c
+    # all chunks after the first (which absorbed the insertion) realign
+    assert edit_chunks[1:] == base_chunks[len(base_chunks) - len(edit_chunks) + 1:]
+    assert len(set(base_chunks) & set(edit_chunks)) >= len(base_chunks) - 2
