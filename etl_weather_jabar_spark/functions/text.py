@@ -128,3 +128,28 @@ def redact_pii(col: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4", 
 def pii_counts(col: Column, kind: str) -> Column:
     """Occurrences of one PII kind (``regexp_count`` — JVM-side)."""
     return F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
+
+
+def hashed_weight(slot: Column, cls: int, salt: str = "w") -> Column:
+    """Deterministic integer weight in [-1000, 1000] for a (feature
+    slot, class) cell, derived from 32 bits of a salted md5 — the
+    cross-engine-reproducible stand-in for a trained linear model's
+    weight matrix (a real model swaps this expression for a broadcast
+    lookup; the relational plumbing around it is identical). Integer
+    weights keep classifier scores exact under any summation order."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    slot.cast("string"),
+                    F.lit(":" + str(cls)),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(2001)) - F.lit(1000)

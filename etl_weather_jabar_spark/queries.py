@@ -9236,4 +9236,100 @@ def chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_dedup(docs)
 
 
+def _clf_w_sql(cls: int) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('w:' || slot || ':{cls}'), 1, 8) "
+        "AS BIGINT) % 2001 - 1000)"
+    )
+
+
+@_register(
+    "classifier_filter_docs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    slotted AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(tok || ':fh'), 1, 8) AS BIGINT)
+                   % {_FH_DIM} AS slot
+        FROM toks
+    ),
+    cnt AS (
+        SELECT doc_id, source, slot, count(*) AS c
+        FROM slotted GROUP BY 1, 2, 3
+    ),
+    sc AS (
+        SELECT doc_id, source,
+               CAST(sum(c * {_clf_w_sql(0)}) AS BIGINT) AS s0,
+               CAST(sum(c * {_clf_w_sql(1)}) AS BIGINT) AS s1,
+               CAST(sum(c * {_clf_w_sql(2)}) AS BIGINT) AS s2
+        FROM cnt GROUP BY 1, 2
+    )
+    SELECT doc_id, source,
+           CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+                WHEN s1 >= s2 THEN 1 ELSE 2 END AS pred_class,
+           greatest(s0, s1, s2) AS best_score,
+           greatest(s0, s1, s2)
+               - (s0 + s1 + s2 - greatest(s0, s1, s2)
+                  - least(s0, s1, s2)) AS margin,
+           CASE WHEN greatest(s0, s1, s2) > 0 THEN 1 ELSE 0 END AS keep
+    FROM sc
+    """,
+)
+def classifier_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear classifier inference as relational algebra —
+    the quality-classifier filtering stage of LLaMA/CCNet-style corpus
+    pipelines. Tokens hash into {_FH_DIM} feature slots (the hashing
+    trick — no vocabulary broadcast), per-(doc, slot) counts aggregate
+    first so the weight expression evaluates once per occupied slot (at
+    most {_FH_DIM} per doc) instead of once per token, then three class
+    scores = Σ count·weight(slot, class) reduce per document. Argmax
+    with lowest-class tie-break, margin = best − runner-up, and the
+    keep flag (score > 0) is the filter decision. Weights are
+    md5-derived integers (functions/text.py::hashed_weight) so scores
+    are exact in any engine and summation order; a trained model swaps
+    the weight expression for a broadcast lookup — every join, explode
+    and aggregation in the plan stays the same. 100 TB: two uniform
+    hash-keyed aggregations, zero Python, zero skew (slots are uniform
+    by construction)."""
+    from .functions.text import feature_hash_slot, hashed_weight
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    slotted = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "source",
+        feature_hash_slot(F.col("tok"), _FH_DIM).alias("slot"),
+    )
+    cnt = slotted.groupBy("doc_id", "source", "slot").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sc = cnt.groupBy("doc_id", "source").agg(
+        *[
+            F.sum(F.col("c") * hashed_weight(F.col("slot"), k))
+            .cast("bigint")
+            .alias(f"s{k}")
+            for k in range(3)
+        ]
+    )
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    best = F.greatest(s0, s1, s2)
+    second = s0 + s1 + s2 - best - F.least(s0, s1, s2)
+    return sc.select(
+        "doc_id",
+        "source",
+        F.when((s0 >= s1) & (s0 >= s2), 0)
+        .when(s1 >= s2, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("pred_class"),
+        best.alias("best_score"),
+        (best - second).alias("margin"),
+        F.when(best > 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
 ALL = sorted(QUERIES)

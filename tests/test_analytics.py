@@ -295,3 +295,51 @@ def test_sql_standard_rollup_matches_native_on_nonempty(spark):
     assert [(r["d"], r["t"], r["n"], r["s"]) for r in got_cube] == [
         (None, None, 0, None)
     ]
+
+
+def test_classifier_filter_matches_python_replay(spark):
+    """Hashed linear classifier inference: replay two documents' scores
+    in pure python (md5 slot + md5 weights) and pin argmax/margin/keep."""
+    import hashlib
+
+    from etl_weather_jabar_spark.queries import QUERIES
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["classifier_filter_docs"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(50).collect()
+    }
+
+    def _slot(tok):
+        return int(hashlib.md5((tok + ":fh").encode()).hexdigest()[:8], 16) % 64
+
+    def _w(slot, cls):
+        h = hashlib.md5(f"w:{slot}:{cls}".encode()).hexdigest()[:8]
+        return int(h, 16) % 2001 - 1000
+
+    checked = 0
+    for did, text in list(docs.items())[:5]:
+        scores = [0, 0, 0]
+        for tok in text.split():
+            s = _slot(tok)
+            for c in range(3):
+                scores[c] += _w(s, c)
+        best = max(scores)
+        pred = scores.index(best)
+        second = sorted(scores)[-2]
+        row = out[did]
+        assert row["pred_class"] == pred
+        assert row["best_score"] == best
+        assert row["margin"] == best - second
+        assert row["keep"] == (1 if best > 0 else 0)
+        checked += 1
+    assert checked == 5
+    # the model must actually discriminate on this corpus
+    assert len({r["pred_class"] for r in out.values()}) > 1
