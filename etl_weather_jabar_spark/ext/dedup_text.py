@@ -685,3 +685,83 @@ def cdc_chunk_dedup(
         .alias("kept_toks"),
         F.coalesce(F.col("clean_fp"), F.md5(F.lit(""))).alias("clean_fp"),
     )
+
+
+def hamming_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Pigeonhole-banded Hamming near-dup candidates over ANY integer
+    fingerprint column — the banding core of ``simhash_candidates``
+    factored out so other fingerprint families (image aHash in
+    ext/multimodal.py, audio fingerprints) reuse it: split the ``bits``-
+    wide signature into ``max_hamming+1`` chunks; two signatures within
+    ``max_hamming`` bits must agree on at least one whole chunk, so a
+    (chunk_idx, chunk_bits) equi-join finds every such pair. Exact
+    ``bit_count(a XOR b)`` filters false positives; buckets above
+    ``max_bucket`` are dropped (degenerate-content cap — same knob and
+    same birthday-process width bound as simhash_candidates).
+
+    Signed two's-complement signatures are fine: arithmetic shiftright
+    plus the chunk mask strips sign-extension bits, and XOR/bit_count
+    are sign-agnostic. Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    bands = max_hamming + 1
+    chunk_bits = bits // bands + (1 if bits % bands else 0)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig_col), b * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        id_col, sig_col, F.explode(chunks).alias("bb")
+    ).select(
+        id_col,
+        sig_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+    )
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col(sig_col).alias("s"))
+        )
+    )
+    buckets = (
+        banded.groupBy("band", "chunk")
+        .agg(members.alias("ms"))
+        .where(F.size("ms").between(2, max_bucket))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ms"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ms"), i + 2, F.size("ms")),
+                            lambda b: F.struct(
+                                a["i"].alias("id_a"),
+                                b["i"].alias("id_b"),
+                                F.bit_count(
+                                    a["s"].bitwiseXOR(b["s"])
+                                ).alias("hamming"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -559,3 +559,87 @@ def decode_png(payload: bytes):
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
     return out.reshape(h, w, c)
+
+
+def ahash64(arr) -> int:
+    """Exact-integer 64-bit average hash (aHash) of an image array — the
+    classic perceptual fingerprint for image near-dup detection: 8×8
+    grid of luminance cells, bit set iff the cell's mean exceeds the
+    global mean. Everything stays in integer arithmetic — luminance is
+    the raw channel sum (no /3), and the mean comparison is the exact
+    cross-multiplication ``cell_sum · n_pixels > total_sum · cell_n`` —
+    so the hash is bit-reproducible on any platform. Cells are the
+    integer partition [⌊k·h/8⌋, ⌊(k+1)·h/8⌋); images smaller than 8px on
+    a side leave their empty cells at bit 0. Bit (y·8+x) is taken MSB
+    first; the result is returned as a SIGNED two's-complement int64 so
+    it stores in a Spark long and feeds ext/dedup_text.py::
+    hamming_candidates directly."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    gray = (
+        a.astype(np.int64).sum(axis=2) if a.ndim == 3 else a.astype(np.int64)
+    )
+    h, w = gray.shape
+    total = int(gray.sum())
+    npix = h * w
+    bits = 0
+    for y in range(8):
+        y0, y1 = y * h // 8, (y + 1) * h // 8
+        for x in range(8):
+            x0, x1 = x * w // 8, (x + 1) * w // 8
+            cell = gray[y0:y1, x0:x1]
+            cn = cell.size
+            bit = 1 if cn and int(cell.sum()) * npix > total * cn else 0
+            bits = (bits << 1) | bit
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sig", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def ahash_media(media: DataFrame) -> DataFrame:
+    """Decode each image payload with the REAL codec-free parsers (PPM
+    via decode_ppm, PNG via the stdlib-zlib decode_png) and fingerprint
+    it with ``ahash64``. Arrow-batched mapInPandas — blobs are decoded
+    where they already sit, and only the 8-byte fingerprint (plus true
+    dimensions) leaves the stage, so any downstream near-dup banding
+    join shuffles longs, never pixels. Undecodable payloads yield a
+    NULL sig (quarantine row), mirroring the quarantine contract of the
+    batch sinks."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                try:
+                    raw = bytes(payload)
+                    if mime == "image/png":
+                        arr = decode_png(raw)
+                    else:
+                        arr = decode_ppm(raw)
+                    if arr.ndim == 3 and arr.shape[2] == 4:
+                        arr = arr[:, :, :3]  # alpha is not luminance
+                    sig, (ih, iw) = ahash64(arr), arr.shape[:2]
+                    out.append((int(mid), sig, int(iw), int(ih)))
+                except ValueError:  # malformed payload → quarantine row
+                    out.append((int(mid), None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sig", "width", "height"]
+            )
+
+    return media.where(F.col("kind") == "image").select(
+        "media_id", "payload", "mime"
+    ).mapInPandas(run, schema=AHASH_SCHEMA)

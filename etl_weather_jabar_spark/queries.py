@@ -9332,4 +9332,97 @@ def classifier_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("image_ahash_neardup")  # rows-only: binary payload ops
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup detection end-to-end: synthesize one
+    image per document (pixels from the text's md5; EVEN ids PPM, ODD
+    ids PNG so both real decoders run), with PLANTED near-dups — every
+    doc_id ≡ 7 (mod 10) renders the PREVIOUS document's pixels with one
+    pixel perturbed. Fingerprint with the exact-integer 64-bit aHash
+    (ext/multimodal.py::ahash64) and pair via pigeonhole Hamming
+    banding (ext/dedup_text.py::hamming_candidates) — the image twin of
+    the SimHash text tier, sharing its banding core, its max_bucket cap
+    and its width bound. Only 8-byte fingerprints shuffle; pixels never
+    leave the decode stage. Rows-only (binary payloads have no SQL
+    twin); aHash correctness and planted-pair recall are pinned in
+    tests/test_multimodal.py."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .ext.dedup_text import hamming_candidates
+    from .ext.multimodal import MEDIA_SCHEMA, ahash_media
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    # doc 10k+7 renders doc 10k+6's pixels (one pixel perturbed);
+    # every other doc renders its own — so docs ≡6 source two rows
+    own = docs.where(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("render_id"),
+        F.col("text").alias("base_text"),
+    )
+    shifted = docs.where(F.col("doc_id") % 10 == 6).select(
+        (F.col("doc_id") + 1).alias("render_id"),
+        F.col("text").alias("base_text"),
+    )
+    paired = docs.join(
+        own.unionByName(shifted),
+        docs["doc_id"] == F.col("render_id"),
+        "inner",
+    ).select("doc_id", "base_text")
+
+    def make_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .ext.multimodal import encode_png, encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["base_text"]):
+                digest = hashlib.md5((text or "").encode()).digest()
+                w, h = 16 + digest[0] % 9, 16 + digest[1] % 9
+                px = np.frombuffer(
+                    (digest * ((w * h * 3) // 16 + 1))[: w * h * 3],
+                    dtype=np.uint8,
+                ).reshape(h, w, 3).copy()
+                if int(did) % 10 == 7:
+                    px[0, 0] = (px[0, 0].astype(np.int64) ^ 0x55).astype(
+                        np.uint8
+                    )
+                if int(did) % 2:
+                    payload, mime = (
+                        encode_png(px, filter_type=digest[2] % 5),
+                        "image/png",
+                    )
+                else:
+                    payload, mime = encode_ppm(px), "image/x-ppm"
+                rows.append(
+                    (int(did), "image", payload, mime, w, h, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "mime",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    media = paired.mapInPandas(make_media, schema=MEDIA_SCHEMA)
+    sigs = ahash_media(media).where(F.col("sig").isNotNull())
+    pairs = hamming_candidates(
+        sigs, id_col="media_id", sig_col="sig", bits=64, max_hamming=3
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        (
+            (F.col("id_b") == F.col("id_a") + 1)
+            & (F.col("id_b") % 10 == 7)
+        ).cast("int").alias("planted"),
+    )
+
+
 ALL = sorted(QUERIES)

@@ -396,3 +396,83 @@ def test_extract_features_real_decodes_png(spark):
     assert (got[3]["mean_r"], got[3]["mean_g"], got[3]["mean_b"]) == (lum, lum, lum)
     # corrupt PNG → quarantined null row, batch survives
     assert got[4]["width"] is None and got[4]["mean_r"] is None
+
+
+def test_ahash64_known_pattern_and_stability():
+    """Left-dark/right-bright image → exactly the 0x0F0F… column pattern;
+    identical pixels → identical hash."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import ahash64
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, 8:, :] = 200  # right half bright
+    h = ahash64(img)
+    assert h == 0x0F0F0F0F0F0F0F0F
+    assert ahash64(img.copy()) == h
+    # single-pixel perturbation moves the hash only slightly
+    pert = img.copy()
+    pert[0, 0] = 90
+    ham = bin((h ^ ahash64(pert)) & (2**64 - 1)).count("1")
+    assert ham <= 8
+
+
+def test_hamming_candidates_complete_within_radius(spark):
+    """Pigeonhole banding is COMPLETE for hamming ≤ max_hamming: the
+    candidate set equals the brute-force pair set over real aHash
+    fingerprints of synthesized images (planted near-dup included)."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.dedup_text import hamming_candidates
+    from etl_weather_jabar_spark.ext.multimodal import ahash64
+
+    sigs = []
+    base = None
+    for i in range(40):
+        digest = hashlib.md5(f"img{i}".encode()).digest()
+        w, h = 16 + digest[0] % 9, 16 + digest[1] % 9
+        px = np.frombuffer(
+            (digest * ((w * h * 3) // 16 + 1))[: w * h * 3], dtype=np.uint8
+        ).reshape(h, w, 3).copy()
+        if i == 0:
+            base = px
+        if i == 1:
+            px = base.copy()  # plant an exact dup (hamming 0)
+            px[0, 0] ^= 0x03
+        sigs.append((i, ahash64(px)))
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_candidates(
+            spark.createDataFrame(sigs, ["media_id", "sig"]),
+            id_col="media_id",
+            sig_col="sig",
+        ).collect()
+    }
+    want = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            ham = bin((sigs[i][1] ^ sigs[j][1]) & (2**64 - 1)).count("1")
+            if ham <= 3:
+                want[(i, j)] = ham
+    assert got == want
+    assert (0, 1) in got  # the planted near-dup surfaced
+
+
+def test_image_ahash_neardup_registry_planted_recall(spark):
+    """The registry query finds every planted pair whose true aHash
+    distance is within the banding radius (completeness), and labels
+    them planted."""
+    from etl_weather_jabar_spark.queries import QUERIES
+
+    rows = QUERIES["image_ahash_neardup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in rows if r["planted"] == 1}
+    # 50 planted pairs at sf0.001; ≥90% sit within hamming ≤ 3 (the
+    # remainder genuinely exceed the radius — global-mean shift)
+    assert len(planted) >= 45
+    assert all(b == a + 1 and b % 10 == 7 for a, b in planted)
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
