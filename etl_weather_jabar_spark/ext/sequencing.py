@@ -92,3 +92,126 @@ def chunk_documents(
         )
         .drop("__start")
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    materialize_rounds: bool = True,
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    the first ``rounds`` merge rules over the corpus, entirely as
+    relational algebra — the vocabulary-construction stage of every LLM
+    pipeline, here with zero driver-side state.
+
+    Per round: (1) count adjacent symbol pairs across the word table,
+    frequency-weighted, every occurrence counted (``get_stats``
+    semantics — 'a a a' contributes (a,a) twice); (2) pick the best
+    pair by (count DESC, left ASC, right ASC) — a deterministic
+    ``limit(1)``; (3) apply the merge to every word with a left-to-right
+    greedy fold (``F.aggregate`` over the symbol array — a freshly
+    merged symbol never re-merges within its round, matching the
+    reference implementation's non-overlapping replace).
+
+    Returns (round, left_sym, right_sym, pair_count), one row per
+    learned merge. The whole computation is ONE lazy plan: each round's
+    best pair enters the next round as a broadcast 1-row cross join,
+    never a collect.
+
+    Scale notes (100 TB): the corpus is touched ONCE (the word-count
+    aggregation); every round after that works on the word table, whose
+    size is the VOCABULARY (bounded, skew-free after the count agg —
+    a hot word is one row here no matter how often it occurs). Pair
+    counting explodes ≤ len(word) symbols per word — vocab-bounded, not
+    corpus-bounded. ``materialize_rounds`` localCheckpoints the symbol
+    table between rounds (via planmode-aware ``checkpoint``) so round
+    r's two consumers (pair counts + merge apply) don't recompute the
+    whole prefix chain; plan-only callers skip it automatically.
+    """
+    from functools import reduce as _reduce
+
+    from ..planmode import checkpoint
+
+    words = (
+        spread(docs.select(F.col(text_col).alias("__t")))
+        .select(F.explode(F.split("__t", r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    syms = words.select(
+        "w",
+        "f",
+        F.concat(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(" </w>"),
+        ).alias("s"),
+    )
+    merges = []
+    for r in range(1, rounds + 1):
+        if materialize_rounds:
+            syms = checkpoint(syms)
+        arr = F.split(F.col("s"), " ")
+        pairs = (
+            syms.select(
+                "f",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.struct(
+                            F.element_at(arr, i).alias("l"),
+                            F.element_at(arr, i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("f").cast("bigint").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.col("c").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1)
+        merges.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        bl, br = F.col("__bl"), F.col("__br")
+        merged = F.concat(bl, br)
+        syms = (
+            syms.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("l").alias("__bl"), F.col("r").alias("__br")
+                    )
+                )
+            )
+            .select(
+                "w",
+                "f",
+                F.aggregate(
+                    F.split(F.col("s"), " "),
+                    F.lit(""),
+                    lambda acc, x: F.when(acc == F.lit(""), x)
+                    .when((acc == bl) & (x == br), merged)
+                    .when(
+                        acc.endswith(F.concat(F.lit(" "), bl)) & (x == br),
+                        F.concat(
+                            F.substring(
+                                acc,
+                                F.lit(1),
+                                F.length(acc) - F.length(bl) - 1,
+                            ),
+                            F.lit(" "),
+                            merged,
+                        ),
+                    )
+                    .otherwise(F.concat(acc, F.lit(" "), x)),
+                ).alias("s"),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), merges)

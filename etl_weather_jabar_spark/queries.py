@@ -9425,4 +9425,68 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 4
+
+
+def _bpe_round_cte(r: int) -> str:
+    return f"""
+    pairs{r} AS (
+        SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+            SELECT f, list_extract(arr, i) AS l,
+                   list_extract(arr, i + 1) AS r
+            FROM (SELECT f, arr,
+                         unnest(generate_series(1, len(arr) - 1)) AS i
+                  FROM (SELECT f, string_split(s, ' ') AS arr
+                        FROM syms{r - 1}))
+        ) GROUP BY 1, 2
+    ),
+    best{r} AS (
+        SELECT l, r, c FROM pairs{r} ORDER BY c DESC, l, r LIMIT 1
+    ),
+    syms{r} AS (
+        SELECT w, f,
+               list_reduce(string_split(s, ' '),
+                   (acc, x) -> CASE
+                       WHEN acc = b.l AND x = b.r THEN acc || x
+                       WHEN ends_with(acc, ' ' || b.l) AND x = b.r
+                           THEN substr(acc, 1,
+                                       length(acc) - length(b.l) - 1)
+                                || ' ' || b.l || b.r
+                       ELSE acc || ' ' || x END) AS s
+        FROM syms{r - 1}, best{r} b
+    )"""
+
+
+@_register(
+    "bpe_merge_rounds",
+    "WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w"
+    "            FROM documents),\n"
+    "    words AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w0"
+    "              WHERE w <> '' GROUP BY 1),\n"
+    "    syms0 AS (SELECT w, f,"
+    "              trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>'"
+    "              AS s FROM words),"
+    + ",".join(_bpe_round_cte(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {r} AS round, l AS left_sym, r AS right_sym,"
+        f" c AS pair_count FROM best{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ),
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first {rounds} merge rules
+    (ext/sequencing.py::bpe_train_merges): corpus touched once for the
+    word-count table, then every round is vocabulary-bounded — pair
+    counting, deterministic best-pair limit(1), greedy left-to-right
+    merge fold — all in one lazy plan with 1-row broadcast joins
+    between rounds. The oracle unrolls the identical rounds as CTEs
+    (list_reduce is the same fold), so the hash match certifies the
+    entire training loop, not just the counts."""
+    from .ext.sequencing import bpe_train_merges
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_train_merges(docs, rounds=_BPE_ROUNDS)
+
+
 ALL = sorted(QUERIES)

@@ -142,3 +142,69 @@ def test_quantize_int8_frozen_codebook_reused(spark):
         for r in quantize_int8(new, stats=codebook).collect()
     }
     assert got == {1: 0, 2: 255}
+
+
+def _py_bpe(texts, rounds):
+    """Reference BPE (subword-nmt get_stats/merge semantics)."""
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.split())
+    vocab = {tuple(w) + ("</w>",): f for w, f in wc.items()}
+    out = []
+    for rnd in range(1, rounds + 1):
+        stats = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        (l, r), c = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rnd, l, r, c))
+        newv = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            newv[tuple(merged)] = newv.get(tuple(merged), 0) + f
+        vocab = newv
+    return out
+
+
+def test_bpe_train_merges_matches_reference(spark):
+    from etl_weather_jabar_spark.ext.sequencing import bpe_train_merges
+
+    texts = [
+        "low lower lowest newest newest wide widest low low",
+        "new new newer lowest widest wide wide low newest",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_merges(docs, rounds=5).orderBy("round").collect()
+    ]
+    assert got == _py_bpe(texts, 5)
+
+
+def test_bpe_merge_is_left_to_right_non_overlapping(spark):
+    """'a a a a a' with best pair (a,a): greedy left-to-right merges
+    positions (0,1) and (2,3) only — a fresh merge never re-merges in
+    its own round. Overlap counting: the pair stats count (a,a) four
+    times (every adjacent occurrence)."""
+    from etl_weather_jabar_spark.ext.sequencing import bpe_train_merges
+
+    docs = spark.createDataFrame([("aaaaa aaaaa",)], ["text"])
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_merges(docs, rounds=3).orderBy("round").collect()
+    ]
+    assert got == _py_bpe(["aaaaa aaaaa"], 3)
+    # round 1 must be (a, a) with count 2·4 = 8 (overlaps counted)
+    assert got[0] == (1, "a", "a", 8)
+    # round 2: symbols are [aa, aa, a, </w>] — every pair ties at
+    # count 2, so the lexicographic tie-break picks (a, </w>)
+    assert got[1] == (2, "a", "</w>", 2)
