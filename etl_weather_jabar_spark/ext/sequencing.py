@@ -131,6 +131,32 @@ def bpe_train_merges(
     """
     from functools import reduce as _reduce
 
+    merges, _ = _bpe_chain(docs, text_col, rounds, materialize_rounds)
+    return _reduce(lambda a, b: a.unionByName(b), merges)
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    materialize_rounds: bool = True,
+) -> DataFrame:
+    """The trained tokenizer as data: the word table AFTER the learned
+    merges, one row per distinct word — (w, f, s, n_syms) where ``s``
+    is the word's final space-joined symbol string and ``n_syms`` its
+    true subword token count. Joining the corpus against this
+    (vocab-bounded, broadcastable) table IS BPE encoding — the apply
+    side of ``bpe_train_merges``."""
+    _, syms = _bpe_chain(docs, text_col, rounds, materialize_rounds)
+    return syms.select(
+        "w",
+        "f",
+        "s",
+        F.size(F.split("s", " ")).cast("bigint").alias("n_syms"),
+    )
+
+
+def _bpe_chain(docs, text_col, rounds, materialize_rounds):
     from ..planmode import checkpoint
 
     words = (
@@ -214,4 +240,4 @@ def bpe_train_merges(
                 ).alias("s"),
             )
         )
-    return _reduce(lambda a, b: a.unionByName(b), merges)
+    return merges, syms

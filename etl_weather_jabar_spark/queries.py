@@ -9489,4 +9489,67 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(docs, rounds=_BPE_ROUNDS)
 
 
+@_register(
+    "bpe_encode_stats",
+    "WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w"
+    "            FROM documents),\n"
+    "    words AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w0"
+    "              WHERE w <> '' GROUP BY 1),\n"
+    "    syms0 AS (SELECT w, f,"
+    "              trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>'"
+    "              AS s FROM words),"
+    + ",".join(_bpe_round_cte(r) for r in range(1, _BPE_ROUNDS + 1))
+    + f""",
+    vocab AS (
+        SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_syms
+        FROM syms{_BPE_ROUNDS}
+    ),
+    dw AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    )
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS ws_tokens,
+           CAST(sum(v.n_syms) AS BIGINT) AS bpe_tokens,
+           CAST(sum(length(dw.w)) AS BIGINT) AS total_chars,
+           {_sql_halfup('sum(length(dw.w)) * 1000', 'sum(v.n_syms)')}
+               AS chars_per_token_milli
+    FROM dw JOIN vocab v USING (w)
+    GROUP BY source
+    """,
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING as a vocab join: the trained symbol table
+    (ext/sequencing.py::bpe_vocab — vocabulary-sized, broadcast) joined
+    against the corpus word stream gives every document's TRUE subword
+    token count under the learned merges, rolled up per source with the
+    exact chars-per-token compression ratio (integer milli-units). This
+    is the 'how many REAL tokens is my corpus' query — the trained
+    counterpart of token_count_stats' ceil(len/4) estimate. 100 TB: one
+    corpus-sized explode, one broadcast join, one aggregation; the
+    training chain upstream is vocabulary-bounded."""
+    from .ext.sequencing import bpe_vocab
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = bpe_vocab(docs, rounds=_BPE_ROUNDS).select("w", "n_syms")
+    dw = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        dw.join(F.broadcast(vocab), "w")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_syms").cast("bigint").alias("bpe_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("total_chars"),
+            _half_up_div(
+                F.sum(F.length("w")).cast("bigint") * F.lit(1000),
+                F.sum("n_syms").cast("bigint"),
+            ).alias("chars_per_token_milli"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)

@@ -208,3 +208,46 @@ def test_bpe_merge_is_left_to_right_non_overlapping(spark):
     # round 2: symbols are [aa, aa, a, </w>] — every pair ties at
     # count 2, so the lexicographic tie-break picks (a, </w>)
     assert got[1] == (2, "a", "</w>", 2)
+
+
+def test_bpe_vocab_encoding_matches_reference(spark):
+    """The post-merge symbol table (the apply side) matches the python
+    reference's final vocab: same segmentation, same token counts."""
+    from collections import Counter
+
+    from etl_weather_jabar_spark.ext.sequencing import bpe_vocab
+
+    texts = [
+        "low lower lowest newest newest wide widest low low",
+        "new new newer lowest widest wide wide low newest",
+    ]
+    rounds = 5
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {
+        r["w"]: (r["f"], r["s"], r["n_syms"])
+        for r in bpe_vocab(docs, rounds=rounds).collect()
+    }
+
+    wc = Counter(w for t in texts for w in t.split())
+    vocab = {w: [*w, "</w>"] for w in wc}
+    for rnd in range(rounds):
+        stats = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += wc[w]
+        (l, r), _ = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == {
+        w: (wc[w], " ".join(syms), len(syms)) for w, syms in vocab.items()
+    }
