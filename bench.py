@@ -78,6 +78,11 @@ TIER3_QUERIES = [
     "pagerank_exact_int",
     "rollup_grand_total_empty",
     "multimodal_features_real",
+    "chunk_dedup_docs",
+    "classifier_filter_docs",
+    "image_ahash_neardup",
+    "bpe_merge_rounds",
+    "bpe_encode_stats",
 ]
 
 

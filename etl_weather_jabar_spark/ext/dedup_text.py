@@ -648,8 +648,13 @@ def cdc_chunk_dedup(
     same uniform 128-bit key. The re-assembly groupBy is keyed by
     document id; no collect, no window wider than one document.
     """
-    chunks = cdc_chunks(docs, id_col, text_col, breaker_hexes, salt)
-    chunks = chunks.withColumn("__h", F.md5("chunk"))
+    # three consumers (df count, anti-join, per-doc totals) read the
+    # chunk table — materialize it once (identity in plan-only mode)
+    chunks = checkpoint(
+        cdc_chunks(docs, id_col, text_col, breaker_hexes, salt).withColumn(
+            "__h", F.md5("chunk")
+        )
+    )
     dfreq = (
         chunks.select("__h", id_col)
         .distinct()
