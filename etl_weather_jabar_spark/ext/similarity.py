@@ -873,3 +873,67 @@ def incremental_semantic_dedup(
         sink(kept)
     kept.write.partitionBy("cid").mode("append").parquet(index_path)
     return kept
+
+
+def jl_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim``
+    dimensions with a ±1 sign matrix (Achlioptas 2003: a Rademacher
+    matrix preserves pairwise distances as well as a Gaussian one) —
+    the dimensionality-reduction stage in front of ANN / clustering /
+    dedup when 100 TB of embeddings won't fit the index budget.
+
+    The sign matrix is md5-derived from (salt, i, j) — no stored model,
+    any engine reproduces it — and components are quantized to exact
+    integer micro-units before summation, so every projected value is
+    an order-free integer: ``proj_mu[j] = Σ_i ±round(e_i·10⁶)``
+    (unnormalized — downstream cosine is scale-invariant, and callers
+    wanting unit scale divide by √out_dim once, outside the exact
+    core).
+
+    Returns (id, j, proj_mu) long-format. Scale: one explode (in_dim
+    rows per vector), one ``out_dim``-way fan-out, one uniform-keyed
+    partial-aggregatable groupBy; the 'matrix' costs one md5 per
+    (component, j) pair and zero memory.
+    """
+    comps = emb.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("i", "comp"),
+    ).select(
+        F.col(id_col),
+        "i",
+        F.round(F.col("comp").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("v"),
+    )
+    fanned = comps.select(
+        F.col(id_col),
+        "i",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j"),
+    )
+    sign_is_pos = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    return fanned.groupBy(id_col, "j").agg(
+        F.sum(F.when(sign_is_pos, F.col("v")).otherwise(-F.col("v")))
+        .cast("bigint")
+        .alias("proj_mu")
+    )

@@ -9552,4 +9552,126 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pmi_topk_bigrams",
+    f"""
+    WITH arr AS (SELECT string_split(text, ' ') AS a FROM documents),
+    uni AS (SELECT unnest(a) AS w FROM arr),
+    ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+    big AS (SELECT list_extract(a, i) AS x, list_extract(a, i + 1) AS y
+            FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+                  FROM arr)),
+    bcnt AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+             FROM big GROUP BY 1, 2),
+    btot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM big)
+    SELECT x, y, bcnt.c AS pair_count,
+           CAST({_sql_halfup(
+               'CAST(bcnt.c AS HUGEINT) * n * n * 1000',
+               'CAST(m AS HUGEINT) * ux.c * uy.c',
+           )} AS BIGINT) AS pmi_ratio_milli
+    FROM bcnt
+    JOIN ucnt ux ON bcnt.x = ux.w
+    JOIN ucnt uy ON bcnt.y = uy.w, tot, btot
+    WHERE bcnt.c >= 5
+    ORDER BY pmi_ratio_milli DESC, x, y LIMIT 50
+    """,
+)
+def pmi_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent bigrams by pointwise mutual
+    information — the phrase-detection pass (word2vec-style phrase
+    joining, stopword-pair diagnosis) over a training corpus. The PMI
+    exponential p(xy)/(p(x)·p(y)) = c_xy·N²/(M·c_x·c_y) is ranked as an
+    exact integer milli-ratio (decimal38/HUGEINT cross-multiplication,
+    half-up) so the ordering — including ties — is engine-independent;
+    no log, no float. 100 TB: unigram and bigram counts are two
+    partial-aggregatable groupBys; the count tables are vocab- and
+    vocab²-bounded, both joins broadcast; N and M ride along as 1-row
+    broadcasts; min-count 5 prunes the tail before the join."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    arr = F.split("text", " ")
+    toks = docs.select(F.explode(arr).alias("w"))
+    ucnt = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = F.col("a")
+    big = docs.select(arr.alias("a")).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - 1),
+                lambda i: F.struct(
+                    F.element_at(a, i).alias("x"),
+                    F.element_at(a, i + 1).alias("y"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bcnt = big.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    btot = big.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    joined = (
+        bcnt.where(F.col("c") >= 5)
+        .join(
+            F.broadcast(ucnt.select(F.col("w").alias("x"),
+                                    F.col("c").alias("cx"))), "x"
+        )
+        .join(
+            F.broadcast(ucnt.select(F.col("w").alias("y"),
+                                    F.col("c").alias("cy"))), "y"
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    dec = "decimal(38,0)"
+    return (
+        joined.select(
+            "x",
+            "y",
+            F.col("c").alias("pair_count"),
+            _half_up_div(
+                F.col("c").cast(dec)
+                * F.col("n")
+                * F.col("n")
+                * F.lit(1000),
+                F.col("m").cast(dec) * F.col("cx") * F.col("cy"),
+            ).alias("pmi_ratio_milli"),
+        )
+        .orderBy(F.col("pmi_ratio_milli").desc(), "x", "y")
+        .limit(50)
+    )
+
+
+@_register(
+    "jl_project_embeddings",
+    """
+    WITH u AS (
+        SELECT vec_id, pos - 1 AS i,
+               CAST(round(CAST(comp AS DOUBLE) * 1000000) AS BIGINT) AS v
+        FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                     unnest(embedding) AS comp
+              FROM embeddings)
+    ),
+    pj AS (SELECT vec_id, i, v,
+                  unnest(generate_series(0, 15)) AS j FROM u)
+    SELECT vec_id, CAST(j AS INT) AS j,
+           CAST(sum(CASE WHEN substr(md5('jl:' || i || ':' || j), 1, 1)
+                              < '8'
+                     THEN v ELSE -v END) AS BIGINT) AS proj_mu
+    FROM pj GROUP BY 1, 2
+    """,
+)
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 projection of the embeddings table to
+    16 dimensions (ext/similarity.py::jl_project): md5-derived sign
+    matrix, exact micro-unit integer sums, long-format output — the
+    whole projection is reproduced in the oracle, so the hash match
+    certifies matrix derivation and arithmetic bit-for-bit."""
+    from .ext.similarity import jl_project
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return jl_project(emb, out_dim=16).select(
+        "vec_id", F.col("j").cast("int").alias("j"), "proj_mu"
+    )
+
+
 ALL = sorted(QUERIES)

@@ -514,3 +514,47 @@ def test_incremental_semantic_dedup_corpus_growth(spark, tmp_path):
     # replay of batch 2 (crash-rerun): zero new survivors
     replay = incremental_semantic_dedup(b2, idx, cents, threshold=0.95)
     assert replay.count() == 0
+
+
+def test_jl_project_python_replay_and_norm_preservation(spark):
+    """The ±1 projection matches an exact python replay, and the JL
+    property holds: E[‖Px‖²] = out_dim·‖x‖², so the per-vector ratio
+    concentrates near 1 and its corpus mean sits well inside ±15%."""
+    import hashlib
+
+    from etl_weather_jabar_spark.ext.similarity import jl_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = jl_project(emb, out_dim=16)
+    rows = out.collect()
+    proj = {}
+    for r in rows:
+        proj.setdefault(r["vec_id"], {})[r["j"]] = r["proj_mu"]
+
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+    def sign(i, j):
+        return (
+            1
+            if hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[0] < "8"
+            else -1
+        )
+
+    # exact replay for three vectors
+    for vid in list(vecs)[:3]:
+        units = [round(float(c) * 1e6) for c in vecs[vid]]
+        for j in range(16):
+            want = sum(sign(i, j) * u for i, u in enumerate(units))
+            assert proj[vid][j] == want
+
+    # norm preservation in expectation across the corpus
+    ratios = []
+    for vid, v in vecs.items():
+        units = [round(float(c) * 1e6) for c in v]
+        orig = sum(u * u for u in units)
+        pn = sum(p * p for p in proj[vid].values())
+        if orig:
+            ratios.append(pn / (16 * orig))
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15
+    assert all(0.05 < r < 5.0 for r in ratios)
