@@ -937,3 +937,100 @@ def jl_project(
         .cast("bigint")
         .alias("proj_mu")
     )
+
+
+def pca_top_direction(
+    emb: DataFrame,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of the embedding covariance by power
+    iteration, entirely in EXACT fixed-point integer arithmetic — the
+    PCA/whitening primitive behind dimension pruning and decorrelation,
+    certified cross-engine because no float ever enters.
+
+    Pipeline: (1) the FULL d×d covariance matrix in µ-units² from one
+    narrow self-join (same exact-moment core as
+    ``embedding_covariance_topk``: n·Σxy − Σx·Σy half-up over n², all
+    decimal(38,0)); (2) ``rounds`` matvec steps w = C·v as a broadcast
+    join + d-group aggregate, each followed by an exact re-scale
+    v' = half_up(w·10⁶ / max|w|) that pins the iterate to ±10⁶ so the
+    fixed point never overflows decimal38 and the division is the same
+    integer in every engine (the data-dependent max|w| is a 1-row
+    broadcast, not a collect). Starting vector: all ones — sign and
+    ties are therefore deterministic.
+
+    Returns (dim, v_scaled) with v_scaled ∈ [−10⁶, 10⁶]; callers
+    wanting a unit vector divide by its norm once, outside the exact
+    core. Scale: the corpus is touched once (the moment aggregate,
+    d²-bounded output); every iteration is d²-sized work regardless of
+    corpus size.
+    """
+    from ..planmode import checkpoint
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    def halfup_wide(num, den):
+        a = num * 2 + den
+        b = den * 2
+        return (a - F.pmod(a, b)) / b
+
+    u = emb.select(
+        id_col, F.posexplode(vec_col).alias("dim", "comp")
+    ).select(
+        id_col,
+        "dim",
+        F.round(F.col("comp").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("v"),
+    )
+    a = u.select(id_col, F.col("dim").alias("i"), F.col("v").alias("va"))
+    b = u.select(id_col, F.col("dim").alias("j"), F.col("v").alias("vb"))
+    g = (
+        a.join(b, on=id_col)
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("va"))).alias("si"),
+            F.sum(dec(F.col("vb"))).alias("sj"),
+            F.sum(dec(F.col("va")) * dec(F.col("vb"))).alias("sij"),
+        )
+    )
+    n, si, sj, sij = (dec(F.col(c)) for c in ("n", "si", "sj", "sij"))
+    cov = checkpoint(
+        g.select(
+            "i",
+            "j",
+            halfup_wide(n * sij - si * sj, n * n)
+            .cast("decimal(38,0)")
+            .alias("c"),
+        )
+    )
+    v = (
+        cov.select(F.col("i").alias("dim"))
+        .distinct()
+        .select("dim", F.lit(1000000).cast("decimal(38,0)").alias("val"))
+    )
+    for _ in range(rounds):
+        w = (
+            cov.join(
+                F.broadcast(v.select(F.col("dim").alias("j"), "val")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("val")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("dim"),
+            halfup_wide(
+                dec(F.col("w")) * F.lit(1000000), dec(F.col("m"))
+            )
+            .cast("decimal(38,0)")
+            .alias("val"),
+        )
+    return v.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("val").cast("bigint").alias("v_scaled"),
+    )

@@ -9674,4 +9674,68 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_ROUNDS = 3
+
+
+def _pca_iter_cte(r: int) -> str:
+    return f"""
+    w{r} AS (
+        SELECT cov.i AS dim, sum(c * val) AS w
+        FROM cov JOIN v{r - 1} ON cov.j = v{r - 1}.dim GROUP BY 1
+    ),
+    m{r} AS (SELECT max(abs(w)) AS m FROM w{r}),
+    v{r} AS (
+        SELECT dim,
+               CAST({_sql_halfup('w * 1000000', 'm')} AS HUGEINT) AS val
+        FROM w{r}, m{r}
+    )"""
+
+
+@_register(
+    "pca_power_iteration",
+    f"""
+    WITH u AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings
+    ),
+    g AS (
+      SELECT a.dim AS di, b.dim AS dj, count(*) AS n,
+             sum(CAST(a.v AS HUGEINT)) AS si,
+             sum(CAST(b.v AS HUGEINT)) AS sj,
+             sum(CAST(a.v AS HUGEINT) * b.v) AS sij
+      FROM u a JOIN u b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT di - 1 AS i, dj - 1 AS j,
+             CAST({_sql_halfup(
+                 'CAST(n AS HUGEINT) * sij - si * sj',
+                 'CAST(n AS HUGEINT) * n',
+             )} AS HUGEINT) AS c
+      FROM g
+    ),
+    v0 AS (
+      SELECT i AS dim, CAST(1000000 AS HUGEINT) AS val
+      FROM (SELECT DISTINCT i FROM cov)
+    ),{','.join(_pca_iter_cte(r) for r in range(1, _PCA_ROUNDS + 1))}
+    SELECT CAST(dim AS INT) AS dim, CAST(val AS BIGINT) AS v_scaled
+    FROM v{_PCA_ROUNDS}
+    """,
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding covariance by exact
+    fixed-point power iteration (ext/similarity.py::pca_top_direction,
+    3 rounds): moments, matvec steps and the max-|w| re-scales are all
+    integer/decimal38 arithmetic, so the oracle's unrolled CTEs land on
+    the identical 64 numbers — a certified deterministic twin for a
+    classically float-only computation (the float PCA a user would run
+    converges to the same direction; this one is reproducible)."""
+    from .ext.similarity import pca_top_direction
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return pca_top_direction(emb, rounds=_PCA_ROUNDS)
+
+
 ALL = sorted(QUERIES)

@@ -558,3 +558,39 @@ def test_jl_project_python_replay_and_norm_preservation(spark):
     mean = sum(ratios) / len(ratios)
     assert 0.85 < mean < 1.15
     assert all(0.05 < r < 5.0 for r in ratios)
+
+
+def test_pca_top_direction_is_a_faithful_power_method(spark):
+    """The exact-integer iteration IS the power method: after 8 rounds
+    it matches a float power iteration from the same start to ~1e-6,
+    and its Rayleigh quotient has climbed into the top of the spectrum.
+    (This corpus has a near-degenerate spectrum — λ2/λ1 ≈ 0.93 — so no
+    8-round method isolates the top EIGENVECTOR; faithfulness to the
+    iterate plus Rayleigh convergence is the correct property.)"""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.similarity import pca_top_direction
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["dim"]: r["v_scaled"]
+        for r in pca_top_direction(emb, rounds=8).collect()
+    }
+    v = np.array([got[d] for d in sorted(got)], dtype=np.float64)
+    v /= np.linalg.norm(v)
+
+    X = np.array(
+        [list(r["embedding"]) for r in emb.collect()], dtype=np.float64
+    )
+    U = np.round(X * 1e6)  # the same µ-unit quantization
+    C = np.cov(U, rowvar=False, bias=True)
+    ref = np.ones(C.shape[0])
+    for _ in range(8):
+        w = C @ ref
+        ref = w / np.abs(w).max()
+    ref /= np.linalg.norm(ref)
+    assert abs(float(v @ ref)) > 0.999999
+
+    lam_max = float(np.linalg.eigvalsh(C).max())
+    rayleigh = float(v @ C @ v)
+    assert rayleigh > 0.9 * lam_max
