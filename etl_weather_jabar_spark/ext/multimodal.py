@@ -339,6 +339,11 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                         else:  # gray / gray+alpha: replicate the luma mean
                             m = [float(a[:, :, 0].mean())] * 3
                         mr, mg, mb = (f"{float(x):.4f}" for x in m)
+                    elif mime == "image/gif":
+                        a = decode_gif(payload)  # real stdlib LZW decode
+                        h, w = int(a.shape[0]), int(a.shape[1])
+                        m = a.reshape(-1, 3).mean(axis=0)
+                        mr, mg, mb = (f"{float(x):.4f}" for x in m)
                     elif mime == "audio/wav":
                         rate, data = decode_wav_pcm16(payload)
                         dur = int(len(data) * 1000 // max(rate, 1))
@@ -628,6 +633,8 @@ def ahash_media(media: DataFrame) -> DataFrame:
                     raw = bytes(payload)
                     if mime == "image/png":
                         arr = decode_png(raw)
+                    elif mime == "image/gif":
+                        arr = decode_gif(raw)
                     else:
                         arr = decode_ppm(raw)
                     if arr.ndim == 3 and arr.shape[2] == 4:
@@ -643,3 +650,190 @@ def ahash_media(media: DataFrame) -> DataFrame:
     return media.where(F.col("kind") == "image").select(
         "media_id", "payload", "mime"
     ).mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def encode_gif(indices, palette) -> bytes:
+    """(h, w) uint8 palette-index array + (k ≤ 256, 3) palette → GIF89a
+    bytes (non-interlaced, single frame). Pure stdlib — the GIF LZW
+    variant with variable code width, clear/EOI codes and 255-byte
+    sub-blocks, implemented from the GIF89a specification."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    k = len(pal)
+    assert 2 <= k <= 256 and int(idx.max(initial=0)) < k
+    # color table size: next power of two ≥ k, min 2
+    ct_bits = max(1, (k - 1).bit_length())
+    ct_size = 1 << ct_bits
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (ct_bits - 1), 0, 0])  # GCT flag + size
+    table = np.zeros((ct_size, 3), dtype=np.uint8)
+    table[:k] = pal
+    out += table.tobytes()
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += b"\x00"  # no local color table, not interlaced
+
+    min_code = max(2, ct_bits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out += bytes([min_code])
+
+    # LZW encode with bit packing (LSB first)
+    codes: list[tuple[int, int]] = []  # (code, width)
+    width = min_code + 1
+    table_d: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    codes.append((clear, width))
+    cur = b""
+    for px in idx.tobytes():
+        nxt = cur + bytes([px])
+        if nxt in table_d:
+            cur = nxt
+            continue
+        codes.append((table_d[cur], width))
+        table_d[nxt] = next_code
+        next_code += 1
+        if next_code - 1 == 1 << width and width < 12:
+            width += 1
+        if next_code > 4095:
+            codes.append((clear, width))
+            table_d = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([px])
+    if cur:
+        codes.append((table_d[cur], width))
+    codes.append((eoi, width))
+
+    bits = bitpos = 0
+    data = bytearray()
+    for code, cw in codes:
+        bits |= code << bitpos
+        bitpos += cw
+        while bitpos >= 8:
+            data.append(bits & 0xFF)
+            bits >>= 8
+            bitpos -= 8
+    if bitpos:
+        data.append(bits & 0xFF)
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a bytes → (h, w, 3) uint8 RGB numpy array (first frame,
+    non-interlaced, global or local color table). Pure stdlib LZW with
+    variable code width, clear/EOI handling and deferred-clear
+    tolerance; raises ValueError on malformed input or interlaced
+    frames (out of scope)."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:3] != b"GIF":
+        raise ValueError("not a GIF payload")
+    if payload[3:6] not in (b"87a", b"89a"):
+        raise ValueError("unknown GIF version")
+    pos = 6
+    pos += 4  # logical screen w/h
+    packed = payload[pos]
+    pos += 3
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image frame")
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(
+                payload, dtype=np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated before LZW data")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError("bad LZW minimum code size")
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("truncated sub-blocks")
+
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [
+            b"", b""
+        ]
+        bits = bitpos = bytepos = 0
+        out = bytearray()
+        prev: bytes | None = None
+        while True:
+            while bitpos < width:
+                if bytepos >= len(data):
+                    raise ValueError("LZW stream ended without EOI")
+                bits |= data[bytepos] << bitpos
+                bytepos += 1
+                bitpos += 8
+            code = bits & ((1 << width) - 1)
+            bits >>= width
+            bitpos -= width
+            if code == clear:
+                dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code < len(dictionary):
+                entry = dictionary[code]
+            elif code == len(dictionary) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW code")
+            out += entry
+            if prev is not None:
+                dictionary.append(prev + entry[:1])
+            prev = entry
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        if len(out) < w * h:
+            raise ValueError("LZW output shorter than frame")
+        idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("palette index out of range")
+        return ct[idx].reshape(h, w, 3)
+    raise ValueError("GIF contains no image frame")

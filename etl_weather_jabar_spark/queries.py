@@ -7723,7 +7723,7 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def make_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .ext.multimodal import encode_png, encode_ppm
+        from .ext.multimodal import encode_gif, encode_png, encode_ppm
         import numpy as np
 
         for pdf in batches:
@@ -7735,7 +7735,16 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (digest * ((w * h * 3) // 16 + 1))[: w * h * 3],
                     dtype=np.uint8,
                 ).reshape(h, w, 3)
-                if int(did) % 2:
+                if int(did) % 4 == 1:
+                    # GIF is palette-based: 16 digest-derived colors,
+                    # indices from the same pixel stream
+                    pal = np.frombuffer(
+                        (digest * 3)[:48], dtype=np.uint8
+                    ).reshape(16, 3)
+                    idx = (px[:, :, 0] % 16).astype(np.uint8)
+                    payload = encode_gif(idx, pal)
+                    mime = "image/gif"
+                elif int(did) % 2:
                     payload = encode_png(px, filter_type=digest[2] % 5)
                     mime = "image/png"
                 else:

@@ -476,3 +476,74 @@ def test_image_ahash_neardup_registry_planted_recall(spark):
     assert len(planted) >= 45
     assert all(b == a + 1 and b % 10 == 7 for a, b in planted)
     assert all(0 <= r["hamming"] <= 3 for r in rows)
+
+
+def test_gif_roundtrip_bit_exact_and_malformed():
+    """Pure-stdlib GIF LZW codec: encode→decode is bit-exact for every
+    palette size / shape (incl. the 4095-entry dictionary overflow
+    path), and malformed inputs raise rather than mis-decode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_weather_jabar_spark.ext.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(7)
+    for k, (h, w) in [(2, (5, 7)), (16, (16, 16)), (256, (24, 19)),
+                      (3, (1, 1))]:
+        pal = rng.randint(0, 256, (k, 3)).astype(np.uint8)
+        idx = rng.randint(0, k, (h, w)).astype(np.uint8)
+        assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+    # dictionary overflow → clear-code reset path
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (120, 120)).astype(np.uint8)
+    payload = encode_gif(idx, pal)
+    assert (decode_gif(payload) == pal[idx]).all()
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + payload)
+    with _pytest.raises(ValueError):
+        decode_gif(payload[:40])  # truncated mid color-table/stream
+    interlaced = bytearray(payload)
+    # image descriptor starts after 6+7+768 bytes header+GCT: set
+    # interlace flag in its packed byte (offset +9 within descriptor)
+    desc = 6 + 7 + 768
+    assert interlaced[desc] == 0x2C
+    interlaced[desc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(interlaced))
+    with _pytest.raises(ValueError, match="no image"):
+        decode_gif(payload[:desc] + b"\x3b")
+
+
+def test_gif_flows_through_real_features_and_ahash(spark):
+    """GIF payloads decode inside the Arrow pipeline: channel means
+    match numpy ground truth and aHash equals ahash64 of the palette
+    image."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        ahash64,
+        ahash_media,
+        encode_gif,
+        extract_features_real,
+    )
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (12, 9)).astype(np.uint8)
+    rgb = pal[idx]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_gif(idx, pal)), "image/gif",
+          9, 12, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    feat = extract_features_real(media).collect()[0]
+    assert (feat["width"], feat["height"]) == (9, 12)
+    m = rgb.reshape(-1, 3).mean(axis=0)
+    assert feat["mean_r"] == f"{m[0]:.4f}"
+    assert feat["mean_b"] == f"{m[2]:.4f}"
+
+    sig = ahash_media(media).collect()[0]
+    assert sig["sig"] == ahash64(rgb)
+    assert (sig["width"], sig["height"]) == (9, 12)
