@@ -74,3 +74,92 @@ def heavy_hitters(
     if top is not None:
         merged = merged.orderBy(F.col("est").desc(), F.col(col)).limit(top)
     return merged
+
+
+def _cms_slot(key, r: int, width: int, salt: str = "cms"):
+    """Row-r slot for a key: 32 md5 bits mod width — the same
+    cross-engine hash contract as functions/text.py::feature_hash_slot,
+    salted per sketch row so the d hash functions are independent."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key, F.lit(f":{salt}{r}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a relational
+    aggregate: d×w integer counters, counter[r][slot_r(key)] += weight.
+    The sketch is MERGEABLE (counters add), the memory is d·w counters
+    at ANY corpus size, and — unlike Misra-Gries — the estimate is a
+    deterministic pure function of the input multiset, so the whole
+    build has an exact SQL twin. Returns (r, slot, c).
+
+    Scale: one depth-way fan-out + one uniform-keyed groupBy whose
+    output is d·w rows; shuffle is capped at d·w·partitions by the
+    partial aggregate. Point estimates then need only the d matching
+    counter rows (see :func:`cms_estimate`)."""
+    from functools import reduce as _reduce
+
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    base = df.select(F.col(key_col).alias("__k"), w.alias("__w"))
+    stacked = _reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select(
+                F.lit(r).alias("r"),
+                _cms_slot(F.col("__k"), r, width, salt).alias("slot"),
+                F.col("__w").alias("__w"),
+            )
+            for r in range(depth)
+        ],
+    )
+    return stacked.groupBy("r", "slot").agg(
+        F.sum("__w").cast("bigint").alias("c")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point estimates for a key table against a built sketch:
+    min over the d matching counters — always ≥ the true count, within
+    εN (ε = e/width) with probability 1 − e^(−depth). The probe joins
+    d rows per key against the d·w-row sketch (broadcastable)."""
+    from functools import reduce as _reduce
+
+    probes = _reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            keys.select(
+                F.col(key_col),
+                F.lit(r).alias("r"),
+                _cms_slot(F.col(key_col), r, width, salt).alias("slot"),
+            )
+            for r in range(depth)
+        ],
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "slot"])
+        .groupBy(key_col)
+        .agg(F.min("c").cast("bigint").alias("cms_n"))
+    )

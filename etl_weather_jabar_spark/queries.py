@@ -9747,4 +9747,120 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_direction(emb, rounds=_PCA_ROUNDS)
 
 
+@_register(
+    "token_diversity_by_source",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+          FROM toks GROUP BY 1, 2),
+    s AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(sum(n) AS BIGINT) AS total,
+                 CAST(sum(n * n) AS BIGINT) AS sum_sq
+          FROM c GROUP BY 1)
+    SELECT source, vocab, total,
+           CAST({_sql_halfup('(total * total - sum_sq) * 1000000',
+                             'total * total')} AS BIGINT)
+               AS simpson_ppm,
+           CAST({_sql_halfup('vocab * 1000000', 'total')} AS BIGINT)
+               AS type_token_ppm
+    FROM s
+    """,
+)
+def token_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source without a single float: the
+    Gini–Simpson index 1 − Σp² becomes the exact integer ppm
+    (N² − Σc²)·10⁶ / N², and type-token ratio is vocab·10⁶ / N — the
+    log-free diversity panel for corpus datasheets (entropy needs a
+    log; Simpson answers the same 'is this source repetitive?' question
+    in closed integer form). One token explode, one vocab-bounded
+    count, one per-source fold — all partial-aggregatable."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    c = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+    )
+    total, sum_sq, vocab = F.col("total"), F.col("sum_sq"), F.col("vocab")
+    return s.select(
+        "source",
+        "vocab",
+        "total",
+        _half_up_div(
+            (total * total - sum_sq).cast("decimal(38,0)") * F.lit(1000000),
+            (total * total).cast("decimal(38,0)"),
+        ).alias("simpson_ppm"),
+        _half_up_div(vocab * F.lit(1000000).cast("bigint"), total).alias(
+            "type_token_ppm"
+        ),
+    )
+
+
+@_register(
+    "count_min_sketch_tokens",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY 1),
+    fan AS (SELECT w, n, r,
+                   CAST('0x' || substr(md5(w || ':cms' || r), 1, 8)
+                        AS BIGINT) % 256 AS slot
+            FROM (SELECT w, n, unnest(generate_series(0, 3)) AS r
+                  FROM cnt)),
+    sketch AS (SELECT r, slot, CAST(sum(n) AS BIGINT) AS c
+               FROM fan GROUP BY 1, 2),
+    top AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 20)
+    SELECT top.w AS token, top.n AS true_n,
+           CAST(min(sketch.c) AS BIGINT) AS cms_n
+    FROM (SELECT w, n, r,
+                 CAST('0x' || substr(md5(w || ':cms' || r), 1, 8)
+                      AS BIGINT) % 256 AS slot
+          FROM (SELECT w, n, unnest(generate_series(0, 3)) AS r
+                FROM top)) top
+    JOIN sketch USING (r, slot)
+    GROUP BY 1, 2
+    """,
+)
+def count_min_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream (4×256 counters —
+    ext/heavy_hitters.py::count_min_sketch), probed for the exact
+    top-20 tokens: (token, true_n, cms_n) with cms_n ≥ true_n always
+    and ≤ true_n + εN w.h.p. Unlike HLL/t-digest, CMS is a
+    DETERMINISTIC pure function of the input multiset, so the whole
+    sketch — hash rows, counters, min-probe — has an exact SQL twin;
+    this is the certified member of the sketch family (the others are
+    tolerance-pinned in pytest). Here the sketch folds the
+    pre-aggregated count table (identical counters, vocab-sized
+    fan-out); a streaming producer would fold raw tokens — counters
+    merge either way."""
+    from .ext.heavy_hitters import cms_estimate, count_min_sketch
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    sketch = count_min_sketch(cnt, "w", weight_col="n")
+    top = cnt.orderBy(F.col("n").desc(), "w").limit(20)
+    return (
+        cms_estimate(sketch, top.select("w"), "w")
+        .join(top, "w")
+        .select(
+            F.col("w").alias("token"),
+            F.col("n").alias("true_n"),
+            "cms_n",
+        )
+    )
+
+
 ALL = sorted(QUERIES)

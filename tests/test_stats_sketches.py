@@ -124,3 +124,59 @@ def test_approx_topk_rollup_equals_exact(spark):
     assert all(exact_all[t] == n for t, n in got.items())
     top_counts = sorted(exact_all.values(), reverse=True)[:10]
     assert sorted(got.values(), reverse=True) == top_counts
+
+
+def test_count_min_sketch_overestimates_and_merges(spark):
+    """CMS invariants: estimate ≥ true count for EVERY key (not just
+    the probed top-k), the build matches an exact python replay, and
+    counters are mergeable (sketch(A ∪ B) = sketch(A) + sketch(B))."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.heavy_hitters import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [("tok%d" % (i % 37),) for i in range(1000)] + [("hot",)] * 300
+    df = spark.createDataFrame(rows, ["w"])
+    sketch = count_min_sketch(df, "w", depth=4, width=64)
+    got = {
+        (r["r"], r["slot"]): r["c"] for r in sketch.collect()
+    }
+
+    # python replay
+    from collections import Counter
+
+    truth = Counter(w for (w,) in rows)
+    want: dict[tuple[int, int], int] = {}
+    for w, n in truth.items():
+        for r in range(4):
+            slot = (
+                int(hashlib.md5(f"{w}:cms{r}".encode()).hexdigest()[:8], 16)
+                % 64
+            )
+            want[(r, slot)] = want.get((r, slot), 0) + n
+    assert got == want
+
+    # overestimate for every key
+    keys = df.select("w").distinct()
+    est = {
+        r["w"]: r["cms_n"]
+        for r in cms_estimate(sketch, keys, "w", depth=4, width=64).collect()
+    }
+    for w, n in truth.items():
+        assert est[w] >= n
+
+    # mergeability: counters of two halves add to the full sketch
+    a = spark.createDataFrame(rows[:600], ["w"])
+    b = spark.createDataFrame(rows[600:], ["w"])
+    merged = (
+        count_min_sketch(a, "w", depth=4, width=64)
+        .unionByName(count_min_sketch(b, "w", depth=4, width=64))
+        .groupBy("r", "slot")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    got_merged = {(r["r"], r["slot"]): r["c"] for r in merged.collect()}
+    assert got_merged == got
