@@ -837,3 +837,71 @@ def decode_gif(payload: bytes):
             raise ValueError("palette index out of range")
         return ct[idx].reshape(h, w, 3)
     raise ValueError("GIF contains no image frame")
+
+
+def energy_hash64(samples) -> int:
+    """Exact-integer 64-bit energy-contour fingerprint of a PCM sample
+    array — the audio sibling of ``ahash64``: 64 integer-partition
+    windows [⌊k·n/64⌋, ⌊(k+1)·n/64⌋), bit k set iff the window's energy
+    (Σ s², exact int64 sums in python arbitrary precision) exceeds the
+    global mean energy, compared by cross-multiplication
+    ``E_k · n > E_total · n_k``. Clips shorter than 64 samples leave
+    their empty windows at bit 0. Returns a SIGNED two's-complement
+    int64 for Spark storage and ``hamming_candidates`` pairing."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    e = s * s
+    total = int(e.sum())
+    bits = 0
+    for k in range(64):
+        a, b = k * n // 64, (k + 1) * n // 64
+        nk = b - a
+        bit = 1 if nk and int(e[a:b].sum()) * n > total * nk else 0
+        bits = (bits << 1) | bit
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_fingerprint_media(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads (real 16-bit PCM parse) and fingerprint with
+    ``energy_hash64`` — same Arrow contract as ``ahash_media``: blobs
+    decoded in place, only (media_id, sig, n_samples, rate) leave the
+    stage. Undecodable payloads yield a NULL sig (quarantine row)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType as _I,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    schema = _ST(
+        [
+            _SF("media_id", _L(), False),
+            _SF("sig", _L(), True),
+            _SF("n_samples", _L(), True),
+            _SF("rate", _I(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, data = decode_wav_pcm16(bytes(payload))
+                    out.append(
+                        (int(mid), energy_hash64(data), len(data), rate)
+                    )
+                except (ValueError, EOFError):
+                    out.append((int(mid), None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sig", "n_samples", "rate"]
+            )
+
+    return media.where(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(run, schema=schema)

@@ -9863,4 +9863,103 @@ def count_min_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("audio_energy_neardup")  # rows-only: binary payload ops
+def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection — the third modality through the SAME
+    banding core: synthesize one 16-bit PCM WAV clip per document
+    (samples from the text's md5 stream), with PLANTED near-dups (every
+    doc_id ≡ 7 mod 10 re-renders the previous doc's samples with a few
+    samples nudged), fingerprint with the exact-integer 64-bit energy
+    contour hash (ext/multimodal.py::energy_hash64 — the 1-D sibling
+    of the image aHash) after a REAL stdlib WAV decode, and pair via
+    ext/dedup_text.py::hamming_candidates. Only 8-byte fingerprints
+    shuffle. Rows-only (binary payloads); fingerprint correctness and
+    planted recall pinned in tests/test_multimodal.py."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .ext.dedup_text import hamming_candidates
+    from .ext.multimodal import MEDIA_SCHEMA, audio_fingerprint_media
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    own = docs.where(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("render_id"),
+        F.col("text").alias("base_text"),
+    )
+    shifted = docs.where(F.col("doc_id") % 10 == 6).select(
+        (F.col("doc_id") + 1).alias("render_id"),
+        F.col("text").alias("base_text"),
+    )
+    paired = docs.join(
+        own.unionByName(shifted),
+        docs["doc_id"] == F.col("render_id"),
+        "inner",
+    ).select("doc_id", "base_text")
+
+    def make_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .ext.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["base_text"]):
+                digest = hashlib.md5((text or "").encode()).digest()
+                n = 2000 + digest[0] * 4
+                raw = (digest * (n // 8 + 1))[: n * 2]
+                base = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                # digest-derived amplitude envelope: a real energy
+                # CONTOUR (random noise is flat → every bit sits at
+                # the threshold and no fingerprint is stable)
+                env = (
+                    np.frombuffer(digest, dtype=np.uint8)[
+                        (np.arange(n) * 64 // n) % 16
+                    ].astype(np.int64)
+                    % 8
+                    + 1
+                )
+                samples = ((base * env) // 8).astype(np.int16)
+                if int(did) % 10 == 7:
+                    samples[:8] = (
+                        samples[:8].astype(np.int64) // 2
+                    ).astype(np.int16)
+                rows.append(
+                    (
+                        int(did),
+                        "audio",
+                        encode_wav_pcm16(samples),
+                        "audio/wav",
+                        None,
+                        None,
+                        int(n * 1000 // 16000),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "mime",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    media = paired.mapInPandas(make_media, schema=MEDIA_SCHEMA)
+    sigs = audio_fingerprint_media(media).where(F.col("sig").isNotNull())
+    pairs = hamming_candidates(
+        sigs, id_col="media_id", sig_col="sig", bits=64, max_hamming=3
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        (
+            (F.col("id_b") == F.col("id_a") + 1)
+            & (F.col("id_b") % 10 == 7)
+        ).cast("int").alias("planted"),
+    )
+
+
 ALL = sorted(QUERIES)

@@ -547,3 +547,48 @@ def test_gif_flows_through_real_features_and_ahash(spark):
     sig = ahash_media(media).collect()[0]
     assert sig["sig"] == ahash64(rgb)
     assert (sig["width"], sig["height"]) == (9, 12)
+
+
+def test_energy_hash64_known_pattern_and_pipeline(spark):
+    """Quiet first half / loud second half → exactly the low-32-bits
+    pattern; the Arrow WAV pipeline produces the same fingerprint as a
+    direct call on the samples."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint_media,
+        encode_wav_pcm16,
+        energy_hash64,
+    )
+
+    s = np.zeros(1280, dtype=np.int16)
+    s[:640] = 10
+    s[640:] = 1000
+    h = energy_hash64(s)
+    assert h == 0x00000000FFFFFFFF
+    assert energy_hash64(s.copy()) == h
+
+    media = spark.createDataFrame(
+        [(5, "audio", bytearray(encode_wav_pcm16(s)), "audio/wav",
+          None, None, 80)],
+        schema=MEDIA_SCHEMA,
+    )
+    row = audio_fingerprint_media(media).collect()[0]
+    assert row["sig"] == h
+    assert row["n_samples"] == 1280 and row["rate"] == 16000
+
+
+def test_audio_energy_neardup_registry_planted_recall(spark):
+    """Every planted perturbed-copy clip pairs with its source within
+    the Hamming radius (the envelope gives the contour a real shape,
+    so the 8-sample nudge flips at most a borderline bit or two)."""
+    from etl_weather_jabar_spark.queries import QUERIES
+
+    rows = QUERIES["audio_energy_neardup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in rows if r["planted"] == 1}
+    assert len(planted) >= 45  # 50 planted at sf0.001
+    assert all(b == a + 1 and b % 10 == 7 for a, b in planted)
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
