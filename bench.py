@@ -83,6 +83,12 @@ TIER3_QUERIES = [
     "image_ahash_neardup",
     "bpe_merge_rounds",
     "bpe_encode_stats",
+    "pmi_topk_bigrams",
+    "jl_project_embeddings",
+    "pca_power_iteration",
+    "token_diversity_by_source",
+    "count_min_sketch_tokens",
+    "audio_energy_neardup",
 ]
 
 

@@ -114,6 +114,15 @@ AUDIT_QUERIES = [
     "ntile_cume_dist_customers",
     "bag_set_ops_suppliers",
     "explode_outer_tokens",
+    "chunk_dedup_docs",
+    "classifier_filter_docs",
+    "bpe_merge_rounds",
+    "bpe_encode_stats",
+    "pmi_topk_bigrams",
+    "jl_project_embeddings",
+    "pca_power_iteration",
+    "token_diversity_by_source",
+    "count_min_sketch_tokens",
 ]
 
 
@@ -148,6 +157,10 @@ EXPECTED_NESTED_LOOP = {
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
     "semantic_dedup_docs": "corpus × centroid-count-sized model broadcast (SemDeDup assignment)",
     "pagerank_exact_int": "ranks × 1-row node-count/dangling-mass broadcasts per unrolled iteration",
+    "pmi_topk_bigrams": "bigram stats × 1-row N and M totals broadcasts",
+    "pca_power_iteration": "d²-sized covariance × 1-row max-|w| rescale broadcast per unrolled round",
+    "bpe_merge_rounds": "vocab-sized symbol table × 1-row best-pair broadcast per round",
+    "bpe_encode_stats": "same training chain: 1-row best-pair broadcast per round",
 }
 
 

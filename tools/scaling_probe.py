@@ -22,9 +22,20 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from etl_weather_jabar_spark.ext.dedup_text import (  # noqa: E402
+    cdc_chunk_dedup,
     crossdoc_repeated_ngrams,
     exact_dedup,
     minhash_signatures,
+)
+from etl_weather_jabar_spark.ext.heavy_hitters import (  # noqa: E402
+    count_min_sketch,
+)
+from etl_weather_jabar_spark.ext.sequencing import (  # noqa: E402
+    bpe_train_merges,
+)
+from etl_weather_jabar_spark.ext.similarity import (  # noqa: E402
+    jl_project,
+    pca_top_direction,
 )
 from etl_weather_jabar_spark.ext.matview import (  # noqa: E402
     build_agg_view,
@@ -312,6 +323,27 @@ def main() -> None:
             changes, ["o_orderpriority"], measures={"cents": cents}
         )
         return merge_view(view0, delta, ["o_orderpriority"])
+
+    def _classifier(d):
+        from etl_weather_jabar_spark.functions.text import (
+            feature_hash_slot,
+            hashed_weight,
+        )
+
+        slotted = d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        ).select("doc_id", feature_hash_slot(F.col("tok"), 64).alias("slot"))
+        cnt = slotted.groupBy("doc_id", "slot").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return cnt.groupBy("doc_id").agg(
+            *[
+                F.sum(F.col("c") * hashed_weight(F.col("slot"), kk)).alias(
+                    f"s{kk}"
+                )
+                for kk in range(3)
+            ]
+        )
 
     def _grank(o):
         from etl_weather_jabar_spark.operators.windows import (
@@ -623,6 +655,56 @@ def main() -> None:
             lambda: _matview(orders),
             lambda: _matview(replicate(orders, k, "o_orderkey")),
         ),
+        # content-defined chunk dedup: token explode + per-doc window +
+        # three hash-keyed consumers of one checkpointed chunk table;
+        # replicated copies make every chunk boilerplate (df = k), so
+        # removal volume scales while the plan stays hash-keyed
+        "cdc_chunk_dedup": (
+            lambda: cdc_chunk_dedup(docs),
+            lambda: cdc_chunk_dedup(replicate(docs, k, "doc_id")),
+        ),
+        # BPE training: the corpus is touched ONCE (word count); every
+        # round is bounded by the vocabulary, which is CONSTANT across
+        # replication — the ratio should sit far below k
+        "bpe_train_2rounds": (
+            lambda: bpe_train_merges(docs, rounds=2),
+            lambda: bpe_train_merges(
+                replicate(docs, k, "doc_id"), rounds=2
+            ),
+        ),
+        # hashing-trick classifier inference: token explode + two
+        # uniform-keyed partial aggregations, weights evaluated once
+        # per occupied slot
+        "classifier_inference": (
+            lambda: _classifier(docs),
+            lambda: _classifier(replicate(docs, k, "doc_id")),
+        ),
+        # JL ±1 projection: posexplode + out_dim fan-out + one
+        # uniform-keyed partial agg
+        "jl_projection": (
+            lambda: jl_project(emb),
+            lambda: jl_project(replicate(emb, k, "vec_id")),
+        ),
+        # CMS build: depth-way union + groupBy whose output (and
+        # shuffle) is capped at d·w·partitions rows at ANY input size
+        "count_min_sketch": (
+            lambda: count_min_sketch(
+                docs.select(F.explode(F.split("text", " ")).alias("t")),
+                "t",
+            ),
+            lambda: count_min_sketch(
+                replicate(docs, k, "doc_id").select(
+                    F.explode(F.split("text", " ")).alias("t")
+                ),
+                "t",
+            ),
+        ),
+        # exact PCA: the corpus-scaling stage is the d²-group moment
+        # aggregate; the matvec round is a d²-sized constant
+        "pca_power_1round": (
+            lambda: pca_top_direction(emb, rounds=1),
+            lambda: pca_top_direction(replicate(emb, k, "vec_id"), rounds=1),
+        ),
     }
 
     lines = [
@@ -650,9 +732,13 @@ def main() -> None:
     tail = ""
     if os.path.exists(path):
         old = open(path).read()
-        marker = "## Deployment sizing"
-        if marker in old:
-            tail = "\n" + old[old.index(marker):].rstrip() + "\n"
+        # preserve everything from the first hand-maintained section on:
+        # the 32× dedup-chain probe (written by scaling_dedup32.py) and
+        # the deployment-sizing notes both live below the 8× table
+        for marker in ("## 32x dedup-chain probe", "## Deployment sizing"):
+            if marker in old:
+                tail = "\n" + old[old.index(marker):].rstrip() + "\n"
+                break
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n" + tail)
     print(f"wrote {path}")
