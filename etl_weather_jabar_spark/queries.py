@@ -9962,4 +9962,105 @@ def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stream_cms_tokens",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 10 <> 0
+    ),
+    fan AS (SELECT w, r,
+                   CAST('0x' || substr(md5(w || ':cms' || r), 1, 8)
+                        AS BIGINT) % 256 AS slot
+            FROM (SELECT w, unnest(generate_series(0, 3)) AS r
+                  FROM toks))
+    SELECT r, slot, CAST(count(*) AS BIGINT) AS c
+    FROM fan GROUP BY 1, 2
+    """,
+)
+def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch maintenance with a full oracle: document
+    micro-batches (inserts of the evens, then inserts of the odds plus
+    DELETES of every 10th doc) land as json; a real Structured
+    Streaming query folds each batch's CMS counter increments —
+    token explode → 4-way hash fan-out → signed (r, slot) deltas —
+    into a snapshot-persisted sketch via the counting algorithm
+    (exactly-once per batch_id through idempotent_view_commit).
+    Counters are pure signed sums, so the CMS supports deletion and is
+    batching-insensitive: the final sketch must hash-match a
+    from-scratch SQL build over the surviving documents, however the
+    file source batches the landing files. The streaming twin of
+    ⊕ count_min_sketch_tokens; 100 TB: each commit shuffles at most
+    d·w counter rows however large the micro-batch."""
+    import glob
+    import os
+    import tempfile
+
+    from .ext.heavy_hitters import _cms_slot
+    from .ext.matview import idempotent_view_commit
+    from .snapshots import snapshot_read
+
+    tmp = tempfile.mkdtemp(prefix="scms_q_")
+    landing, view_tbl, ckpt = f"{tmp}/in", f"{tmp}/view", f"{tmp}/ckpt"
+    os.makedirs(landing)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def batch_df(pred, op):
+        return docs.where(pred).select(
+            "doc_id", "text", F.lit(op).alias("op")
+        )
+
+    b1 = batch_df(F.col("doc_id") % 2 == 0, "I")
+    b2 = batch_df(F.col("doc_id") % 2 == 1, "I").unionByName(
+        batch_df(F.col("doc_id") % 10 == 0, "D")
+    )
+    for i, b in enumerate([b1, b2]):
+        d = f"{tmp}/stage{i}"
+        b.write.json(d)
+        for j, part in enumerate(sorted(glob.glob(f"{d}/part-*.json"))):
+            os.rename(part, f"{landing}/b{i}_{j:04d}.json")
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        from functools import reduce as _reduce
+
+        toks = batch.select(
+            "op", F.explode(F.split("text", " ")).alias("w")
+        )
+        fan = _reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                toks.select(
+                    "op",
+                    F.lit(r).alias("r"),
+                    _cms_slot(F.col("w"), r, 256).alias("slot"),
+                )
+                for r in range(4)
+            ],
+        )
+        idempotent_view_commit(
+            spark, view_tbl, fan, batch_id, ["r", "slot"],
+            measures={"c": F.lit(1)},
+        )
+
+    q = (
+        spark.readStream.schema("doc_id LONG, text STRING, op STRING")
+        .json(landing)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_cms_tokens: stream did not finish within 300s — "
+            "refusing to return a partial sketch"
+        )
+    return snapshot_read(spark, view_tbl).select(
+        F.col("r").cast("int").alias("r"),
+        F.col("slot").cast("bigint").alias("slot"),
+        F.col("c").cast("bigint").alias("c"),
+    )
+
+
 ALL = sorted(QUERIES)
