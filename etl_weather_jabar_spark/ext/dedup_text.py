@@ -662,6 +662,13 @@ def cdc_chunk_dedup(
         .agg(F.count(F.lit(1)).alias("__df"))
     )
     hot = dfreq.where(F.col("__df") > df_cap).select("__h")
+    return _chunk_rollup(chunks, hot, id_col)
+
+
+def _chunk_rollup(chunks: DataFrame, hot: DataFrame, id_col: str) -> DataFrame:
+    """Shared tail of the chunk-dedup forms: drop hot chunks, rebuild
+    per-doc fingerprints, join against per-doc totals (docs that lose
+    every chunk survive with n_kept 0 and the empty-string hash)."""
     kept = chunks.join(hot, "__h", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
@@ -770,3 +777,64 @@ def hamming_candidates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_chunk_dedup(
+    spark,
+    batch: DataFrame,
+    index_tbl: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = 1,
+    breaker_hexes: tuple[str, ...] = ("0", "1", "2"),
+    salt: str = "cdc",
+) -> DataFrame:
+    """Corpus-growth form of :func:`cdc_chunk_dedup`: the chunk
+    document-frequency index is a PERSISTED snapshot view keyed by
+    chunk hash, maintained incrementally — per ingested batch the work
+    is O(batch), never O(corpus).
+
+    Commit-first contract, per batch:
+
+    1. chunk + hash the batch (``cdc_chunks``);
+    2. fold the batch's distinct (hash, doc) membership into the index
+       via the counting algorithm, EXACTLY ONCE per ``batch_id``
+       (``ext/matview.py::idempotent_view_commit`` — a foreachBatch
+       replay skips the commit);
+    3. read the post-commit index: chunks whose accumulated df exceeds
+       ``df_cap`` are boilerplate;
+    4. clean THIS batch's documents against that set and return the
+       ``cdc_chunk_dedup``-shaped rollup.
+
+    Because the decision state is always the post-commit index, a
+    replayed batch reaches steps 3-4 with identical state and returns
+    identical output (crash-after-commit safe). Already-ingested
+    documents are not retroactively re-cleaned — the standard ledgered
+    semantics of incremental corpus cleaning (a chunk that LATER turns
+    hot is removed from subsequent batches only; re-clean historically
+    by re-running the batch pipeline from the ledger).
+
+    Scale: the index update shuffles one row per distinct batch chunk;
+    the hot-set read is a filter on the index snapshot (hash-keyed,
+    stats-prunable); nothing scans prior batches' text.
+    """
+    from ..ext.matview import idempotent_view_commit
+    from ..snapshots import snapshot_read
+
+    chunks = checkpoint(
+        cdc_chunks(batch, id_col, text_col, breaker_hexes, salt).withColumn(
+            "__h", F.md5("chunk")
+        )
+    )
+    members = (
+        chunks.select(F.col("__h").alias("h"), F.col(id_col))
+        .distinct()
+        .withColumn("op", F.lit("I"))
+    )
+    idempotent_view_commit(spark, index_tbl, members, batch_id, ["h"])
+    idx = snapshot_read(spark, index_tbl)
+    hot = idx.where(F.col("n_rows") > df_cap).select(
+        F.col("h").alias("__h")
+    )
+    return _chunk_rollup(chunks, hot, id_col)

@@ -235,3 +235,63 @@ def test_cdc_chunks_stable_past_insertion_point(spark):
     # all chunks after the first (which absorbed the insertion) realign
     assert edit_chunks[1:] == base_chunks[len(base_chunks) - len(edit_chunks) + 1:]
     assert len(set(base_chunks) & set(edit_chunks)) >= len(base_chunks) - 2
+
+
+def test_incremental_chunk_dedup_corpus_growth(spark, tmp_path):
+    """Cross-batch chunk-df accumulation: a chunk unique within batch 1
+    survives there, but when batch 2 re-uses it the accumulated df
+    crosses the cap and batch 2's doc loses it (batch 1's output is
+    ledgered, not retroactively re-cleaned). Replaying batch 2 with the
+    same batch_id neither double-counts the index nor changes the
+    output."""
+    import hashlib
+
+    from etl_weather_jabar_spark.ext.dedup_text import (
+        incremental_chunk_dedup,
+    )
+    from etl_weather_jabar_spark.snapshots import snapshot_read
+
+    idx = str(tmp_path / "chunk_index")
+    b1 = spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"])
+    out1 = {
+        r["doc_id"]: r
+        for r in incremental_chunk_dedup(spark, b1, idx, 0).collect()
+    }
+    # batch-unique chunks all survive in batch 1
+    assert out1[1]["n_kept"] == out1[1]["n_chunks"]
+    assert out1[2]["n_kept"] == out1[2]["n_chunks"]
+
+    # batch 2 repeats BASE (doc 3) → every chunk of doc 3 is now hot;
+    # doc 4 stays unique and keeps everything
+    b2 = spark.createDataFrame(
+        [(3, BASE), (4, "totally fresh words here")], ["doc_id", "text"]
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in incremental_chunk_dedup(spark, b2, idx, 1).collect()
+    }
+    assert out2[3]["n_kept"] == 0
+    assert out2[3]["clean_fp"] == hashlib.md5(b"").hexdigest()
+    assert out2[4]["n_kept"] == out2[4]["n_chunks"]
+
+    idx_state = {
+        r["h"]: r["n_rows"] for r in snapshot_read(spark, idx).collect()
+    }
+    # replay of batch 2: output identical, index unchanged
+    out2r = {
+        r["doc_id"]: r
+        for r in incremental_chunk_dedup(spark, b2, idx, 1).collect()
+    }
+    assert {k: tuple(v) for k, v in out2.items()} == {
+        k: tuple(v) for k, v in out2r.items()
+    }
+    idx_after = {
+        r["h"]: r["n_rows"] for r in snapshot_read(spark, idx).collect()
+    }
+    assert idx_after == idx_state
+    # BASE's chunks were seen by docs 1 and 3 → df exactly 2
+    base_chunk_hashes = {
+        hashlib.md5(c.encode()).hexdigest() for c in _py_cdc_chunks(BASE)
+    }
+    for h in base_chunk_hashes:
+        assert idx_after[h] == 2
