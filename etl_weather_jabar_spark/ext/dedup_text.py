@@ -838,3 +838,124 @@ def incremental_chunk_dedup(
         F.col("h").alias("__h")
     )
     return _chunk_rollup(chunks, hot, id_col)
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" §4.1), relational form:
+    any token span of length ≥ ``k`` that occurs more than once
+    corpus-wide is REMOVED from every occurrence except one canonical
+    survivor (the lexicographically smallest ``(doc, pos)``), and each
+    document is re-assembled from its surviving tokens.
+
+    The paper runs a suffix array; the relational equivalent marks
+    every duplicated-``k``-gram occurrence as a removal *start* and
+    takes interval coverage per document — a maximal repeated span of
+    length L ≥ k is exactly the union of its L−k+1 duplicated k-gram
+    windows, so the covered positions are identical to the suffix-array
+    spans (for spans in multiplicity ≥ 2 at granularity k).
+
+    Pipeline (all built-ins, no Python):
+
+    1. tokenize with positions; k-gram hash per start position (16-hex
+       md5 prefix — text never shuffles, only (id, pos, key));
+    2. per k-gram: ``count ≥ 2`` plus the canonical occurrence as
+       ``min(id·2²² + pos)`` — a packed-bigint argmin, fully
+       partial-aggregatable (no window over the occurrence list, so a
+       boilerplate k-gram with millions of occurrences still
+       map-side-combines; contrast a row_number() per key, which would
+       sort the hottest key on one reducer);
+    3. non-canonical occurrences become removal starts; coverage is one
+       per-document running ``max(start + k − 1)`` window (a document
+       is one partition — bounded by max doc length, same shape as
+       ``cdc_chunks``' boundary scan);
+    4. per-doc rollup: token/start/removed counts and the md5
+       fingerprint of the surviving tokens in order (empty survivors →
+       md5('')).
+
+    Packing assumes ``pos < 2²²`` (4M tokens/doc) and ``id < 2⁴¹``;
+    both hold for any realistic document corpus and are asserted
+    nowhere hot (they'd wrap, not error — document-level contract).
+
+    Returns (id, n_toks, n_dup_starts, n_removed, clean_fp).
+    """
+    from pyspark.sql import Window as W
+
+    pack = 1 << 22
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    arr = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    starts_seq = F.when(
+        F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts_seq,
+                lambda i: F.struct(
+                    (i - 1).cast("bigint").alias("pos"),
+                    F.substring(
+                        F.md5(F.array_join(F.slice("t", i, k), " ")), 1, 16
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    packed = F.col(id_col) * pack + F.col("pos")
+    gstats = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.col(id_col) * pack + F.col("pos")).alias("__canon"),
+        )
+        .where(F.col("__cnt") >= 2)
+        .select("h", "__canon")
+    )
+    starts = (
+        grams.join(gstats, "h")
+        .where(packed != F.col("__canon"))
+        .select(F.col(id_col), F.col("pos"), F.lit(True).alias("__start"))
+    )
+    cov = toks.join(starts, [id_col, "pos"], "left").withColumn(
+        "__cov_end",
+        F.max(
+            F.when(F.col("__start"), F.col("pos") + F.lit(k - 1))
+        ).over(
+            W.partitionBy(id_col)
+            .orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    removed = F.col("__cov_end").isNotNull() & (
+        F.col("__cov_end") >= F.col("pos")
+    )
+    return cov.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.coalesce(
+            F.sum(F.when(F.col("__start"), 1)), F.lit(0)
+        ).cast("bigint").alias("n_dup_starts"),
+        F.coalesce(F.sum(F.when(removed, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~removed, F.struct("pos", "tok"))
+                        )
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )

@@ -10063,4 +10063,76 @@ def stream_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "exact_substring_dedup_docs",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS pos,
+               unnest(ss) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents)
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               substr(md5(tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 || ' ' || t5 || ' ' || t6 || ' ' || t7), 1, 16) AS h
+        FROM (SELECT doc_id, pos, tok,
+                 lead(tok, 1) OVER w AS t1,
+                 lead(tok, 2) OVER w AS t2,
+                 lead(tok, 3) OVER w AS t3,
+                 lead(tok, 4) OVER w AS t4,
+                 lead(tok, 5) OVER w AS t5,
+                 lead(tok, 6) OVER w AS t6,
+                 lead(tok, 7) OVER w AS t7
+              FROM toks
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) s
+        WHERE t7 IS NOT NULL
+    ),
+    gs AS (
+        SELECT h, min(doc_id * 4194304 + pos) AS canon
+        FROM grams GROUP BY 1 HAVING count(*) >= 2
+    ),
+    st AS (
+        SELECT g.doc_id, g.pos, TRUE AS is_start
+        FROM grams g JOIN gs USING (h)
+        WHERE g.doc_id * 4194304 + g.pos <> gs.canon
+    ),
+    cov AS (
+        SELECT t.doc_id, t.pos, t.tok, st.is_start,
+               max(CASE WHEN st.is_start THEN t.pos + 7 END)
+                   OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                         ROWS UNBOUNDED PRECEDING) AS cov_end
+        FROM toks t
+        LEFT JOIN st ON t.doc_id = st.doc_id AND t.pos = st.pos
+    )
+    SELECT doc_id,
+           count(*) AS n_toks,
+           CAST(coalesce(sum(CASE WHEN is_start THEN 1 END), 0) AS BIGINT)
+               AS n_dup_starts,
+           CAST(coalesce(sum(CASE WHEN cov_end >= pos THEN 1 END), 0)
+               AS BIGINT) AS n_removed,
+           coalesce(md5(string_agg(tok, ' ' ORDER BY pos)
+                        FILTER (WHERE cov_end IS NULL OR cov_end < pos)),
+                    md5('')) AS clean_fp
+    FROM cov GROUP BY 1
+    """,
+)
+def exact_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022 §4.1) as relational algebra
+    (ext/dedup_text.py::exact_substring_dedup): every 8-token span that
+    repeats corpus-wide is removed from all but one canonical
+    occurrence, then documents are rebuilt from surviving tokens. The
+    oracle replays the WHOLE pipeline — k-gram hashing, the packed-
+    bigint canonical argmin, removal starts, running-max interval
+    coverage, and the ordered re-assembly fingerprint — so the hash
+    match certifies every stage, including span overlap merging. 100 TB:
+    text never shuffles (16-hex keys), the per-k-gram argmin is
+    partial-aggregatable (no hot-key window), coverage is one per-doc
+    window."""
+    from .ext.dedup_text import exact_substring_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return exact_substring_dedup(docs, k=8)
+
+
 ALL = sorted(QUERIES)

@@ -295,3 +295,86 @@ def test_incremental_chunk_dedup_corpus_growth(spark, tmp_path):
     }
     for h in base_chunk_hashes:
         assert idx_after[h] == 2
+
+
+def _py_exactsubstr(docs, k=8):
+    """Brute-force reference for exact_substring_dedup."""
+    import hashlib
+
+    grams = {}
+    toks = {d: t.split(" ") for d, t in docs}
+    for d, t in sorted(toks.items()):
+        for p in range(len(t) - k + 1):
+            grams.setdefault(" ".join(t[p : p + k]), []).append((d, p))
+    out = {}
+    starts = {d: set() for d in toks}
+    for occs in grams.values():
+        if len(occs) < 2:
+            continue
+        for d, p in sorted(occs)[1:]:
+            starts[d].add(p)
+    for d, t in toks.items():
+        removed = set()
+        for p in starts[d]:
+            removed.update(range(p, p + k))
+        kept = [tok for i, tok in enumerate(t) if i not in removed]
+        out[d] = (
+            len(t),
+            len(starts[d]),
+            len(removed & set(range(len(t)))),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_exact_substring_dedup_matches_brute_force(spark):
+    """Planted repeats: cross-doc span, overlapping spans (long shared
+    run), within-doc repeat, and a doc shorter than k — all pinned
+    against an independent python reference."""
+    import hashlib
+
+    from etl_weather_jabar_spark.ext.dedup_text import (
+        exact_substring_dedup,
+    )
+
+    span = " ".join(f"s{i}" for i in range(12))  # 12 > k: overlap-merge
+    rows = [
+        (1, "a0 " + span + " a1 a2"),  # canonical (smallest doc, pos)
+        (2, "b0 b1 " + span),  # loses the whole 12-token run
+        (3, span + " c0 " + span),  # within-doc: 2nd occurrence removed
+        (4, "short doc here"),  # < k tokens, untouched
+        # hash-derived filler corpus with incidental non-repeats
+        *[
+            (
+                10 + d,
+                " ".join(
+                    hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:6]
+                    for i in range(30)
+                ),
+            )
+            for d in range(6)
+        ],
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_toks"],
+            r["n_dup_starts"],
+            r["n_removed"],
+            r["clean_fp"],
+        )
+        for r in exact_substring_dedup(docs, k=8).collect()
+    }
+    assert got == _py_exactsubstr(rows, k=8)
+    # the canonical copy survives intact; the repeat is fully excised
+    assert got[1][2] == 0
+    assert got[2][2] == 12
+    # doc 3: doc 1 holds the canonical occurrence, so BOTH of doc 3's
+    # copies of the span are excised
+    assert got[3][2] == 24
+    assert got[4] == (
+        3,
+        0,
+        0,
+        hashlib.md5(b"short doc here").hexdigest(),
+    )
