@@ -10135,4 +10135,62 @@ def exact_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(docs, k=8)
 
 
+
+@_register(
+    "bigram_lm_quality",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS pos,
+               unnest(ss) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents)
+    ),
+    occ AS (
+        SELECT doc_id,
+               substr(md5(tok || ' ' || y), 1, 16) AS bh,
+               substr(md5(tok), 1, 16) AS xh
+        FROM (SELECT doc_id, pos, tok,
+                     lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS y
+              FROM toks) s
+        WHERE y IS NOT NULL
+    ),
+    cxy AS (
+        SELECT bh, min(xh) AS xh, count(*) AS cxy FROM occ GROUP BY 1
+    ),
+    cx AS (SELECT xh, count(*) AS cx FROM occ GROUP BY 1),
+    stats AS (
+        SELECT bh, CAST(cxy * 1000000 AS BIGINT) // cx AS ppm
+        FROM cxy JOIN cx USING (xh)
+    ),
+    pd AS (
+        SELECT o.doc_id, count(*) AS n_bigrams,
+               CAST(sum(ppm) AS BIGINT) AS sp,
+               CAST(min(ppm) AS BIGINT) AS min_ppm
+        FROM occ o JOIN stats USING (bh) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST({_sql_halfup('pd.sp', 'pd.n_bigrams')} AS BIGINT) AS lm_ppm,
+           pd.min_ppm
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN pd USING (doc_id)
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020), log-free
+    exact form (ext/lm.py::bigram_lm_score): each token transition is
+    scored by its corpus conditional probability in ppm (exact integer
+    division), a document's quality is the half-up mean transition ppm
+    plus the min (most surprising transition). The oracle replays
+    training AND inference — bigram/prefix counts, the ppm table, the
+    per-doc rollup — so the hash match certifies the whole model.
+    100 TB: two counts + two 16-hex equi-joins, stats table is
+    vocabulary-squared-bounded, no floats and no log anywhere."""
+    from .ext.lm import bigram_lm_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return bigram_lm_score(docs)
+
+
 ALL = sorted(QUERIES)

@@ -343,3 +343,45 @@ def test_classifier_filter_matches_python_replay(spark):
     assert checked == 5
     # the model must actually discriminate on this corpus
     assert len({r["pred_class"] for r in out.values()}) > 1
+
+
+def test_bigram_lm_score_matches_python_replay(spark):
+    """Self-trained bigram conditional-ppm scoring pinned against an
+    independent python reference, including the short-doc (<2 tokens)
+    NULL path and the repeated-transition head/tail split."""
+    from collections import Counter
+
+    from etl_weather_jabar_spark.ext.lm import bigram_lm_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "solo"),          # no bigrams → NULL scores
+        (4, "the cat sat on the mat"),  # exact repeat boosts its ppms
+    ]
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_ppm"], r["min_ppm"])
+        for r in bigram_lm_score(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+
+    cxy, cx = Counter(), Counter()
+    for _, t in rows:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            cxy[(a, b)] += 1
+            cx[a] += 1
+    for d, t in rows:
+        w = t.split(" ")
+        ppms = [
+            cxy[(a, b)] * 1_000_000 // cx[a] for a, b in zip(w, w[1:])
+        ]
+        if not ppms:
+            assert out[d] == (0, None, None)
+            continue
+        sp, n = sum(ppms), len(ppms)
+        assert out[d] == ((n, (2 * sp + n) // (2 * n), min(ppms)))
+    # the model discriminates: the common phrase scores above the
+    # one-off continuation ("ran" after "cat" is 1 of 3)
+    assert out[1][1] > out[2][2]
