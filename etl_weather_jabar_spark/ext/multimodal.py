@@ -652,43 +652,19 @@ def ahash_media(media: DataFrame) -> DataFrame:
     ).mapInPandas(run, schema=AHASH_SCHEMA)
 
 
-def encode_gif(indices, palette) -> bytes:
-    """(h, w) uint8 palette-index array + (k ≤ 256, 3) palette → GIF89a
-    bytes (non-interlaced, single frame). Pure stdlib — the GIF LZW
-    variant with variable code width, clear/EOI codes and 255-byte
-    sub-blocks, implemented from the GIF89a specification."""
-    import numpy as np
-
-    idx = np.asarray(indices, dtype=np.uint8)
-    pal = np.asarray(palette, dtype=np.uint8)
-    h, w = idx.shape
-    k = len(pal)
-    assert 2 <= k <= 256 and int(idx.max(initial=0)) < k
-    # color table size: next power of two ≥ k, min 2
-    ct_bits = max(1, (k - 1).bit_length())
-    ct_size = 1 << ct_bits
-    out = bytearray(b"GIF89a")
-    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out += bytes([0x80 | (ct_bits - 1), 0, 0])  # GCT flag + size
-    table = np.zeros((ct_size, 3), dtype=np.uint8)
-    table[:k] = pal
-    out += table.tobytes()
-    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0,0)
-    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out += b"\x00"  # no local color table, not interlaced
-
-    min_code = max(2, ct_bits)
+def _gif_lzw(raw: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW: raw index bytes → packed code stream (LSB-first
+    bit packing, clear/EOI framing, variable code width, dictionary
+    reset at 4096) — the shared encoder core of ``encode_gif`` and
+    ``encode_gif_animated``."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
-    out += bytes([min_code])
-
-    # LZW encode with bit packing (LSB first)
     codes: list[tuple[int, int]] = []  # (code, width)
     width = min_code + 1
     table_d: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
     next_code = eoi + 1
     codes.append((clear, width))
     cur = b""
-    for px in idx.tobytes():
+    for px in raw:
         nxt = cur + bytes([px])
         if nxt in table_d:
             cur = nxt
@@ -719,19 +695,101 @@ def encode_gif(indices, palette) -> bytes:
             bitpos -= 8
     if bitpos:
         data.append(bits & 0xFF)
+    return bytes(data)
+
+
+def _gif_sub_blocks(data: bytes) -> bytes:
+    """255-byte sub-block framing + terminator."""
+    out = bytearray()
     for i in range(0, len(data), 255):
         blk = data[i : i + 255]
         out += bytes([len(blk)]) + blk
-    out += b"\x00\x3b"  # block terminator + trailer
+    out += b"\x00"
     return bytes(out)
 
 
-def decode_gif(payload: bytes):
-    """GIF87a/89a bytes → (h, w, 3) uint8 RGB numpy array (first frame,
-    non-interlaced, global or local color table). Pure stdlib LZW with
-    variable code width, clear/EOI handling and deferred-clear
-    tolerance; raises ValueError on malformed input or interlaced
-    frames (out of scope)."""
+def _gif_header(w: int, h: int, palette) -> tuple[bytearray, int]:
+    """GIF89a header + logical screen + global color table; returns the
+    buffer and the LZW minimum code size implied by the palette."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8)
+    k = len(pal)
+    assert 2 <= k <= 256
+    ct_bits = max(1, (k - 1).bit_length())
+    ct_size = 1 << ct_bits
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (ct_bits - 1), 0, 0])  # GCT flag + size
+    table = np.zeros((ct_size, 3), dtype=np.uint8)
+    table[:k] = pal
+    out += table.tobytes()
+    return out, max(2, ct_bits)
+
+
+def _gif_image_block(idx, min_code: int) -> bytes:
+    """Image descriptor at (0,0) + LZW-coded index data."""
+    h, w = idx.shape
+    out = bytearray(b"\x2c" + b"\x00" * 4)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += b"\x00"  # no local color table, not interlaced
+    out += bytes([min_code])
+    out += _gif_sub_blocks(_gif_lzw(idx.tobytes(), min_code))
+    return bytes(out)
+
+
+def encode_gif(indices, palette) -> bytes:
+    """(h, w) uint8 palette-index array + (k ≤ 256, 3) palette → GIF89a
+    bytes (non-interlaced, single frame). Pure stdlib — the GIF LZW
+    variant with variable code width, clear/EOI codes and 255-byte
+    sub-blocks, implemented from the GIF89a specification."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    assert int(idx.max(initial=0)) < len(pal)
+    out, min_code = _gif_header(w, h, pal)
+    out += _gif_image_block(idx, min_code)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def encode_gif_animated(frames, palette, delays_cs) -> bytes:
+    """Animated GIF89a: a list of same-shape (h, w) uint8 index frames
+    sharing one global palette, each preceded by a Graphic Control
+    Extension carrying its display delay in centiseconds, plus the
+    NETSCAPE2.0 infinite-loop application extension — the minimal
+    multi-frame "video" container this engine can both write and read
+    codec-free. Frames are full replacements (disposal 0, no
+    transparency), so decode needs no compositing state."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    assert frames and len(frames) == len(delays_cs)
+    h, w = frames[0].shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    assert all(f.shape == (h, w) for f in frames)
+    assert all(int(f.max(initial=0)) < len(pal) for f in frames)
+    out, min_code = _gif_header(w, h, pal)
+    # NETSCAPE2.0 loop-forever application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for idx, delay in zip(frames, delays_cs):
+        assert 0 <= int(delay) < 65536
+        out += b"\x21\xf9\x04\x00"  # GCE: disposal 0, no transparency
+        out += int(delay).to_bytes(2, "little") + b"\x00\x00"
+        out += _gif_image_block(idx, min_code)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _iter_gif_frames(payload: bytes):
+    """GIF87a/89a block walk: yields ``(delay_cs, rgb)`` per image frame
+    — delay from the preceding Graphic Control Extension (0 when
+    absent), rgb an (h, w, 3) uint8 array. Lazy, so taking only the
+    first frame (``decode_gif``) never touches bytes past it. Raises
+    ValueError on malformed input, interlaced frames, or a GIF with no
+    image frame at all."""
     import numpy as np
 
     if len(payload) < 13 or payload[:3] != b"GIF":
@@ -749,13 +807,26 @@ def decode_gif(payload: bytes):
             payload, dtype=np.uint8, count=n * 3, offset=pos
         ).reshape(n, 3)
         pos += n * 3
+    yielded = False
+    delay_cs = 0
     while pos < len(payload):
         b0 = payload[pos]
         pos += 1
-        if b0 == 0x3B:  # trailer before any image
-            raise ValueError("GIF contains no image frame")
-        if b0 == 0x21:  # extension: label + sub-blocks, skip
+        if b0 == 0x3B:  # trailer
+            if not yielded:
+                raise ValueError("GIF contains no image frame")
+            return
+        if b0 == 0x21:  # extension: label + sub-blocks
+            label = payload[pos] if pos < len(payload) else 0
             pos += 1
+            if (
+                label == 0xF9
+                and pos + 4 <= len(payload)
+                and payload[pos] >= 4
+            ):  # Graphic Control Extension: delay at offset 2-3
+                delay_cs = int.from_bytes(
+                    payload[pos + 2 : pos + 4], "little"
+                )
             while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
@@ -792,6 +863,7 @@ def decode_gif(payload: bytes):
             pos += 1 + ln
         if pos >= len(payload):
             raise ValueError("truncated sub-blocks")
+        pos += 1  # consume the 0x00 sub-block terminator
 
         clear, eoi = 1 << min_code, (1 << min_code) + 1
         width = min_code + 1
@@ -835,8 +907,30 @@ def decode_gif(payload: bytes):
         idx = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8)
         if int(idx.max(initial=0)) >= len(ct):
             raise ValueError("palette index out of range")
-        return ct[idx].reshape(h, w, 3)
-    raise ValueError("GIF contains no image frame")
+        yield delay_cs, ct[idx].reshape(h, w, 3)
+        yielded = True
+        delay_cs = 0
+    if not yielded:
+        raise ValueError("GIF contains no image frame")
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a bytes → (h, w, 3) uint8 RGB numpy array (first frame,
+    non-interlaced, global or local color table). Pure stdlib LZW with
+    variable code width, clear/EOI handling and deferred-clear
+    tolerance; raises ValueError on malformed input or interlaced
+    frames (out of scope)."""
+    for _, rgb in _iter_gif_frames(payload):
+        return rgb
+
+
+def decode_gif_frames(payload: bytes):
+    """All frames of a (possibly animated) GIF: list of
+    ``(delay_cs, rgb)`` — full decode of every image descriptor, each
+    frame an independent full-frame replacement (the only disposal mode
+    ``encode_gif_animated`` writes; compositing disposal modes are out
+    of codec-free scope)."""
+    return list(_iter_gif_frames(payload))
 
 
 def energy_hash64(samples) -> int:
@@ -905,3 +999,87 @@ def audio_fingerprint_media(media: DataFrame) -> DataFrame:
     return media.where(F.col("kind") == "audio").select(
         "media_id", "payload"
     ).mapInPandas(run, schema=schema)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sig", LongType(), True),
+    ]
+)
+
+
+def sample_frames_real(media: DataFrame, every_ms: int = 100) -> DataFrame:
+    """REAL video frame sampling — the functional counterpart of the
+    ``sample_frames`` stub, over the one multi-frame container this
+    engine decodes codec-free: animated GIF (``decode_gif_frames``).
+
+    Per video row: decode every frame with its Graphic Control
+    Extension delay, lay the frames on a timeline (delay in
+    centiseconds → ms, frame *i* visible on [start_i, start_i+1)), and
+    emit one row per sampling instant ``t = 0, every_ms, 2·every_ms, …
+    < total_duration`` — each row carries the index of the frame
+    visible at *t*, true dimensions, and the frame's exact-integer
+    ``ahash64`` fingerprint (so near-dup banding over sampled frames
+    shuffles longs, never pixels). An all-zero-delay animation yields a
+    single t=0 sample of the last instant frame; undecodable payloads
+    yield one NULL quarantine row, mirroring ``ahash_media``.
+
+    Scale: fan-out multiplies rows by ~duration/every_ms — the same
+    sizing note as the stub applies (shrink maxPartitionBytes so the
+    expanded Arrow batch fits); only 40-byte rows leave the stage."""
+    from bisect import bisect_right
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_gif_frames(bytes(payload))
+                except ValueError:
+                    rows.append((int(mid), None, None, None, None, None))
+                    continue
+                starts, t = [], 0
+                for d, _ in frames:
+                    starts.append(t)
+                    t += d * 10
+                total = t
+                ts = 0
+                while True:
+                    i = bisect_right(starts, ts) - 1
+                    arr = frames[i][1]
+                    rows.append(
+                        (
+                            int(mid),
+                            i,
+                            ts,
+                            int(arr.shape[1]),
+                            int(arr.shape[0]),
+                            ahash64(arr),
+                        )
+                    )
+                    ts += every_ms
+                    if ts >= total:
+                        break
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "ts_ms",
+                    "width",
+                    "height",
+                    "sig",
+                ],
+            )
+
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

@@ -10193,4 +10193,94 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs)
 
 
+
+@_register("video_frame_sample_stats")  # rows-only: binary payload ops
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling exercised end-to-end from the registry:
+    synthesize an ANIMATED GIF per document (2-4 full frames, digest-
+    derived palette/pixels/per-frame delays, NETSCAPE loop extension),
+    decode every frame with the stdlib LZW decoder, sample the timeline
+    every 40 ms (ext/multimodal.py::sample_frames_real), fingerprint
+    each sampled frame with exact-integer ahash64, and aggregate per
+    source. Docs ≡ 0 (mod 37) ship a truncated payload to exercise the
+    quarantine row. Rows-only check (binary payloads have no SQL twin);
+    codec round-trip and timeline semantics are pinned bit-exact in
+    tests/test_multimodal.py."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .ext.multimodal import MEDIA_SCHEMA, sample_frames_real
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+
+    def make_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .ext.multimodal import encode_gif_animated
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5((text or "").encode()).digest()
+                k = 4 + digest[3] % 5
+                pal = np.frombuffer(
+                    hashlib.md5(digest + b"pal").digest() * 2,
+                    dtype=np.uint8,
+                )[: k * 3].reshape(k, 3)
+                n_frames = 2 + digest[2] % 3
+                frames, delays = [], []
+                for f in range(n_frames):
+                    raw = hashlib.md5(
+                        digest + f.to_bytes(2, "big")
+                    ).digest() * 9
+                    frames.append(
+                        (
+                            np.frombuffer(raw[:144], dtype=np.uint8) % k
+                        ).reshape(12, 12)
+                    )
+                    delays.append((digest[4 + f] % 5 + 1) * 2)
+                payload = encode_gif_animated(frames, pal, delays)
+                if did % 37 == 0:  # quarantine path: truncated container
+                    payload = payload[: len(payload) // 2]
+                rows.append(
+                    (
+                        int(did),
+                        "video",
+                        payload,
+                        "image/gif",
+                        12,
+                        12,
+                        sum(delays) * 10,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(make_media, schema=MEDIA_SCHEMA)
+    frames = sample_frames_real(media, every_ms=40)
+    joined = frames.join(
+        docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.countDistinct("media_id").cast("bigint").alias("n_videos"),
+            F.count(F.when(F.col("frame_idx").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_samples"),
+            F.coalesce(F.sum("ts_ms"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_ts_ms"),
+            F.countDistinct("sig").cast("bigint").alias("distinct_sigs"),
+            F.count(F.when(F.col("frame_idx").isNull(), 1))
+            .cast("bigint")
+            .alias("n_quarantined"),
+        )
+        .orderBy("source")
+    )
+
+
 ALL = sorted(QUERIES)
