@@ -10283,4 +10283,70 @@ def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "domain_cap_docs",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':domcap'),
+                            doc_id
+               ) AS rnk
+        FROM documents
+    ),
+    kept AS (SELECT * FROM ranked WHERE rnk <= 15)
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           CAST(sum(k.doc_id) AS BIGINT) AS kept_id_sum
+    FROM kept k
+    JOIN (SELECT source, count(*) AS n_total FROM documents GROUP BY 1) t
+      USING (source)
+    GROUP BY 1, 3
+    """,
+)
+def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/Gopher-style source
+    balancing): at most 15 documents survive per source, chosen by a
+    deterministic salted-md5 order (an unbiased uniform sample that is
+    stable under corpus append — a doc's rank key never changes). Runs
+    through operators/windows.py::scalable_topk_per_group, so a viral
+    domain never funnels through one reducer: phase 1 keeps a salted
+    local top-k (≤ buckets·k rows survive per domain regardless of its
+    size), phase 2 ranks only survivors. The oracle replays the rank
+    key and cap exactly; the salted two-phase plan is pinned equal to
+    the plain window in tests/test_operators.py."""
+    from .operators.windows import scalable_topk_per_group
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":domcap")))
+        .alias("__rk"),
+    )
+    kept = scalable_topk_per_group(
+        docs,
+        ["source"],
+        ["__rk", "doc_id"],
+        k=15,
+        salt_by=["doc_id"],
+    )
+    totals = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .join(totals, "source")
+        .select("source", "n_kept", "n_total", "kept_id_sum")
+    )
+
+
 ALL = sorted(QUERIES)
