@@ -89,6 +89,10 @@ TIER3_QUERIES = [
     "token_diversity_by_source",
     "count_min_sketch_tokens",
     "audio_energy_neardup",
+    "exact_substring_dedup_docs",
+    "bigram_lm_quality",
+    "video_frame_sample_stats",
+    "domain_cap_docs",
 ]
 
 

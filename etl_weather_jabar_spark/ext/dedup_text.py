@@ -291,12 +291,27 @@ def lsh_band_buckets(
     row per (doc, band), bucket = that band's slice of the signature as a
     string key. Shared by the pair generator below and the cluster query
     (which star-joins buckets instead of expanding pairs)."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn
     )
+    return bands_from_signatures(sigs, num_hashes, bands, id_col)
+
+
+def bands_from_signatures(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode precomputed MinHash signatures into (id, band, bucket)
+    rows — the banding half of ``lsh_band_buckets``, factored out so
+    callers that already hold signatures (the incremental index) don't
+    recompute them. ``keep_cols`` ride along unchanged."""
+    rows_per_band = num_hashes // bands
     return sigs.select(
         id_col,
+        *keep_cols,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -312,7 +327,12 @@ def lsh_band_buckets(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        id_col,
+        *keep_cols,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -959,3 +979,171 @@ def exact_substring_dedup(
             )
         ).alias("clean_fp"),
     )
+
+
+def incremental_lsh_neardup(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 10_000,
+    hash_fn: str = "xxhash64",
+    sink=None,
+) -> DataFrame:
+    """Tier 3 at corpus-growth time: near-dup-dedup a NEW batch against
+    the corpus's PERSISTED LSH index — the MinHash sibling of
+    :func:`incremental_exact_dedup`. Per batch the work is
+    O(batch + candidates), never O(corpus): prior documents are touched
+    only through their banded signature rows, and only in the buckets
+    the new batch lands in.
+
+    The index is a snapshot table of (band, bucket, doc_id, sig) rows —
+    one row per (surviving doc, band), ``sig`` the full "-"-joined
+    MinHash signature (so verification needs no text). Per batch:
+
+    1. sign + band the batch once (``minhash_signatures`` →
+       ``bands_from_signatures``);
+    2. cross-generation candidates = batch bands equi-joined to the
+       index on (band, bucket); within-batch candidates = the usual
+       in-bucket expansion (``max_bucket``-capped on the index side
+       too, so one boilerplate bucket can't explode the join);
+    3. verify by signature agreement — matching MinHash coordinates /
+       ``num_hashes``, the standard unbiased Jaccard estimator — a pure
+       ``zip_with`` over the two sig arrays;
+    4. survivor rule, greedy by id (one pass, no iteration): a new doc
+       drops if it matches any indexed doc at ≥ ``threshold``, or any
+       smaller-id doc of its own batch. (Greedy-by-id is the SemDeDup
+       one-pass rule; it can drop a chain a~b~c entirely except `a` —
+       by design. Cluster-exact semantics need the batch CC path,
+       ``ext/graph.py``.)
+    5. deliver survivors to ``sink``, THEN append their banded rows to
+       the index — the same corpus-write-first crash contract as
+       :func:`incremental_exact_dedup` (at-least-once rerun + an
+       idempotent sink = exactly-once; the reverse order silently
+       loses data).
+
+    Estimator caveat (documented, not hidden): signature agreement
+    approximates Jaccard with σ = √(J(1−J)/num_hashes); exact-text
+    verification would require fetching candidate docs' text from the
+    corpus (O(candidates) — the hook is ``jaccard_verify`` and a
+    semi-join, left to the caller when the corpus table is at hand).
+
+    Returns the surviving rows of ``new_docs``.
+    """
+    from ..snapshots import snapshot_read, snapshot_write
+
+    spark = new_docs.sparkSession
+    sigs = checkpoint(
+        minhash_signatures(
+            new_docs, id_col, text_col, num_hashes, shingle_n,
+            hash_fn=hash_fn,
+        ).withColumn(
+            # "," separator, NOT "-": xxhash64 coordinates can be
+            # negative, and a "-"-joined signature mis-splits on the
+            # sign, misaligning the agreement comparison below
+            "sig",
+            F.array_join(
+                F.transform(F.col("minhash"), lambda v: v.cast("string")),
+                ",",
+            ),
+        )
+    )
+    banded = bands_from_signatures(
+        sigs, num_hashes, bands, id_col, keep_cols=("sig",)
+    )
+
+    def agree(a, b):
+        sa = F.split(a, ",")
+        return (
+            F.size(
+                F.filter(
+                    F.zip_with(sa, F.split(b, ","), lambda x, y: x == y),
+                    lambda t: t,
+                )
+            )
+            / F.lit(float(num_hashes))
+        )
+
+    dropped_new = None
+    try:
+        idx = snapshot_read(spark, index_path)
+        # cap boilerplate buckets on the index side: a bucket with more
+        # members than max_bucket contributes no candidates (its docs
+        # were already deduped against each other when indexed)
+        bucket_sizes = idx.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        idx_capped = idx.join(
+            bucket_sizes.where(F.col("__bn") <= max_bucket),
+            ["band", "bucket"],
+        )
+        cross = (
+            banded.join(
+                idx_capped.select(
+                    "band",
+                    "bucket",
+                    F.col(id_col).alias("__old_id"),
+                    F.col("sig").alias("__old_sig"),
+                ),
+                ["band", "bucket"],
+            )
+            .select(id_col, "sig", "__old_sig")
+            .distinct()
+        )
+        dropped_new = (
+            cross.where(agree(F.col("sig"), F.col("__old_sig")) >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+    except FileNotFoundError:
+        pass
+
+    # within-batch: in-bucket pair expansion among new docs only
+    ids = F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("sig"))))
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids").between(2, max_bucket))
+    )
+    batch_pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                a.alias("a"), b.alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    dropped_batch = (
+        batch_pairs.where(
+            agree(F.col("a.sig"), F.col("b.sig")) >= threshold
+        )
+        .select(F.col("b." + id_col).alias(id_col))
+        .distinct()
+    )
+    dropped = (
+        dropped_batch if dropped_new is None
+        else dropped_new.unionByName(dropped_batch).distinct()
+    )
+    survivors = new_docs.join(dropped, id_col, "left_anti")
+    if sink is not None:
+        sink(survivors)
+    surv_banded = banded.join(
+        survivors.select(id_col), id_col, "left_semi"
+    ).select("band", "bucket", id_col, "sig")
+    snapshot_write(surv_banded, index_path, mode="append")
+    return survivors

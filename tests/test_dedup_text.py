@@ -378,3 +378,50 @@ def test_exact_substring_dedup_matches_brute_force(spark):
         0,
         hashlib.md5(b"short doc here").hexdigest(),
     )
+
+
+def test_incremental_lsh_neardup_corpus_growth(spark, tmp_path):
+    """Corpus-growth near-dup: batch 1 dedups within itself (keep-first
+    clone drop), batch 2's clone of an INDEXED doc drops via the
+    persisted banded-signature index without touching batch-1 text,
+    fresh docs survive, and the index grows by bands x survivors."""
+    import hashlib
+
+    from etl_weather_jabar_spark.ext.dedup_text import (
+        incremental_lsh_neardup,
+    )
+    from etl_weather_jabar_spark.snapshots import snapshot_read
+
+    def words(seed, n=40):
+        return " ".join(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:5]
+            for i in range(n)
+        )
+
+    idx = str(tmp_path / "lsh_index")
+    b1 = spark.createDataFrame(
+        [(1, words("x")), (2, words("x")), (3, words("c"))],
+        ["doc_id", "text"],
+    )
+    s1 = sorted(
+        r["doc_id"]
+        for r in incremental_lsh_neardup(b1, idx, threshold=0.7).collect()
+    )
+    assert s1 == [1, 3]  # clone 2 dropped within-batch, keep-first
+
+    b2 = spark.createDataFrame(
+        [(10, words("x")), (11, words("e")), (12, words("e"))],
+        ["doc_id", "text"],
+    )
+    s2 = sorted(
+        r["doc_id"]
+        for r in incremental_lsh_neardup(b2, idx, threshold=0.7).collect()
+    )
+    assert s2 == [11]  # 10 drops vs index, 12 drops vs 11 in-batch
+
+    rows = snapshot_read(spark, idx).collect()
+    # 4 bands x 3 total survivors (1, 3, 11)
+    assert len(rows) == 12
+    assert {r["doc_id"] for r in rows} == {1, 3, 11}
+    # indexed signature rides with every band row (text-free verify)
+    assert all(len(r["sig"].split(",")) == 16 for r in rows)
