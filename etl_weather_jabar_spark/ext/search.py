@@ -1,0 +1,74 @@
+"""Positional inverted-index text search, relational form.
+
+The classic search-engine structure — postings of (term, doc, position)
+— expressed as a DataFrame, with phrase queries answered by the k-way
+offset-aligned intersection: a phrase of k terms matches at anchor
+position p iff for every offset i the posting (term_i, doc, p+i)
+exists. Instead of k−1 self-joins, the intersection is ONE equi-join of
+the postings against the (offset, term-hash) list plus ONE aggregation
+(``count(distinct offset) = k`` per anchor) — the join stays uniform in
+the term-hash key and the plan shape is independent of phrase length.
+
+Repeated phrase terms are handled exactly: each posting row joins every
+offset whose term matches, and the distinct-offset count still demands
+a hit at every required position.
+
+Scale: postings are (16-hex, id, pos) — text never shuffles; a
+persisted postings table bucketed/partitioned by term hash makes the
+term lookup partition-prunable (the same layout argument as the IVF
+index). The reference has no search surface; this is a driver-mandated
+LLM-pipeline extension (corpus inspection / targeted decontamination
+both reduce to phrase lookup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings: one row per token occurrence —
+    (th = 16-hex md5 of the token, id, pos)."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).select(
+        F.substring(F.md5("tok"), 1, 16).alias("th"),
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+    )
+
+
+def phrase_match(
+    postings: DataFrame, terms: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Anchor positions where the phrase matches.
+
+    ``terms`` is the query: (off, th) with offsets 0..k−1 — broadcast
+    (a phrase is tiny by construction). Returns (id, pos0) — one row
+    per match anchor. The anchor trick: a posting at position p for the
+    term at offset i votes for anchor ``p − i``; an anchor with votes
+    from ALL k distinct offsets is a match. k is never collected — the
+    anchor's distinct-offset count equi-joins the query's own
+    distinct-offset count (a 1-row broadcast), keeping the builder
+    job-free for plan-only callers."""
+    cand = postings.join(F.broadcast(terms), "th").select(
+        F.col(id_col),
+        (F.col("pos") - F.col("off")).alias("pos0"),
+        "off",
+    )
+    return (
+        cand.where(F.col("pos0") >= 0)
+        .groupBy(id_col, "pos0")
+        .agg(F.count_distinct("off").alias("__k"))
+        .join(
+            F.broadcast(
+                terms.agg(F.count_distinct("off").alias("__k"))
+            ),
+            "__k",
+        )
+        .select(id_col, "pos0")
+    )

@@ -10349,4 +10349,121 @@ def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "phrase_search_topgram",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS pos,
+               unnest(ss) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents)
+    ),
+    tri AS (
+        SELECT doc_id, pos, tok AS w0,
+               lead(tok, 1) OVER w AS w1,
+               lead(tok, 2) OVER w AS w2
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    top1 AS (
+        SELECT w0, w1, w2 FROM tri WHERE w2 IS NOT NULL
+        GROUP BY 1, 2, 3 ORDER BY count(*) DESC, w0, w1, w2 LIMIT 1
+    ),
+    terms AS (
+        SELECT CAST(0 AS BIGINT) AS off, substr(md5(w0), 1, 16) AS th
+        FROM top1
+        UNION ALL
+        SELECT 1, substr(md5(w1), 1, 16) FROM top1
+        UNION ALL
+        SELECT 2, substr(md5(w2), 1, 16) FROM top1
+    ),
+    post AS (
+        SELECT doc_id, pos, substr(md5(tok), 1, 16) AS th FROM toks
+    ),
+    cand AS (
+        SELECT p.doc_id, p.pos - t.off AS pos0, t.off
+        FROM post p JOIN terms t USING (th)
+    ),
+    m AS (
+        SELECT doc_id, pos0 FROM cand WHERE pos0 >= 0
+        GROUP BY 1, 2
+        HAVING count(DISTINCT off) = (SELECT count(DISTINCT off) FROM terms)
+    )
+    SELECT m.doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(pos0) AS BIGINT) AS first_pos,
+           (SELECT w0 || ' ' || w1 || ' ' || w2 FROM top1) AS phrase
+    FROM m GROUP BY 1
+    """,
+)
+def phrase_search_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index phrase search (ext/search.py): postings
+    of (term-hash, doc, pos), query = the corpus's most frequent
+    trigram (deterministic count-desc/lexicographic tie-break — a
+    data-derived phrase, so the query is self-contained), answered by
+    the k-way offset-aligned anchor intersection: one uniform equi-join
+    + count(distinct offset)=k per anchor instead of k-1 self-joins.
+    The oracle replays postings, query selection, anchor votes and the
+    intersection, so the hash match certifies the whole search path.
+    100 TB: text never shuffles (16-hex terms), the phrase is a 3-row
+    broadcast, anchors partial-aggregate; a persisted postings table
+    partitioned by term hash makes the lookup partition-prunable."""
+    from .ext.search import build_postings, phrase_match
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    arr = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tri_seq = F.when(
+        F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = arr.select(
+        F.explode(
+            F.transform(
+                tri_seq,
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w0"),
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.w0", "g.w1", "g.w2")
+    top1 = (
+        tri.groupBy("w0", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "w0", "w1", "w2")
+        .limit(1)
+        .drop("__c")
+    )
+    terms = top1.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("off"),
+                        F.substring(F.md5(f"w{i}"), 1, 16).alias("th"),
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("t")
+    ).select("t.off", "t.th")
+    postings = build_postings(docs)
+    matches = phrase_match(postings, terms)
+    return (
+        matches.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("pos0").cast("bigint").alias("first_pos"),
+        )
+        .crossJoin(
+            F.broadcast(
+                top1.select(
+                    F.concat_ws(" ", "w0", "w1", "w2").alias("phrase")
+                )
+            )
+        )
+        .select("doc_id", "n_matches", "first_pos", "phrase")
+    )
+
+
 ALL = sorted(QUERIES)

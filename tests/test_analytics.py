@@ -385,3 +385,50 @@ def test_bigram_lm_score_matches_python_replay(spark):
     # the model discriminates: the common phrase scores above the
     # one-off continuation ("ran" after "cat" is 1 of 3)
     assert out[1][1] > out[2][2]
+
+
+def test_phrase_match_repeated_terms_and_overlaps(spark):
+    """The anchor intersection handles a phrase with a REPEATED term
+    ("a b a": off 0 and 2 share the token) and overlapping matches
+    ("a a a a" contains "a a a" at anchors 0 and 1); docs without the
+    phrase yield no rows."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.search import (
+        build_postings,
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x a b a y a b a"),   # matches at 1 and 5
+            (2, "a b c a b"),          # "a b" present, "a b a" absent
+            (3, "a a a a"),            # phrase "a b a"? no b → no match
+            (4, "b a b a"),            # match at 1
+        ],
+        ["doc_id", "text"],
+    )
+    terms = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "a")], ["off", "tok"]
+    ).select(
+        F.col("off").cast("bigint"),
+        F.substring(F.md5("tok"), 1, 16).alias("th"),
+    )
+    got = sorted(
+        (r["doc_id"], r["pos0"])
+        for r in phrase_match(build_postings(docs), terms).collect()
+    )
+    assert got == [(1, 1), (1, 5), (4, 1)]
+
+    # overlapping single-term repetition: "a a a" inside "a a a a"
+    terms2 = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a")], ["off", "tok"]
+    ).select(
+        F.col("off").cast("bigint"),
+        F.substring(F.md5("tok"), 1, 16).alias("th"),
+    )
+    got2 = sorted(
+        (r["doc_id"], r["pos0"])
+        for r in phrase_match(build_postings(docs), terms2).collect()
+    )
+    assert got2 == [(3, 0), (3, 1)]
