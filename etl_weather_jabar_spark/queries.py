@@ -10466,4 +10466,108 @@ def phrase_search_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "source_target_l1_shift",
+    """
+    WITH toks AS (
+        SELECT source, lang,
+               (CAST('0x' || substr(md5(tok || ':fh'), 1, 8) AS BIGINT) % 64) AS slot
+        FROM (SELECT source, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    ),
+    tgt AS (
+        SELECT slot,
+               CAST(count(*) * 1000000 AS BIGINT)
+                   // (SELECT count(*) FROM toks WHERE lang = 'en')
+                   AS ppm_t
+        FROM toks WHERE lang = 'en' GROUP BY 1
+    ),
+    srcn AS (SELECT source, count(*) AS n FROM toks GROUP BY 1),
+    srcd AS (
+        SELECT t.source, t.slot,
+               CAST(count(*) * 1000000 AS BIGINT) // s.n AS ppm_s
+        FROM toks t JOIN srcn s USING (source)
+        GROUP BY 1, 2, s.n
+    ),
+    grid AS (
+        SELECT s.source, d.slot,
+               coalesce(sd.ppm_s, 0) AS ppm_s,
+               coalesce(tg.ppm_t, 0) AS ppm_t
+        FROM (SELECT DISTINCT source FROM srcn) s
+        CROSS JOIN (SELECT DISTINCT slot FROM toks) d
+        LEFT JOIN srcd sd ON sd.source = s.source AND sd.slot = d.slot
+        LEFT JOIN tgt tg ON tg.slot = d.slot
+    )
+    SELECT g.source,
+           CAST(sum(abs(g.ppm_s - g.ppm_t)) AS BIGINT) AS l1_ppm,
+           CAST(max(n.n) AS BIGINT) AS n_toks
+    FROM grid g JOIN srcn n USING (source)
+    GROUP BY 1
+    """,
+)
+def source_target_l1_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style distribution diagnostic (Xie et al. 2023 importance
+    resampling selects data by hashed-n-gram distribution match; the
+    log-ratio weight's certified integer sibling is the L1 shift):
+    tokens hash into 64 slots (functions/text.py::feature_hash_slot —
+    the same md5 hashing trick as classifier_filter_docs), the target
+    distribution is the corpus's English slice, and each source scores
+    the exact L1 distance between its slot distribution and the
+    target's, in ppm (integer division, no floats). Missing slots count
+    as 0 via a sources×slots grid — slot space is fixed (64), so the
+    grid is model-sized, never corpus-sized. 100 TB: one token scan,
+    two slot-keyed partial aggregations, a broadcast-sized join."""
+    from .functions.text import feature_hash_slot
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "source", "lang", feature_hash_slot(F.col("tok"), 64).alias("slot")
+    )
+    tgt_n = toks.where(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).alias("__tn")
+    )
+    tgt = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("slot")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .crossJoin(F.broadcast(tgt_n))
+        .select("slot", F.expr("__c * 1000000 div __tn").alias("ppm_t"))
+    )
+    srcn = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    srcd = (
+        toks.groupBy("source", "slot")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(srcn, "source")
+        .select(
+            "source", "slot", F.expr("__c * 1000000 div n").alias("ppm_s")
+        )
+    )
+    grid = (
+        srcn.select("source")
+        .crossJoin(F.broadcast(toks.select("slot").distinct()))
+        .join(srcd, ["source", "slot"], "left")
+        .join(F.broadcast(tgt), "slot", "left")
+        .select(
+            "source",
+            F.coalesce("ppm_s", F.lit(0)).alias("ppm_s"),
+            F.coalesce("ppm_t", F.lit(0)).alias("ppm_t"),
+        )
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.sum(F.abs(F.col("ppm_s") - F.col("ppm_t")))
+            .cast("bigint")
+            .alias("l1_ppm")
+        )
+        .join(srcn, "source")
+        .select("source", "l1_ppm", F.col("n").cast("bigint").alias("n_toks"))
+    )
+
+
 ALL = sorted(QUERIES)
