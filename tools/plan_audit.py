@@ -123,6 +123,12 @@ AUDIT_QUERIES = [
     "pca_power_iteration",
     "token_diversity_by_source",
     "count_min_sketch_tokens",
+    "exact_substring_dedup_docs",
+    "bigram_lm_quality",
+    "domain_cap_docs",
+    "phrase_search_topgram",
+    "source_target_l1_shift",
+    "video_frame_sample_stats",
 ]
 
 
@@ -161,6 +167,8 @@ EXPECTED_NESTED_LOOP = {
     "pca_power_iteration": "d²-sized covariance × 1-row max-|w| rescale broadcast per unrolled round",
     "bpe_merge_rounds": "vocab-sized symbol table × 1-row best-pair broadcast per round",
     "bpe_encode_stats": "same training chain: 1-row best-pair broadcast per round",
+    "phrase_search_topgram": "per-doc matches × 1-row phrase-string broadcast",
+    "source_target_l1_shift": "sources × fixed 64-slot grid and 1-row target-total broadcasts",
 }
 
 
