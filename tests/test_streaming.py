@@ -368,3 +368,73 @@ def test_stream_batch_parity_tumbling_counts(spark, tmp_path):
         for r in spark.sql("SELECT * FROM parity_counts").collect()
     }
     assert stream == batch and len(batch) > 10
+
+
+def test_stream_incremental_lsh_dedup_exactly_once(spark, tmp_path):
+    """Structured Streaming ingest deduped by the persisted LSH index:
+    each micro-batch runs incremental_lsh_neardup inside foreachBatch
+    with an idempotent (keyed-overwrite) survivor sink. Restarting from
+    the same checkpoint after new data lands processes ONLY the new
+    file; a clone of already-indexed content is dropped cross-batch
+    and the survivor table never double-counts."""
+    import hashlib
+    import json
+    import os
+
+    from etl_weather_jabar_spark.ext.dedup_text import (
+        incremental_lsh_neardup,
+    )
+
+    def words(seed, n=40):
+        return " ".join(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:5]
+            for i in range(n)
+        )
+
+    landing = str(tmp_path / "in")
+    idx = str(tmp_path / "lsh_idx")
+    surv = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "doc_id LONG, text STRING"
+
+    def fold(batch, _bid):
+        if batch.isEmpty():
+            return
+        # idempotent sink: one partition dir per doc_id, overwritten on
+        # replay — the contract incremental_lsh_neardup documents
+        def sink(df):
+            df.localCheckpoint().write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("doc_id").parquet(surv)
+
+        incremental_lsh_neardup(batch, idx, threshold=0.7, sink=sink)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .json(landing)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    with open(f"{landing}/b1.json", "w") as f:
+        for d, s in [(1, "x"), (2, "x"), (3, "c")]:
+            f.write(json.dumps({"doc_id": d, "text": words(s)}) + "\n")
+    run()
+    got1 = sorted(
+        r["doc_id"] for r in spark.read.parquet(surv).collect()
+    )
+    assert got1 == [1, 3]  # in-batch clone 2 dropped
+
+    with open(f"{landing}/b2.json", "w") as f:
+        for d, s in [(10, "x"), (11, "e")]:
+            f.write(json.dumps({"doc_id": d, "text": words(s)}) + "\n")
+    run()  # restart from the same checkpoint: only b2 is processed
+    got2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(surv).collect()
+    )
+    assert got2 == [1, 3, 11]  # 10 dropped against the persisted index

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from etl_weather_jabar_spark.ext.dedup_text import (  # noqa: E402
     cdc_chunk_dedup,
+    exact_substring_dedup,
     crossdoc_repeated_ngrams,
     exact_dedup,
     minhash_signatures,
@@ -354,6 +355,29 @@ def main() -> None:
             o.select("o_orderkey", "o_totalprice"),
             ["o_totalprice", "o_orderkey"],
         ).groupBy().agg(F.sum("rank").alias("s"), F.count(F.lit(1)).alias("n"))
+
+    def _bigram_lm(d):
+        from etl_weather_jabar_spark.ext.lm import bigram_lm_score
+
+        return bigram_lm_score(d)
+
+    def _phrase(d):
+        from etl_weather_jabar_spark.ext.search import (
+            build_postings,
+            phrase_match,
+        )
+
+        # a phrase that actually occurs: the first three tokens of the
+        # smallest doc (probe tool — a 1-row collect is fine here)
+        first = d.orderBy("doc_id").select("text").first()["text"]
+        w = first.split(" ")[:3]
+        terms = spark.createDataFrame(
+            list(enumerate(w)), ["off", "w"]
+        ).select(
+            F.col("off").cast("bigint"),
+            F.substring(F.md5("w"), 1, 16).alias("th"),
+        )
+        return phrase_match(build_postings(d), terms)
 
     cases = {
         "scan_agg_pricing": (
@@ -704,6 +728,27 @@ def main() -> None:
         "pca_power_1round": (
             lambda: pca_top_direction(emb, rounds=1),
             lambda: pca_top_direction(replicate(emb, k, "vec_id"), rounds=1),
+        ),
+        # ExactSubstr span dedup: k-gram hash agg (partial-aggregatable
+        # packed argmin), removal-start join, one per-doc coverage
+        # window — replicated copies make every k-gram duplicated, so
+        # removal volume scales with input while keys stay uniform
+        "exact_substring_dedup": (
+            lambda: exact_substring_dedup(docs),
+            lambda: exact_substring_dedup(replicate(docs, k, "doc_id")),
+        ),
+        # bigram LM scoring: bigram explode + two uniform-keyed counts +
+        # stats join back; the stats table is vocab²-bounded and does
+        # NOT grow under replication (same text, higher counts)
+        "bigram_lm_score": (
+            lambda: _bigram_lm(docs),
+            lambda: _bigram_lm(replicate(docs, k, "doc_id")),
+        ),
+        # inverted-index phrase search: postings explode + 3-row term
+        # broadcast + anchor aggregation; match volume scales linearly
+        "phrase_search": (
+            lambda: _phrase(docs),
+            lambda: _phrase(replicate(docs, k, "doc_id")),
         ),
     }
 
