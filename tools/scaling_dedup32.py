@@ -179,6 +179,12 @@ def main() -> None:
         "lsh_neardup_clusters (star edges + CC)": lambda m: cluster_pipeline(
             synth_docs(spark, m)
         ),
+        # ExactSubstr span removal: duplicated k-gram argmin is
+        # partial-aggregatable, coverage is one per-doc window — the
+        # clone-per-10-docs planting makes removal volume scale with m
+        "exact_substring_dedup (span removal)": lambda m: __import__(
+            "etl_weather_jabar_spark.ext.dedup_text", fromlist=["x"]
+        ).exact_substring_dedup(synth_docs(spark, m), k=8),
     }
 
     rows = []
