@@ -93,6 +93,7 @@ TIER3_QUERIES = [
     "bigram_lm_quality",
     "video_frame_sample_stats",
     "domain_cap_docs",
+    "curation_funnel_docs",
 ]
 
 

@@ -10570,4 +10570,132 @@ def source_target_l1_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "curation_funnel_docs",
+    """
+    WITH arr AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    s1 AS (
+        SELECT * FROM arr
+        WHERE len(t) BETWEEN 20 AND 2000
+          AND CAST(len(list_distinct(t)) * 1000000 AS BIGINT) // len(t)
+              >= 300000
+    ),
+    s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'de', 'es', 'fr')),
+    s3 AS (
+        SELECT * FROM s2
+        QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) = 1
+    ),
+    toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS pos,
+               unnest(ss) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM s3)
+    ),
+    cid AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(sum(CASE WHEN substr(md5(tok || ':cdc'), 1, 1)
+                                 IN ('0', '1', '2') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS chunk_id
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id, count(*) AS n_toks,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk
+        FROM cid GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS dfc
+        FROM chunks GROUP BY 1
+    ),
+    kept AS (
+        SELECT c.* FROM chunks c
+        WHERE md5(c.chunk) NOT IN (SELECT h FROM dfreq WHERE dfc > 1)
+    ),
+    s4 AS (
+        SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS kept_toks
+        FROM kept GROUP BY 1
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(t)) AS BIGINT) AS n_tokens
+    FROM arr
+    UNION ALL
+    SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+           CAST(sum(len(t)) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT 2, 'lang_gate', CAST(count(*) AS BIGINT),
+           CAST(sum(len(t)) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(len(t)) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 4, 'chunk_clean', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(kept_toks), 0) AS BIGINT) FROM s4
+    """,
+)
+def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation funnel with per-stage survival
+    accounting — the data card a real cleaning pipeline publishes:
+    raw → exact-integer quality gate (token count in [20, 2000] AND
+    distinct-token ratio ≥ 30%) → language gate → exact keep-first
+    dedup → content-defined chunk boilerplate removal. One certified
+    query composes four stages that are individually certified
+    elsewhere (quality_filter_docs, dedup_exact_docs,
+    chunk_dedup_docs) — the oracle replays the COMPOSITION, stage by
+    stage, so ordering effects (dedup before chunk df counting) are
+    pinned too. Output: (stage, stage_name, n_docs, n_tokens).
+    100 TB: each gate is a scan-level filter; the dedup shuffles a
+    32-hex key; the chunk stage re-runs the certified cdc pipeline on
+    survivors only."""
+    from .ext.dedup_text import cdc_chunk_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    arr = docs.select(
+        "doc_id", "lang", "text", F.split("text", " ").alias("t")
+    )
+    n = F.size("t")
+    s1 = arr.where(
+        n.between(20, 2000)
+        & (
+            F.expr(
+                "size(array_distinct(t)) * CAST(1000000 AS BIGINT) "
+                "div size(t)"
+            )
+            >= 300000
+        )
+    )
+    s2 = s1.where(F.col("lang").isin("en", "de", "es", "fr"))
+    s3 = dedupe_keep_first(
+        s2.withColumn("__h", F.md5("text")), ["__h"], order_by=["doc_id"]
+    ).drop("__h")
+    s4 = cdc_chunk_dedup(s3.select("doc_id", "text")).where(
+        F.col("n_kept") > 0
+    )
+
+    def stage(df, i, name, tok_col):
+        return df.agg(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(tok_col), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    return (
+        stage(arr, 0, "raw", F.size("t"))
+        .unionByName(stage(s1, 1, "quality_gate", F.size("t")))
+        .unionByName(stage(s2, 2, "lang_gate", F.size("t")))
+        .unionByName(stage(s3, 3, "exact_dedup", F.size("t")))
+        .unionByName(stage(s4, 4, "chunk_clean", F.col("kept_toks")))
+    )
+
+
 ALL = sorted(QUERIES)

@@ -129,6 +129,7 @@ AUDIT_QUERIES = [
     "phrase_search_topgram",
     "source_target_l1_shift",
     "video_frame_sample_stats",
+    "curation_funnel_docs",
 ]
 
 
