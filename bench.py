@@ -94,6 +94,7 @@ TIER3_QUERIES = [
     "video_frame_sample_stats",
     "domain_cap_docs",
     "curation_funnel_docs",
+    "bloom_filter_fp_rate",
 ]
 
 

@@ -163,3 +163,102 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("c").cast("bigint").alias("cms_n"))
     )
+
+
+def _bloom_pos(key, i: int, m_bits: int, salt: str = "bloom"):
+    """Hash-i bit position for a key: 32 md5 bits mod m_bits — the same
+    cross-engine contract as _cms_slot."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(f":{salt}{i}"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    k_hashes: int = 3,
+    m_bits: int = 1020,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) as a relational aggregate: ``m_bits``
+    bits packed into 60-bit lanes (bigint-safe in every engine — no
+    sign-bit edge), built with one ``bit_or`` aggregation. Like the
+    count-min sketch it is MERGEABLE (OR lanes of two filters) and a
+    deterministic pure function of the input set, so build AND probe
+    have exact SQL twins. Returns (lane, bits) — ⌈m_bits/60⌉ rows at
+    ANY input size.
+
+    Scale: k_hashes-way fan-out + one groupBy whose output (and
+    shuffle, via the partial bit_or) is lane-count rows; the classic
+    pre-join membership pre-filter at 100 TB ships these few rows as a
+    broadcast instead of the build side itself."""
+    from functools import reduce as _reduce
+
+    base = df.select(F.col(key_col).alias("__k"))
+    positions = _reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            base.select(_bloom_pos(F.col("__k"), i, m_bits, salt).alias("p"))
+            for i in range(k_hashes)
+        ],
+    )
+    return (
+        positions.select(
+            F.expr("p div 60").alias("lane"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT))").alias("__b"),
+        )
+        .groupBy("lane")
+        .agg(F.expr("bit_or(__b)").cast("bigint").alias("bits"))
+    )
+
+
+def bloom_probe(
+    filt: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    k_hashes: int = 3,
+    m_bits: int = 1020,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Membership probe: a key is (possibly) a member iff all
+    ``k_hashes`` of its bits are set. The probe fans each key into its
+    k (lane, bit) lookups, joins the lane rows (broadcast — the filter
+    is lane-count rows), and demands k hits. Returns
+    (key_col, bloom_member: 0/1) — no false negatives; false-positive
+    rate ≈ (1 − e^(−k·n/m))^k, measured exactly by
+    queries.py::bloom_filter_fp_rate."""
+    from functools import reduce as _reduce
+
+    probes = _reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            keys.select(
+                F.col(key_col),
+                _bloom_pos(F.col(key_col), i, m_bits, salt).alias("p"),
+                F.lit(i).alias("__i"),
+            )
+            for i in range(k_hashes)
+        ],
+    ).select(
+        F.col(key_col),
+        F.col("__i"),
+        F.expr("p div 60").alias("lane"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT))").alias("__b"),
+    )
+    # LEFT join: a lane no member ever touched is absent from the
+    # filter — that probe bit is a miss, not a dropped row
+    hit = probes.join(F.broadcast(filt), "lane", "left").select(
+        F.col(key_col),
+        (
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("__b")) != 0)
+        ).alias("__hit"),
+    )
+    return hit.groupBy(key_col).agg(
+        F.coalesce(
+            F.min(F.col("__hit").cast("int")), F.lit(0)
+        ).alias("bloom_member")
+    )

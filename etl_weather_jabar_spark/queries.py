@@ -10698,4 +10698,133 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "bloom_filter_fp_rate",
+    """
+    WITH b AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE source = 'src0'
+    ),
+    p AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE source = 'src1'
+    ),
+    bp AS (
+        SELECT tok, (CAST('0x' || substr(md5(tok || ':bloom0'), 1, 8) AS BIGINT) % 1020) AS pos FROM b
+        UNION ALL
+        SELECT tok, (CAST('0x' || substr(md5(tok || ':bloom1'), 1, 8) AS BIGINT) % 1020) AS pos FROM b
+        UNION ALL
+        SELECT tok, (CAST('0x' || substr(md5(tok || ':bloom2'), 1, 8) AS BIGINT) % 1020) AS pos FROM b
+    ),
+    filt AS (
+        SELECT pos // 60 AS lane,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 60 AS INT)) AS bits
+        FROM bp GROUP BY 1
+    ),
+    pp AS (
+        SELECT tok, (CAST('0x' || substr(md5(tok || ':bloom0'), 1, 8) AS BIGINT) % 1020) AS pos FROM p
+        UNION ALL
+        SELECT tok, (CAST('0x' || substr(md5(tok || ':bloom1'), 1, 8) AS BIGINT) % 1020) AS pos FROM p
+        UNION ALL
+        SELECT tok, (CAST('0x' || substr(md5(tok || ':bloom2'), 1, 8) AS BIGINT) % 1020) AS pos FROM p
+    ),
+    hits AS (
+        SELECT pp.tok,
+               CASE WHEN f.bits IS NOT NULL
+                     AND (f.bits & (CAST(1 AS BIGINT)
+                                    << CAST(pp.pos % 60 AS INT))) <> 0
+                    THEN 1 ELSE 0 END AS hit
+        FROM pp LEFT JOIN filt f ON f.lane = pp.pos // 60
+    ),
+    mem AS (SELECT tok, min(hit) AS bloom_member FROM hits GROUP BY 1),
+    truth AS (
+        SELECT p.tok,
+               CASE WHEN b.tok IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        FROM p LEFT JOIN b USING (tok)
+    )
+    SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_build,
+           CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(m.bloom_member) AS BIGINT) AS n_bloom_pos,
+           CAST(sum(t.is_member) AS BIGINT) AS n_member,
+           CAST(sum(CASE WHEN m.bloom_member = 1 AND t.is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN m.bloom_member = 0 AND t.is_member = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+           CAST(sum(CASE WHEN m.bloom_member = 1 AND t.is_member = 0
+                         THEN 1 ELSE 0 END) * 1000000
+                // NULLIF(sum(1 - t.is_member), 0) AS BIGINT) AS fp_ppm
+    FROM mem m JOIN truth t USING (tok)
+    """,
+)
+def bloom_filter_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as a certified relational sketch
+    (ext/heavy_hitters.py::bloom_build/bloom_probe): build over src0's
+    distinct tokens (1020 bits in 60-bit lanes, 3 md5 hashes, one
+    bit_or aggregation), probe src1's distinct tokens, and measure the
+    filter EXACTLY against ground truth — member/positive/false-
+    positive counts and the realized fp rate in ppm, with the
+    no-false-negatives guarantee certified as n_false_neg = 0 by the
+    same hash-matched oracle that replays build and probe bit-for-bit.
+    100 TB: the filter is ~17 rows however large the build side — the
+    classic broadcast pre-join membership pre-filter."""
+    from .ext.heavy_hitters import bloom_build, bloom_probe
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+
+    def toks(src):
+        return (
+            docs.where(F.col("source") == src)
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+        )
+
+    b, p = toks("src0"), toks("src1")
+    filt = bloom_build(b, "tok")
+    probed = bloom_probe(filt, p, "tok")
+    truth = p.join(
+        b.withColumn("is_member", F.lit(1)), "tok", "left"
+    ).select("tok", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    joined = probed.join(truth, "tok")
+    n_build = b.agg(F.count(F.lit(1)).alias("nb"))
+    return (
+        joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+            F.sum("bloom_member").cast("bigint").alias("n_bloom_pos"),
+            F.sum("is_member").cast("bigint").alias("n_member"),
+            F.sum(
+                F.when(
+                    (F.col("bloom_member") == 1) & (F.col("is_member") == 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.sum(
+                F.when(
+                    (F.col("bloom_member") == 0) & (F.col("is_member") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_neg"),
+            F.expr(
+                "CAST(sum(CASE WHEN bloom_member = 1 AND is_member = 0 "
+                "THEN 1 ELSE 0 END) * 1000000 "
+                "div nullif(sum(1 - is_member), 0) AS BIGINT)"
+            ).alias("fp_ppm"),
+        )
+        .crossJoin(F.broadcast(n_build))
+        .select(
+            F.col("nb").cast("bigint").alias("n_build"),
+            "n_probe",
+            "n_bloom_pos",
+            "n_member",
+            "n_false_pos",
+            "n_false_neg",
+            "fp_ppm",
+        )
+    )
+
+
 ALL = sorted(QUERIES)

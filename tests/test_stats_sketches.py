@@ -180,3 +180,47 @@ def test_count_min_sketch_overestimates_and_merges(spark):
     )
     got_merged = {(r["r"], r["slot"]): r["c"] for r in merged.collect()}
     assert got_merged == got
+
+
+def test_bloom_filter_no_false_negatives_and_mergeable(spark):
+    """Every built key probes positive (no false negatives — the Bloom
+    guarantee); unseen keys mostly probe negative at this load factor;
+    OR-merging two filters equals building over the union."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.heavy_hitters import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    a = spark.createDataFrame(
+        [(f"mem{i}",) for i in range(50)], ["k"]
+    )
+    b = spark.createDataFrame(
+        [(f"oth{i}",) for i in range(50)], ["k"]
+    )
+    fresh = spark.createDataFrame(
+        [(f"new{i}",) for i in range(200)], ["k"]
+    )
+
+    fa = bloom_build(a, "k")
+    got = {
+        r["k"]: r["bloom_member"]
+        for r in bloom_probe(fa, a.unionByName(fresh), "k").collect()
+    }
+    assert all(got[f"mem{i}"] == 1 for i in range(50))  # no FNs
+    fp = sum(got[f"new{i}"] for i in range(200))
+    # 50 keys × 3 hashes in 1020 bits → expected fp ≈ (1-e^-0.147)³ ≈ 0.26%
+    assert fp <= 10
+
+    # mergeability: OR of lane bitmaps == filter of the union
+    fb = bloom_build(b, "k")
+    merged = (
+        fa.unionByName(fb)
+        .groupBy("lane")
+        .agg(F.expr("bit_or(bits)").cast("bigint").alias("bits"))
+    )
+    direct = bloom_build(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -130,6 +130,7 @@ AUDIT_QUERIES = [
     "source_target_l1_shift",
     "video_frame_sample_stats",
     "curation_funnel_docs",
+    "bloom_filter_fp_rate",
 ]
 
 
@@ -170,6 +171,7 @@ EXPECTED_NESTED_LOOP = {
     "bpe_encode_stats": "same training chain: 1-row best-pair broadcast per round",
     "phrase_search_topgram": "per-doc matches × 1-row phrase-string broadcast",
     "source_target_l1_shift": "sources × fixed 64-slot grid and 1-row target-total broadcasts",
+    "bloom_filter_fp_rate": "1-row summary × 1-row build-count broadcast",
 }
 
 
