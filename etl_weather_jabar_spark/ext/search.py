@@ -72,3 +72,48 @@ def phrase_match(
         )
         .select(id_col, "pos0")
     )
+
+
+def save_postings_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+) -> None:
+    """Persist the positional inverted index partitioned by a term-hash
+    shard (``shard = first 2 hex chars of th mod n_shards``): a phrase
+    query touches only the shards its k terms hash to, so the serving
+    scan is partition-PRUNED to ≤ k/n_shards of the index — the same
+    deployment shape as the IVF inverted lists
+    (ext/similarity.py::save_ivf_index). Terms are md5-uniform, so
+    shards are balanced by construction (no hot-partition risk a
+    skewed raw term would cause if we partitioned by the term itself;
+    a shard holds many terms, bounding partition count at n_shards
+    regardless of vocabulary size)."""
+    build_postings(docs, id_col, text_col).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring("th", 1, 2), 16, 10).cast("int"), n_shards),
+    ).write.partitionBy("shard").mode("overwrite").parquet(path)
+
+
+def phrase_match_indexed(
+    spark,
+    path: str,
+    terms: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Phrase query against a persisted postings index: the scan carries
+    an ``isin``-on-shard predicate derived from the query terms, so
+    Spark prunes to the terms' partitions before any IO (asserted via
+    PartitionFilters in tests). The match itself is the same anchor
+    intersection as :func:`phrase_match`."""
+    shard_of = F.pmod(
+        F.conv(F.substring("th", 1, 2), 16, 10).cast("int"), n_shards
+    )
+    shards = [r["s"] for r in terms.select(shard_of.alias("s")).collect()]
+    postings = spark.read.parquet(path).where(
+        F.col("shard").isin(sorted(set(shards)))
+    )
+    return phrase_match(postings, terms, id_col)

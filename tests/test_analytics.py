@@ -432,3 +432,48 @@ def test_phrase_match_repeated_terms_and_overlaps(spark):
         for r in phrase_match(build_postings(docs), terms2).collect()
     )
     assert got2 == [(3, 0), (3, 1)]
+
+
+def test_phrase_match_indexed_prunes_partitions(spark, tmp_path):
+    """Persisted postings index: the serving scan carries a shard
+    PartitionFilter derived from the query terms (pruned before IO),
+    and the indexed result equals the direct phrase_match."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.search import (
+        build_postings,
+        phrase_match,
+        phrase_match_indexed,
+        save_postings_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "zeta alpha beta gamma"),
+            (3, "no match in here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "postings")
+    save_postings_index(docs, path)
+
+    terms = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")], ["off", "w"]
+    ).select(
+        F.col("off").cast("bigint"),
+        F.substring(F.md5("w"), 1, 16).alias("th"),
+    )
+    out = phrase_match_indexed(spark, path, terms)
+    got = sorted((r["doc_id"], r["pos0"]) for r in out.collect())
+    direct = sorted(
+        (r["doc_id"], r["pos0"])
+        for r in phrase_match(build_postings(docs), terms).collect()
+    )
+    assert got == direct == [(1, 0), (2, 1)]
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the scan prunes on the shard BEFORE IO: `shard#N IN (…)`
+    assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan), plan
