@@ -303,11 +303,14 @@ def bands_from_signatures(
     bands: int,
     id_col: str = "doc_id",
     keep_cols: tuple[str, ...] = (),
+    sig_col: str = "minhash",
 ) -> DataFrame:
-    """Explode precomputed MinHash signatures into (id, band, bucket)
-    rows — the banding half of ``lsh_band_buckets``, factored out so
-    callers that already hold signatures (the incremental index) don't
-    recompute them. ``keep_cols`` ride along unchanged."""
+    """Explode precomputed MinHash signatures (``sig_col``, the
+    array<bigint> column ``minhash_signatures`` produces — pass its
+    ``sig_col`` through if renamed) into (id, band, bucket) rows — the
+    banding half of ``lsh_band_buckets``, factored out so callers that
+    already hold signatures (the incremental index) don't recompute
+    them. ``keep_cols`` ride along unchanged."""
     rows_per_band = num_hashes // bands
     return sigs.select(
         id_col,
@@ -319,7 +322,7 @@ def bands_from_signatures(
                     b.alias("band"),
                     F.array_join(
                         F.transform(
-                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band),
                             lambda v: v.cast("string"),
                         ),
                         "-",
@@ -1002,7 +1005,7 @@ def incremental_lsh_neardup(
     the new batch lands in.
 
     The index is a snapshot table of (band, bucket, doc_id, sig) rows —
-    one row per (surviving doc, band), ``sig`` the full "-"-joined
+    one row per (surviving doc, band), ``sig`` the full ","-joined
     MinHash signature (so verification needs no text). Per batch:
 
     1. sign + band the batch once (``minhash_signatures`` →
@@ -1071,13 +1074,23 @@ def incremental_lsh_neardup(
     dropped_new = None
     try:
         idx = snapshot_read(spark, index_path)
+        # prune the index to ONLY the buckets this batch lands in
+        # BEFORE any aggregation — otherwise the bucket-size pass
+        # would scan the whole index every batch, breaking the
+        # O(batch + candidates) contract. The semi join keeps every
+        # index row of a touched bucket, so the size count stays exact.
+        touched = idx.join(
+            banded.select("band", "bucket").distinct(),
+            ["band", "bucket"],
+            "left_semi",
+        )
         # cap boilerplate buckets on the index side: a bucket with more
         # members than max_bucket contributes no candidates (its docs
         # were already deduped against each other when indexed)
-        bucket_sizes = idx.groupBy("band", "bucket").agg(
+        bucket_sizes = touched.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__bn")
         )
-        idx_capped = idx.join(
+        idx_capped = touched.join(
             bucket_sizes.where(F.col("__bn") <= max_bucket),
             ["band", "bucket"],
         )

@@ -912,6 +912,10 @@ def _iter_gif_frames(payload: bytes):
         delay_cs = 0
     if not yielded:
         raise ValueError("GIF contains no image frame")
+    # payload ended without the 0x3B trailer: a truncated animation
+    # must not silently decode as a shorter clip (decode_gif's lazy
+    # first-frame path never reaches this — unchanged behavior there)
+    raise ValueError("truncated GIF: missing trailer")
 
 
 def decode_gif(payload: bytes):

@@ -715,3 +715,25 @@ def test_sample_frames_real_timeline_and_quarantine(spark):
     assert [r[1] for r in c1] == [0, 1, 2, 2, 2]
     c2 = [r for r in got if r[0] == 2]
     assert len(c2) == 1 and c2[0][1] == 1 and c2[0][2] == 0
+
+
+def test_decode_gif_frames_rejects_missing_trailer():
+    """A payload cut after a complete frame but before the 0x3B trailer
+    must raise, not decode as a shorter clip; decode_gif's first-frame
+    contract is unaffected."""
+    import numpy as np
+    import pytest
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = np.array([[1, 2, 3], [9, 8, 7]], dtype=np.uint8)
+    f = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    payload = encode_gif_animated([f, f], pal, [5, 5])
+    assert payload[-1] == 0x3B
+    with pytest.raises(ValueError, match="missing trailer"):
+        decode_gif_frames(payload[:-1])
+    assert (decode_gif(payload[:-1]) == pal[f]).all()  # lazy, unaffected
