@@ -88,7 +88,11 @@ def timed(thunk) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    spark = get_spark("scaling-probe")
+    # replication probes hold k copies in one local JVM (driver IS the
+    # executor) — same sizing note as scaling_dedup32
+    spark = get_spark(
+        "scaling-probe", extra_conf={"spark.driver.memory": "16g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     li = load_table(spark, sf_dir, "lineitem")
