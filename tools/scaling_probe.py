@@ -771,8 +771,12 @@ def main() -> None:
     ]
     for name, (one, many) in cases.items():
         timed(one)  # warm: codegen + parquet footers
-        t1 = timed(one)
-        tk = timed(many)
+        # best-of-2 on both sides: a GC pause or host blip landing on a
+        # single measurement in this long session otherwise fabricates a
+        # super-linear ratio (seen: decontaminate 24.7x in-session vs
+        # 3.5x isolated)
+        t1 = min(timed(one), timed(one))
+        tk = min(timed(many), timed(many))
         lines.append(f"| {name} | {t1:.2f} | {tk:.2f} | {tk / t1:.1f}× |")
         print(lines[-1], flush=True)
     path = os.path.join(REPO, "SCALING.md")
