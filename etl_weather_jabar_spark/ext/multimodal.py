@@ -1041,6 +1041,9 @@ def sample_frames_real(media: DataFrame, every_ms: int = 100) -> DataFrame:
 
     import pandas as pd
 
+    if every_ms <= 0:
+        raise ValueError("sample_frames_real: every_ms must be positive")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
