@@ -95,6 +95,7 @@ TIER3_QUERIES = [
     "domain_cap_docs",
     "curation_funnel_docs",
     "bloom_filter_fp_rate",
+    "gopher_rules_docs",
 ]
 
 

@@ -10827,4 +10827,84 @@ def bloom_filter_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "gopher_rules_docs",
+    """
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               len(w) AS n_words,
+               CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_len,
+               len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+               len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))
+                   AS n_symbol
+        FROM t
+    )
+    SELECT doc_id, source,
+           CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+               AS rule_word_count,
+           CASE WHEN sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                THEN 1 ELSE 0 END AS rule_mean_word_len,
+           CASE WHEN n_symbol * 10 <= n_words THEN 1 ELSE 0 END
+               AS rule_symbol_ratio,
+           CASE WHEN n_alpha * 10 >= n_words * 8 THEN 1 ELSE 0 END
+               AS rule_alpha_words,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                 AND n_symbol * 10 <= n_words
+                 AND n_alpha * 10 >= n_words * 8
+                THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+)
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveWeb quality rules (Rae et al. 2021, A1.1) as
+    exact-integer relational predicates — the published rule set every
+    LLM corpus pipeline starts from: word-count band [50, 100k], mean
+    word length in [3, 10] (as the cross-multiply sum_len vs 3n/10n —
+    no division), symbol-to-word ratio ≤ 0.1 (# or ellipsis), and
+    ≥ 80% of words containing an alphabetic character. Per-rule flags
+    plus the conjunctive keep decision, one scan, zero floats; the
+    regex is Java∩RE2-portable so the oracle replays every rule
+    bit-for-bit. (The paper's line-shape rules — bullets/ellipsis line
+    ratios — need newline structure this corpus doesn't have; the
+    text-shape signals live in doc_repetition_signals.)"""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.length(F.array_join(w, "")).cast("bigint").alias("sum_len"),
+        F.size(
+            F.filter(w, lambda x: x.rlike("[A-Za-z]"))
+        ).cast("bigint").alias("n_alpha"),
+        F.size(
+            F.filter(
+                w,
+                lambda x: x.contains("#") | x.contains("..."),
+            )
+        ).cast("bigint").alias("n_symbol"),
+    )
+    r_wc = F.col("n_words").between(50, 100000)
+    r_mwl = (F.col("sum_len") >= 3 * F.col("n_words")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    r_sym = F.col("n_symbol") * 10 <= F.col("n_words")
+    r_alpha = F.col("n_alpha") * 10 >= F.col("n_words") * 8
+    return m.select(
+        "doc_id",
+        "source",
+        r_wc.cast("int").alias("rule_word_count"),
+        r_mwl.cast("int").alias("rule_mean_word_len"),
+        r_sym.cast("int").alias("rule_symbol_ratio"),
+        r_alpha.cast("int").alias("rule_alpha_words"),
+        (r_wc & r_mwl & r_sym & r_alpha).cast("int").alias("keep"),
+    )
+
+
 ALL = sorted(QUERIES)

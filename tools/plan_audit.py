@@ -131,6 +131,7 @@ AUDIT_QUERIES = [
     "video_frame_sample_stats",
     "curation_funnel_docs",
     "bloom_filter_fp_rate",
+    "gopher_rules_docs",
 ]
 
 
