@@ -1090,3 +1090,62 @@ def sample_frames_real(media: DataFrame, every_ms: int = 100) -> DataFrame:
     return media.where(F.col("kind") == "video").select(
         "media_id", "payload"
     ).mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+def resize_media_real(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Format-general REAL thumbnail pass: decodes every codec-free
+    format this engine reads (PPM, PNG, GIF — first frame), resizes
+    nearest-neighbour, and re-encodes in the SAME container — PNG with
+    filter 0, GIF by rebuilding the palette from the surviving colors
+    (nearest-neighbour only samples existing pixels, so a decoded GIF
+    resize always fits back into ≤ 256 palette entries). Unsupported
+    or malformed payloads pass through untouched (the quarantine
+    contract of the stub `resize_images` preserved). 1→1 payload
+    replacement; the blob goes straight to a sink, never a shuffle."""
+    import numpy as np
+
+    def nn(a, w, h):
+        ys = (np.arange(h) * a.shape[0] // h).astype(int)
+        xs = (np.arange(w) * a.shape[1] // w).astype(int)
+        return a[ys][:, xs]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            new_pay, new_w, new_h = [], [], []
+            for mime, payload, w0, h0 in zip(
+                pdf["mime"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    if mime == "image/x-ppm":
+                        enc = encode_ppm(nn(decode_ppm(raw), width, height))
+                    elif mime == "image/png":
+                        a = decode_png(raw)
+                        enc = encode_png(nn(a, width, height), filter_type=0)
+                    elif mime == "image/gif":
+                        small = nn(decode_gif(raw), width, height)
+                        flat = small.reshape(-1, 3)
+                        pal, inv = np.unique(
+                            flat, axis=0, return_inverse=True
+                        )
+                        enc = encode_gif(
+                            inv.reshape(height, width).astype(np.uint8),
+                            pal if len(pal) >= 2
+                            else np.vstack([pal, pal]),
+                        )
+                    else:
+                        raise ValueError("unsupported mime")
+                    new_pay.append(enc)
+                    new_w.append(width)
+                    new_h.append(height)
+                except ValueError:
+                    new_pay.append(payload)
+                    new_w.append(w0)
+                    new_h.append(h0)
+            out["payload"] = new_pay
+            out["width"] = new_w
+            out["height"] = new_h
+            yield out
+
+    return media.mapInPandas(run, schema=media.schema)

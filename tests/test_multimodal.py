@@ -737,3 +737,55 @@ def test_decode_gif_frames_rejects_missing_trailer():
     with pytest.raises(ValueError, match="missing trailer"):
         decode_gif_frames(payload[:-1])
     assert (decode_gif(payload[:-1]) == pal[f]).all()  # lazy, unaffected
+
+
+def test_resize_media_real_all_formats(spark):
+    """Format-general real resize: PPM, PNG and GIF payloads decode,
+    nearest-neighbour resize, and re-encode in the SAME container with
+    pixel-exact content; malformed payloads pass through untouched."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        decode_gif,
+        decode_png,
+        decode_ppm,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+        resize_media_real,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint16).astype(
+        np.uint8
+    )
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    gif_idx = rng.integers(0, 5, size=(16, 12), dtype=np.uint8)
+    gif_rgb = pal[gif_idx]
+
+    rows = [
+        (1, "image", bytearray(encode_ppm(img)), "image/x-ppm", 12, 16, None),
+        (2, "image", bytearray(encode_png(img, 3)), "image/png", 12, 16, None),
+        (3, "image", bytearray(encode_gif(gif_idx, pal)), "image/gif", 12, 16, None),
+        (4, "image", bytearray(b"junk"), "image/png", 9, 9, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r for r in resize_media_real(media, 6, 4).collect()
+    }
+
+    def nn(a, w=6, h=4):
+        ys = (np.arange(h) * a.shape[0] // h).astype(int)
+        xs = (np.arange(w) * a.shape[1] // w).astype(int)
+        return a[ys][:, xs]
+
+    assert (decode_ppm(bytes(out[1]["payload"])) == nn(img)).all()
+    assert (decode_png(bytes(out[2]["payload"])) == nn(img)).all()
+    assert (decode_gif(bytes(out[3]["payload"])) == nn(gif_rgb)).all()
+    for mid, mime in [(1, "image/x-ppm"), (2, "image/png"), (3, "image/gif")]:
+        assert out[mid]["mime"] == mime
+        assert (out[mid]["width"], out[mid]["height"]) == (6, 4)
+    # malformed: untouched quarantine pass-through
+    assert bytes(out[4]["payload"]) == b"junk"
+    assert (out[4]["width"], out[4]["height"]) == (9, 9)
