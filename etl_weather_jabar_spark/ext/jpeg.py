@@ -1,0 +1,511 @@
+"""Baseline JPEG codec, stdlib + numpy only — the third genuinely
+compressed image format this engine reads without codec libraries
+(after PNG's zlib-deflate and GIF's LZW).
+
+Scope (honest): baseline sequential DCT (SOF0), 8-bit, grayscale or
+YCbCr 4:4:4 (all sampling factors 1×1), Huffman entropy coding with
+tables read from the stream's DHT segments (so files from other
+encoders decode too, as long as they are baseline 4:4:4), JFIF color
+conversion. NOT supported (ValueError, never a wrong image):
+progressive (SOF2), arithmetic coding, chroma subsampling (4:2:0 —
+needs upsampling filters the test environment can't cross-check),
+restart markers, 12-bit depth.
+
+JPEG is lossy: the roundtrip contract is tolerance-bounded (quantized
+DCT error), unlike the bit-exact PNG/GIF paths — the tests pin a flat
+block to ±1 and natural-gradient content to a small max error, plus
+the decoder's dequant+IDCT chain against an independent numpy IDCT on
+hand-planted coefficients.
+
+Reference: ITU-T T.81 (the JPEG spec); tables below follow its Annex K
+layout but their exact values don't matter for correctness — the
+encoder WRITES its tables into DQT/DHT and the decoder trusts only the
+stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag scan order: index i of the scan -> (row, col) flattened position
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex-K-layout Huffman tables: (BITS[1..16], HUFFVAL). Validity is
+# self-checked at build time (canonical codes must fit their widths);
+# the decoder never assumes them — it reads DHT from the stream.
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8-point DCT-II basis (orthonormal)."""
+    m = np.zeros((8, 8))
+    for k in range(8):
+        c = np.sqrt(0.125) if k == 0 else 0.5
+        for n in range(8):
+            m[k, n] = c * np.cos((2 * n + 1) * k * np.pi / 16)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the base tables (1..100)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (Q_LUM, Q_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman codes: value -> (code, length). Self-checks the
+    table (codes must fit their widths — a corrupt table fails here, not
+    with a silently wrong image)."""
+    assert len(bits) == 16 and sum(bits) == len(vals)
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("invalid Huffman table: code overflow")
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit stream with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(
+    writer: _BitWriter,
+    coefs: np.ndarray,
+    pred_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """One quantized 8×8 block (zigzag order) → bit stream; returns DC."""
+    zz = coefs.flatten()[ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred_dc
+    s = _category(diff)
+    writer.write(*dc_codes[s])
+    if s:
+        writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            writer.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = _category(v)
+        writer.write(*ac_codes[(run << 4) | s])
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        writer.write(*ac_codes[0x00])  # EOB
+    return dc
+
+
+def _plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Pad a (h, w) plane to 8-multiples (edge replicate), forward DCT
+    every block, quantize. Returns (nby, nbx, 8, 8) int32."""
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(plane.astype(np.float64) - 128.0,
+                    ((0, ph - h), (0, pw - w)), mode="edge")
+    nby, nbx = ph // 8, pw // 8
+    blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ij,yxjk,lk->yxil", _DCT, blocks, _DCT)
+    q = qt.reshape(8, 8).astype(np.float64)
+    return np.round(coefs / q).astype(np.int32)
+
+
+def encode_jpeg(arr, quality: int = 90) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes
+    (4:4:4, standard-layout Huffman tables written to the stream)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h,w) gray or (h,w,3) RGB")
+    h, w = a.shape[:2]
+    assert h > 0 and w > 0 and h < 65536 and w < 65536
+    qlum, qchr = _quality_tables(quality)
+
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
+    out += b"\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        zz = table.flatten()[ZIGZAG].astype(np.uint8)
+        return b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid]) + zz.tobytes()
+
+    out += dqt(0, qlum)
+    if not gray:
+        out += dqt(1, qchr)
+
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + b"\x08"
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+
+    def dht(tclass: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+
+    out += dht(0, 0, DC_LUM) + dht(1, 0, AC_LUM)
+    if not gray:
+        out += dht(0, 1, DC_CHR) + dht(1, 1, AC_CHR)
+
+    out += b"\xff\xda" + (6 + 2 * ncomp).to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    dc_lum, ac_lum = _build_codes(*DC_LUM), _build_codes(*AC_LUM)
+    dc_chr, ac_chr = _build_codes(*DC_CHR), _build_codes(*AC_CHR)
+    qts = [qlum] + ([] if gray else [qchr, qchr])
+    dcs = [dc_lum] + ([] if gray else [dc_chr, dc_chr])
+    acs = [ac_lum] + ([] if gray else [ac_chr, ac_chr])
+    coefs = [_plane_blocks(p, qt) for p, qt in zip(planes, qts)]
+
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    nby, nbx = coefs[0].shape[:2]
+    # 4:4:4 non-interleaved-factor MCU = one block per component
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                preds[ci] = _encode_block(
+                    writer, coefs[ci][by, bx], preds[ci], dcs[ci], acs[ci]
+                )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy segment with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated at 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:  # a real marker inside entropy data — stream is over
+                raise ValueError("unexpected marker inside entropy data")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        if (code, length) in table:
+            return table[(code, length)]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JFIF bytes → (h, w) gray or (h, w, 3) RGB uint8.
+    Tables are read from the stream; see module docstring for scope."""
+    d = payload
+    if len(d) < 4 or d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps = None
+    h = w = 0
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI with no scan
+            raise ValueError("JPEG contains no scan")
+        seglen = int.from_bytes(d[pos : pos + 2], "big")
+        if pos + seglen > len(d):
+            raise ValueError("truncated JPEG segment")
+        body = d[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            bpos = 0
+            while bpos < len(body):
+                pq, tid = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=bpos + 1
+                ).astype(np.int64)
+                t = np.zeros(64, dtype=np.int64)
+                t[ZIGZAG] = zz
+                qtables[tid] = t.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xC4:  # DHT
+            bpos = 0
+            while bpos < len(body):
+                tclass, tid = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + n])
+                inv: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        inv[(code, length)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tclass, tid)] = inv
+                bpos += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
+            if nc not in (1, 3):
+                raise ValueError("1- or 3-component JPEG only")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart markers unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            reader = _BitReader(d, pos + seglen)
+            ncomp = len(comps)
+            nby, nbx = (h + 7) // 8, (w + 7) // 8
+            planes = [
+                np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+                for _ in range(ncomp)
+            ]
+            preds = [0] * ncomp
+            qs = []
+            for (cid, qid), _ in zip(comps, range(ncomp)):
+                if qid not in qtables:
+                    raise ValueError("missing quant table")
+                qs.append(qtables[qid].astype(np.float64))
+            tabs = []
+            for ci in range(ncomp):
+                _, dct, act = scan[ci]
+                if (0, dct) not in htables or (1, act) not in htables:
+                    raise ValueError("missing Huffman table")
+                tabs.append((htables[(0, dct)], htables[(1, act)]))
+            for by in range(nby):
+                for bx in range(nbx):
+                    for ci in range(ncomp):
+                        dc_t, ac_t = tabs[ci]
+                        s = _decode_huffman(reader, dc_t)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = preds[ci]
+                        i = 1
+                        while i < 64:
+                            rs = _decode_huffman(reader, ac_t)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            run, size = rs >> 4, rs & 0x0F
+                            i += run
+                            if i > 63 or size == 0:
+                                raise ValueError("corrupt AC run/size")
+                            zz[i] = _extend(reader.read_bits(size), size)
+                            i += 1
+                        coefs = np.zeros(64, dtype=np.float64)
+                        coefs[ZIGZAG] = zz
+                        block = coefs.reshape(8, 8) * qs[ci]
+                        pix = _DCT.T @ block @ _DCT + 128.0
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = pix
+            planes = [p[:h, :w] for p in planes]
+            if ncomp == 1:
+                return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            return np.clip(
+                np.round(np.stack([r, g, b], axis=2)), 0, 255
+            ).astype(np.uint8)
+        pos += seglen
+    raise ValueError("JPEG contains no scan")

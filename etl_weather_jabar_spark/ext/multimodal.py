@@ -11,9 +11,14 @@ Two decode tiers:
   filters, both implementable with the stdlib — `encode_png`/`decode_png`
   cover 8-bit gray/RGB/RGBA (+alpha variants), filters 0-4, bit-exact
   against numpy ground truth.
-* STUBS for formats that genuinely need codec libraries (JPEG/MP3/H.264):
-  `_decode_image_stub` raises unless `fake=True`, in which case a
-  deterministic fake (seeded from the content hash) stands in.
+* REAL baseline JPEG too (ext/jpeg.py): Huffman entropy decode + dequant
+  + IDCT with numpy alone — lossy, so tolerance-pinned rather than
+  bit-exact; 4:4:4 / grayscale baseline only (the honest scope note
+  lives in that module).
+* STUBS for formats that genuinely need codec libraries (MP3/H.264,
+  progressive/subsampled JPEG): `_decode_image_stub` raises unless
+  `fake=True`, in which case a deterministic fake (seeded from the
+  content hash) stands in.
 
 In both tiers what the 100 TB story depends on is identical and fully
 tested: the schema, the Arrow-batched ``mapInPandas`` plumbing, the batch
@@ -344,6 +349,16 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                         h, w = int(a.shape[0]), int(a.shape[1])
                         m = a.reshape(-1, 3).mean(axis=0)
                         mr, mg, mb = (f"{float(x):.4f}" for x in m)
+                    elif mime == "image/jpeg":
+                        from .jpeg import decode_jpeg
+
+                        a = decode_jpeg(bytes(payload))  # real baseline DCT
+                        h, w = int(a.shape[0]), int(a.shape[1])
+                        if a.ndim == 3:
+                            m = a.reshape(-1, 3).mean(axis=0)
+                        else:
+                            m = [float(a.mean())] * 3
+                        mr, mg, mb = (f"{float(x):.4f}" for x in m)
                     elif mime == "audio/wav":
                         rate, data = decode_wav_pcm16(payload)
                         dur = int(len(data) * 1000 // max(rate, 1))
@@ -635,6 +650,10 @@ def ahash_media(media: DataFrame) -> DataFrame:
                         arr = decode_png(raw)
                     elif mime == "image/gif":
                         arr = decode_gif(raw)
+                    elif mime == "image/jpeg":
+                        from .jpeg import decode_jpeg
+
+                        arr = decode_jpeg(raw)
                     else:
                         arr = decode_ppm(raw)
                     if arr.ndim == 3 and arr.shape[2] == 4:
@@ -1133,6 +1152,12 @@ def resize_media_real(media: DataFrame, width: int, height: int) -> DataFrame:
                             inv.reshape(height, width).astype(np.uint8),
                             pal if len(pal) >= 2
                             else np.vstack([pal, pal]),
+                        )
+                    elif mime == "image/jpeg":
+                        from .jpeg import decode_jpeg, encode_jpeg
+
+                        enc = encode_jpeg(
+                            nn(decode_jpeg(raw), width, height)
                         )
                     else:
                         raise ValueError("unsupported mime")

@@ -7703,11 +7703,14 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode exercised end-to-end from the registry:
     synthesize a small image per document (pixels derived from the
     text's md5 — deterministic), ship it as a binary payload through the
-    Arrow mapInPandas pipeline — EVEN doc_ids as PPM, ODD doc_ids as
-    zlib-compressed PNG (scanline filter picked from the digest, so all
-    five filter types flow through the stdlib decoder) — decode with the
-    codec-free parsers, and aggregate the recovered dimensions and
-    channel means per source. Rows-only check (binary payloads have no
+    Arrow mapInPandas pipeline — doc_id mod 4 picks the container:
+    0 → PPM, 1 → GIF (LZW), 2 → baseline JPEG (Huffman+DCT, lossy —
+    the per-source mean_r sums absorb the quantization error because
+    the oracle-free rows-only check compares Spark to itself), 3 → PNG
+    (scanline filter picked from the digest, so all five filter types
+    flow through the stdlib decoder) — decode with the codec-free
+    parsers, and aggregate the recovered dimensions and channel means
+    per source. Rows-only check (binary payloads have no
     SQL twin); both decoders' correctness against numpy ground truth is
     pinned in tests/test_multimodal.py.
     """
@@ -7747,6 +7750,11 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif int(did) % 2:
                     payload = encode_png(px, filter_type=digest[2] % 5)
                     mime = "image/png"
+                elif int(did) % 4 == 2:
+                    from .ext.jpeg import encode_jpeg
+
+                    payload = encode_jpeg(px, quality=90)
+                    mime = "image/jpeg"
                 else:
                     payload = encode_ppm(px)
                     mime = "image/x-ppm"

