@@ -359,8 +359,13 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                         else:
                             m = [float(a.mean())] * 3
                         mr, mg, mb = (f"{float(x):.4f}" for x in m)
-                    elif mime == "audio/wav":
-                        rate, data = decode_wav_pcm16(payload)
+                    elif mime in ("audio/wav", "audio/flac"):
+                        if mime == "audio/flac":
+                            from .flac import decode_flac
+
+                            rate, data = decode_flac(bytes(payload))
+                        else:
+                            rate, data = decode_wav_pcm16(payload)
                         dur = int(len(data) * 1000 // max(rate, 1))
                         if len(data):
                             rms = f"{float(np.sqrt(np.mean(data.astype(np.float64) ** 2))):.4f}"
@@ -1007,9 +1012,16 @@ def audio_fingerprint_media(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
                 try:
-                    rate, data = decode_wav_pcm16(bytes(payload))
+                    if mime == "audio/flac":
+                        from .flac import decode_flac
+
+                        rate, data = decode_flac(bytes(payload))
+                    else:
+                        rate, data = decode_wav_pcm16(bytes(payload))
                     out.append(
                         (int(mid), energy_hash64(data), len(data), rate)
                     )
@@ -1020,7 +1032,7 @@ def audio_fingerprint_media(media: DataFrame) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "audio").select(
-        "media_id", "payload"
+        "media_id", "mime", "payload"
     ).mapInPandas(run, schema=schema)
 
 

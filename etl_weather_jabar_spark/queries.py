@@ -9935,12 +9935,22 @@ def audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     samples[:8] = (
                         samples[:8].astype(np.int64) // 2
                     ).astype(np.int16)
+                # every third clip ships FLAC-compressed — lossless,
+                # so fingerprints (and the planted-pair registry
+                # semantics) are identical to the WAV path while the
+                # compressed-audio decoder runs from the registry
+                if int(did) % 3 == 0:
+                    from .ext.flac import encode_flac
+
+                    payload, mime = encode_flac(samples), "audio/flac"
+                else:
+                    payload, mime = encode_wav_pcm16(samples), "audio/wav"
                 rows.append(
                     (
                         int(did),
                         "audio",
-                        encode_wav_pcm16(samples),
-                        "audio/wav",
+                        payload,
+                        mime,
                         None,
                         None,
                         int(n * 1000 // 16000),
