@@ -1,0 +1,119 @@
+"""Property-based roundtrip laws for the stdlib codecs (no Spark —
+pure codec properties, so hypothesis can run many cases cheaply).
+
+Lossless codecs (PPM, PNG, GIF, FLAC, WAV) must roundtrip BIT-EXACT on
+arbitrary inputs; JPEG (lossy) must roundtrip shape-exact with bounded
+error on arbitrary inputs and never crash on its own output."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_weather_jabar_spark.ext.flac import decode_flac, encode_flac
+from etl_weather_jabar_spark.ext.jpeg import decode_jpeg, encode_jpeg
+from etl_weather_jabar_spark.ext.multimodal import (
+    decode_gif,
+    decode_png,
+    decode_ppm,
+    decode_wav_pcm16,
+    encode_gif,
+    encode_png,
+    encode_ppm,
+    encode_wav_pcm16,
+)
+
+
+def _img(draw, h, w, channels):
+    seed = draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    return rng.integers(0, 256, size=shape, dtype=np.uint16).astype(np.uint8)
+
+
+@st.composite
+def rgb_images(draw, max_side=33):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    return _img(draw, h, w, 3)
+
+
+@st.composite
+def any_png_images(draw):
+    h = draw(st.integers(1, 20))
+    w = draw(st.integers(1, 20))
+    c = draw(st.sampled_from([1, 2, 3, 4]))
+    return _img(draw, h, w, c), draw(st.integers(0, 4))
+
+
+@st.composite
+def pcm_clips(draw):
+    n = draw(st.integers(0, 6000))
+    seed = draw(st.integers(0, 2**32 - 1))
+    rng = np.random.default_rng(seed)
+    kind = draw(st.sampled_from(["noise", "sine", "steps", "const"]))
+    if kind == "noise":
+        return rng.integers(-32768, 32768, size=n).astype(np.int16)
+    if kind == "sine":
+        t = np.arange(n)
+        f = draw(st.integers(1, 4000))
+        return (np.sin(2 * np.pi * f * t / 16000) * 15000).astype(np.int16)
+    if kind == "steps":
+        return ((np.arange(n) // 7) % 2000 - 1000).astype(np.int16)
+    return np.full(n, draw(st.integers(-32768, 32767)), dtype=np.int16)
+
+
+@settings(max_examples=30, deadline=None)
+@given(rgb_images())
+def test_ppm_roundtrip_property(img):
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(any_png_images())
+def test_png_roundtrip_property(case):
+    img, ftype = case
+    dec = decode_png(encode_png(img, filter_type=ftype))
+    want = img if img.ndim == 3 else img[:, :, None]
+    assert (dec == want).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(rgb_images(max_side=20), st.integers(2, 256), st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_property(img, k, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(k, 3), dtype=np.uint16).astype(np.uint8)
+    idx = (img[:, :, 0].astype(int) % k).astype(np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(pcm_clips(), st.sampled_from([8000, 16000, 44100]))
+def test_flac_roundtrip_property(clip, rate):
+    if len(clip) == 0:
+        return  # empty stream: nothing to assert beyond no-crash
+    r, dec = decode_flac(encode_flac(clip, rate))
+    assert r == rate and len(dec) == len(clip) and (dec == clip).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(pcm_clips())
+def test_wav_roundtrip_property(clip):
+    rate, dec = decode_wav_pcm16(encode_wav_pcm16(clip, 16000))
+    assert rate == 16000 and (dec == clip).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(rgb_images(max_side=24), st.integers(70, 98))
+def test_jpeg_lossy_roundtrip_property(img, quality):
+    dec = decode_jpeg(encode_jpeg(img, quality=quality))
+    assert dec.shape == img.shape
+    # error bounded by the quantization step of the worst table entry
+    # at this quality (plus clipping): generous but REAL bound — a
+    # broken entropy/IDCT path blows far past it
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 128
+    # flat regions must stay tight regardless of quality
+    flat = np.full((8, 8, 3), int(img[0, 0, 0]), dtype=np.uint8)
+    dflat = decode_jpeg(encode_jpeg(flat, quality=quality))
+    assert int(np.abs(dflat.astype(int) - flat.astype(int)).max()) <= 2
