@@ -175,10 +175,15 @@ def encode_flac(samples, rate: int = 16000, block: int = 4096) -> bytes:
         elif fn < 0x800:
             hdr.w(0xC0 | (fn >> 6), 8)
             hdr.w(0x80 | (fn & 0x3F), 8)
-        else:
+        elif fn < 0x10000:
             hdr.w(0xE0 | (fn >> 12), 8)
             hdr.w(0x80 | ((fn >> 6) & 0x3F), 8)
             hdr.w(0x80 | (fn & 0x3F), 8)
+        else:  # 4-byte UTF-8 branch not implemented — fail loudly
+            raise ValueError(
+                "encode_flac: stream exceeds 65536 frames; shard the "
+                "input (the 4-byte frame-number branch is out of scope)"
+            )
         hdr.w(bs - 1, 16)
         hdr.align()
         head = bytes(hdr.buf)
@@ -250,6 +255,8 @@ def decode_flac(payload: bytes):
             if br.r(5) != 15:
                 raise ValueError("only 16-bit FLAC supported")
             total = br.r(36)
+            if total == 0:  # spec: 0 = unknown, NOT an empty stream
+                total = None
         pos += 4 + length
         if last:
             break
@@ -276,7 +283,9 @@ def decode_flac(payload: bytes):
             extra = 1 if b0 < 0xE0 else (2 if b0 < 0xF0 else 3)
             for _ in range(extra):
                 br.r(8)
-        if bs_code == 0b0110:
+        if bs_code == 0b0001:
+            bs = 192
+        elif bs_code == 0b0110:
             bs = br.r(8) + 1
         elif bs_code == 0b0111:
             bs = br.r(16) + 1
@@ -321,6 +330,10 @@ def decode_flac(payload: bytes):
             if br.r(4) != 0:
                 raise ValueError("partitioned rice unsupported")
             k = br.r(4)
+            if k == 0b1111:
+                raise ValueError(
+                    "rice escape code (verbatim residuals) unsupported"
+                )
             co = _FIXED[order]
             for _ in range(bs - order):
                 q = br.unary()
@@ -342,6 +355,11 @@ def decode_flac(payload: bytes):
         pos = br.pos + 2
         samples.extend(blk)
     if total is not None:
+        if len(samples) < total:
+            raise ValueError(
+                "FLAC stream truncated: fewer samples than STREAMINFO "
+                "declares"
+            )
         samples = samples[:total]
     out = np.asarray(samples, dtype=np.int64)
     if len(out) and (out.max() > 32767 or out.min() < -32768):

@@ -248,7 +248,8 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError("encode_jpeg expects (h,w) gray or (h,w,3) RGB")
     h, w = a.shape[:2]
-    assert h > 0 and w > 0 and h < 65536 and w < 65536
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError("encode_jpeg: dimensions must be in 1..65535")
     qlum, qchr = _quality_tables(quality)
 
     if gray:
@@ -381,10 +382,17 @@ def decode_jpeg(payload: bytes):
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI with no scan
             raise ValueError("JPEG contains no scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers carry no length segment; they are not
+            # legal between header segments
+            raise ValueError("unexpected standalone marker in header")
         seglen = int.from_bytes(d[pos : pos + 2], "big")
         if pos + seglen > len(d):
             raise ValueError("truncated JPEG segment")
@@ -433,6 +441,13 @@ def decode_jpeg(payload: bytes):
                         "chroma subsampling unsupported (4:4:4 only)"
                     )
                 comps.append((cid, qid))
+            if nc == 3 and [c for c, _ in comps] != [1, 2, 3]:
+                # Adobe-style RGB component ids ('R','G','B') would get
+                # the YCbCr matrix applied — reject rather than emit
+                # silently wrong colors
+                raise ValueError(
+                    "non-JFIF component ids unsupported (expect 1,2,3)"
+                )
             if nc not in (1, 3):
                 raise ValueError("1- or 3-component JPEG only")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -444,10 +459,19 @@ def decode_jpeg(payload: bytes):
             if comps is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            scan = []
+            if ns != len(comps):
+                raise ValueError(
+                    "multi-scan baseline unsupported (one interleaved "
+                    "scan expected)"
+                )
+            by_cid = {}
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
-                scan.append((cs, tt >> 4, tt & 0x0F))
+                by_cid[cs] = (cs, tt >> 4, tt & 0x0F)
+            try:  # bind scan tables by component id, not position
+                scan = [by_cid[cid] for cid, _ in comps]
+            except KeyError:
+                raise ValueError("scan component not declared in SOF")
             reader = _BitReader(d, pos + seglen)
             ncomp = len(comps)
             nby, nbx = (h + 7) // 8, (w + 7) // 8
@@ -483,6 +507,8 @@ def decode_jpeg(payload: bytes):
                                 break
                             if rs == 0xF0:  # ZRL
                                 i += 16
+                                if i > 63:  # ZRL may not run off the block
+                                    raise ValueError("corrupt ZRL run")
                                 continue
                             run, size = rs >> 4, rs & 0x0F
                             i += run

@@ -89,3 +89,24 @@ def test_flac_flows_through_spark_audio_pipeline(spark):
     }
     assert feats[1] == feats[2]
     assert feats[1][0] == 500
+
+
+def test_truncation_at_frame_boundary_raises():
+    """A stream cut exactly between frames (valid CRCs up to the cut)
+    must raise, not silently return half the samples; STREAMINFO
+    total=0 means UNKNOWN per RFC 9639, not an empty stream."""
+    s = (np.arange(32) % 100 - 50).astype(np.int16)
+    payload = bytearray(encode_flac(s, 16000, block=16))  # 2 frames
+    # find the second frame's sync (0xFF 0xF8) after the first frame
+    first_sync = payload.index(b"\xff\xf8", 42)
+    second_sync = payload.index(b"\xff\xf8", first_sync + 2)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(bytes(payload[:second_sync]))
+    # total=0 → unknown: frames still decode (patch the 36-bit count,
+    # which ends the STREAMINFO body at byte 4+4+21 = bits 144..179)
+    unk = bytearray(payload)
+    # zero the last 4.5 bytes of the 18-byte prefix carrying the count
+    unk[21] &= 0xF0
+    unk[22:26] = b"\x00\x00\x00\x00"
+    rate, dec = decode_flac(bytes(unk))
+    assert (dec == s).all()  # all frames decoded despite unknown total

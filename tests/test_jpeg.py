@@ -136,3 +136,33 @@ def test_jpeg_flows_through_spark_multimodal(spark):
 
     sigs = {r["media_id"]: r["sig"] for r in ahash_media(media).collect()}
     assert isinstance(sigs[1], int) and sigs[2] is None
+
+
+def test_fill_bytes_and_scan_binding():
+    """T.81 fill bytes (0xFF padding before a marker) are consumed, and
+    scan components bind to SOF components by id — a reordered SOS
+    still decodes identically; ns != ncomp is rejected."""
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    good = encode_jpeg(img)
+    # inject a fill byte before the DQT marker
+    dqt = good.index(b"\xff\xdb")
+    padded = good[:dqt] + b"\xff" + good[dqt:]
+    assert (decode_jpeg(padded) == decode_jpeg(good)).all()
+    # truncate the SOS component list → multi-scan rejection
+    sos = good.index(b"\xff\xda")
+    broken = bytearray(good)
+    broken[sos + 4] = 3  # claim 3 scan components in a gray image
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(broken))
+
+
+def test_rgb_component_ids_rejected():
+    """3-component SOF with non-JFIF ids (Adobe 'R','G','B') raises
+    instead of applying the YCbCr matrix to RGB planes."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = bytearray(encode_jpeg(img))
+    sof = good.index(b"\xff\xc0")
+    # component ids live at sof+10, sof+13, sof+16 (1, 2, 3) → R, G, B
+    good[sof + 10], good[sof + 13], good[sof + 16] = 0x52, 0x47, 0x42
+    with pytest.raises(ValueError, match="component ids"):
+        decode_jpeg(bytes(good))
