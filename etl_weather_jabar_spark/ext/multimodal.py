@@ -706,6 +706,15 @@ def _gif_lzw(raw: bytes, min_code: int) -> bytes:
         cur = bytes([px])
     if cur:
         codes.append((table_d[cur], width))
+        # the decoder appends a dictionary entry after EVERY data code,
+        # including this final one (it cannot know the stream is over) —
+        # if that phantom append lands exactly on a power-of-two
+        # boundary the decoder widens before reading EOI, so the
+        # encoder must widen too (caught by an all-constant 8×8 2-color
+        # frame: 64 zeros put the boundary precisely on the last code)
+        next_code += 1
+        if next_code - 1 == 1 << width and width < 12:
+            width += 1
     codes.append((eoi, width))
 
     bits = bitpos = 0

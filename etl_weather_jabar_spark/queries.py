@@ -10925,4 +10925,144 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "frame_timeline_sample",
+    """
+    WITH frames AS (
+        SELECT doc_id AS media_id, f.f AS frame_idx,
+               ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(f.f AS VARCHAR) || ':vts'), 1, 8) AS BIGINT)
+                 % 5) + 1) * 20 AS delay_ms
+        FROM documents,
+             LATERAL (SELECT unnest(range(0, 2 + CAST(doc_id % 3 AS INT)))
+                      AS f) f
+    ),
+    tl AS (
+        SELECT media_id, frame_idx, delay_ms,
+               COALESCE(sum(delay_ms) OVER (
+                   PARTITION BY media_id ORDER BY frame_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_ms,
+               sum(delay_ms) OVER (PARTITION BY media_id) AS total_ms
+        FROM frames
+    ),
+    ticks AS (
+        SELECT media_id, unnest(range(0, CAST(max(total_ms) AS BIGINT), 40))
+                   AS ts
+        FROM tl GROUP BY media_id
+    ),
+    vis AS (
+        SELECT t.media_id, t.ts, max(f.start_ms) AS start_ms
+        FROM ticks t
+        JOIN tl f ON f.media_id = t.media_id AND f.start_ms <= t.ts
+        GROUP BY 1, 2
+    ),
+    samp AS (
+        SELECT v.media_id, v.ts, f.frame_idx
+        FROM vis v
+        JOIN tl f ON f.media_id = v.media_id AND f.start_ms = v.start_ms
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(frame_idx) AS BIGINT) AS sum_frame_idx,
+           CAST(max(ts) AS BIGINT) AS last_ts
+    FROM samp GROUP BY 1
+    """,
+)
+def frame_timeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video frame-sampling TIMELINE semantics, hash-certified
+    relationally — the SQL-expressible half of what
+    ext/multimodal.py::sample_frames_real does over real GIF decode
+    (which is rows-only because binary payloads have no oracle): frame
+    i is visible on the half-open [start_i, start_{i+1}); sampling
+    instants run every 40 ms strictly below the total duration; the
+    visible frame is the argmax start ≤ t. Frame delays are md5-derived
+    so both engines build the identical synthetic timeline. 100 TB: the
+    tick×frame assignment joins on media_id and filters start ≤ t —
+    frames per clip are bounded (metadata-sized), so the join fans out
+    per clip, never across clips."""
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    frames = docs.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.col("media_id") % 3 + 1).cast("int")
+            )
+        ).alias("frame_idx"),
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("media_id").cast("string"),
+                                F.col("frame_idx").cast("string"),
+                                F.lit("vts"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 5
+                + 1
+            )
+            * 20
+        ).alias("delay_ms"),
+    )
+    from pyspark.sql import Window as W
+
+    tl = frames.withColumn(
+        "start_ms",
+        F.coalesce(
+            F.sum("delay_ms").over(
+                W.partitionBy("media_id")
+                .orderBy("frame_idx")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "total_ms", F.sum("delay_ms").over(W.partitionBy("media_id"))
+    )
+    ticks = (
+        tl.groupBy("media_id")
+        .agg(F.max("total_ms").alias("__t"))
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.col("__t") - 1,
+                    F.lit(40).cast("bigint"),
+                )
+            ).alias("ts"),
+        )
+    )
+    vis = (
+        ticks.join(tl.select("media_id", "start_ms"), "media_id")
+        .where(F.col("start_ms") <= F.col("ts"))
+        .groupBy("media_id", "ts")
+        .agg(F.max("start_ms").alias("start_ms"))
+    )
+    samp = vis.join(
+        tl.select("media_id", "start_ms", "frame_idx"),
+        ["media_id", "start_ms"],
+    )
+    return samp.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum("frame_idx").cast("bigint").alias("sum_frame_idx"),
+        F.max("ts").cast("bigint").alias("last_ts"),
+    )
+
+
 ALL = sorted(QUERIES)

@@ -820,3 +820,84 @@ def test_resize_media_real_jpeg(spark):
     ref = dec[ys][:, xs]
     assert small.shape == (4, 6, 3)
     assert int(np.abs(small.astype(int) - ref.astype(int)).max()) <= 24
+
+
+def test_relational_timeline_matches_real_gif_sampler(spark):
+    """The hash-certified relational timeline (queries.py::
+    frame_timeline_sample) and the REAL decode path (sample_frames_real
+    over animated GIFs) implement the SAME semantics: build GIFs whose
+    per-frame delays equal the query's md5-derived synthetic timeline
+    and the two samplers must agree row-for-row."""
+    import hashlib
+
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        encode_gif_animated,
+        sample_frames_real,
+    )
+    from etl_weather_jabar_spark.queries import QUERIES
+
+    def delay_ms(mid, f):
+        h = hashlib.md5(f"{mid}:{f}:vts".encode()).hexdigest()[:8]
+        return ((int(h, 16) % 5) + 1) * 20
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    rows = []
+    media_ids = [0, 1, 2, 5, 8, 11]  # covers every n_frames residue
+    for mid in media_ids:
+        n_frames = 2 + mid % 3
+        frames, delays = [], []
+        for f in range(n_frames):
+            frames.append(
+                np.full((8, 8), (mid + f) % 2, dtype=np.uint8)
+            )
+            # GCE delays are centiseconds; the synthetic delays are all
+            # multiples of 20 ms → exact in cs
+            delays.append(delay_ms(mid, f) // 10)
+        rows.append(
+            (
+                mid,
+                "video",
+                encode_gif_animated(frames, pal, delays),
+                "image/gif",
+                8,
+                8,
+                sum(delays) * 10,
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    real = {}
+    for r in sample_frames_real(media, every_ms=40).collect():
+        agg = real.setdefault(r["media_id"], [0, 0, 0])
+        agg[0] += 1
+        agg[1] += r["frame_idx"]
+        agg[2] = max(agg[2], r["ts_ms"])
+
+    rel = {
+        r["media_id"]: [r["n_samples"], r["sum_frame_idx"], r["last_ts"]]
+        for r in QUERIES["frame_timeline_sample"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r["media_id"] in set(media_ids)
+    }
+    assert real == rel
+
+
+def test_gif_lzw_final_code_boundary_regression():
+    """64 constant pixels with a 2-color palette put the decoder's
+    phantom final dictionary append exactly on a power-of-two boundary:
+    the decoder widens before reading EOI, so the encoder must widen
+    the EOI code too (previously: 'LZW stream ended without EOI')."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    for side in (8, 12, 16, 23):  # incl. the originally-failing 8×8
+        img = np.zeros((side, side), dtype=np.uint8)
+        assert (decode_gif(encode_gif(img, pal)) == pal[img]).all()

@@ -132,6 +132,7 @@ AUDIT_QUERIES = [
     "curation_funnel_docs",
     "bloom_filter_fp_rate",
     "gopher_rules_docs",
+    "frame_timeline_sample",
 ]
 
 
