@@ -97,6 +97,7 @@ TIER3_QUERIES = [
     "bloom_filter_fp_rate",
     "gopher_rules_docs",
     "frame_timeline_sample",
+    "bloom_prejoin_revenue",
 ]
 
 

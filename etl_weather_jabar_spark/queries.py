@@ -11065,4 +11065,68 @@ def frame_timeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "bloom_prejoin_revenue",
+    """
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_units
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter doing its actual 100 TB job: a ~100-row sketch
+    of the SELECTIVE build side (urgent orders) pre-filters the probe
+    side BEFORE the join, and because Bloom admits only false
+    positives — which the exact join then eliminates — the result is
+    IDENTICAL to the plain join. The oracle is that plain join, no
+    bloom anywhere: the hash match certifies the pre-filter is
+    semantically transparent. At scale this is the classic shuffle
+    reducer: non-matching probe rows die at the scan instead of
+    traveling through the join exchange (Spark's own runtime bloom
+    does this adaptively — test_runtime_bloom_filter_join_pruning —
+    this is the engine-level explicit form with a persistable,
+    mergeable sketch)."""
+    from .ext.heavy_hitters import bloom_build, bloom_probe
+
+    m_bits, kh = 60 * 512, 3
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    keys = orders.select(
+        F.col("o_orderkey").cast("string").alias("k")
+    ).distinct()
+    filt = bloom_build(keys, "k", k_hashes=kh, m_bits=m_bits)
+    probe_keys = li.select(
+        F.col("l_orderkey").cast("string").alias("k")
+    ).distinct()
+    member = bloom_probe(
+        filt, probe_keys, "k", k_hashes=kh, m_bits=m_bits
+    ).where(F.col("bloom_member") == 1)
+    pruned = li.join(
+        member.select(F.col("k").cast("bigint").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    return (
+        pruned.join(
+            orders.select("o_orderkey"),
+            pruned["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(_units(F.col("l_quantity"), 2))
+            .cast("bigint")
+            .alias("qty_units"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)

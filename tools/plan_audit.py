@@ -133,6 +133,7 @@ AUDIT_QUERIES = [
     "bloom_filter_fp_rate",
     "gopher_rules_docs",
     "frame_timeline_sample",
+    "bloom_prejoin_revenue",
 ]
 
 
