@@ -413,9 +413,15 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):
+                if bpos + 17 > len(body):
+                    # ValueError (not IndexError) keeps the quarantine
+                    # contract of the mapInPandas consumers intact
+                    raise ValueError("truncated DHT segment")
                 tclass, tid = body[bpos] >> 4, body[bpos] & 0x0F
                 bits = list(body[bpos + 1 : bpos + 17])
                 n = sum(bits)
+                if bpos + 17 + n > len(body):
+                    raise ValueError("DHT declares more codes than present")
                 vals = list(body[bpos + 17 : bpos + 17 + n])
                 inv: dict[tuple[int, int], int] = {}
                 code, k = 0, 0
@@ -428,11 +434,15 @@ def decode_jpeg(payload: bytes):
                 htables[(tclass, tid)] = inv
                 bpos += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 segment")
             if body[0] != 8:
                 raise ValueError("only 8-bit JPEG supported")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component list")
             comps = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]

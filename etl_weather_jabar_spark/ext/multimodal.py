@@ -29,6 +29,7 @@ the operator needs them; metadata-only stages prune the blob column).
 from __future__ import annotations
 
 import hashlib
+import struct as _struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -66,6 +67,14 @@ FEATURE_SCHEMA = StructType(
         StructField("feat_norm", StringType(), False),  # hex digest of features
     ]
 )
+
+#: What a malformed media payload is ALLOWED to raise from the codec layer.
+#: The codecs' contract is ValueError (each now length-checks before any
+#: struct.unpack / index), but the mapInPandas consumers quarantine on this
+#: wider tuple as defense-in-depth: one hostile blob escaping as
+#: struct.error / IndexError would otherwise kill the whole Spark stage
+#: instead of yielding the documented NULL quarantine row (ADVICE r4).
+DECODE_ERRORS = (ValueError, EOFError, IndexError, KeyError, _struct.error)
 
 
 def _decode_image_stub(payload: bytes, fake: bool) -> list[float]:
@@ -369,7 +378,7 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                         dur = int(len(data) * 1000 // max(rate, 1))
                         if len(data):
                             rms = f"{float(np.sqrt(np.mean(data.astype(np.float64) ** 2))):.4f}"
-                except (ValueError, EOFError):
+                except DECODE_ERRORS:
                     pass  # unsupported/corrupt → null feature row
                 rows.append((mid, kind, w, h, dur, mr, mg, mb, rms))
             yield pd.DataFrame(
@@ -525,9 +534,14 @@ def decode_png(payload: bytes):
         data = payload[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack(
-            ">I", payload[pos + 8 + length : pos + 12 + length]
-        )
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            # must be ValueError, not struct.error: the mapInPandas
+            # consumers quarantine on the codec layer's documented
+            # exception types, and a truncated blob crashing the whole
+            # stage instead was ADVICE r4's top finding
+            raise ValueError("truncated PNG chunk CRC")
+        (crc,) = struct.unpack(">I", crc_bytes)
         if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
@@ -665,7 +679,7 @@ def ahash_media(media: DataFrame) -> DataFrame:
                         arr = arr[:, :, :3]  # alpha is not luminance
                     sig, (ih, iw) = ahash64(arr), arr.shape[:2]
                     out.append((int(mid), sig, int(iw), int(ih)))
-                except ValueError:  # malformed payload → quarantine row
+                except DECODE_ERRORS:  # malformed payload → quarantine row
                     out.append((int(mid), None, None, None))
             yield pd.DataFrame(
                 out, columns=["media_id", "sig", "width", "height"]
@@ -1034,7 +1048,7 @@ def audio_fingerprint_media(media: DataFrame) -> DataFrame:
                     out.append(
                         (int(mid), energy_hash64(data), len(data), rate)
                     )
-                except (ValueError, EOFError):
+                except DECODE_ERRORS:
                     out.append((int(mid), None, None, None))
             yield pd.DataFrame(
                 out, columns=["media_id", "sig", "n_samples", "rate"]
@@ -1090,7 +1104,7 @@ def sample_frames_real(media: DataFrame, every_ms: int = 100) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     frames = decode_gif_frames(bytes(payload))
-                except ValueError:
+                except DECODE_ERRORS:
                     rows.append((int(mid), None, None, None, None, None))
                     continue
                 starts, t = [], 0
@@ -1185,7 +1199,7 @@ def resize_media_real(media: DataFrame, width: int, height: int) -> DataFrame:
                     new_pay.append(enc)
                     new_w.append(width)
                     new_h.append(height)
-                except ValueError:
+                except DECODE_ERRORS:
                     new_pay.append(payload)
                     new_w.append(w0)
                     new_h.append(h0)

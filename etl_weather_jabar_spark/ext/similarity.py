@@ -25,6 +25,17 @@ from ..functions.vectors import cosine_similarity
 from ..operators.partitioning import spread
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Scheme-agnostic existence probe through the session's Hadoop FS
+    (works for file://, hdfs://, s3a:// alike) — the explicit check the
+    incremental index bootstrap uses instead of sniffing exception text.
+    Driver-side metadata call; no Spark job."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -838,7 +849,12 @@ def incremental_semantic_dedup(
         .join(assigned, on=id_col)
         .select(id_col, vec_col, "cid")
     )
-    try:
+    # Missing-first-batch detection is an EXPLICIT filesystem existence
+    # check (scheme-agnostic via Hadoop FS), not exception-message
+    # sniffing: matching 'PATH_NOT_FOUND' substrings breaks on a Spark
+    # error-format change and can swallow unrelated read errors
+    # (ADVICE r4). Same spirit as snapshots._versions' os-level listing.
+    if _hadoop_path_exists(spark, index_path):
         touched = sorted(
             r["cid"] for r in kept.select("cid").distinct().collect()
         )
@@ -861,9 +877,6 @@ def incremental_semantic_dedup(
             .distinct()
         )
         kept = kept.join(clash, on=id_col, how="left_anti")
-    except Exception as e:  # first batch: no index yet
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
     # materialize once: the survivor set feeds the sink AND the index
     # append, and must not be recomputed against a shifting index listing
     from ..planmode import checkpoint

@@ -12,23 +12,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-_WIDE_NODE_RE = None
+_NODE_HEAD_RE = None
+
+# Analyzed-logical-plan nodes KNOWN to be narrow (no exchange between the
+# scan and the probe, so `df.rdd.getNumPartitions()` is a driver-side
+# split computation even under AQE). The guard is an allowlist of NARROW
+# nodes, inverted from round 4's wide-node denylist: a denylist missing a
+# shuffle-producing node (Intersect/Except before rewrite, CoGroup,
+# FlatMapGroupsInPandas, …) fell through to the rdd probe, which under
+# AQE executes every upstream exchange at plan-CONSTRUCTION time — the
+# exact bug the guard exists to prevent (ADVICE r4). Unknown node ⇒
+# treat as wide ⇒ skip the probe; the only cost of a false "wide" is a
+# skipped small-input repartition, never an executed shuffle.
+_NARROW_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRelation",
+        "LogicalRDD",
+        "LocalRelation",
+        "OneRowRelation",
+        "Range",
+        "Project",
+        "Filter",
+        "TypedFilter",
+        "SubqueryAlias",
+        "View",
+        "Generate",
+        "Union",
+        "Sample",
+        "UnresolvedHint",
+        "ResolvedHint",
+        "WithColumns",
+    }
+)
 
 
 def _has_wide_node(df: DataFrame) -> bool:
-    """True if the analyzed logical plan already contains a
-    shuffle-producing node (its output parallelism is then governed by
-    spark.sql.shuffle.partitions / AQE, not by input splits)."""
-    global _WIDE_NODE_RE
-    if _WIDE_NODE_RE is None:
+    """True unless EVERY node in the analyzed logical plan is a
+    known-narrow one (scan/project/filter/generate/union/…). Wide or
+    unknown nodes mean output parallelism is governed by
+    spark.sql.shuffle.partitions / AQE — and probing them via df.rdd
+    would execute upstream exchanges at build time."""
+    global _NODE_HEAD_RE
+    if _NODE_HEAD_RE is None:
         import re
 
-        _WIDE_NODE_RE = re.compile(
-            r"(?m)^\s*[+:|\- ]*(Join|Aggregate|Window|Sort|Repartition"
-            r"|RepartitionByExpression|Deduplicate|GlobalLimit)\b"
-        )
+        _NODE_HEAD_RE = re.compile(r"^[\s+:|\-]*'?(\w+)")
     plan = df._jdf.queryExecution().analyzed().toString()
-    return bool(_WIDE_NODE_RE.search(plan))
+    for line in plan.splitlines():
+        m = _NODE_HEAD_RE.match(line)
+        if m and m.group(1) not in _NARROW_NODES:
+            return True
+    return False
 
 
 def spread(
