@@ -224,3 +224,47 @@ def test_bloom_filter_no_false_negatives_and_mergeable(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_bloom_member_expr_equals_relational_probe(spark):
+    """The zero-shuffle Column-conjunction membership test agrees with
+    the relational ``bloom_probe`` on EVERY key (members and
+    non-members) — same bit contract, so the fast path is certified
+    against the reference path. Its plan must be a bare Scan→Filter:
+    no exchange of any kind."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.heavy_hitters import (
+        bloom_build,
+        bloom_dense_lanes,
+        bloom_member_expr,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"mem{i}",) for i in range(60)], ["k"]
+    )
+    universe = spark.createDataFrame(
+        [(f"mem{i}",) for i in range(60)]
+        + [(f"new{i}",) for i in range(300)],
+        ["k"],
+    )
+    filt = bloom_build(members, "k")
+    ref = {
+        r["k"]: r["bloom_member"]
+        for r in bloom_probe(filt, universe, "k").collect()
+    }
+    lanes = bloom_dense_lanes(filt, 1020)
+    fast = universe.select(
+        "k", bloom_member_expr(F.col("k"), lanes).cast("int").alias("m")
+    )
+    got = {r["k"]: r["m"] for r in fast.collect()}
+    assert got == ref
+    # zero-shuffle: the filtered plan contains no Exchange at all
+    plan = (
+        universe.where(bloom_member_expr(F.col("k"), lanes))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
