@@ -72,6 +72,7 @@ TIER2_QUERIES = [
 # headline and tier2 sets stay comparable round-over-round.
 TIER3_QUERIES = [
     "embedding_neardup_pairs",
+    "ivf_trained_exact_topk",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

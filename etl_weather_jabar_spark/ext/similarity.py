@@ -215,6 +215,156 @@ def train_ivf_centroids_cached(
     return _CENTROID_MEMO[key]
 
 
+def quantize_micro_units(vec_col):
+    """array<float> → array<bigint> micro-units — the cross-engine exact
+    quantization contract shared with ``jl_project`` / the PCA oracle:
+    ``round(CAST(x AS DOUBLE) · 10⁶)`` evaluates the identical IEEE
+    double in Spark and DuckDB, so the integers are bit-equal."""
+    return F.transform(
+        vec_col,
+        lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast(
+            "bigint"
+        ),
+    )
+
+
+def _scored_against_int_centroids(
+    df: DataFrame, centroids: list[tuple[int, list[int]]], qcol: str
+) -> DataFrame:
+    """df × integer centroids with the EXACT squared Euclidean distance
+    in ``__dist`` (micro-unit bigints: coords ≤ ~2·10⁶ ⇒ Σ64 squared
+    diffs ≤ ~2.6·10¹⁴ — five orders below bigint overflow; the same
+    broadcast-model cross join shape as `_scored_against_centroids`)."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in centroids],
+        schema="cid INT, cv ARRAY<BIGINT>",
+    )
+    return df.crossJoin(F.broadcast(cdf)).withColumn(
+        "__dist",
+        F.aggregate(
+            F.zip_with(
+                F.col(qcol), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    ).drop("cv")
+
+
+def assign_nearest_int(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str,
+    qcol: str,
+) -> DataFrame:
+    """(…df cols…, cid) with cid = argmin-distance integer centroid;
+    ties → lowest cid — a total, engine-independent order because the
+    distances are exact integers (min(struct(dist, cid)) packs the
+    tie-break into one agg, mirroring `_assign_nearest`)."""
+    scored = _scored_against_int_centroids(df, centroids, qcol)
+    others = [c for c in df.columns if c != id_col]
+    packed = F.min(
+        F.struct(
+            F.col("__dist").alias("d"),
+            F.col("cid").alias("c"),
+            *[F.col(x).alias(f"x{i}") for i, x in enumerate(others)],
+        )
+    ).alias("b")
+    return (
+        scored.groupBy(id_col)
+        .agg(packed)
+        .select(
+            id_col,
+            *[F.col(f"b.x{i}").alias(x) for i, x in enumerate(others)],
+            F.col("b.c").cast("int").alias("cid"),
+        )
+    )
+
+
+def train_ivf_centroids_exact(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Lloyd's k-means in EXACT fixed point — the certification twin of
+    :func:`train_ivf_centroids`, built so the ENTIRE training loop has a
+    digit-identical DuckDB unrolled-CTE oracle (the
+    ``pagerank_exact_int`` / ``pca_power_iteration`` recipe, round-5
+    verdict item 1):
+
+    * vectors quantized to micro-unit bigints (`quantize_micro_units`);
+    * seeds = the ``n_clusters`` smallest-md5(id) vectors (one
+      TakeOrdered, O(k·dim) driver pull at any corpus size);
+    * assignment = argmin exact integer squared Euclidean distance,
+      ties → lowest cid (total order, no float comparisons anywhere);
+    * update = per-(cid, dim) half-up division of the micro-unit sum by
+      the member count (``half_up_div`` — the shared floor formula every
+      oracle mirrors); empty clusters keep their previous centroid.
+
+    Each round is one broadcast-assign projection + one (cid, dim)-keyed
+    aggregation whose k×dim cells are the only collect. Scale note: the
+    micro-unit cluster sums stay < 2·10⁶·n, so bigint holds to n ≈ 10¹²
+    members per cluster; beyond that promote the sum to decimal(38,0)
+    like the covariance query does.
+    """
+    from ..functions.exact import half_up_div
+    from ..planmode import is_plan_only
+
+    if is_plan_only():
+        return [
+            (i, [1000000 if j == i % 64 else 0 for j in range(64)])
+            for i in range(n_clusters)
+        ]
+    vecs = (
+        spread(corpus)
+        .select(id_col, quantize_micro_units(F.col(vec_col)).alias("__q"))
+        .persist()
+    )
+    try:
+        seeds = (
+            vecs.orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            .limit(n_clusters)
+            .collect()
+        )
+        cents = [(i, [int(x) for x in r["__q"]]) for i, r in enumerate(seeds)]
+        dim = len(cents[0][1])
+        for _ in range(iters):
+            assigned = assign_nearest_int(vecs, cents, id_col, "__q").select(
+                "cid", F.posexplode("__q").alias("pos", "v")
+            )
+            cells = (
+                assigned.groupBy("cid", "pos")
+                .agg(
+                    half_up_div(
+                        F.sum("v"), F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in cells:
+                by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(
+                    r["m"]
+                )
+            cents = [
+                (
+                    cid,
+                    [by_cid[cid][p] for p in range(dim)]
+                    if cid in by_cid
+                    else prev,
+                )
+                for cid, prev in cents
+            ]
+        return cents
+    finally:
+        vecs.unpersist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -722,6 +872,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
     k-means clustering bounds the pairwise comparisons, then within each
@@ -743,9 +894,21 @@ def semantic_dedup(
 
     Scale: comparisons are pairwise WITHIN a cluster only — expected
     cluster size |corpus|/k, so k is the quadratic dial (the paper runs
-    k ≈ n/5000; the same bound govern IVF list sizes). The centroid set
-    is model state (k×dim literals, broadcast); no global shuffle except
-    the cluster-keyed one.
+    k ≈ n/5000; the same bound govern IVF list sizes). But "expected"
+    is not "bounded": a degenerate assignment (one centroid attracting
+    most vectors — common with anisotropic embeddings) is quadratic
+    with no dial, so ``max_cluster`` is the hard cap (round-5 verdict
+    item 2, the same role as ``srp_neardup_pairs``'s ``max_bucket``):
+    only the ``max_cluster`` MOST-CENTRAL members of each cluster
+    participate in pairing — worst-cluster pair work is bounded at
+    max_cluster² regardless of skew. Members past the cap are KEPT (a
+    cap must never silently delete data; it can only miss duplicates,
+    exactly like max_bucket / the shingle df-cap). The rank is the
+    centrality order the drop rule already uses, so for clusters within
+    the cap the result is unchanged. Use
+    :func:`semantic_cluster_stats` to observe what a cap would truncate.
+    The centroid set is model state (k×dim literals, broadcast); no
+    global shuffle except the cluster-keyed one.
     """
     assigned = _assign_nearest(spread(corpus), centroids, id_col, vec_col)
     # one broadcast pass: re-score each member against its own centroid
@@ -761,13 +924,28 @@ def semantic_dedup(
             F.round(F.col("__sim"), 6).alias("centrality"),
         )
     )
-    a = scored.select(
+    pairable = scored
+    if max_cluster is not None:
+        # pairing restricted to the top-max_cluster most-central members
+        # (centrality DESC, id ASC — the same total order the drop rule
+        # ranks by, so a droppee's every higher-ranked neighbor is
+        # inside the cap too: capping cannot create false drops, only
+        # missed duplicates in oversized clusters)
+        wc = Window.partitionBy("cid").orderBy(
+            F.col("centrality").desc(), F.col(id_col).asc()
+        )
+        pairable = (
+            scored.withColumn("__rk", F.row_number().over(wc))
+            .where(F.col("__rk") <= max_cluster)
+            .drop("__rk")
+        )
+    a = pairable.select(
         F.col("cid"),
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
         F.col("centrality").alias("__ca"),
     )
-    b = scored.select(
+    b = pairable.select(
         F.col("cid"),
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
@@ -798,6 +976,38 @@ def semantic_dedup(
             "centrality",
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
         )
+    )
+
+
+def semantic_cluster_stats(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    max_cluster: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Observability for :func:`semantic_dedup`'s ``max_cluster`` dial —
+    the SemDeDup sibling of :func:`srp_bucket_stats`: per-assignment
+    cluster-size distribution, the pairwise work each cluster implies
+    (n·(n−1)/2), and — when a cap is given — how many members and pairs
+    the cap would exclude from pairing. One row; run it BEFORE choosing
+    the cap on a new corpus."""
+    assigned = _assign_nearest(spread(corpus), centroids, id_col, vec_col)
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    pair = F.col("n") * (F.col("n") - 1) / 2
+    capped_n = (
+        F.least(F.col("n"), F.lit(max_cluster))
+        if max_cluster is not None
+        else F.col("n")
+    )
+    capped_pair = capped_n * (capped_n - 1) / 2
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.max("n").cast("bigint").alias("max_cluster_size"),
+        F.sum("n").cast("bigint").alias("n_members"),
+        F.sum(pair).cast("bigint").alias("pairs_uncapped"),
+        F.sum(capped_pair).cast("bigint").alias("pairs_capped"),
+        F.sum(F.col("n") - capped_n).cast("bigint").alias("members_past_cap"),
     )
 
 

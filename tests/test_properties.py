@@ -505,3 +505,54 @@ def test_sql_standard_rollup_property(spark, rows):
         assert got == native
     else:
         assert got == [(None, None, 0, None)]
+
+
+@given(
+    rows=st.lists(st.integers(-20, 20), min_size=1, max_size=40),
+    n=st.integers(1, 7),
+)
+@settings(max_examples=6, deadline=None)
+def test_ntile_by_boundaries_matches_sql_ntile(spark, rows, n):
+    """The zero-exchange boundary-expression ntile equals Spark's native
+    ntile window on every input, tile count, and tie pattern — and its
+    plan adds NO Exchange (tile is a pure projection)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.operators.windows import ntile_by_boundaries
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(rows)], ["v", "uid"]
+    )
+    out = ntile_by_boundaries(df, ["v", "uid"], n, tile_col="tile")
+    got = {r["uid"]: r["tile"] for r in out.collect()}
+    want = {
+        r["uid"]: r["t"]
+        for r in df.withColumn(
+            "t", F.ntile(n).over(W.orderBy("v", "uid"))
+        ).collect()
+    }
+    assert got == want
+    if len(rows) >= n:  # boundary-expression path (not the tiny fallback)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_exact_rank_rows_recursive_split(spark):
+    """Distributed selection returns exactly the rank-k rows of the
+    total order even when sort_budget forces recursive bucket re-splits,
+    including through a constant leading column (rotation to the next
+    order column keeps making progress)."""
+    import random as _random
+
+    from etl_weather_jabar_spark.operators.windows import exact_rank_rows
+
+    rng = _random.Random(3)
+    vals = [(rng.randrange(50), i) for i in range(3000)]
+    # hot leading value: one value holds a third of all rows
+    vals += [(7, 3000 + i) for i in range(1500)]
+    df = spark.createDataFrame(vals, ["v", "uid"])
+    ordered = sorted(vals)
+    ranks = [1, 2, 1125, 2250, 3375, 4499, 4500]
+    got = exact_rank_rows(df, ["v", "uid"], ranks, sort_budget=100)
+    assert got == [ordered[k - 1] for k in ranks]

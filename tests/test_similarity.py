@@ -594,3 +594,102 @@ def test_pca_top_direction_is_a_faithful_power_method(spark):
     lam_max = float(np.linalg.eigvalsh(C).max())
     rayleigh = float(v @ C @ v)
     assert rayleigh > 0.9 * lam_max
+
+
+def test_train_ivf_centroids_exact_matches_sequential_reference(spark):
+    """The distributed exact-fixed-point Lloyd (micro-unit quantize →
+    argmin integer distance w/ lowest-cid ties → half-up integer means,
+    empty clusters keep their centroid) equals a sequential pure-Python
+    replay digit-for-digit — the same certification style as its DuckDB
+    unrolled-CTE oracle (ivf_trained_exact_topk), but engine-free."""
+    import hashlib
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        quantize_micro_units,
+        train_ivf_centroids_exact,
+    )
+
+    df = _corpus(spark, n=200, dim=16, seed=11)
+    got = dict(train_ivf_centroids_exact(df, n_clusters=4, iters=2))
+
+    qrows = {
+        int(r["vec_id"]): [int(x) for x in r["q"]]
+        for r in df.select(
+            "vec_id", quantize_micro_units(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    order = sorted(
+        qrows, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    cents = {c: qrows[i][:] for c, i in enumerate(order[:4])}
+    for _ in range(2):
+        members: dict[int, list[list[int]]] = {}
+        for _vid, q in sorted(qrows.items()):
+            best = min(
+                cents,
+                key=lambda c: (
+                    sum((a - b) ** 2 for a, b in zip(q, cents[c])),
+                    c,
+                ),
+            )
+            members.setdefault(best, []).append(q)
+        cents = {
+            c: (
+                [
+                    (2 * sum(v[d] for v in members[c]) + len(members[c]))
+                    // (2 * len(members[c]))
+                    for d in range(16)
+                ]
+                if c in members
+                else cents[c]
+            )
+            for c in cents
+        }
+    assert got == cents
+
+
+def test_semantic_dedup_max_cluster_cap_bounds_pairing(spark):
+    """Degenerate assignment (every vector in ONE cluster, all mutually
+    ≥ threshold): the max_cluster cap restricts pairing to the N most
+    central members — past-cap members are KEPT (missed duplicates, not
+    deleted data) — while a large cap reproduces the uncapped result
+    exactly. semantic_cluster_stats reports what the cap truncates."""
+    from etl_weather_jabar_spark.ext.similarity import (
+        semantic_cluster_stats,
+        semantic_dedup,
+    )
+
+    dim = 8
+    cents = [
+        (0, [1.0] + [0.0] * (dim - 1)),
+        (1, [0.0, 1.0] + [0.0] * (dim - 2)),
+    ]
+    # 100 near-identical vectors along e0 with distinct tiny e2 noise:
+    # all assign to centroid 0, pairwise cosine ≈ 1 ≥ 0.95, centrality
+    # strictly decreasing in the noise magnitude → a total, stable order
+    rows = [
+        (i, [1.0, 0.0, i * 0.001] + [0.0] * (dim - 3)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    uncapped = semantic_dedup(df, cents, threshold=0.95)
+    assert sum(r["is_kept"] for r in uncapped.collect()) == 1
+
+    capped = semantic_dedup(df, cents, threshold=0.95, max_cluster=10)
+    got = {r["vec_id"]: r["is_kept"] for r in capped.collect()}
+    # top-10 central members pair up -> ranks 2..10 drop; 90 past-cap kept
+    assert sum(got.values()) == 91
+    assert got[0] is True  # most central survives
+    assert all(got[i] for i in range(10, 100))  # past-cap members kept
+
+    # a cap larger than every cluster is a no-op
+    same = semantic_dedup(df, cents, threshold=0.95, max_cluster=10**6)
+    assert {r["vec_id"]: r["is_kept"] for r in same.collect()} == {
+        r["vec_id"]: r["is_kept"] for r in uncapped.collect()
+    }
+
+    stats = semantic_cluster_stats(df, cents, max_cluster=10).collect()[0]
+    assert stats["max_cluster_size"] == 100
+    assert stats["pairs_uncapped"] == 100 * 99 // 2
+    assert stats["pairs_capped"] == 10 * 9 // 2
+    assert stats["members_past_cap"] == 90
