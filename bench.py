@@ -73,6 +73,7 @@ TIER2_QUERIES = [
 TIER3_QUERIES = [
     "embedding_neardup_pairs",
     "ivf_trained_exact_topk",
+    "ivf_append_serve_topk",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

@@ -1545,6 +1545,92 @@ def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivf_append_serve_topk",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id % 4 <> 0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), a0 AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos_raw_sql('e.embedding', 'c.cv')} AS sim
+        FROM embeddings e CROSS JOIN c
+    ), assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM a0
+        ) WHERE rn = 1
+    ), q0 AS (
+        SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid,
+               {_cos_raw_sql('e.embedding', 'c.cv')} AS sim
+        FROM embeddings e CROSS JOIN c
+        WHERE e.vec_id < 5
+    ), probes AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM q0
+        ) WHERE rn <= 3
+    ), cand AS (
+        SELECT p.query_id, a.vec_id,
+               {_cos_sql('a.embedding', 'p.qv')} AS cosine
+        FROM assigned a JOIN probes p ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+        ) AS INT) AS rank
+        FROM cand
+    ) WHERE rank <= 10
+    """,
+)
+def ivf_append_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index MAINTENANCE, full-oracle-certified (round-5
+    verdict item 7): build the persisted index from the BASE corpus
+    slice only (vec_id % 4 ≠ 0; centroids = the base's 16 smallest-md5
+    seeds — frozen before the append batch exists), append the remaining
+    quarter with ext/similarity.py::append_to_ivf_index (batch assigned
+    against the STORED centroids, appended into the partitionBy(cid)
+    lists — no retrain, no touch of existing partitions), then serve
+    with ivf_topk_indexed (partition-PRUNED probe scan). Because the
+    frozen centroids make assignment deterministic and append-stable,
+    base-then-append ≡ assigning the whole corpus against the base's
+    seeds — which is exactly what the DuckDB twin replays, so the hash
+    match certifies the append path delivers the same index it would
+    have written in one shot. PartitionFilters on the serve scan stay
+    asserted in tests/test_similarity.py."""
+    import tempfile
+
+    from .ext.similarity import (
+        append_to_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        save_ivf_index,
+    )
+    from .planmode import is_plan_only
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    cents = _md5_seed_centroids(base)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if is_plan_only():
+        return ivf_topk(emb, queries, k=10, n_probe=3, centroids=cents)
+    key = sf_dir + ":append"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="ivfidx_app_") + "/idx"
+        save_ivf_index(base, idx, centroids=cents)
+        append_to_ivf_index(batch, idx)
+        _IVF_INDEX_MEMO[key] = idx
+    return ivf_topk_indexed(spark, idx, queries, k=10, n_probe=3)
+
+
+@_register(
     "embedding_neardup_pairs",
     f"""
     WITH hp AS (

@@ -693,3 +693,22 @@ def test_semantic_dedup_max_cluster_cap_bounds_pairing(spark):
     assert stats["pairs_uncapped"] == 100 * 99 // 2
     assert stats["pairs_capped"] == 10 * 9 // 2
     assert stats["members_past_cap"] == 90
+
+
+def test_ivf_append_serve_registry_partition_pruned(spark):
+    """The registry's incremental-maintenance serving query
+    (ivf_append_serve_topk) probes via a partition-PRUNED scan of the
+    appended index — PartitionFilters on cid in the executed plan — and
+    the appended lists contain both the base and the batch rows."""
+    from etl_weather_jabar_spark import queries as Q
+
+    df = Q.QUERIES["ivf_append_serve_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cid" in plan.split("PartitionFilters:")[1].split("]")[0]
+    idx = Q._IVF_INDEX_MEMO["/root/testdata/sf0.001:append"]
+    total = spark.read.parquet(f"{idx}/lists").count()
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).count()
+    assert total == corpus  # base write + batch append = whole corpus
