@@ -74,6 +74,7 @@ TIER3_QUERIES = [
     "embedding_neardup_pairs",
     "ivf_trained_exact_topk",
     "ivf_append_serve_topk",
+    "script_share_docs",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

@@ -104,6 +104,40 @@ def feature_hash_slot(token: Column, dim: int, salt: str = "fh") -> Column:
     return F.pmod(h, F.lit(dim))
 
 
+# Script ranges in the Java∩RE2-portable spelling (`\x{…}` hex escapes,
+# explicit code-point ranges — script NAMES diverge between the engines:
+# Java wants \p{IsLatin}, RE2 wants \p{Latin}, so ranges are the subset
+# both parse identically). Latin excludes × (00D7) and ÷ (00F8-1) per the
+# Unicode blocks; Han is the BMP CJK Unified block (both engines count
+# BMP code points identically in length()).
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": (
+        r"[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]"
+    ),
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "han": r"[\x{4E00}-\x{9FFF}]",
+}
+
+
+def script_counts(col: Column) -> dict[str, Column]:
+    """Per-script letter counts + total Unicode letters — the
+    script-share signal the round-5 verdict added to the lang-ID tier
+    (marker words alone degrade silently on non-Latin corpora: a
+    Russian or Chinese document hits zero markers of every language).
+    Pure regexp_replace/length arithmetic, exact integers, reproduced
+    verbatim by the DuckDB twin (script_share_docs)."""
+    out = {
+        name: (
+            F.length(col) - F.length(F.regexp_replace(col, rng, ""))
+        ).cast("bigint")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    out["letters"] = F.length(
+        F.regexp_replace(col, r"[^\p{L}]", "")
+    ).cast("bigint")
+    return out
+
+
 # PII patterns chosen to parse identically under Java regex (Spark) and
 # RE2 (DuckDB): no backrefs, no lookaround, explicit character classes.
 PII_PATTERNS: dict[str, str] = {

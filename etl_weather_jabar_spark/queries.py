@@ -11128,7 +11128,7 @@ def bloom_filter_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source,
                len(w) AS n_words,
                CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_len,
-               len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               len(list_filter(w, x -> regexp_matches(x, '\p{L}')))
                    AS n_alpha,
                len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))
                    AS n_symbol
@@ -11171,7 +11171,7 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(w).cast("bigint").alias("n_words"),
         F.length(F.array_join(w, "")).cast("bigint").alias("sum_len"),
         F.size(
-            F.filter(w, lambda x: x.rlike("[A-Za-z]"))
+            F.filter(w, lambda x: x.rlike(r"\p{L}"))
         ).cast("bigint").alias("n_alpha"),
         F.size(
             F.filter(
@@ -11196,6 +11196,100 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r_wc & r_mwl & r_sym & r_alpha).cast("int").alias("keep"),
     )
 
+
+_SQL_LATIN = "[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]"
+_SQL_CYR = "[\\x{0400}-\\x{04FF}]"
+_SQL_HAN = "[\\x{4E00}-\\x{9FFF}]"
+
+
+@_register(
+    "script_share_docs",
+    f"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               CAST(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))
+                    AS BIGINT) AS n_letters,
+               CAST(length(text) - length(regexp_replace(text,
+                    '{_SQL_LATIN}', '', 'g')) AS BIGINT) AS n_latin,
+               CAST(length(text) - length(regexp_replace(text,
+                    '{_SQL_CYR}', '', 'g')) AS BIGINT) AS n_cyrillic,
+               CAST(length(text) - length(regexp_replace(text,
+                    '{_SQL_HAN}', '', 'g')) AS BIGINT) AS n_han
+        FROM documents
+    )
+    SELECT doc_id, lang, n_letters, n_latin, n_cyrillic, n_han,
+           CAST({_sql_halfup('n_latin * 1000000',
+                             'CASE WHEN n_letters = 0 THEN 1 ELSE n_letters END')}
+                AS BIGINT) * CASE WHEN n_letters = 0 THEN 0 ELSE 1 END
+               AS latin_ppm,
+           CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+                     AND n_latin > 0 THEN 'latin'
+                WHEN n_cyrillic >= n_han AND n_cyrillic > 0
+                     THEN 'cyrillic'
+                WHEN n_han > 0 THEN 'han'
+                ELSE 'other' END AS dominant_script
+    FROM m
+    """,
+)
+def script_share_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SCRIPT shares (Latin / Cyrillic / Han letter counts
+    out of all Unicode letters) + deterministic dominant-script label —
+    the round-5 verdict's lang-ID signal: marker-word voting degrades
+    silently on non-Latin corpora (a Russian or Chinese document hits
+    zero markers of EVERY language), while the script histogram
+    separates those scripts in one codegen'd regexp pass. Ranges use
+    the Java∩RE2-portable ``\\x{{…}}`` spelling
+    (functions/text.py::SCRIPT_RANGES — script NAMES diverge between
+    the engines); tie-break precedence latin > cyrillic > han > other
+    is explicit in the CASE. latin_ppm is exact half-up integer
+    arithmetic; multilingual behavior is pinned with planted
+    CJK/Cyrillic docs in tests/test_analytics.py."""
+    from .functions.exact import half_up_div
+    from .functions.text import script_counts
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sc_ = script_counts(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        "lang",
+        sc_["letters"].alias("n_letters"),
+        sc_["latin"].alias("n_latin"),
+        sc_["cyrillic"].alias("n_cyrillic"),
+        sc_["han"].alias("n_han"),
+    )
+    dom = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_cyrillic"))
+            & (F.col("n_latin") >= F.col("n_han"))
+            & (F.col("n_latin") > 0),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("n_cyrillic") >= F.col("n_han"))
+            & (F.col("n_cyrillic") > 0),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("n_han") > 0, F.lit("han"))
+        .otherwise(F.lit("other"))
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_letters",
+        "n_latin",
+        "n_cyrillic",
+        "n_han",
+        (
+            half_up_div(
+                F.col("n_latin") * F.lit(1000000),
+                F.when(F.col("n_letters") == 0, F.lit(1)).otherwise(
+                    F.col("n_letters")
+                ),
+            )
+            * F.when(F.col("n_letters") == 0, F.lit(0)).otherwise(F.lit(1))
+        ).cast("bigint").alias("latin_ppm"),
+        dom.alias("dominant_script"),
+    )
 
 
 @_register(

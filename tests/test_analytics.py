@@ -477,3 +477,70 @@ def test_phrase_match_indexed_prunes_partitions(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the scan prunes on the shard BEFORE IO: `shard#N IN (…)`
     assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan), plan
+
+
+def test_unicode_text_tier_multilingual(spark):
+    """The quality/lang tier on non-Latin corpora (round-5 verdict item
+    5): the Gopher alpha-word rule counts ANY Unicode letter (a Russian
+    or Chinese word is alphabetic — the old [A-Za-z] class silently
+    failed whole scripts), tokens() keeps CJK/Cyrillic words, and
+    script_counts separates the scripts exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.functions.text import (
+        script_counts,
+        tokens,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog."),
+        (2, "Быстрая коричневая лиса прыгает через ленивую собаку."),
+        (3, "敏捷 的 棕色 狐狸 跳过 了 懒惰 的 狗。"),
+        (4, "mixed Привет 你好 hello123"),
+        (5, "12345 !!! ..."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # Gopher rule-alpha predicate: fraction of whitespace words with a
+    # LETTER — identical spelling to gopher_rules_docs' n_alpha
+    w = F.split("text", " ")
+    alpha = df.select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: x.rlike(r"\p{L}"))).alias("n_alpha"),
+        F.size(w).alias("n_words"),
+    )
+    got = {r["doc_id"]: (r["n_alpha"], r["n_words"]) for r in alpha.collect()}
+    assert got[2][0] == got[2][1]  # every Russian word is alphabetic
+    assert got[3][0] == got[3][1]  # every Chinese word is alphabetic
+    assert got[5][0] == 0  # digits/punct only
+
+    # tokens() keeps non-Latin words (the normalizer strips only
+    # punctuation/symbols, not letters of any script)
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+    assert "лиса" in toks[2]
+    assert "狐狸" in toks[3]
+    assert toks[4] == ["mixed", "привет", "你好", "hello123"]
+
+    sc_ = script_counts(F.col("text"))
+    counts = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            sc_["latin"].alias("lat"),
+            sc_["cyrillic"].alias("cyr"),
+            sc_["han"].alias("han"),
+            sc_["letters"].alias("all_l"),
+        ).collect()
+    }
+    assert counts[1]["cyr"] == counts[1]["han"] == 0
+    assert counts[1]["lat"] == counts[1]["all_l"] > 0
+    assert counts[2]["cyr"] == counts[2]["all_l"] > 0 and counts[2]["lat"] == 0
+    assert counts[3]["han"] == counts[3]["all_l"] > 0 and counts[3]["lat"] == 0
+    # mixed doc: every script counted, shares partition the letter total
+    m = counts[4]
+    assert m["lat"] > 0 and m["cyr"] > 0 and m["han"] > 0
+    assert m["lat"] + m["cyr"] + m["han"] == m["all_l"]
+    assert counts[5]["all_l"] == 0

@@ -136,6 +136,7 @@ AUDIT_QUERIES = [
     "bloom_prejoin_revenue",
     "ivf_trained_exact_topk",
     "ivf_append_serve_topk",
+    "script_share_docs",
 ]
 
 
