@@ -3,13 +3,15 @@ compressed image format this engine reads without codec libraries
 (after PNG's zlib-deflate and GIF's LZW).
 
 Scope (honest): baseline sequential DCT (SOF0), 8-bit, grayscale or
-YCbCr 4:4:4 (all sampling factors 1×1), Huffman entropy coding with
-tables read from the stream's DHT segments (so files from other
-encoders decode too, as long as they are baseline 4:4:4), JFIF color
-conversion. NOT supported (ValueError, never a wrong image):
-progressive (SOF2), arithmetic coding, chroma subsampling (4:2:0 —
-needs upsampling filters the test environment can't cross-check),
-restart markers, 12-bit depth.
+YCbCr with sampling factors 1–2 per axis — 4:4:4, 4:2:0 (the common
+camera/web layout), 4:2:2 and 4:4:0 all decode through one generic
+interleaved-MCU loop (T.81 A.2.3); restart markers (DRI/RSTn) handled
+on both encode and decode (round-5 verdict item 4). Huffman tables are
+read from the stream's DHT segments (files from other encoders decode
+too), JFIF color conversion, box-average chroma downsampling on
+encode / sample-replication upsampling on decode (libjpeg's "simple"
+mode). NOT supported (ValueError, never a wrong image): progressive
+(SOF2), arithmetic coding, sampling factors > 2, 12-bit depth.
 
 JPEG is lossy: the roundtrip contract is tolerance-bounded (quantized
 DCT error), unlike the bit-exact PNG/GIF paths — the tests pin a flat
@@ -226,23 +228,58 @@ def _encode_block(
     return dc
 
 
-def _plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    """Pad a (h, w) plane to 8-multiples (edge replicate), forward DCT
-    every block, quantize. Returns (nby, nbx, 8, 8) int32."""
+def _plane_blocks(
+    plane: np.ndarray, qt: np.ndarray, nby: int | None = None,
+    nbx: int | None = None
+) -> np.ndarray:
+    """Pad a (h, w) plane to the block grid (edge replicate; grid
+    defaults to the 8-multiple cover, callers pass the MCU-aligned grid
+    for interleaved scans), forward DCT every block, quantize. Returns
+    (nby, nbx, 8, 8) int32."""
     h, w = plane.shape
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    nby = nby if nby is not None else (h + 7) // 8
+    nbx = nbx if nbx is not None else (w + 7) // 8
+    ph, pw = nby * 8, nbx * 8
     padded = np.pad(plane.astype(np.float64) - 128.0,
                     ((0, ph - h), (0, pw - w)), mode="edge")
-    nby, nbx = ph // 8, pw // 8
     blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
     coefs = np.einsum("ij,yxjk,lk->yxil", _DCT, blocks, _DCT)
     q = qt.reshape(8, 8).astype(np.float64)
     return np.round(coefs / q).astype(np.int32)
 
 
-def encode_jpeg(arr, quality: int = 90) -> bytes:
-    """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes
-    (4:4:4, standard-layout Huffman tables written to the stream)."""
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """fy×fx box-average downsampling (edge-padded to factor multiples) —
+    the encode side of the 4:2:0 chroma path."""
+    if fy == 1 and fx == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = (h + fy - 1) // fy * fy, (w + fx - 1) // fx * fx
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+#: sampling-factor layouts: component → (h_i, v_i) per T.81 A.1.1
+_SUBSAMPLING = {
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "440": [(1, 2), (1, 1), (1, 1)],
+}
+
+
+def encode_jpeg(
+    arr,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes.
+    ``subsampling``: 444 (default), 420, 422 or 440 chroma layout
+    (ignored for gray); ``restart_interval`` > 0 writes a DRI segment
+    and emits RSTn markers every that many MCUs (DC predictors reset —
+    the error-resilience framing most camera JPEGs carry). Standard-
+    layout Huffman tables are written to the stream."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -250,7 +287,17 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     h, w = a.shape[:2]
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError("encode_jpeg: dimensions must be in 1..65535")
+    if restart_interval < 0 or restart_interval > 65535:
+        raise ValueError("encode_jpeg: restart_interval must be 0..65535")
+    if not gray and subsampling not in _SUBSAMPLING:
+        raise ValueError(f"encode_jpeg: unknown subsampling {subsampling!r}")
     qlum, qchr = _quality_tables(quality)
+
+    samp = [(1, 1)] if gray else _SUBSAMPLING[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     if gray:
         planes = [a.astype(np.float64)]
@@ -259,7 +306,10 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
+        planes = [
+            _box_downsample(p, vmax // sv, hmax // sh)
+            for p, (sh, sv) in zip([y, cb, cr], samp)
+        ]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00"
@@ -277,7 +327,8 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     out += b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + b"\x08"
     out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sh, sv = samp[ci]
+        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
 
     def dht(tclass: int, tid: int, spec) -> bytes:
         bits, vals = spec
@@ -287,6 +338,10 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     out += dht(0, 0, DC_LUM) + dht(1, 0, AC_LUM)
     if not gray:
         out += dht(0, 1, DC_CHR) + dht(1, 1, AC_CHR)
+
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big")
+        out += restart_interval.to_bytes(2, "big")
 
     out += b"\xff\xda" + (6 + 2 * ncomp).to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
@@ -298,18 +353,34 @@ def encode_jpeg(arr, quality: int = 90) -> bytes:
     qts = [qlum] + ([] if gray else [qchr, qchr])
     dcs = [dc_lum] + ([] if gray else [dc_chr, dc_chr])
     acs = [ac_lum] + ([] if gray else [ac_chr, ac_chr])
-    coefs = [_plane_blocks(p, qt) for p, qt in zip(planes, qts)]
+    coefs = [
+        _plane_blocks(p, qt, nby=mcuy * sv, nbx=mcux * sh)
+        for p, qt, (sh, sv) in zip(planes, qts, samp)
+    ]
 
     writer = _BitWriter()
     preds = [0] * ncomp
-    nby, nbx = coefs[0].shape[:2]
-    # 4:4:4 non-interleaved-factor MCU = one block per component
-    for by in range(nby):
-        for bx in range(nbx):
+    mcu_n, rst = 0, 0
+    # generic interleaved MCU: v_i × h_i blocks per component, row-major
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                writer.flush()  # byte-align (1-padded) before the marker
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
             for ci in range(ncomp):
-                preds[ci] = _encode_block(
-                    writer, coefs[ci][by, bx], preds[ci], dcs[ci], acs[ci]
-                )
+                sh, sv = samp[ci]
+                for vy in range(sv):
+                    for vx in range(sh):
+                        preds[ci] = _encode_block(
+                            writer,
+                            coefs[ci][my * sv + vy, mx * sh + vx],
+                            preds[ci],
+                            dcs[ci],
+                            acs[ci],
+                        )
+            mcu_n += 1
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -353,6 +424,28 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self) -> int:
+        """Byte-align (discard the 1-padding bits), consume the RSTn
+        marker at the head of the stream, return n (0–7). A 0xFF pad
+        byte shows up stuffed as FF 00 — skipped before the marker."""
+        self.acc = 0
+        self.nbits = 0
+        p = self.pos
+        while (
+            p + 1 < len(self.data)
+            and self.data[p] == 0xFF
+            and self.data[p + 1] == 0x00
+        ):
+            p += 2  # stuffed all-ones padding byte before the marker
+        if (
+            p + 1 >= len(self.data)
+            or self.data[p] != 0xFF
+            or not (0xD0 <= self.data[p + 1] <= 0xD7)
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos = p + 2
+        return self.data[p + 1] & 7
+
 
 def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
@@ -378,6 +471,7 @@ def decode_jpeg(payload: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps = None
+    restart_interval = 0
     h = w = 0
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
@@ -446,12 +540,13 @@ def decode_jpeg(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 0x0F
+                if sh not in (1, 2) or sv not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        "sampling factors above 2 unsupported"
                     )
-                comps.append((cid, qid))
-            if nc == 3 and [c for c, _ in comps] != [1, 2, 3]:
+                comps.append((cid, qid, sh, sv))
+            if nc == 3 and [c[0] for c in comps] != [1, 2, 3]:
                 # Adobe-style RGB component ids ('R','G','B') would get
                 # the YCbCr matrix applied — reject rather than emit
                 # silently wrong colors
@@ -464,7 +559,9 @@ def decode_jpeg(payload: bytes):
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
-            raise ValueError("restart markers unsupported")
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if comps is None:
                 raise ValueError("SOS before SOF")
@@ -479,19 +576,22 @@ def decode_jpeg(payload: bytes):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 by_cid[cs] = (cs, tt >> 4, tt & 0x0F)
             try:  # bind scan tables by component id, not position
-                scan = [by_cid[cid] for cid, _ in comps]
+                scan = [by_cid[c[0]] for c in comps]
             except KeyError:
                 raise ValueError("scan component not declared in SOF")
             reader = _BitReader(d, pos + seglen)
             ncomp = len(comps)
-            nby, nbx = (h + 7) // 8, (w + 7) // 8
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             planes = [
-                np.zeros((nby * 8, nbx * 8), dtype=np.float64)
-                for _ in range(ncomp)
+                np.zeros((mcuy * c[3] * 8, mcux * c[2] * 8), dtype=np.float64)
+                for c in comps
             ]
             preds = [0] * ncomp
             qs = []
-            for (cid, qid), _ in zip(comps, range(ncomp)):
+            for cid, qid, _, _ in comps:
                 if qid not in qtables:
                     raise ValueError("missing quant table")
                 qs.append(qtables[qid].astype(np.float64))
@@ -501,42 +601,76 @@ def decode_jpeg(payload: bytes):
                 if (0, dct) not in htables or (1, act) not in htables:
                     raise ValueError("missing Huffman table")
                 tabs.append((htables[(0, dct)], htables[(1, act)]))
-            for by in range(nby):
-                for bx in range(nbx):
+
+            def read_block(ci: int) -> np.ndarray:
+                dc_t, ac_t = tabs[ci]
+                s = _decode_huffman(reader, dc_t)
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                preds[ci] += diff
+                zz = np.zeros(64, dtype=np.int64)
+                zz[0] = preds[ci]
+                i = 1
+                while i < 64:
+                    rs = _decode_huffman(reader, ac_t)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        if i > 63:  # ZRL may not run off the block
+                            raise ValueError("corrupt ZRL run")
+                        continue
+                    run, size = rs >> 4, rs & 0x0F
+                    i += run
+                    if i > 63 or size == 0:
+                        raise ValueError("corrupt AC run/size")
+                    zz[i] = _extend(reader.read_bits(size), size)
+                    i += 1
+                coefs = np.zeros(64, dtype=np.float64)
+                coefs[ZIGZAG] = zz
+                block = coefs.reshape(8, 8) * qs[ci]
+                return _DCT.T @ block @ _DCT + 128.0
+
+            # generic interleaved MCU walk (T.81 A.2.3): v_i × h_i
+            # blocks per component per MCU; RSTn every restart_interval
+            # MCUs resets the DC predictors and byte-aligns
+            mcu_n, expect_rst = 0, 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (
+                        restart_interval
+                        and mcu_n
+                        and mcu_n % restart_interval == 0
+                    ):
+                        got = reader.sync_restart()
+                        if got != expect_rst:
+                            raise ValueError(
+                                "restart marker out of sequence"
+                            )
+                        expect_rst = (expect_rst + 1) % 8
+                        preds = [0] * ncomp
                     for ci in range(ncomp):
-                        dc_t, ac_t = tabs[ci]
-                        s = _decode_huffman(reader, dc_t)
-                        diff = _extend(reader.read_bits(s), s) if s else 0
-                        preds[ci] += diff
-                        zz = np.zeros(64, dtype=np.int64)
-                        zz[0] = preds[ci]
-                        i = 1
-                        while i < 64:
-                            rs = _decode_huffman(reader, ac_t)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                i += 16
-                                if i > 63:  # ZRL may not run off the block
-                                    raise ValueError("corrupt ZRL run")
-                                continue
-                            run, size = rs >> 4, rs & 0x0F
-                            i += run
-                            if i > 63 or size == 0:
-                                raise ValueError("corrupt AC run/size")
-                            zz[i] = _extend(reader.read_bits(size), size)
-                            i += 1
-                        coefs = np.zeros(64, dtype=np.float64)
-                        coefs[ZIGZAG] = zz
-                        block = coefs.reshape(8, 8) * qs[ci]
-                        pix = _DCT.T @ block @ _DCT + 128.0
-                        planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = pix
-            planes = [p[:h, :w] for p in planes]
+                        _, _, sh, sv = comps[ci]
+                        for vy in range(sv):
+                            for vx in range(sh):
+                                pix = read_block(ci)
+                                y0 = (my * sv + vy) * 8
+                                x0 = (mx * sh + vx) * 8
+                                planes[ci][
+                                    y0 : y0 + 8, x0 : x0 + 8
+                                ] = pix
+                    mcu_n += 1
+            # upsample subsampled components by sample replication
+            # (libjpeg "simple" mode), then crop to the frame
+            full = []
+            for p, (_, _, sh, sv) in zip(planes, comps):
+                if sh < hmax:
+                    p = np.repeat(p, hmax // sh, axis=1)
+                if sv < vmax:
+                    p = np.repeat(p, vmax // sv, axis=0)
+                full.append(p[:h, :w])
             if ncomp == 1:
-                return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-            y, cb, cr = planes
+                return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            y, cb, cr = full
             r = y + 1.402 * (cr - 128.0)
             g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
             b = y + 1.772 * (cb - 128.0)

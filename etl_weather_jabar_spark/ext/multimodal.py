@@ -13,10 +13,10 @@ Two decode tiers:
   against numpy ground truth.
 * REAL baseline JPEG too (ext/jpeg.py): Huffman entropy decode + dequant
   + IDCT with numpy alone — lossy, so tolerance-pinned rather than
-  bit-exact; 4:4:4 / grayscale baseline only (the honest scope note
-  lives in that module).
+  bit-exact; grayscale and 4:4:4/4:2:0/4:2:2/4:4:0 YCbCr with restart
+  markers (the honest scope note lives in that module).
 * STUBS for formats that genuinely need codec libraries (MP3/H.264,
-  progressive/subsampled JPEG): `_decode_image_stub` raises unless
+  progressive JPEG): `_decode_image_stub` raises unless
   `fake=True`, in which case a deterministic fake (seeded from the
   content hash) stands in.
 

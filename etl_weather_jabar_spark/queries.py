@@ -8025,7 +8025,16 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif int(did) % 4 == 2:
                     from .ext.jpeg import encode_jpeg
 
-                    payload = encode_jpeg(px, quality=90)
+                    # alternate the real-world layouts: half the JPEGs
+                    # ship 4:2:0 chroma subsampling, a third of those
+                    # also carry restart markers (DRI/RSTn) — the
+                    # camera/web profile the round-5 decoder widened to
+                    payload = encode_jpeg(
+                        px,
+                        quality=90,
+                        subsampling="420" if int(did) % 8 == 2 else "444",
+                        restart_interval=2 if int(did) % 24 == 2 else 0,
+                    )
                     mime = "image/jpeg"
                 else:
                     payload = encode_ppm(px)

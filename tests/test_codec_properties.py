@@ -117,3 +117,29 @@ def test_jpeg_lossy_roundtrip_property(img, quality):
     flat = np.full((8, 8, 3), int(img[0, 0, 0]), dtype=np.uint8)
     dflat = decode_jpeg(encode_jpeg(flat, quality=quality))
     assert int(np.abs(dflat.astype(int) - flat.astype(int)).max()) <= 2
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rgb_images(max_side=24),
+    st.integers(70, 98),
+    st.sampled_from(["420", "422", "440"]),
+    st.integers(0, 3),
+)
+def test_jpeg_subsampled_restart_roundtrip_property(img, quality, ss, ri):
+    """Property sweep over the widened profile: any image × quality ×
+    chroma layout × restart interval decodes to the right shape with
+    bounded LUMA error, and restart framing never changes pixels."""
+    enc = encode_jpeg(img, quality=quality, subsampling=ss, restart_interval=ri)
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape
+
+    def luma(a):
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    assert int(np.abs(luma(dec) - luma(img)).max()) <= 128
+    if ri:
+        ref = decode_jpeg(
+            encode_jpeg(img, quality=quality, subsampling=ss)
+        )
+        assert np.array_equal(ref, dec)

@@ -166,3 +166,76 @@ def test_rgb_component_ids_rejected():
     good[sof + 10], good[sof + 13], good[sof + 16] = 0x52, 0x47, 0x42
     with pytest.raises(ValueError, match="component ids"):
         decode_jpeg(bytes(good))
+
+
+def test_jpeg_420_and_restart_markers_roundtrip():
+    """The widened real-world profile (round-5 verdict item 4): 4:2:0
+    (and 4:2:2/4:4:0) chroma subsampling and DRI/RSTn restart markers.
+    Flat blocks stay exact in every layout; gradients hold a small
+    bounded error; restart framing is TRANSPARENT — the decoded image
+    equals the non-restart encode bit for bit (predictor resets change
+    coding, never pixels); malformed restart streams raise, never
+    mis-decode."""
+    flat = np.full((24, 17, 3), [120, 64, 200], dtype=np.uint8)
+    xx, yy = np.meshgrid(np.arange(33), np.arange(26))
+    grad = np.clip(
+        np.stack([xx * 2 + 30, yy * 3 + 10, xx + yy + 50], axis=2), 0, 255
+    ).astype(np.uint8)
+
+    def maxerr(a, b):
+        return int(np.max(np.abs(a.astype(int) - b.astype(int))))
+
+    for ss in ("444", "420", "422", "440"):
+        out = decode_jpeg(encode_jpeg(flat, 95, subsampling=ss))
+        assert out.shape == flat.shape
+        assert maxerr(flat, out) == 0, ss
+    assert maxerr(grad, decode_jpeg(encode_jpeg(grad, 95, subsampling="420"))) <= 4
+
+    for ss in ("444", "420"):
+        ref = decode_jpeg(encode_jpeg(grad, 90, subsampling=ss))
+        for ri in (1, 2, 5):
+            got = decode_jpeg(
+                encode_jpeg(grad, 90, subsampling=ss, restart_interval=ri)
+            )
+            assert np.array_equal(ref, got), (ss, ri)
+    # gray with restarts
+    gr = (xx * 5 % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gr, 90)),
+        decode_jpeg(encode_jpeg(gr, 90, restart_interval=3)),
+    )
+
+    # malformed restart streams fail loudly
+    p = encode_jpeg(grad, 90, subsampling="420", restart_interval=1)
+    idx = next(
+        j for j in range(len(p) - 1) if p[j] == 0xFF and p[j + 1] == 0xD0
+    )
+    bad = bytearray(p)
+    bad[idx + 1] = 0xD3
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(p[: idx + 1])
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(p[:idx] + p[idx + 2 :])
+    # sampling factors above 2 stay rejected
+    import struct
+
+    sof = b"\x08\x00\x10\x00\x10\x01\x01\x41\x00"
+    blob = b"\xff\xd8\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(blob)
+
+
+def test_jpeg_420_luma_fidelity_on_noise():
+    """4:2:0 smooths CHROMA only: on a noise image the luma channel
+    reconstruction stays within the 4:4:4-class error bound even though
+    per-pixel RGB error is large (the subsampling doing its job)."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+
+    def luma(a):
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    assert int(np.max(np.abs(luma(img) - luma(out)))) <= 20
