@@ -268,3 +268,42 @@ def test_bloom_member_expr_equals_relational_probe(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_bloom_prefilter_lazy_broadcast_no_false_negatives(spark):
+    """The production pre-join prune (bloom_prefilter, xxhash64 mode):
+    every true member survives the filter (no false negatives — the
+    exact join's transparency depends on it), the plan carries NO
+    probe-key exchange (only the 1-row broadcast of the lane map), and
+    nothing executes at construction time (fully lazy)."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.heavy_hitters import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(0, 600, 3)], ["k"])
+    probe = spark.createDataFrame([(i,) for i in range(600)], ["k"])
+    filt = bloom_build(
+        members, "k", k_hashes=3, m_bits=60 * 64, hash_fn="xxhash64"
+    )
+    kept = bloom_prefilter(
+        probe, F.col("k"), filt, k_hashes=3, m_bits=60 * 64,
+        hash_fn="xxhash64",
+    )
+    got = {r["k"] for r in kept.collect()}
+    assert set(range(0, 600, 3)) <= got  # no false negatives
+    # the prune actually prunes at this load factor
+    assert len(got) < 600
+
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the only shuffles allowed are the BUILD side's lane-sized
+    # aggregation (hashpartitioning on `lane`) feeding the 1-row
+    # broadcast; the PROBE side must carry no exchange of its keys —
+    # no hashpartitioning on k, no range/roundrobin anywhere
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
+        assert m.group(1).startswith("lane"), plan
+    assert not re.search(r"Exchange (range|RoundRobin)", plan, re.I), plan

@@ -179,6 +179,7 @@ EXPECTED_NESTED_LOOP = {
     "phrase_search_topgram": "per-doc matches × 1-row phrase-string broadcast",
     "source_target_l1_shift": "sources × fixed 64-slot grid and 1-row target-total broadcasts",
     "bloom_filter_fp_rate": "1-row summary × 1-row build-count broadcast",
+    "bloom_prejoin_revenue": "probe rows × 1-row broadcast lane-map (lazy bloom prefilter)",
 }
 
 
