@@ -75,6 +75,7 @@ TIER3_QUERIES = [
     "ivf_trained_exact_topk",
     "ivf_append_serve_topk",
     "script_share_docs",
+    "pq_adc_topk",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

@@ -422,6 +422,184 @@ def ivf_topk(
     )
 
 
+def pq_seed_codebooks(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, list[int]]]:
+    """Product-quantization codebooks (Jégou et al. 2011) with FIXED
+    md5-derived seeds, DuckDB-reproducible: for subspace ``s`` the
+    codebook is the micro-unit SUBvectors (dims s·sub_dim …) of the
+    ``n_codes`` corpus vectors with smallest md5(id ‖ ':pq' ‖ s) — a
+    different deterministic sample per subspace, each one TakeOrdered of
+    n_codes×sub_dim cells (O(model) at any corpus size; plan-only mode
+    returns placeholders, no job). Returns (s, code, subvec) triples;
+    code = rank in the seed order, the tie-break ID the encoder uses."""
+    from ..planmode import is_plan_only
+
+    if is_plan_only():
+        return [
+            (s, c, [1000000 if d == c % sub_dim else 0 for d in range(sub_dim)])
+            for s in range(n_sub)
+            for c in range(n_codes)
+        ]
+    vecs = corpus.select(
+        id_col, quantize_micro_units(F.col(vec_col)).alias("__q")
+    )
+    out: list[tuple[int, int, list[int]]] = []
+    for s in range(n_sub):
+        seeds = (
+            vecs.orderBy(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f":pq{s}")
+                    )
+                ),
+                F.col(id_col),
+            )
+            .limit(n_codes)
+            .select(
+                F.slice(F.col("__q"), s * sub_dim + 1, sub_dim).alias("sv")
+            )
+            .collect()
+        )
+        out += [(s, c, [int(x) for x in r["sv"]]) for c, r in enumerate(seeds)]
+    return out
+
+
+def _pq_codebook_df(spark, codebooks: list[tuple[int, int, list[int]]]):
+    return spark.createDataFrame(
+        [(int(s), int(c), [int(x) for x in v]) for s, c, v in codebooks],
+        schema="s INT, c INT, cv ARRAY<BIGINT>",
+    )
+
+
+def _pq_subvectors(df: DataFrame, qcol: str, n_sub: int, sub_dim: int):
+    """(…, s, sv): each row exploded into its n_sub micro-unit
+    subvectors — the narrow long form both PQ stages consume."""
+    others = [c for c in df.columns if c != qcol]
+    return df.select(
+        *others,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda s: F.slice(
+                    F.col(qcol), s * sub_dim + F.lit(1), sub_dim
+                ),
+            )
+        ).alias("s", "sv"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[tuple[int, int, list[int]]],
+    n_sub: int = 8,
+    n_codes: int = 16,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: (id, s, code) — each vector compressed to ``n_sub``
+    small integers (the 100 TB memory story: 8 codes ≈ 8 bytes/vector
+    vs 256 bytes of float32; the ADC search below never touches the raw
+    vectors again). code = argmin exact integer squared distance to the
+    subspace codebook, ties → lowest code. Long (id, s, code) layout so
+    encoding is one broadcast-join + one agg — no wide pivot."""
+    spark = corpus.sparkSession
+    cdf = _pq_codebook_df(spark, codebooks)
+    subs = _pq_subvectors(
+        spread(corpus).select(
+            id_col, quantize_micro_units(F.col(vec_col)).alias("__q")
+        ),
+        "__q",
+        n_sub,
+        sub_dim,
+    ).select(id_col, F.col("s"), F.col("sv"))
+    scored = subs.join(F.broadcast(cdf), on="s").withColumn(
+        "__d",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    packed = F.min(F.struct(F.col("__d").alias("d"), F.col("c").alias("c")))
+    return (
+        scored.groupBy(id_col, "s")
+        .agg(packed.alias("b"))
+        .select(id_col, "s", F.col("b.c").cast("int").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[tuple[int, int, list[int]]],
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a
+    distance TABLE to every codebook entry (n_sub×n_codes integers —
+    query-batch-sized, broadcast), then every corpus vector scores as
+    the SUM of table lookups at its codes — one broadcast equi-join on
+    (s, code) + one groupBy; the raw vectors never participate.
+    Approximation error = quantization only; arithmetic is exact
+    integers, so ranking is a total order and the whole pipeline has a
+    digit-identical DuckDB twin (pq_adc_topk registry query). Pass
+    ``codes`` to serve from a precomputed/persisted encoding."""
+    spark = corpus.sparkSession
+    cdf = _pq_codebook_df(spark, codebooks)
+    enc = (
+        codes
+        if codes is not None
+        else pq_encode(
+            corpus, codebooks, n_sub, n_codes, sub_dim, id_col, vec_col
+        )
+    )
+    qsubs = _pq_subvectors(
+        queries.select(
+            query_id_col, quantize_micro_units(F.col(vec_col)).alias("__q")
+        ),
+        "__q",
+        n_sub,
+        sub_dim,
+    ).select(query_id_col, "s", "sv")
+    table = qsubs.join(F.broadcast(cdf), on="s").select(
+        query_id_col,
+        "s",
+        F.col("c").alias("code"),
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("__d"),
+    )
+    scored = (
+        enc.join(F.broadcast(table), on=["s", "code"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+
+
 def save_ivf_index(
     corpus: DataFrame,
     path: str,

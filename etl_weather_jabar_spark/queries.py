@@ -1630,6 +1630,89 @@ def ivf_append_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, idx, queries, k=10, n_probe=3)
 
 
+_PQ_DIST = (
+    "list_sum(list_transform(range(1, 9), "
+    "i -> ({q}[8 * {s} + i] - {cv}[i]) * ({q}[8 * {s} + i] - {cv}[i])))"
+)
+
+
+@_register(
+    "pq_adc_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               ) AS qv
+        FROM embeddings
+    ),
+    ss AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+        SELECT s, c, cv FROM (
+            SELECT ss.s AS s,
+                   CAST(row_number() OVER (PARTITION BY ss.s ORDER BY
+                       md5(CAST(q.vec_id AS VARCHAR) || ':pq'
+                           || CAST(ss.s AS VARCHAR)), q.vec_id
+                   ) AS INT) - 1 AS c,
+                   q.qv[8 * ss.s + 1 : 8 * ss.s + 8] AS cv
+            FROM q, ss
+        ) WHERE c < 16
+    ),
+    enc AS (
+        SELECT vec_id, s, c AS code FROM (
+            SELECT q.vec_id, cb.s, cb.c,
+                   row_number() OVER (PARTITION BY q.vec_id, cb.s ORDER BY
+                       {_PQ_DIST.format(q='q.qv', s='cb.s', cv='cb.cv')}
+                       ASC, cb.c ASC) AS rn
+            FROM q CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    qt AS (
+        SELECT q.vec_id AS query_id, cb.s, cb.c AS code,
+               {_PQ_DIST.format(q='q.qv', s='cb.s', cv='cb.cv')} AS d
+        FROM q CROSS JOIN cb
+        WHERE q.vec_id < 5
+    ),
+    sc AS (
+        SELECT qt.query_id, enc.vec_id,
+               CAST(sum(qt.d) AS BIGINT) AS adc_dist
+        FROM enc JOIN qt ON enc.s = qt.s AND enc.code = qt.code
+        WHERE enc.vec_id <> qt.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+        ) AS INT) AS rank
+        FROM sc
+    ) WHERE rank <= 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011), the family's
+    100 TB MEMORY answer: each 64-dim vector compresses to 8 small
+    integer codes (8 subspaces × 16-entry codebooks — ~8 bytes vs 256
+    of float32), queries build a per-subspace distance TABLE to every
+    codebook entry, and search is one broadcast equi-join on (s, code)
+    + a sum of table lookups — the raw vectors never participate in
+    scoring. Codebooks are md5-seeded fixed subvector samples
+    (DuckDB-reproducible, like the IVF seeds); distances are exact
+    micro-unit integers, so encode + table + ADC ranking all replay
+    digit-for-digit in the oracle. Recall vs brute force and the
+    planted-copy invariant (identical codes ⇒ adc_dist 0) are pinned in
+    tests/test_similarity.py; IVF handles the compute story
+    (partition-pruned lists), PQ the memory story — composable."""
+    from .ext.similarity import pq_adc_topk as _pq_topk
+    from .ext.similarity import pq_seed_codebooks
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cbs = pq_seed_codebooks(emb)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _pq_topk(emb, queries, cbs, k=10)
+
+
 @_register(
     "embedding_neardup_pairs",
     f"""

@@ -712,3 +712,71 @@ def test_ivf_append_serve_registry_partition_pruned(spark):
         "/root/testdata/sf0.001/embeddings.parquet"
     ).count()
     assert total == corpus  # base write + batch append = whole corpus
+
+
+def test_pq_adc_recall_and_planted_copy(spark):
+    """PQ/ADC sanity: the planted exact copy encodes to IDENTICAL codes
+    (adc_dist 0, rank 1 for its twin's query); ADC top-5 overlaps the
+    exact brute-force top-5 reasonably at 16 codes × 4 subspaces on a
+    16-dim corpus; codes are n_sub small ints per vector (the
+    compression contract)."""
+    from etl_weather_jabar_spark.ext.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    corpus = _corpus(spark)  # dim 16; vec 199 = exact copy of vec 0
+    cbs = pq_seed_codebooks(corpus, n_sub=4, n_codes=16, sub_dim=4)
+    assert len(cbs) == 4 * 16 and all(len(v) == 4 for _, _, v in cbs)
+
+    codes = pq_encode(corpus, cbs, n_sub=4, n_codes=16, sub_dim=4)
+    by_id: dict[int, dict[int, int]] = {}
+    for r in codes.collect():
+        by_id.setdefault(r["vec_id"], {})[r["s"]] = r["code"]
+    assert all(len(v) == 4 for v in by_id.values())
+    assert by_id[0] == by_id[199]  # exact copy -> identical codes
+
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_adc_topk(
+        corpus, queries, cbs, k=5, n_sub=4, n_codes=16, sub_dim=4
+    )
+    rows = [r for r in top.collect() if r["query_id"] == 0]
+    best = min(rows, key=lambda r: r["rank"])
+    # ADC is ASYMMETRIC: the copy's distance is the query's own
+    # quantization error (Σ_s min_c T[s][c]), the smallest any vector
+    # can score — not 0 (that would be SDC). Replay it exactly.
+    from etl_weather_jabar_spark.ext.similarity import quantize_micro_units
+
+    q0 = [
+        int(x)
+        for x in corpus.where(F.col("vec_id") == 0)
+        .select(quantize_micro_units(F.col("embedding")).alias("q"))
+        .collect()[0]["q"]
+    ]
+    want = 0
+    for s in range(4):
+        sub = q0[4 * s : 4 * s + 4]
+        want += min(
+            sum((a - b) ** 2 for a, b in zip(sub, cv))
+            for s2, _, cv in cbs
+            if s2 == s
+        )
+    assert best["vec_id"] == 199 and best["adc_dist"] == want
+
+    # random gaussians are PQ's adversarial case (no cluster structure
+    # for sampled codebooks to exploit); more codes buy recall —
+    # measured 0.33/0.40/0.47 at 16/32/48 codes here. The quality dial
+    # is (n_codes, n_sub); CORRECTNESS of encode/table/ranking is what
+    # the oracle pins, so this asserts the measured floor, not a promise
+    exact = brute_force_topk(corpus, queries, k=5)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    cbs32 = pq_seed_codebooks(corpus, n_sub=4, n_codes=32, sub_dim=4)
+    top32 = pq_adc_topk(
+        corpus, queries, cbs32, k=5, n_sub=4, n_codes=32, sub_dim=4
+    )
+    a = {(r["query_id"], r["vec_id"]) for r in top32.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"PQ/ADC recall too low: {recall}"
