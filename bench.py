@@ -76,6 +76,7 @@ TIER3_QUERIES = [
     "ivf_append_serve_topk",
     "script_share_docs",
     "pq_adc_topk",
+    "ivf_pq_topk",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

@@ -1714,6 +1714,174 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivf_pq_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               ) AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS INT) - 1 AS cid,
+               qv AS cv
+        FROM (SELECT vec_id, qv FROM q
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ),
+    fa AS (
+        SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       {_ivf_dist_sql('q.qv', 'c.cv')} ASC, c.cid ASC
+                   ) AS rn
+            FROM q CROSS JOIN c0 c
+        ) WHERE rn = 1
+    ),
+    pqp AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       {_ivf_dist_sql('q.qv', 'c.cv')} ASC, c.cid ASC
+                   ) AS rn
+            FROM q CROSS JOIN c0 c
+            WHERE q.vec_id < 5
+        ) WHERE rn <= 3
+    ),
+    ss AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+        SELECT s, c, cv FROM (
+            SELECT ss.s AS s,
+                   CAST(row_number() OVER (PARTITION BY ss.s ORDER BY
+                       md5(CAST(q.vec_id AS VARCHAR) || ':pq'
+                           || CAST(ss.s AS VARCHAR)), q.vec_id
+                   ) AS INT) - 1 AS c,
+                   q.qv[8 * ss.s + 1 : 8 * ss.s + 8] AS cv
+            FROM q, ss
+        ) WHERE c < 16
+    ),
+    enc AS (
+        SELECT vec_id, s, c AS code FROM (
+            SELECT q.vec_id, cb.s, cb.c,
+                   row_number() OVER (PARTITION BY q.vec_id, cb.s ORDER BY
+                       {_PQ_DIST.format(q='q.qv', s='cb.s', cv='cb.cv')}
+                       ASC, cb.c ASC) AS rn
+            FROM q CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    qt AS (
+        SELECT q.vec_id AS query_id, cb.s, cb.c AS code,
+               {_PQ_DIST.format(q='q.qv', s='cb.s', cv='cb.cv')} AS d
+        FROM q CROSS JOIN cb
+        WHERE q.vec_id < 5
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM fa a JOIN pqp p ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id
+    ),
+    sc AS (
+        SELECT cand.query_id, cand.vec_id,
+               CAST(sum(qt.d) AS BIGINT) AS adc_dist
+        FROM cand
+        JOIN enc ON enc.vec_id = cand.vec_id
+        JOIN qt ON qt.query_id = cand.query_id
+              AND qt.s = enc.s AND qt.code = enc.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+        ) AS INT) AS rank
+        FROM sc
+    ) WHERE rank <= 10
+    """,
+)
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the faiss IndexIVFPQ architecture, both
+    halves already certified separately and here certified AS A
+    COMPOSITION: the IVF coarse quantizer (16 md5-seeded centroids,
+    exact integer-distance assignment) bounds COMPUTE — each query
+    scores only its 3 probed inverted lists, ~3/16 of the corpus — and
+    PQ codes bound MEMORY — candidates score by ADC table lookups over
+    8 bytes of codes, never touching raw vectors. At 100 TB the lists
+    live partitionBy(cid) with code columns beside them (the
+    ivf_indexed_topk layout), so a search reads 3 pruned partitions of
+    8-byte codes: both dials compound. Every stage is exact integer
+    arithmetic → full digit-identical DuckDB twin."""
+    from .ext.similarity import (
+        _pq_codebook_df,
+        _pq_subvectors,
+        _scored_against_int_centroids,
+        assign_nearest_int,
+        pq_encode,
+        pq_seed_codebooks,
+        quantize_micro_units,
+        train_ivf_centroids_exact,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qemb = emb.select(
+        "vec_id", quantize_micro_units(F.col("embedding")).alias("__q")
+    )
+    # iters=0 ⇒ exactly the md5-seed centroids (no Lloyd round): the
+    # fixed coarse quantizer both engines reproduce
+    cents = train_ivf_centroids_exact(emb, n_clusters=16, iters=0)
+    assigned = assign_nearest_int(qemb, cents, "vec_id", "__q").select(
+        "vec_id", "cid"
+    )
+    cbs = pq_seed_codebooks(emb)
+    codes = pq_encode(emb, cbs)
+    queries = qemb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "__q"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("cid").asc()
+    )
+    probes = (
+        _scored_against_int_centroids(queries, cents, "__q")
+        .withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= 3)
+        .select("query_id", "cid")
+    )
+    cand = assigned.join(F.broadcast(probes), on="cid").where(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    table = (
+        _pq_subvectors(queries.withColumnRenamed("__q", "__qv"), "__qv", 8, 8)
+        .join(F.broadcast(_pq_codebook_df(spark, cbs)), on="s")
+        .select(
+            "query_id",
+            "s",
+            F.col("c").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("__d"),
+        )
+    )
+    scored = (
+        codes.join(cand, on="vec_id")
+        .join(F.broadcast(table), on=["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("__d").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+@_register(
     "embedding_neardup_pairs",
     f"""
     WITH hp AS (

@@ -138,6 +138,7 @@ AUDIT_QUERIES = [
     "ivf_append_serve_topk",
     "script_share_docs",
     "pq_adc_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -169,6 +170,7 @@ EXPECTED_NESTED_LOOP = {
     "ivf_trained_exact_topk": "corpus probes × centroid-count-sized model broadcast (exact-Lloyd IVF)",
     "ivf_append_serve_topk": "corpus probes × centroid-count-sized model broadcast (plan-only uses the unindexed IVF shape)",
     "pq_adc_topk": "subvectors × codebook-sized model broadcast (PQ encode + ADC table)",
+    "ivf_pq_topk": "subvectors/probes × model-sized broadcasts (IVF centroids + PQ codebooks)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
