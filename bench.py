@@ -77,6 +77,7 @@ TIER3_QUERIES = [
     "script_share_docs",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "knn_graph_topk",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

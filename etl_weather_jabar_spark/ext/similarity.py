@@ -1009,6 +1009,73 @@ def srp_neardup_pairs(
     )
 
 
+def srp_knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_bits: int = 8,
+    tables: int = 4,
+    max_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN GRAPH over SRP-LSH buckets: for EVERY corpus
+    vector, its top-``k`` bucket-mate neighbors by exact cosine — the
+    input to graph-based curation (connected-component duplicate
+    clusters, label propagation, graph-walk sampling) where
+    :func:`srp_neardup_pairs` only answers the thresholded-pair
+    question. Same candidate machinery and the same two quadratic
+    dials (``n_bits``, ``max_bucket``); per-node candidate count is
+    bounded by tables × max_bucket by construction, so the per-source
+    ranking window never sees a skewed group. Output
+    (src, dst, cosine, rank), both directions — src with no bucket
+    mates (cap-dropped everywhere) yields no rows, the honest "no
+    neighbors found" answer."""
+
+    def signed(df):
+        dots, sig_cols = _srp_signatures_packed(vec_col, dim, n_bits, tables)
+        return (
+            df.withColumn("__srp_dots", dots)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.posexplode(F.array(*sig_cols)).alias("table", "sig"),
+            )
+        )
+
+    s = signed(spread(corpus))
+    if max_bucket is not None:
+        kept_b = (
+            s.groupBy("table", "sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket)
+            .select("table", "sig")
+        )
+        s = s.join(kept_b, on=["table", "sig"])
+    a = s.select(
+        "table", "sig", F.col(id_col).alias("src"), F.col(vec_col).alias("__va")
+    )
+    b = s.select(
+        "table", "sig", F.col(id_col).alias("dst"), F.col(vec_col).alias("__vb")
+    )
+    cand = (
+        a.join(b, on=["table", "sig"])
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )
+
+
 def srp_bucket_stats(
     corpus: DataFrame,
     dim: int = 64,

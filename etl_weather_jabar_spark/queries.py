@@ -1939,6 +1939,66 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "knn_graph_topk",
+    f"""
+    WITH hp AS (
+        SELECT tt.t, bb.i,
+               list_transform(range(0, 64), c ->
+                   CASE WHEN substr(md5(printf('srp:%d:%d:%d', tt.t, bb.i, c)), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7')
+                        THEN 1.0 ELSE -1.0 END) AS r
+        FROM (SELECT unnest(range(0, 4)) AS t) tt,
+             (SELECT unnest(range(0, 8)) AS i) bb
+    ), sigs AS (
+        SELECT e.vec_id, hp.t,
+               CAST(sum(CASE WHEN list_sum(list_transform(range(0, 64), c ->
+                        CAST(e.embedding[c + 1] AS DOUBLE) * hp.r[c + 1])) > 0
+                        THEN (CAST(1 AS BIGINT) << hp.i) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM embeddings e CROSS JOIN hp
+        GROUP BY e.vec_id, hp.t
+    ), kept AS (
+        SELECT t, sig FROM sigs GROUP BY t, sig HAVING count(*) <= 200
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM sigs a
+        JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+                   AND a.vec_id <> b.vec_id
+        JOIN kept k ON k.t = a.t AND k.sig = a.sig
+    ), scored AS (
+        SELECT c.src, c.dst,
+               {{cos}} AS cosine
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.src
+        JOIN embeddings eb ON eb.vec_id = c.dst
+    )
+    SELECT src, dst, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY src ORDER BY cosine DESC, dst ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """.replace("{cos}", _cos_sql("ea.embedding", "eb.embedding")),
+)
+def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN GRAPH (ext/similarity.py::srp_knn_graph): every
+    vector's top-3 bucket-mate neighbors by exact cosine, through the
+    same SRP-LSH candidate machinery as embedding_neardup_pairs (4×8-bit
+    md5-derived signatures, bucket cap 200) — the input representation
+    for graph-based curation: connected-component duplicate clusters,
+    label propagation, graph-walk subsampling. Per-node candidates are
+    bounded at tables×cap by construction, so the ranking window never
+    meets a skewed group. The oracle reproduces hyperplanes, signatures,
+    cap, candidate set and ranking — the whole approximate pipeline."""
+    from .ext.similarity import srp_knn_graph
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return srp_knn_graph(
+        emb, k=3, dim=64, n_bits=8, tables=4, max_bucket=200
+    )
+
+
+@_register(
     "semantic_dedup_docs",
     f"""
     WITH c AS (

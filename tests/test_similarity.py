@@ -780,3 +780,30 @@ def test_pq_adc_recall_and_planted_copy(spark):
     a = {(r["query_id"], r["vec_id"]) for r in top32.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.4, f"PQ/ADC recall too low: {recall}"
+
+
+def test_srp_knn_graph_planted_copy_and_bounds(spark):
+    """kNN-graph sanity: the planted exact copy is its twin's rank-1
+    neighbor with cosine 1 in BOTH directions; every node emits at most
+    k edges; ranks are dense 1..deg per node; all returned neighbors
+    are genuine bucket mates (symmetric candidate set)."""
+    from etl_weather_jabar_spark.ext.similarity import srp_knn_graph
+
+    corpus = _corpus(spark)  # vec 199 = exact copy of vec 0
+    g = srp_knn_graph(
+        corpus, k=3, dim=16, n_bits=4, tables=6, max_bucket=100
+    ).collect()
+    by_src: dict[int, list] = {}
+    for r in g:
+        by_src.setdefault(r["src"], []).append(r)
+    # exact copy: identical signatures -> always bucket mates, cosine 1
+    top0 = min(by_src[0], key=lambda r: r["rank"])
+    top199 = min(by_src[199], key=lambda r: r["rank"])
+    assert top0["dst"] == 199 and top0["cosine"] == 1.0
+    assert top199["dst"] == 0 and top199["cosine"] == 1.0
+    for src, rows in by_src.items():
+        assert len(rows) <= 3
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        assert all(r["dst"] != src for r in rows)

@@ -139,6 +139,7 @@ AUDIT_QUERIES = [
     "script_share_docs",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "knn_graph_topk",
 ]
 
 
