@@ -78,6 +78,7 @@ TIER3_QUERIES = [
     "pq_adc_topk",
     "ivf_pq_topk",
     "knn_graph_topk",
+    "embedding_dup_clusters",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

@@ -1999,6 +1999,87 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_dup_clusters",
+    f"""
+    WITH RECURSIVE hp AS (
+        SELECT tt.t, bb.i,
+               list_transform(range(0, 64), c ->
+                   CASE WHEN substr(md5(printf('srp:%d:%d:%d', tt.t, bb.i, c)), 1, 1)
+                        IN ('0','1','2','3','4','5','6','7')
+                        THEN 1.0 ELSE -1.0 END) AS r
+        FROM (SELECT unnest(range(0, 4)) AS t) tt,
+             (SELECT unnest(range(0, 8)) AS i) bb
+    ), sigs AS (
+        SELECT e.vec_id, hp.t,
+               CAST(sum(CASE WHEN list_sum(list_transform(range(0, 64), c ->
+                        CAST(e.embedding[c + 1] AS DOUBLE) * hp.r[c + 1])) > 0
+                        THEN (CAST(1 AS BIGINT) << hp.i) ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM embeddings e CROSS JOIN hp
+        GROUP BY e.vec_id, hp.t
+    ), kept AS (
+        SELECT t, sig FROM sigs GROUP BY t, sig HAVING count(*) <= 200
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a
+        JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+        JOIN kept k ON k.t = a.t AND k.sig = a.sig
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT c.id_a, c.id_b,
+                   {{cos}} AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.id_a
+            JOIN embeddings eb ON eb.vec_id = c.id_b
+        ) WHERE cosine >= 0.4
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT re.node, e.v FROM reach re JOIN edges e ON e.u = re.r
+    )
+    SELECT node AS vec_id, min(r) AS cluster_id
+    FROM reach GROUP BY 1
+    """.replace("{cos}", _cos_sql("ea.embedding", "eb.embedding")),
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTER assignment — the SRP sibling of
+    lsh_neardup_clusters, and the step semantic curation actually
+    dedups with (keep one representative per cluster): SRP-LSH pairs
+    (same certified machinery as embedding_neardup_pairs; threshold
+    0.4 so this corpus forms real multi-member clusters) become edges,
+    star-CC labels every vector with its component's min id, singletons
+    label themselves. Detector edges chain transitively (A~B, B~C ⇒
+    one cluster). The oracle replays pairs + the closure via a
+    recursive CTE — the whole approximate pipeline including the graph
+    algorithm."""
+    from .ext.graph import connected_components
+    from .ext.similarity import srp_neardup_pairs
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    pairs = srp_neardup_pairs(
+        emb, threshold=0.4, dim=64, n_bits=8, tables=4, max_bucket=200
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return (
+        emb.select("vec_id")
+        .join(comp, emb.vec_id == comp.node, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+
+
+@_register(
     "semantic_dedup_docs",
     f"""
     WITH c AS (

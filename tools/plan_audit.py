@@ -140,6 +140,7 @@ AUDIT_QUERIES = [
     "pq_adc_topk",
     "ivf_pq_topk",
     "knn_graph_topk",
+    "embedding_dup_clusters",
 ]
 
 
