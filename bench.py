@@ -79,6 +79,7 @@ TIER3_QUERIES = [
     "ivf_pq_topk",
     "knn_graph_topk",
     "embedding_dup_clusters",
+    "kmv_distinct_users",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

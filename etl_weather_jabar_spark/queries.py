@@ -53,7 +53,7 @@ from .functions.text import (
     token_count_bpe_ish,
     token_count_ws,
 )
-from .functions.exact import half_up_div
+from .functions.exact import floor_div, half_up_div
 from .functions.weather import heat_index_c
 from .operators.aggregates import (
     deterministic_mode,
@@ -910,6 +910,102 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(0).alias("value_p50"),
         pct.getItem(1).alias("value_p95"),
         pct.getItem(2).alias("value_p99"),
+    )
+
+
+@_register(
+    "kmv_distinct_users",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv'),
+                1, 15))::BIGINT AS hv
+        FROM events
+    ),
+    bk AS (
+        SELECT event_type, hv FROM (
+            SELECT event_type, hv, row_number() OVER (
+                PARTITION BY event_type ORDER BY hv ASC) AS rn
+            FROM h
+        ) WHERE rn <= 64
+    ),
+    sk AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS k_used,
+               max(hv) AS kth
+        FROM bk GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT sk.event_type, sk.k_used,
+           CAST(CASE WHEN sk.k_used < 64 THEN sk.k_used
+                ELSE (63 * CAST({2**60} AS HUGEINT)) // sk.kth
+           END AS BIGINT) AS n_kmv,
+           ex.n_exact
+    FROM sk JOIN ex USING (event_type)
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002) —
+    the sketch family's second fully-DETERMINISTIC member after CMS and
+    Bloom, so unlike HLL (approx_distinct_users, rows-only by nature)
+    the whole build AND estimate have an exact SQL twin: the k=64
+    smallest md5-derived 60-bit hashes of the distinct keys summarize
+    the set; estimate = (k−1)·2⁶⁰ / h₍ₖ₎ (exact when fewer than k
+    distinct). Mergeable (bottom-k of unioned sketches = sketch of the
+    union — pinned in pytest) and the basis of theta-sketch set algebra.
+    Per-group bottom-k is a group-bounded window, never a global sort;
+    the sketch is k rows per group at ANY cardinality. Reported beside
+    the exact distinct so the estimate error is visible in the output."""
+    ev = load_table(spark, sf_dir, "events")
+    k = 64
+    h = (
+        ev.select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit(":kmv")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    bk = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    sk = bk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("hv").alias("kth"),
+    )
+    # (k−1)·2⁶⁰ ≈ 7.3e19 exceeds int64 — ship the constant as decimal38
+    # (the same promotion floor_div does for its operands)
+    num = F.lit(str((k - 1) * 2**60)).cast("decimal(38,0)")
+    est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
+        floor_div(num, F.col("kth"))
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        sk.join(ex, on="event_type")
+        .select(
+            "event_type",
+            "k_used",
+            est.cast("bigint").alias("n_kmv"),
+            "n_exact",
+        )
     )
 
 
@@ -11645,7 +11741,7 @@ def script_share_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is explicit in the CASE. latin_ppm is exact half-up integer
     arithmetic; multilingual behavior is pinned with planted
     CJK/Cyrillic docs in tests/test_analytics.py."""
-    from .functions.exact import half_up_div
+    from .functions.exact import floor_div, half_up_div
     from .functions.text import script_counts
 
     docs = spread(load_table(spark, sf_dir, "documents"))

@@ -307,3 +307,33 @@ def test_bloom_prefilter_lazy_broadcast_no_false_negatives(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^,)]+)", plan):
         assert m.group(1).startswith("lane"), plan
     assert not re.search(r"Exchange (range|RoundRobin)", plan, re.I), plan
+
+
+def test_kmv_bottom_k_sketch_merge_and_accuracy(spark):
+    """KMV invariants: the sketch is mergeable (bottom-k of the union
+    of two sketches = sketch of the union), exact below k distinct,
+    and the (k−1)·2⁶⁰/h₍ₖ₎ estimate lands within the 1/√k error class
+    on a 5000-distinct stream."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    k = 64
+
+    def hv(u):
+        return int(hashlib.md5(f"{u}:kmv".encode()).hexdigest()[:15], 16)
+
+    def sketch(users):
+        return sorted({hv(u) for u in users})[:k]
+
+    universe = [f"user{i}" for i in range(5000)]
+    a, b = universe[:3000], universe[2000:]  # overlapping halves
+    merged = sorted(set(sketch(a)) | set(sketch(b)))[:k]
+    assert merged == sketch(universe)  # mergeability
+
+    est = (k - 1) * 2**60 // sketch(universe)[-1]
+    assert abs(est - 5000) / 5000 < 0.4  # ~3× the 1/√64 error class
+
+    # exact below k: the registry query's small-group path
+    small = sketch(universe[:40])
+    assert len(small) == 40

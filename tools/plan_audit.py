@@ -141,6 +141,7 @@ AUDIT_QUERIES = [
     "ivf_pq_topk",
     "knn_graph_topk",
     "embedding_dup_clusters",
+    "kmv_distinct_users",
 ]
 
 
