@@ -80,6 +80,7 @@ TIER3_QUERIES = [
     "knn_graph_topk",
     "embedding_dup_clusters",
     "kmv_distinct_users",
+    "source_shingle_jaccard",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

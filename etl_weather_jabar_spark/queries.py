@@ -1009,6 +1009,158 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "source_shingle_jaccard",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_NORM_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+                    ELSE [array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)]
+               END AS s
+        FROM toks
+    ), shv AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(sg), 1, 15))::BIGINT AS hv
+        FROM (SELECT source, unnest(s) AS sg FROM sh)
+    ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM shv GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS n_a, b.n AS n_b
+        FROM sizes a JOIN sizes b ON a.source < b.source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM shv a JOIN shv b
+          ON a.hv = b.hv AND a.source < b.source
+        GROUP BY 1, 2
+    ), hvs AS (
+        SELECT hv, list(DISTINCT source) AS srcs FROM shv GROUP BY 1
+    ), pu AS (
+        SELECT p.src_a, p.src_b, h.hv,
+               (list_contains(h.srcs, p.src_a)
+                AND list_contains(h.srcs, p.src_b)) AS in_both,
+               row_number() OVER (PARTITION BY p.src_a, p.src_b
+                                  ORDER BY h.hv ASC) AS rn
+        FROM pairs p JOIN hvs h
+          ON list_contains(h.srcs, p.src_a)
+          OR list_contains(h.srcs, p.src_b)
+    ), kmv AS (
+        SELECT src_a, src_b,
+               CAST(count(*) AS BIGINT) AS k_used,
+               CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k_both
+        FROM pu WHERE rn <= 128 GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+           coalesce(i.n_inter, 0) AS n_inter,
+           CAST(coalesce(i.n_inter, 0) * 1000000
+                // (p.n_a + p.n_b - coalesce(i.n_inter, 0)) AS BIGINT)
+               AS jaccard_ppm,
+           k.k_used,
+           CAST(k.k_both * 1000000 // k.k_used AS BIGINT)
+               AS jaccard_kmv_ppm
+    FROM pairs p
+    LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+    JOIN kmv k ON k.src_a = p.src_a AND k.src_b = p.src_b
+    """,
+)
+def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE overlap diagnostic — the data-card question "which
+    of my sources duplicate each other" that decides dedup order and
+    mixture weights: exact 5-gram-shingle-set Jaccard per source pair
+    (integer ppm, one equi-join on the 60-bit shingle hash) NEXT TO its
+    bottom-k sketch estimate (|bottom₁₂₈(A∪B) ∩ A ∩ B| / 128 — the KMV
+    set-similarity estimator, deterministic md5 order so the oracle
+    replays it) — the query certifies the estimator against the truth
+    it approximates, per pair, in one output. At 100 TB the exact
+    intersection is the heavy half (shuffle on shingle hashes); the
+    sketch column is what you keep when sources grow past that —
+    per-source bottom-k sketches are k rows each and merge like any
+    KMV."""
+    from .functions.text import shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    shv = (
+        docs.select(
+            "source", F.explode(shingles(F.col("text"), 5)).alias("sg")
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    sizes = shv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = sizes.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    b = sizes.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    inter = (
+        shv.alias("x")
+        .join(shv.alias("y"), on="hv")
+        .where(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("src_a"),
+            F.col("y.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    hvs = shv.groupBy("hv").agg(F.collect_set("source").alias("srcs"))
+    pu = hvs.join(
+        F.broadcast(pairs.select("src_a", "src_b")),
+        F.array_contains(F.col("srcs"), F.col("src_a"))
+        | F.array_contains(F.col("srcs"), F.col("src_b")),
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy(F.col("hv").asc())
+    kmv = (
+        pu.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 128)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.sum(
+                (
+                    F.array_contains(F.col("srcs"), F.col("src_a"))
+                    & F.array_contains(F.col("srcs"), F.col("src_b"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("k_both"),
+        )
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0).cast("bigint"))
+    return (
+        pairs.join(inter, on=["src_a", "src_b"], how="left")
+        .join(kmv, on=["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            ni.alias("n_inter"),
+            floor_div(
+                ni * F.lit(1000000),
+                F.col("n_a") + F.col("n_b") - ni,
+            ).alias("jaccard_ppm"),
+            "k_used",
+            floor_div(
+                F.col("k_both") * F.lit(1000000), F.col("k_used")
+            ).alias("jaccard_kmv_ppm"),
+        )
+    )
+
+
 # =========================================================================
 # North-star extensions: dedup / similarity / text analysis
 # =========================================================================

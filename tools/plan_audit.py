@@ -142,6 +142,7 @@ AUDIT_QUERIES = [
     "knn_graph_topk",
     "embedding_dup_clusters",
     "kmv_distinct_users",
+    "source_shingle_jaccard",
 ]
 
 
@@ -174,6 +175,7 @@ EXPECTED_NESTED_LOOP = {
     "ivf_append_serve_topk": "corpus probes × centroid-count-sized model broadcast (plan-only uses the unindexed IVF shape)",
     "pq_adc_topk": "subvectors × codebook-sized model broadcast (PQ encode + ADC table)",
     "ivf_pq_topk": "subvectors/probes × model-sized broadcasts (IVF centroids + PQ codebooks)",
+    "source_shingle_jaccard": "shingle-hash universe × source-pair-count broadcast (KMV membership tag)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
