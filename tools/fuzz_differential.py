@@ -124,6 +124,56 @@ def run_window_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(sql).fetchall()))
 
 
+def gen_ntile_case(rng: random.Random) -> dict:
+    """Family 14: the zero-exchange boundary-expression ntile
+    (operators/windows.py::ntile_by_boundaries) vs native SQL ntile over
+    a total order with heavy ties — random table, tie density, tile
+    count, and a row filter so tiny/empty inputs are drawn too."""
+    table, uk = rng.choice(
+        [("orders", "o_orderkey"), ("events", "event_id"),
+         ("customer", "c_custkey")]
+    )
+    ints = TABLES[table][0]
+    return {
+        "kind": "ntile",
+        "table": table,
+        "uk": uk,
+        "v": rng.choice(ints),
+        "mod": rng.randrange(2, 60),
+        "n": rng.randrange(1, 10),
+        "limit_mod": rng.randrange(1, 9),
+    }
+
+
+def run_ntile_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.operators.windows import ntile_by_boundaries
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    df = (
+        load_table(spark, sf_dir, case["table"])
+        .where(F.col(case["uk"]) % case["limit_mod"] == 0)
+        .select(
+            F.col(case["uk"]).alias("uk"),
+            (F.col(case["v"]) % case["mod"]).alias("__v"),
+        )
+    )
+    out = ntile_by_boundaries(df, ["__v", "uk"], case["n"], tile_col="tile")
+    return sorted((r["uk"], r["tile"]) for r in out.collect())
+
+
+def run_ntile_duckdb(con, case: dict):
+    sql = (
+        f"SELECT {case['uk']} AS uk, "
+        f"CAST(ntile({case['n']}) OVER (ORDER BY "
+        f"{case['v']} % {case['mod']}, {case['uk']}) AS INT) AS tile "
+        f"FROM {case['table']} "
+        f"WHERE {case['uk']} % {case['limit_mod']} = 0"
+    )
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
 SCALARS = [
     # (name, spark builder, duckdb renderer) over (int col i, str col s)
     ("len_s", lambda F, i, s: F.length(F.col(s)), lambda i, s: f"length({s})"),
@@ -1092,10 +1142,14 @@ def main() -> int:
             case = gen_selectsub_case(rng)
             a = normalize(run_selectsub_spark(spark, sf_dir, case))
             b = normalize(run_selectsub_duckdb(con, case))
-        elif roll < 0.97:
+        elif roll < 0.95:
             case = gen_filteragg_case(rng)
             a = normalize(run_filteragg_spark(spark, sf_dir, case))
             b = normalize(run_filteragg_duckdb(con, case))
+        elif roll < 0.97:
+            case = gen_ntile_case(rng)
+            a = normalize(run_ntile_spark(spark, sf_dir, case))
+            b = normalize(run_ntile_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))

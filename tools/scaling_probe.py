@@ -383,6 +383,53 @@ def main() -> None:
         )
         return phrase_match(build_postings(d), terms)
 
+    def _pq_encode(e):
+        from etl_weather_jabar_spark.ext.similarity import (
+            pq_encode,
+            pq_seed_codebooks,
+        )
+
+        return pq_encode(e, pq_seed_codebooks(emb))
+
+    def _knn(e):
+        from etl_weather_jabar_spark.ext.similarity import srp_knn_graph
+
+        return srp_knn_graph(e, k=3, max_bucket=200)
+
+    def _kmv(ev_):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+        h = (
+            ev_.select(
+                "event_type",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("user_id").cast("string"),
+                                F.lit(":kmv"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("hv"),
+            ).distinct()
+        )
+        return (
+            h.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 64)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("kth"))
+        )
+
+    ev = events
+
     cases = {
         "scan_agg_pricing": (
             lambda: pricing(li),
@@ -753,6 +800,26 @@ def main() -> None:
         "phrase_search": (
             lambda: _phrase(docs),
             lambda: _phrase(replicate(docs, k, "doc_id")),
+        ),
+        # PQ encode: subspace explode (×8) + codebook broadcast join +
+        # one (id, s)-keyed argmin agg — linear in vectors, model-sized
+        # broadcast
+        "pq_encode": (
+            lambda: _pq_encode(emb),
+            lambda: _pq_encode(replicate(emb, k, "vec_id")),
+        ),
+        # kNN graph via SRP buckets: candidates bounded per node by
+        # tables×max_bucket; replicated copies densify buckets, cap
+        # keeps the pair stage bounded
+        "srp_knn_graph": (
+            lambda: _knn(emb),
+            lambda: _knn(replicate(emb, k, "vec_id")),
+        ),
+        # KMV bottom-k distinct sketch: distinct + group-bounded window;
+        # sketch stays k rows per group at any cardinality
+        "kmv_sketch": (
+            lambda: _kmv(ev),
+            lambda: _kmv(replicate(ev, k, "user_id")),
         ),
     }
 
