@@ -81,6 +81,7 @@ TIER3_QUERIES = [
     "embedding_dup_clusters",
     "kmv_distinct_users",
     "source_shingle_jaccard",
+    "curation_funnel_semantic",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

