@@ -82,6 +82,7 @@ TIER3_QUERIES = [
     "kmv_distinct_users",
     "source_shingle_jaccard",
     "curation_funnel_semantic",
+    "neardup_ensemble_pairs",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

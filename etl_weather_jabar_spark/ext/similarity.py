@@ -1264,6 +1264,7 @@ def incremental_semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sink=None,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` at corpus-growth time: dedup a NEW
     embedding batch against the corpus's PERSISTED survivor index, never
@@ -1293,10 +1294,22 @@ def incremental_semantic_dedup(
        harmless: an extra survivor copy only re-drops the same
        neighbors.
 
+    ``max_cluster`` is the same quadratic hard cap as batch-mode
+    :func:`semantic_dedup`, applied to BOTH quadratic surfaces here:
+    the within-batch pairing (via the batch call) and the
+    batch×stored comparison, whose stored side is truncated to the
+    ``max_cluster`` lowest-id survivors per touched cluster (arrival
+    order — the precedence rule this function already uses; a
+    degenerate cluster in a GROWING index is otherwise an
+    ever-larger per-ingest join). Past-cap stored survivors stop
+    vetoing new docs — missed duplicates, never lost data.
+
     Returns the surviving (id, vector, cid) rows of ``new_vecs``.
     """
     spark = new_vecs.sparkSession
-    batch = semantic_dedup(new_vecs, centroids, threshold, id_col, vec_col)
+    batch = semantic_dedup(
+        new_vecs, centroids, threshold, id_col, vec_col, max_cluster
+    )
     assigned = _assign_nearest(spread(new_vecs), centroids, id_col, vec_col)
     kept = (
         batch.where(F.col("is_kept"))
@@ -1317,9 +1330,23 @@ def incremental_semantic_dedup(
             spark.read.parquet(index_path)
             .where(F.col("cid").isin(touched))
             .select(
-                F.col("cid"), F.col(vec_col).alias("__sv")
+                F.col("cid"),
+                F.col(id_col).alias("__sid"),
+                F.col(vec_col).alias("__sv"),
             )
         )
+        if max_cluster is not None:
+            # stored side truncated to the max_cluster lowest-id
+            # survivors per touched cluster (arrival-order precedence —
+            # the earliest corpus members keep their veto); group is
+            # cluster-bounded so the rank window is safe
+            ws = Window.partitionBy("cid").orderBy(F.col("__sid").asc())
+            stored = (
+                stored.withColumn("__srk", F.row_number().over(ws))
+                .where(F.col("__srk") <= max_cluster)
+                .drop("__srk")
+            )
+        stored = stored.drop("__sid")
         clash = (
             kept.join(stored, on="cid")
             .where(

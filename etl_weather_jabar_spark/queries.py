@@ -2427,6 +2427,75 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "neardup_ensemble_pairs",
+    f"""
+    SELECT coalesce(m.id_a, s.id_a) AS id_a,
+           coalesce(m.id_b, s.id_b) AS id_b,
+           m.jaccard,
+           s.hamming,
+           CASE WHEN m.id_a IS NOT NULL AND s.id_a IS NOT NULL
+                THEN 'both'
+                WHEN m.id_a IS NOT NULL THEN 'minhash'
+                ELSE 'simhash' END AS found_by
+    FROM ({_minhash_neardup_sql()}) m
+    FULL JOIN (
+        {_simhash_fp_cte()}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    ) s ON m.id_a = s.id_a AND m.id_b = s.id_b
+    """,
+)
+def neardup_ensemble_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-ENSEMBLE agreement — the curation QA step that decides
+    which near-dup tier to trust before deleting data: the MinHash-LSH
+    pair set (shingle-Jaccard ≥ 0.5) full-outer-joined with the SimHash
+    pair set (Hamming ≤ 4), each pair labeled both/minhash/simhash with
+    its scores. Disagreements are the review queue (SimHash misses
+    reordered text; MinHash misses short docs); both detectors are
+    individually certified and the ensemble join is certified here as a
+    composition. Scale: the join is pair-keyed — the detectors' own
+    banding bounds pair counts, so the ensemble adds one pair-sized
+    shuffle."""
+    from .ext.dedup_text import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        simhash_candidates,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cand = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", hash_fn="md5"
+    )
+    mh = jaccard_verify(cand, docs, threshold=0.5).select(
+        "id_a", "id_b", "jaccard"
+    )
+    sh = simhash_candidates(docs, max_hamming=4).select(
+        "id_a", "id_b", "hamming"
+    )
+    j = mh.alias("m").join(
+        sh.alias("s"),
+        (F.col("m.id_a") == F.col("s.id_a"))
+        & (F.col("m.id_b") == F.col("s.id_b")),
+        "full",
+    )
+    return j.select(
+        F.coalesce(F.col("m.id_a"), F.col("s.id_a")).alias("id_a"),
+        F.coalesce(F.col("m.id_b"), F.col("s.id_b")).alias("id_b"),
+        F.col("m.jaccard").alias("jaccard"),
+        F.col("s.hamming").alias("hamming"),
+        F.when(
+            F.col("m.id_a").isNotNull() & F.col("s.id_a").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("m.id_a").isNotNull(), F.lit("minhash"))
+        .otherwise(F.lit("simhash"))
+        .alias("found_by"),
+    )
+
+
+@_register(
     "simhash_fingerprints",
     _simhash_fp_cte() + "\n    SELECT doc_id, simhash FROM fp\n    ",
 )

@@ -807,3 +807,57 @@ def test_srp_knn_graph_planted_copy_and_bounds(spark):
             range(1, len(rows) + 1)
         )
         assert all(r["dst"] != src for r in rows)
+
+
+def test_incremental_semantic_dedup_max_cluster_cap(spark, tmp_path):
+    """Incremental SemDeDup honors the same quadratic cap as batch
+    mode: the stored-side comparison per touched cluster is truncated
+    to the max_cluster LOWEST-ID survivors (arrival precedence), so a
+    degenerate cluster in a growing index stays a bounded per-ingest
+    join. A batch doc duplicating a PAST-CAP stored survivor is a
+    documented missed duplicate (it survives); duplicating an
+    under-cap one still drops."""
+    import math
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    dim = 8
+    cents = [(0, [1.0] + [0.0] * (dim - 1))]
+
+    def v(i):
+        # e0 + 0.4·e_{1+(i%6)} + tiny unique e7 noise: all assign to c0,
+        # pairwise cosine ≈ 0.86 (different axes) or ≈ 1.0 (same axis)
+        out = [1.0] + [0.0] * (dim - 1)
+        out[1 + (i % 6)] = 0.4
+        out[7] += i * 1e-4
+        n = math.sqrt(sum(x * x for x in out))
+        return [x / n for x in out]
+
+    # stored index: 6 mutually-non-duplicate survivors (ids 0..5 on
+    # distinct secondary axes)
+    stored = spark.createDataFrame(
+        [(i, v(i)) for i in range(6)], SCHEMA
+    )
+    idx = str(tmp_path / "semidx")
+    incremental_semantic_dedup(stored, idx, cents, threshold=0.95)
+
+    # batch: id 100 duplicates stored id 1 (axis 2, UNDER a cap of 2 ->
+    # stored ids 0,1 compared); id 101 duplicates stored id 5 (axis 0?
+    # no — axis 1+(5%6)=6, PAST the cap -> not compared)
+    batch = spark.createDataFrame(
+        [(100, v(1)), (101, v(5))], SCHEMA
+    )
+    out = incremental_semantic_dedup(
+        batch, idx, cents, threshold=0.95, max_cluster=2
+    )
+    got = {r["vec_id"] for r in out.collect()}
+    assert 100 not in got  # under-cap stored twin still vetoes
+    assert 101 in got  # past-cap duplicate: documented miss, survives
+
+    # uncapped control on a fresh index: both drop
+    idx2 = str(tmp_path / "semidx2")
+    incremental_semantic_dedup(stored, idx2, cents, threshold=0.95)
+    out2 = incremental_semantic_dedup(batch, idx2, cents, threshold=0.95)
+    assert {r["vec_id"] for r in out2.collect()} == set()

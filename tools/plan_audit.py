@@ -144,6 +144,7 @@ AUDIT_QUERIES = [
     "kmv_distinct_users",
     "source_shingle_jaccard",
     "curation_funnel_semantic",
+    "neardup_ensemble_pairs",
 ]
 
 
