@@ -18,7 +18,6 @@ from .similarity import (
     lsh_bucketed_topk,
     save_ivf_index,
     train_ivf_centroids,
-    train_ivf_centroids_cached,
 )
 
 __all__ = [
@@ -42,5 +41,4 @@ __all__ = [
     "lsh_bucketed_topk",
     "save_ivf_index",
     "train_ivf_centroids",
-    "train_ivf_centroids_cached",
 ]

@@ -234,6 +234,7 @@ def bloom_probe(
     k_hashes: int = 3,
     m_bits: int = 1020,
     salt: str = "bloom",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Membership probe: a key is (possibly) a member iff all
     ``k_hashes`` of its bits are set. The probe fans each key into its
@@ -249,7 +250,9 @@ def bloom_probe(
         [
             keys.select(
                 F.col(key_col),
-                _bloom_pos(F.col(key_col), i, m_bits, salt).alias("p"),
+                _bloom_pos(
+                    F.col(key_col), i, m_bits, salt, hash_fn
+                ).alias("p"),
                 F.lit(i).alias("__i"),
             )
             for i in range(k_hashes)

@@ -184,37 +184,6 @@ def train_ivf_centroids(
         vecs.unpersist()
 
 
-# Process-level centroid memo: the quantizer is a trained MODEL, not part
-# of the query — a deployment persists it next to the partitioned inverted
-# lists and reuses it across every search. Keyed by corpus identity +
-# training params; deterministic training makes the cached value identical
-# to a retrain.
-_CENTROID_MEMO: dict[tuple, list[tuple[int, list[float]]]] = {}
-
-
-def train_ivf_centroids_cached(
-    corpus: DataFrame,
-    cache_key: str,
-    n_clusters: int = 16,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[tuple[int, list[float]]]:
-    """Memoized `train_ivf_centroids`. ``cache_key`` names the corpus
-    snapshot (e.g. its path); training params complete the key."""
-    from ..planmode import is_plan_only
-
-    if is_plan_only():
-        # never let plan-only placeholder centroids poison the memo
-        return train_ivf_centroids(corpus, n_clusters, iters, id_col, vec_col)
-    key = (cache_key, n_clusters, iters, id_col, vec_col)
-    if key not in _CENTROID_MEMO:
-        _CENTROID_MEMO[key] = train_ivf_centroids(
-            corpus, n_clusters, iters, id_col, vec_col
-        )
-    return _CENTROID_MEMO[key]
-
-
 def quantize_micro_units(vec_col):
     """array<float> → array<bigint> micro-units — the cross-engine exact
     quantization contract shared with ``jl_project`` / the PCA oracle:

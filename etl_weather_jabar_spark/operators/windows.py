@@ -292,15 +292,18 @@ def exact_rank_rows(
         # targets are 1-based ranks WITHIN part, paired with their
         # global rank for the output dict
         cnt = part.count()
-        locals_, globals_ = zip(*targets)
         if cnt <= sort_budget or col_idx >= len(order_cols):
-            rows = part.orderBy(*[F.col(c) for c in order_cols]).collect()
+            # the guard must fire BEFORE the collect: an un-splittable
+            # leaf above budget means order_cols is not a usable total
+            # order, and pulling it to the driver first would be the
+            # exact oversized pull the budget exists to prevent
             if cnt > sort_budget:
                 raise ValueError(
                     "exact_rank_rows: order_cols is not a usable total "
                     f"order ({cnt} indistinguishable rows exceed "
                     f"sort_budget={sort_budget})"
                 )
+            rows = part.orderBy(*[F.col(c) for c in order_cols]).collect()
             for lr, gr in targets:
                 found[gr] = tuple(rows[lr - 1])
             return
@@ -390,12 +393,22 @@ def ntile_by_boundaries(
     brows = exact_rank_rows(df, order_cols, b_ranks, sort_budget)
 
     def after(brow) -> F.Column:
-        # strictly-greater lexicographic compare against the boundary row
+        # strictly-greater lexicographic compare against the boundary
+        # row with SQL sort semantics: NULLS FIRST (a NULL cell is
+        # smaller than every value, equal to another NULL). A naive
+        # (c > v) comparison returns NULL for NULL cells and would
+        # poison the tile into NULL where native ntile assigns tile 1.
         cond = F.lit(False)
         for i in range(len(order_cols) - 1, -1, -1):
             c = F.col(order_cols[i])
-            v = F.lit(brow[i])
-            cond = (c > v) | ((c == v) & cond)
+            v = brow[i]
+            if v is None:
+                gt = c.isNotNull()  # any value > NULL
+                eq = c.isNull()
+            else:
+                gt = F.coalesce(c > F.lit(v), F.lit(False))  # NULL ≯ v
+                eq = c.eqNullSafe(F.lit(v))
+            cond = gt | (eq & cond)
         return cond
 
     tile = F.lit(1)

@@ -1480,8 +1480,9 @@ def ivf_fixed_centroids_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB reproduces the selection) — a FIXED k at any corpus size:
     the collect is one TakeOrdered of k×dim cells, never a
     corpus-fraction driver pull (round-3 verdict item 2). The trained
-    k-means sibling ivf_cosine_topk stays the production path; this
-    query pins the IVF probe/prune machinery cross-engine."""
+    sibling is ivf_trained_exact_topk (exact fixed-point Lloyd, full
+    oracle); this query pins the IVF probe/prune machinery
+    cross-engine."""
     from .ext.similarity import _scored_against_centroids
     from .functions.vectors import cosine_similarity
 
@@ -1764,8 +1765,7 @@ def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe ordering use the RAW similarity (exactly what _assign_nearest
     does) — both engines run the identical sequential fold, so the
     DuckDB twin reproduces the whole index→probe→rank chain. Index lives
-    under a fresh temp dir (registry contract: sf_dir is read-only).
-    Leaves trained-Lloyd ivf_cosine_topk as the only rows-only ANN row."""
+    under a fresh temp dir (registry contract: sf_dir is read-only)."""
     import tempfile
 
     from .ext.similarity import ivf_topk, ivf_topk_indexed, save_ivf_index
@@ -11828,10 +11828,16 @@ def curation_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input — the ordering effect the oracle replays
     cents = _md5_seed_centroids(se)
     sem = semantic_dedup(se, cents, threshold=0.4, max_cluster=64)
-    kept = sem.where(F.col("is_kept")).select(
+    # anti-join on the DROPPED set, not semi-join on the kept set: a
+    # document with no embedding row has no semantic evidence against
+    # it and must SURVIVE the stage (at sf0.1 embeddings covers 2000 of
+    # 5000 docs — an inner join silently deleted the other 2173
+    # survivors and failed the sf0.1 oracle; a dedup stage never
+    # silently deletes data)
+    dropped = sem.where(~F.col("is_kept")).select(
         F.col("vec_id").alias("doc_id")
     )
-    s4 = s3.join(kept, on="doc_id")
+    s4 = s3.join(dropped, on="doc_id", how="left_anti")
 
     def stage(df, i, name):
         return df.agg(

@@ -142,6 +142,9 @@ def gen_ntile_case(rng: random.Random) -> dict:
         "mod": rng.randrange(2, 60),
         "n": rng.randrange(1, 10),
         "limit_mod": rng.randrange(1, 9),
+        # nullify one residue class of the order value: SQL ntile sorts
+        # NULLS FIRST — the boundary-compare path must agree
+        "null_res": rng.randrange(0, 60) if rng.random() < 0.5 else None,
     }
 
 
@@ -159,15 +162,22 @@ def run_ntile_spark(spark, sf_dir: str, case: dict):
             (F.col(case["v"]) % case["mod"]).alias("__v"),
         )
     )
+    if case.get("null_res") is not None:
+        df = df.withColumn(
+            "__v", F.nullif(F.col("__v"), F.lit(case["null_res"]))
+        )
     out = ntile_by_boundaries(df, ["__v", "uk"], case["n"], tile_col="tile")
     return sorted((r["uk"], r["tile"]) for r in out.collect())
 
 
 def run_ntile_duckdb(con, case: dict):
+    v = f"{case['v']} % {case['mod']}"
+    if case.get("null_res") is not None:
+        v = f"nullif({v}, {case['null_res']})"
     sql = (
         f"SELECT {case['uk']} AS uk, "
         f"CAST(ntile({case['n']}) OVER (ORDER BY "
-        f"{case['v']} % {case['mod']}, {case['uk']}) AS INT) AS tile "
+        f"{v} NULLS FIRST, {case['uk']}) AS INT) AS tile "
         f"FROM {case['table']} "
         f"WHERE {case['uk']} % {case['limit_mod']} = 0"
     )
