@@ -907,18 +907,41 @@ def exact_substring_dedup(
 
     Returns (id, n_toks, n_dup_starts, n_removed, clean_fp).
     """
-    from pyspark.sql import Window as W
-
-    pack = 1 << 22
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    grams = _substr_kgrams(docs, k, id_col, text_col)
+    packed = F.col(id_col) * _SUBSTR_PACK + F.col("pos")
+    gstats = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(
+                F.col(id_col) * _SUBSTR_PACK + F.col("pos")
+            ).alias("__canon"),
+        )
+        .where(F.col("__cnt") >= 2)
+        .select("h", "__canon")
     )
+    starts = (
+        grams.join(gstats, "h")
+        .where(packed != F.col("__canon"))
+        .select(F.col(id_col), F.col("pos"), F.lit(True).alias("__start"))
+    )
+    return _substr_rollup(docs, starts, k, id_col, text_col)
+
+
+_SUBSTR_PACK = 1 << 22
+
+
+def _substr_kgrams(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, h): the 16-hex md5 of every length-k token window —
+    the shared front of batch and incremental ExactSubstr (text never
+    shuffles, only the narrow gram triples)."""
     arr = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
     starts_seq = F.when(
         F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - F.lit(k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = arr.select(
+    return arr.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -932,20 +955,19 @@ def exact_substring_dedup(
             )
         ).alias("g"),
     ).select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    packed = F.col(id_col) * pack + F.col("pos")
-    gstats = (
-        grams.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.col(id_col) * pack + F.col("pos")).alias("__canon"),
-        )
-        .where(F.col("__cnt") >= 2)
-        .select("h", "__canon")
-    )
-    starts = (
-        grams.join(gstats, "h")
-        .where(packed != F.col("__canon"))
-        .select(F.col(id_col), F.col("pos"), F.lit(True).alias("__start"))
+
+
+def _substr_rollup(
+    docs: DataFrame, starts: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Interval coverage per document from the removal-start set + the
+    per-doc rollup — the shared back of batch and incremental
+    ExactSubstr. ``starts`` is (id, pos, __start=True)."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )
     cov = toks.join(starts, [id_col, "pos"], "left").withColumn(
         "__cov_end",
@@ -982,6 +1004,90 @@ def exact_substring_dedup(
             )
         ).alias("clean_fp"),
     )
+
+
+def incremental_exact_substring_dedup(
+    new_docs: DataFrame,
+    index_path: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sink=None,
+) -> DataFrame:
+    """:func:`exact_substring_dedup` at corpus-growth time — the last
+    member of the incremental-dedup matrix (exact / LSH / chunk /
+    semantic / ExactSubstr): span-dedup a NEW batch against the
+    corpus's PERSISTED k-gram index, never against the corpus text.
+
+    Index = one (h, canon) row per distinct k-gram ever seen, where
+    ``canon`` is the packed (doc·2²², pos) of its first (canonical)
+    occurrence — the relational stand-in for the paper's suffix array,
+    O(corpus tokens) rows of 24 bytes. Per ingest:
+
+    1. batch k-grams (``_substr_kgrams``) left-join the index: a gram
+       already indexed makes EVERY batch occurrence a removal start
+       (the corpus's canonical copy survives — arrival-order
+       precedence, like every incremental tier here); a gram new to
+       the corpus but duplicated WITHIN the batch keeps its batch-min
+       packed occurrence;
+    2. coverage + rollup are the certified batch machinery
+       (``_substr_rollup``);
+    3. crash contract: cleaned survivors go to ``sink`` FIRST, the
+       index append (only grams NOT yet indexed, at their
+       batch-canonical location) commits SECOND — at-least-once rerun +
+       idempotent sink = exactly-once, and a replay AFTER the commit is
+       byte-identical anyway: a replayed doc's own occurrence IS the
+       indexed canonical (packed equality), so it is not a removal
+       start, reproducing the original decision.
+
+    Scale: per ingest the batch side is O(batch k-grams); the index
+    probe is an equi-join on ``h`` — at 100 TB persist the index
+    BUCKETED on ``h`` (``sinks.write_bucketed``) so the probe
+    co-partitions with zero index-side exchange. Returns the batch's
+    (id, n_toks, n_dup_starts, n_removed, clean_fp).
+    """
+    from ..snapshots import snapshot_read, snapshot_write
+
+    spark = new_docs.sparkSession
+    grams = _substr_kgrams(new_docs, k, id_col, text_col)
+    packed = F.col(id_col) * _SUBSTR_PACK + F.col("pos")
+    bstats = grams.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(
+            F.col(id_col) * _SUBSTR_PACK + F.col("pos")
+        ).alias("__bcanon"),
+    )
+    try:
+        idx = snapshot_read(spark, index_path).select(
+            "h", F.col("canon").alias("__icanon")
+        )
+        joined = bstats.join(idx, "h", "left")
+    except FileNotFoundError:
+        joined = bstats.withColumn(
+            "__icanon", F.lit(None).cast("bigint")
+        )
+    gsel = joined.where(
+        F.col("__icanon").isNotNull() | (F.col("__cnt") >= 2)
+    ).select(
+        "h",
+        F.coalesce(F.col("__icanon"), F.col("__bcanon")).alias("__canon"),
+    )
+    starts = (
+        grams.join(gsel, "h")
+        .where(packed != F.col("__canon"))
+        .select(F.col(id_col), F.col("pos"), F.lit(True).alias("__start"))
+    )
+    out = _substr_rollup(new_docs, starts, k, id_col, text_col)
+    from ..planmode import checkpoint
+
+    out = checkpoint(out)
+    if sink is not None:
+        sink(out)
+    fresh = joined.where(F.col("__icanon").isNull()).select(
+        "h", F.col("__bcanon").alias("canon")
+    )
+    snapshot_write(fresh, index_path, mode="append")
+    return out
 
 
 def incremental_lsh_neardup(

@@ -425,3 +425,57 @@ def test_incremental_lsh_neardup_corpus_growth(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {1, 3, 11}
     # indexed signature rides with every band row (text-free verify)
     assert all(len(r["sig"].split(",")) == 16 for r in rows)
+
+
+def test_incremental_exact_substring_dedup_corpus_growth(spark, tmp_path):
+    """ExactSubstr at corpus growth: the first batch (empty index)
+    equals batch mode exactly; a later batch's spans duplicating
+    INDEXED k-grams are removed with the corpus canonical surviving
+    (arrival precedence); fresh text passes untouched; replaying a
+    committed batch is byte-identical (a replayed doc's own occurrence
+    IS the indexed canonical)."""
+    from etl_weather_jabar_spark.ext.dedup_text import (
+        exact_substring_dedup,
+        incremental_exact_substring_dedup,
+    )
+
+    span = " ".join(f"s{i}" for i in range(10))  # 10-token shared span
+    b1 = spark.createDataFrame(
+        [
+            (1, span + " " + " ".join(f"a{i}" for i in range(10))),
+            (2, " ".join(f"b{i}" for i in range(5)) + " " + span),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "ssidx")
+
+    got1 = sorted(
+        map(
+            tuple,
+            incremental_exact_substring_dedup(b1, idx, k=8).collect(),
+        )
+    )
+    want1 = sorted(map(tuple, exact_substring_dedup(b1, k=8).collect()))
+    assert got1 == want1  # empty index ⇒ batch semantics
+    by_id = {r[0]: r for r in got1}
+    assert by_id[1][2] == 0  # doc 1 canonical: no removal starts
+    assert by_id[2][3] == 10  # doc 2 loses the whole 10-token span
+
+    b2 = spark.createDataFrame(
+        [
+            (3, span + " tail0 tail1"),  # duplicates the INDEXED span
+            (4, " ".join(f"c{i}" for i in range(12))),  # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    got2 = {r["doc_id"]: r for r in
+            incremental_exact_substring_dedup(b2, idx, k=8).collect()}
+    assert got2[3]["n_removed"] == 10  # corpus canonical wins
+    assert got2[4]["n_removed"] == 0 and got2[4]["n_dup_starts"] == 0
+
+    # replay batch 2 after its commit: byte-identical decisions
+    replay = {r["doc_id"]: r for r in
+              incremental_exact_substring_dedup(b2, idx, k=8).collect()}
+    assert {k: tuple(v) for k, v in replay.items()} == {
+        k: tuple(v) for k, v in got2.items()
+    }

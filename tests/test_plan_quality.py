@@ -167,3 +167,25 @@ def test_spread_never_executes_wide_plans(spark, tmp_path):
 
     forced = spread(joined, force=True)
     assert forced is not joined and _has_wide_node(forced)
+
+
+def test_rfm_ntile_adds_zero_exchanges(spark):
+    """rfm_segment_counts' three differently-ordered quartiles are pure
+    Column expressions (ntile_by_boundaries): the executed plan carries
+    exactly the two semantic exchanges — the per-customer aggregate and
+    the final (r, f, m) count — and nothing from the tile assignment
+    (round-5 verdict item 6; the two-phase form paid one range
+    repartition per measure)."""
+    import re
+
+    from etl_weather_jabar_spark.queries import QUERIES
+
+    df = QUERIES["rfm_segment_counts"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the per-customer aggregate sits behind the localCheckpoint (it
+    # feeds the boundary-selection jobs too), so the executed plan shows
+    # ONLY the final (r, f, m) groupBy exchange — the tile projection
+    # itself contributes none, and in particular no range repartition
+    parts = set(re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan))
+    assert len(parts) == 1 and next(iter(parts)).startswith("r#"), parts
+    assert not re.search(r"Exchange (range|RoundRobin)", plan, re.I), plan
