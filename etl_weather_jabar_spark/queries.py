@@ -957,9 +957,13 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the set; estimate = (k−1)·2⁶⁰ / h₍ₖ₎ (exact when fewer than k
     distinct). Mergeable (bottom-k of unioned sketches = sketch of the
     union — pinned in pytest) and the basis of theta-sketch set algebra.
-    Per-group bottom-k is a group-bounded window, never a global sort;
-    the sketch is k rows per group at ANY cardinality. Reported beside
-    the exact distinct so the estimate error is visible in the output."""
+    Per-group bottom-k runs through the skew-safe two-phase top-k
+    (scalable_topk_per_group: salted local bottom-k, then re-rank the
+    ≤ buckets·k survivors — one viral group never funnels its whole
+    hash set through one reducer); the sketch is k rows per group at
+    ANY cardinality. Reported beside the exact distinct so the
+    estimate error is visible in the output."""
+    from .operators.windows import scalable_topk_per_group
     ev = load_table(spark, sf_dir, "events")
     k = 64
     h = (
@@ -983,8 +987,9 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
-    bk = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    bk = scalable_topk_per_group(
+        h, keys=["event_type"], order_by=["hv"], k=k, salt_by=["hv"]
+    )
     sk = bk.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("k_used"),
         F.max("hv").alias("kth"),
