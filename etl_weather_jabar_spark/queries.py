@@ -1121,24 +1121,31 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
     )
-    hvs = shv.groupBy("hv").agg(F.collect_set("source").alias("srcs"))
-    pu = hvs.join(
-        F.broadcast(pairs.select("src_a", "src_b")),
-        F.array_contains(F.col("srcs"), F.col("src_a"))
-        | F.array_contains(F.col("srcs"), F.col("src_b")),
+    # pair membership via two broadcast EQUI-joins (never an
+    # OR-predicate nested loop over the hash universe): each side of a
+    # pair contributes its hashes tagged, then one (pair, hv) agg
+    # dedupes and sets the both-flag
+    pkeys = pairs.select("src_a", "src_b")
+    ua = shv.join(
+        F.broadcast(pkeys), shv["source"] == F.col("src_a")
+    ).select("src_a", "src_b", "hv", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+    ub = shv.join(
+        F.broadcast(pkeys), shv["source"] == F.col("src_b")
+    ).select("src_a", "src_b", "hv", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    u = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "hv")
+        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
     )
     w = Window.partitionBy("src_a", "src_b").orderBy(F.col("hv").asc())
     kmv = (
-        pu.withColumn("rn", F.row_number().over(w))
+        u.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 128)
         .groupBy("src_a", "src_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("k_used"),
             F.sum(
-                (
-                    F.array_contains(F.col("srcs"), F.col("src_a"))
-                    & F.array_contains(F.col("srcs"), F.col("src_b"))
-                ).cast("int")
+                ((F.col("__a") == 1) & (F.col("__b") == 1)).cast("int")
             )
             .cast("bigint")
             .alias("k_both"),

@@ -177,7 +177,6 @@ EXPECTED_NESTED_LOOP = {
     "ivf_append_serve_topk": "corpus probes × centroid-count-sized model broadcast (plan-only uses the unindexed IVF shape)",
     "pq_adc_topk": "subvectors × codebook-sized model broadcast (PQ encode + ADC table)",
     "ivf_pq_topk": "subvectors/probes × model-sized broadcasts (IVF centroids + PQ codebooks)",
-    "source_shingle_jaccard": "shingle-hash universe × source-pair-count broadcast (KMV membership tag)",
     "curation_funnel_semantic": "survivor embeddings × centroid-count-sized model broadcast (SemDeDup stage)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
