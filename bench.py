@@ -83,6 +83,7 @@ TIER3_QUERIES = [
     "source_shingle_jaccard",
     "curation_funnel_semantic",
     "neardup_ensemble_pairs",
+    "ivfpq_indexed_topk",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

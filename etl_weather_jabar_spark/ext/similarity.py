@@ -569,6 +569,135 @@ def pq_adc_topk(
     )
 
 
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[int]]],
+    codebooks: list[tuple[int, int, list[int]]],
+    n_sub: int = 8,
+    n_codes: int = 16,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the faiss-style IVFPQ index: per vector only (id, codes
+    array, cid) — ~n_sub bytes of payload instead of the raw vector —
+    written ``partitionBy(cid)`` under ``<path>/lists``; the integer
+    centroids and PQ codebooks (model state, KB) beside them. This is
+    the deployment shape ivf_pq_topk's docstring promises: a search
+    reads n_probe PRUNED partitions of code columns; raw vectors never
+    hit the serving store at all."""
+    spark = corpus.sparkSession
+    qemb = corpus.select(
+        id_col, quantize_micro_units(F.col(vec_col)).alias("__q")
+    )
+    assigned = assign_nearest_int(qemb, centroids, id_col, "__q").select(
+        id_col, "cid"
+    )
+    codes = pq_encode(
+        corpus, codebooks, n_sub, n_codes, sub_dim, id_col, vec_col
+    )
+    packed = codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda x: x.code,
+        ).alias("codes")
+    )
+    assigned.join(packed, on=id_col).write.partitionBy("cid").mode(
+        "overwrite"
+    ).parquet(f"{path}/lists")
+    spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in centroids],
+        schema="cid INT, cv ARRAY<BIGINT>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    _pq_codebook_df(spark, codebooks).write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k against a persisted IVFPQ index: queries score against
+    the stored integer centroids (probe-cid collect bounded at
+    |queries|·n_probe), ONLY those list partitions are read
+    (PartitionFilters — asserted in pytest), and candidates score by
+    summed table lookups over their stored codes. Same results as
+    :func:`pq_adc_topk` restricted to the probed lists (which is
+    exactly ivf_pq_topk's semantics with the same model state)."""
+    cents = sorted(
+        (int(r["cid"]), [int(x) for x in r["cv"]])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    cdf = F.broadcast(spark.read.parquet(f"{path}/codebooks"))
+    qemb = queries.select(
+        query_id_col, quantize_micro_units(F.col(vec_col)).alias("__q")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__dist").asc(), F.col("cid").asc()
+    )
+    probes = (
+        _scored_against_int_centroids(qemb, cents, "__q")
+        .withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= n_probe)
+        .select(query_id_col, "__q", "cid")
+        .localCheckpoint()  # consumed twice: cid collect + candidate join
+    )
+    probe_cids = sorted(
+        {r["cid"] for r in probes.select("cid").distinct().collect()}
+    )
+    lists = spark.read.parquet(f"{path}/lists").where(
+        F.col("cid").isin(probe_cids)
+    )
+    table = (
+        _pq_subvectors(qemb, "__q", n_sub, sub_dim)
+        .join(cdf, on="s")
+        .select(
+            query_id_col,
+            "s",
+            F.col("c").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("__d"),
+        )
+    )
+    cand = (
+        lists.join(F.broadcast(probes.select(query_id_col, "cid")), on="cid")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.posexplode("codes").alias("s", "code"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(table), on=[query_id_col, "s", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+
+
 def save_ivf_index(
     corpus: DataFrame,
     path: str,

@@ -2141,6 +2141,52 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ivfpq_indexed_topk")
+def ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVFPQ serving path (faiss IndexIVFPQ on disk):
+    ext/similarity.py::save_ivfpq_index writes per vector only (id,
+    8-byte code array, cid) partitionBy(cid) — raw vectors never reach
+    the serving store — plus the integer centroids and PQ codebooks as
+    model files; ivfpq_topk_indexed probes the stored centroids,
+    reads ONLY the probed list partitions (PartitionFilters asserted in
+    tests/test_similarity.py) and ADC-ranks from stored codes. Same
+    deterministic semantics as ivf_pq_topk with the same model state,
+    so the SAME DuckDB twin certifies the whole persisted chain —
+    the ivf_indexed_topk pattern applied to the compressed index."""
+    import tempfile
+
+    from .ext.similarity import (
+        ivfpq_topk_indexed,
+        pq_seed_codebooks,
+        save_ivfpq_index,
+        train_ivf_centroids_exact,
+    )
+    from .planmode import is_plan_only
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if is_plan_only():
+        # the serving plan bakes index file paths into its scans; the
+        # unindexed composition is the representative plan shape
+        return ivf_pq_topk(spark, sf_dir)
+    key = sf_dir + ":ivfpq"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="ivfpq_q_") + "/idx"
+        cents = train_ivf_centroids_exact(emb, n_clusters=16, iters=0)
+        cbs = pq_seed_codebooks(emb)
+        save_ivfpq_index(emb, idx, cents, cbs)
+        _IVF_INDEX_MEMO[key] = idx
+    return ivfpq_topk_indexed(spark, idx, queries, k=10, n_probe=3)
+
+
+# identical semantics + model state as ivf_pq_topk, so the same twin
+# certifies the persisted chain
+ORACLE_SQL["ivfpq_indexed_topk"] = ORACLE_SQL["ivf_pq_topk"]
+
+
 @_register(
     "embedding_neardup_pairs",
     f"""

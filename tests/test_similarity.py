@@ -861,3 +861,20 @@ def test_incremental_semantic_dedup_max_cluster_cap(spark, tmp_path):
     incremental_semantic_dedup(stored, idx2, cents, threshold=0.95)
     out2 = incremental_semantic_dedup(batch, idx2, cents, threshold=0.95)
     assert {r["vec_id"] for r in out2.collect()} == set()
+
+
+def test_ivfpq_indexed_registry_partition_pruned(spark):
+    """The persisted IVFPQ serving query reads only probed list
+    partitions (PartitionFilters on cid) and the stored lists carry
+    ONLY (vec_id, codes, cid) — no raw vector column reaches the
+    serving store."""
+    from etl_weather_jabar_spark import queries as Q
+
+    df = Q.QUERIES["ivfpq_indexed_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cid" in plan.split("PartitionFilters:")[1].split("]")[0]
+    idx = Q._IVF_INDEX_MEMO["/root/testdata/sf0.001:ivfpq"]
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert set(lists.columns) == {"vec_id", "codes", "cid"}
+    assert lists.count() == 500

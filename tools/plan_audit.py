@@ -145,6 +145,7 @@ AUDIT_QUERIES = [
     "source_shingle_jaccard",
     "curation_funnel_semantic",
     "neardup_ensemble_pairs",
+    "ivfpq_indexed_topk",
 ]
 
 
@@ -177,6 +178,7 @@ EXPECTED_NESTED_LOOP = {
     "ivf_append_serve_topk": "corpus probes × centroid-count-sized model broadcast (plan-only uses the unindexed IVF shape)",
     "pq_adc_topk": "subvectors × codebook-sized model broadcast (PQ encode + ADC table)",
     "ivf_pq_topk": "subvectors/probes × model-sized broadcasts (IVF centroids + PQ codebooks)",
+    "ivfpq_indexed_topk": "subvectors/probes × model-sized broadcasts (plan-only uses the unindexed IVF+PQ shape)",
     "curation_funnel_semantic": "survivor embeddings × centroid-count-sized model broadcast (SemDeDup stage)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
