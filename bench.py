@@ -84,6 +84,7 @@ TIER3_QUERIES = [
     "curation_funnel_semantic",
     "neardup_ensemble_pairs",
     "ivfpq_indexed_topk",
+    "stream_kmv_users",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

@@ -1173,6 +1173,111 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("stream_kmv_users")
+def stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KMV maintenance with a full oracle (the bottom-k
+    sibling of ⊕ stream_cms_tokens): event micro-batches land as json;
+    a real Structured Streaming query folds each batch's per-group
+    bottom-64 candidate hashes into a snapshot-persisted sketch state,
+    exactly-once per batch_id (idempotent_view_commit ledger). KMV is
+    insert-only (a deletion could evict a surviving minimum — honest
+    scope note, unlike the signed-counter CMS); merging bottom-k sets
+    then re-truncating IS the sketch's merge operator, so the final
+    serve — bottom-64 of the state — is a deterministic pure function
+    of the inserted keys regardless of batching, and the SAME DuckDB
+    twin as kmv_distinct_users certifies the whole streamed chain.
+    State is bounded at 64·batches rows per group between compactions
+    (each commit contributes at most its own bottom-64)."""
+    import glob
+    import os
+    import tempfile
+
+    from .ext.matview import idempotent_view_commit
+    from .operators.windows import scalable_topk_per_group
+    from .snapshots import snapshot_read
+
+    k = 64
+    tmp = tempfile.mkdtemp(prefix="skmv_q_")
+    landing, view_tbl, ckpt = f"{tmp}/in", f"{tmp}/view", f"{tmp}/ckpt"
+    os.makedirs(landing)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    b1 = ev.where(F.col("user_id") % 2 == 0)
+    b2 = ev.where(F.col("user_id") % 2 == 1)
+    for i, b in enumerate([b1, b2]):
+        d = f"{tmp}/stage{i}"
+        b.withColumn("op", F.lit("I")).write.json(d)
+        for j, part in enumerate(sorted(glob.glob(f"{d}/part-*.json"))):
+            os.rename(part, f"{landing}/b{i}_{j:04d}.json")
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        h = batch.select(
+            "op",
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit(":kmv")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("hv"),
+        ).dropDuplicates(["event_type", "hv"])
+        bk = scalable_topk_per_group(
+            h, keys=["event_type"], order_by=["hv"], k=k, salt_by=["hv"]
+        ).drop("rnk")
+        idempotent_view_commit(
+            spark, view_tbl, bk, batch_id, ["event_type", "hv"],
+            measures={"c": F.lit(1)},
+        )
+
+    q = (
+        spark.readStream.schema(
+            "event_type STRING, user_id LONG, op STRING"
+        )
+        .json(landing)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_kmv_users: stream did not finish within 300s — "
+            "refusing to serve a partial sketch"
+        )
+    state = snapshot_read(spark, view_tbl).select("event_type", "hv")
+    bk = scalable_topk_per_group(
+        state, keys=["event_type"], order_by=["hv"], k=k, salt_by=["hv"]
+    )
+    sk = bk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("hv").alias("kth"),
+    )
+    num = F.lit(str((k - 1) * 2**60)).cast("decimal(38,0)")
+    est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
+        floor_div(num, F.col("kth"))
+    )
+    ex = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return sk.join(ex, on="event_type").select(
+        "event_type", "k_used", est.cast("bigint").alias("n_kmv"), "n_exact"
+    )
+
+
+ORACLE_SQL["stream_kmv_users"] = ORACLE_SQL["kmv_distinct_users"]
+
+
 # =========================================================================
 # North-star extensions: dedup / similarity / text analysis
 # =========================================================================

@@ -146,6 +146,7 @@ AUDIT_QUERIES = [
     "curation_funnel_semantic",
     "neardup_ensemble_pairs",
     "ivfpq_indexed_topk",
+    "stream_kmv_users",
 ]
 
 
