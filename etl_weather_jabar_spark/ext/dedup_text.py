@@ -1066,6 +1066,11 @@ def incremental_exact_substring_dedup(
         joined = bstats.withColumn(
             "__icanon", F.lit(None).cast("bigint")
         )
+    # materialize the probed gram stats ONCE: both the rollup's start
+    # set and the index append's fresh-gram set derive from `joined`,
+    # and without this the batch's heaviest stage (k-gram explode +
+    # groupBy + index join) would run twice per ingest
+    joined = checkpoint(joined)
     gsel = joined.where(
         F.col("__icanon").isNotNull() | (F.col("__cnt") >= 2)
     ).select(
@@ -1078,8 +1083,6 @@ def incremental_exact_substring_dedup(
         .select(F.col(id_col), F.col("pos"), F.lit(True).alias("__start"))
     )
     out = _substr_rollup(new_docs, starts, k, id_col, text_col)
-    from ..planmode import checkpoint
-
     out = checkpoint(out)
     if sink is not None:
         sink(out)

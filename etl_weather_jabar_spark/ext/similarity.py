@@ -463,6 +463,38 @@ def _pq_subvectors(df: DataFrame, qcol: str, n_sub: int, sub_dim: int):
     )
 
 
+def _pq_adc_table(
+    qdf: DataFrame,
+    query_id_col: str,
+    qcol: str,
+    cdf: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+) -> DataFrame:
+    """Per-query ADC distance TABLE (query_id, s, code, __d): exact
+    integer squared distance from each query subvector to every
+    codebook entry — |queries|·n_sub·n_codes rows, broadcastable. The
+    ONE implementation all ADC consumers share (pq_adc_topk, the
+    IVF+PQ composition, the persisted-index serve): their oracle
+    equivalence depends on this arithmetic being identical."""
+    return (
+        _pq_subvectors(qdf, qcol, n_sub, sub_dim)
+        .join(F.broadcast(cdf), on="s")
+        .select(
+            query_id_col,
+            "s",
+            F.col("c").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("__d"),
+        )
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[tuple[int, int, list[int]]],
@@ -535,23 +567,15 @@ def pq_adc_topk(
             corpus, codebooks, n_sub, n_codes, sub_dim, id_col, vec_col
         )
     )
-    qsubs = _pq_subvectors(
+    table = _pq_adc_table(
         queries.select(
             query_id_col, quantize_micro_units(F.col(vec_col)).alias("__q")
         ),
+        query_id_col,
         "__q",
+        cdf,
         n_sub,
         sub_dim,
-    ).select(query_id_col, "s", "sv")
-    table = qsubs.join(F.broadcast(cdf), on="s").select(
-        query_id_col,
-        "s",
-        F.col("c").alias("code"),
-        F.aggregate(
-            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("__d"),
     )
     scored = (
         enc.join(F.broadcast(table), on=["s", "code"])
@@ -638,7 +662,7 @@ def ivfpq_topk_indexed(
         (int(r["cid"]), [int(x) for x in r["cv"]])
         for r in spark.read.parquet(f"{path}/centroids").collect()
     )
-    cdf = F.broadcast(spark.read.parquet(f"{path}/codebooks"))
+    cdf = spark.read.parquet(f"{path}/codebooks")
     qemb = queries.select(
         query_id_col, quantize_micro_units(F.col(vec_col)).alias("__q")
     )
@@ -658,22 +682,7 @@ def ivfpq_topk_indexed(
     lists = spark.read.parquet(f"{path}/lists").where(
         F.col("cid").isin(probe_cids)
     )
-    table = (
-        _pq_subvectors(qemb, "__q", n_sub, sub_dim)
-        .join(cdf, on="s")
-        .select(
-            query_id_col,
-            "s",
-            F.col("c").alias("code"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("__d"),
-        )
-    )
+    table = _pq_adc_table(qemb, query_id_col, "__q", cdf, n_sub, sub_dim)
     cand = (
         lists.join(F.broadcast(probes.select(query_id_col, "cid")), on="cid")
         .where(F.col(id_col) != F.col(query_id_col))

@@ -913,6 +913,46 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_hash(key):
+    """The KMV 60-bit md5 hash (':kmv' salt) — ONE implementation for
+    the batch query, the streaming maintainer, and their shared oracle
+    (which hard-codes the same salt)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(":kmv"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+_KMV_K = 64
+
+
+def _kmv_serve(hashes: DataFrame) -> DataFrame:
+    """(event_type, k_used, n_kmv) from distinct (event_type, hv) rows:
+    skew-safe bottom-k + the (k−1)·2⁶⁰/h₍ₖ₎ estimate (exact below k).
+    Shared by kmv_distinct_users and stream_kmv_users so the twin
+    relationship their common oracle asserts cannot drift."""
+    from .operators.windows import scalable_topk_per_group
+
+    k = _KMV_K
+    bk = scalable_topk_per_group(
+        hashes, keys=["event_type"], order_by=["hv"], k=k, salt_by=["hv"]
+    )
+    sk = bk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        F.max("hv").alias("kth"),
+    )
+    num = F.lit(str((k - 1) * 2**60)).cast("decimal(38,0)")
+    est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
+        floor_div(num, F.col("kth"))
+    )
+    return sk.select(
+        "event_type", "k_used", est.cast("bigint").alias("n_kmv")
+    )
+
+
 @_register(
     "kmv_distinct_users",
     f"""
@@ -965,52 +1005,12 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate error is visible in the output."""
     from .operators.windows import scalable_topk_per_group
     ev = load_table(spark, sf_dir, "events")
-    k = 64
-    h = (
-        ev.select(
-            "event_type",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("user_id").cast("string"), F.lit(":kmv")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("hv"),
-        )
-        .distinct()
-    )
-    bk = scalable_topk_per_group(
-        h, keys=["event_type"], order_by=["hv"], k=k, salt_by=["hv"]
-    )
-    sk = bk.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k_used"),
-        F.max("hv").alias("kth"),
-    )
-    # (k−1)·2⁶⁰ ≈ 7.3e19 exceeds int64 — ship the constant as decimal38
-    # (the same promotion floor_div does for its operands)
-    num = F.lit(str((k - 1) * 2**60)).cast("decimal(38,0)")
-    est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
-        floor_div(num, F.col("kth"))
-    )
+    h = ev.select("event_type", _kmv_hash(F.col("user_id")).alias("hv")).distinct()
     ex = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_exact")
     )
-    return (
-        sk.join(ex, on="event_type")
-        .select(
-            "event_type",
-            "k_used",
-            est.cast("bigint").alias("n_kmv"),
-            "n_exact",
-        )
+    return _kmv_serve(h).join(ex, on="event_type").select(
+        "event_type", "k_used", "n_kmv", "n_exact"
     )
 
 
@@ -1196,15 +1196,19 @@ def stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.windows import scalable_topk_per_group
     from .snapshots import snapshot_read
 
-    k = 64
+    k = _KMV_K
     tmp = tempfile.mkdtemp(prefix="skmv_q_")
     landing, view_tbl, ckpt = f"{tmp}/in", f"{tmp}/view", f"{tmp}/ckpt"
     os.makedirs(landing)
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id"
     )
-    b1 = ev.where(F.col("user_id") % 2 == 0)
-    b2 = ev.where(F.col("user_id") % 2 == 1)
+    # covering split: pmod + coalesce so negative and NULL user_ids
+    # land in exactly one batch (plain % returns NULL/negative
+    # remainders and would silently drop rows the shared oracle counts)
+    even = F.coalesce(F.pmod(F.col("user_id"), F.lit(2)), F.lit(0)) == 0
+    b1 = ev.where(even)
+    b2 = ev.where(~even)
     for i, b in enumerate([b1, b2]):
         d = f"{tmp}/stage{i}"
         b.withColumn("op", F.lit("I")).write.json(d)
@@ -1215,21 +1219,7 @@ def stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = batch.select(
             "op",
             "event_type",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("user_id").cast("string"), F.lit(":kmv")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("hv"),
+            _kmv_hash(F.col("user_id")).alias("hv"),
         ).dropDuplicates(["event_type", "hv"])
         bk = scalable_topk_per_group(
             h, keys=["event_type"], order_by=["hv"], k=k, salt_by=["hv"]
@@ -1256,22 +1246,11 @@ def stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "refusing to serve a partial sketch"
         )
     state = snapshot_read(spark, view_tbl).select("event_type", "hv")
-    bk = scalable_topk_per_group(
-        state, keys=["event_type"], order_by=["hv"], k=k, salt_by=["hv"]
-    )
-    sk = bk.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("k_used"),
-        F.max("hv").alias("kth"),
-    )
-    num = F.lit(str((k - 1) * 2**60)).cast("decimal(38,0)")
-    est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
-        floor_div(num, F.col("kth"))
-    )
     ex = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_exact")
     )
-    return sk.join(ex, on="event_type").select(
-        "event_type", "k_used", est.cast("bigint").alias("n_kmv"), "n_exact"
+    return _kmv_serve(state).join(ex, on="event_type").select(
+        "event_type", "k_used", "n_kmv", "n_exact"
     )
 
 
@@ -2177,8 +2156,8 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte codes: both dials compound. Every stage is exact integer
     arithmetic → full digit-identical DuckDB twin."""
     from .ext.similarity import (
+        _pq_adc_table,
         _pq_codebook_df,
-        _pq_subvectors,
         _scored_against_int_centroids,
         assign_nearest_int,
         pq_encode,
@@ -2214,21 +2193,13 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assigned.join(F.broadcast(probes), on="cid").where(
         F.col("vec_id") != F.col("query_id")
     ).select("query_id", "vec_id")
-    table = (
-        _pq_subvectors(queries.withColumnRenamed("__q", "__qv"), "__qv", 8, 8)
-        .join(F.broadcast(_pq_codebook_df(spark, cbs)), on="s")
-        .select(
-            "query_id",
-            "s",
-            F.col("c").alias("code"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("__d"),
-        )
+    table = _pq_adc_table(
+        queries.withColumnRenamed("__q", "__qv"),
+        "query_id",
+        "__qv",
+        _pq_codebook_df(spark, cbs),
+        8,
+        8,
     )
     scored = (
         codes.join(cand, on="vec_id")

@@ -180,7 +180,7 @@ def test_rfm_ntile_adds_zero_exchanges(spark):
 
     from etl_weather_jabar_spark.queries import QUERIES
 
-    df = QUERIES["rfm_segment_counts"](spark, "/root/testdata/sf0.001")
+    df = QUERIES["rfm_segment_counts"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the per-customer aggregate sits behind the localCheckpoint (it
     # feeds the boundary-selection jobs too), so the executed plan shows

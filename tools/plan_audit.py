@@ -146,7 +146,6 @@ AUDIT_QUERIES = [
     "curation_funnel_semantic",
     "neardup_ensemble_pairs",
     "ivfpq_indexed_topk",
-    "stream_kmv_users",
 ]
 
 
@@ -181,6 +180,7 @@ EXPECTED_NESTED_LOOP = {
     "ivf_pq_topk": "subvectors/probes × model-sized broadcasts (IVF centroids + PQ codebooks)",
     "ivfpq_indexed_topk": "subvectors/probes × model-sized broadcasts (plan-only uses the unindexed IVF+PQ shape)",
     "curation_funnel_semantic": "survivor embeddings × centroid-count-sized model broadcast (SemDeDup stage)",
+    "source_shingle_jaccard": "source-pair grid join (src_a < src_b over a sources-count-sized side)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
