@@ -51,6 +51,18 @@ def get_spark(
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{default_parallelism()}]")
+        # In local mode the driver IS the executor: 32 task threads on
+        # the 1g default heap survived ~200-query harness sessions only
+        # by luck, and the round-5 full-registry sf0.1 pass finally
+        # OOM-killed the JVM mid-run (py4j "connection refused" for
+        # every query after). Size the heap to the thread count; a real
+        # cluster takes executor memory from the submit conf instead.
+        # Effective only for the process's FIRST session (JVM already
+        # up otherwise), which is exactly the harness/bench shape.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
