@@ -85,6 +85,8 @@ TIER3_QUERIES = [
     "neardup_ensemble_pairs",
     "ivfpq_indexed_topk",
     "stream_kmv_users",
+    "token_budget_mix",
+    "source_quality_card",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

@@ -1257,6 +1257,226 @@ def stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["stream_kmv_users"] = ORACLE_SQL["kmv_distinct_users"]
 
 
+@_register(
+    "token_budget_mix",
+    """
+    WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               md5(CAST(doc_id AS VARCHAR) || ':mix') AS hk
+        FROM documents
+    ),
+    run AS (
+        SELECT source, doc_id, n_toks,
+               COALESCE(sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY hk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before_toks
+        FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_kept,
+           CAST(max(before_toks + n_toks) AS BIGINT) AS tokens_at_stop
+    FROM run WHERE before_toks < 300
+    GROUP BY 1
+    """,
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix builder: take documents per source, in a
+    deterministic salted-hash order (append-stable uniform sample
+    order, like every sampling op here), until the source's TOKEN
+    budget is met — the "give me N tokens per source" step that turns
+    mixture weights into an actual training set. A doc is kept iff the
+    tokens BEFORE it are under budget, so the boundary doc is included
+    (standard greedy fill; tokens_at_stop reports the overshoot).
+
+    Scale: the per-source running sum does NOT use one window over the
+    whole source (a 10-TB source would funnel through one reducer) —
+    the salted hash is uniform, so its first byte is a pre-ordered
+    256-way range bucket WITHIN each source: local cumsums run per
+    (source, bucket) and bucket offsets are a 256-rows-per-source
+    window — the `_range_bucketed` trick with the bucket id taken from
+    the sort key itself, zero quantile sampling. The oracle computes
+    the same running sum with a plain window (engines agree on totals,
+    not on plan shape)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    budget = 300
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))).alias(
+            "hk"
+        ),
+    )
+    # 256-way range bucket WITHIN source, derived from the sort key
+    d = d.withColumn("__b", F.substring("hk", 1, 2))
+    w_local = (
+        Window.partitionBy("source", "__b")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__run", F.sum("n_toks").over(w_local))
+    bsums = d.groupBy("source", "__b").agg(F.sum("n_toks").alias("__bs"))
+    w_off = Window.partitionBy("source").orderBy("__b")
+    offs = bsums.withColumn(
+        "__off", F.coalesce(F.sum("__bs").over(w_off) - F.col("__bs"), F.lit(0))
+    ).select("source", "__b", "__off")
+    run = local.join(offs, on=["source", "__b"]).withColumn(
+        "before_toks", F.col("__run") - F.col("n_toks") + F.col("__off")
+    )
+    kept = run.where(F.col("before_toks") < budget)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+        F.sum("n_toks").cast("bigint").alias("tokens_kept"),
+        F.max(F.col("before_toks") + F.col("n_toks"))
+        .cast("bigint")
+        .alias("tokens_at_stop"),
+    )
+
+
+@_register(
+    "source_quality_card",
+    f"""
+    WITH d AS (
+        SELECT source, doc_id, lang, text,
+               string_split(text, ' ') AS w,
+               md5(text) AS h
+        FROM documents
+    ),
+    m AS (
+        SELECT source, doc_id, lang, h,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_len,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '\\p{{L}}')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))
+                    AS BIGINT) AS n_symbol
+        FROM d
+    ),
+    g AS (
+        SELECT source, doc_id, lang, h, n_words,
+               CASE WHEN n_words BETWEEN 50 AND 100000
+                     AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                     AND n_symbol * 10 <= n_words
+                     AND n_alpha * 10 >= n_words * 8
+                    THEN 1 ELSE 0 END AS keep
+        FROM m
+    ),
+    dup AS (
+        SELECT source, doc_id,
+               CASE WHEN count(*) OVER (PARTITION BY source, h) > 1
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM d
+    ),
+    lm AS (
+        SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2
+    ),
+    dom AS (
+        SELECT source, lang AS dominant_lang FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+            FROM lm
+        ) WHERE rn = 1
+    )
+    SELECT g.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(g.n_words) AS BIGINT) AS n_tokens,
+           CAST({_sql_halfup('sum(g.n_words)', 'count(*)')} AS BIGINT)
+               AS mean_tokens,
+           CAST(sum(g.keep) * 1000000 // count(*) AS BIGINT)
+               AS gopher_keep_ppm,
+           CAST(sum(dup.is_dup) * 1000000 // count(*) AS BIGINT)
+               AS dup_ppm,
+           CAST(count(DISTINCT g.lang) AS BIGINT) AS n_langs,
+           max(dom.dominant_lang) AS dominant_lang
+    FROM g
+    JOIN dup ON dup.source = g.source AND dup.doc_id = g.doc_id
+    JOIN dom ON dom.source = g.source
+    GROUP BY 1
+    """,
+)
+def source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-SOURCE data card a curation run publishes before
+    choosing mixture weights: document/token volume, exact half-up mean
+    length, Gopher keep-rate (the full rule conjunction, Unicode alpha
+    class), within-source exact-duplicate rate, language count and
+    dominant language (deterministic tie-break) — one scan-shaped
+    query, every ratio in exact integer ppm. Composes rule sets that
+    are individually certified (gopher_rules_docs, dedup_exact_docs,
+    lang stats) into the summary REAL decisions read; the oracle
+    replays the composition. 100 TB: one shuffle on (source, text-hash)
+    for the dup flag, one on source for the rollup; everything else is
+    scan-level column math."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    m = docs.select(
+        "source",
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(w).cast("bigint").alias("n_words"),
+        F.length(F.array_join(w, "")).cast("bigint").alias("sum_len"),
+        F.size(F.filter(w, lambda x: x.rlike(r"\p{L}")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(
+            F.filter(w, lambda x: x.contains("#") | x.contains("..."))
+        )
+        .cast("bigint")
+        .alias("n_symbol"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (F.col("n_symbol") * 10 <= F.col("n_words"))
+        & (F.col("n_alpha") * 10 >= F.col("n_words") * 8)
+    ).cast("int")
+    is_dup = (
+        F.count(F.lit(1)).over(Window.partitionBy("source", "h")) > 1
+    ).cast("int")
+    base = m.withColumn("keep", keep).withColumn("is_dup", is_dup)
+    lm = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    wd = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    dom = (
+        lm.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("dominant_lang"))
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+            half_up_div(F.sum("n_words"), F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_tokens"),
+            floor_div(
+                F.sum("keep") * F.lit(1000000), F.count(F.lit(1))
+            ).alias("gopher_keep_ppm"),
+            floor_div(
+                F.sum("is_dup") * F.lit(1000000), F.count(F.lit(1))
+            ).alias("dup_ppm"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .join(dom, on="source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_tokens",
+            "gopher_keep_ppm",
+            "dup_ppm",
+            "n_langs",
+            "dominant_lang",
+        )
+    )
+
+
 # =========================================================================
 # North-star extensions: dedup / similarity / text analysis
 # =========================================================================

@@ -146,6 +146,8 @@ AUDIT_QUERIES = [
     "curation_funnel_semantic",
     "neardup_ensemble_pairs",
     "ivfpq_indexed_topk",
+    "token_budget_mix",
+    "source_quality_card",
 ]
 
 
