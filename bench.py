@@ -87,6 +87,7 @@ TIER3_QUERIES = [
     "stream_kmv_users",
     "token_budget_mix",
     "source_quality_card",
+    "ivfpq_residual_topk",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

@@ -470,6 +470,7 @@ def _pq_adc_table(
     cdf: DataFrame,
     n_sub: int,
     sub_dim: int,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-query ADC distance TABLE (query_id, s, code, __d): exact
     integer squared distance from each query subvector to every
@@ -482,6 +483,7 @@ def _pq_adc_table(
         .join(F.broadcast(cdf), on="s")
         .select(
             query_id_col,
+            *(extra_cols or []),
             "s",
             F.col("c").alias("code"),
             F.aggregate(

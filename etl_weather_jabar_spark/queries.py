@@ -2484,6 +2484,234 @@ ORACLE_SQL["ivfpq_indexed_topk"] = ORACLE_SQL["ivf_pq_topk"]
 
 
 @_register(
+    "ivfpq_residual_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               ) AS qv
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS INT) - 1 AS cid,
+               qv AS cv
+        FROM (SELECT vec_id, qv FROM q
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ),
+    fa AS (
+        SELECT vec_id, qv, cid FROM (
+            SELECT q.vec_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       {_ivf_dist_sql('q.qv', 'c.cv')} ASC, c.cid ASC
+                   ) AS rn
+            FROM q CROSS JOIN c0 c
+        ) WHERE rn = 1
+    ),
+    res AS (
+        SELECT fa.vec_id, fa.cid,
+               list_transform(range(1, 65), i -> fa.qv[i] - c.cv[i]) AS rv
+        FROM fa JOIN c0 c ON c.cid = fa.cid
+    ),
+    ss AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+        SELECT s, c, cv FROM (
+            SELECT ss.s AS s,
+                   CAST(row_number() OVER (PARTITION BY ss.s ORDER BY
+                       md5(CAST(r.vec_id AS VARCHAR) || ':pqr'
+                           || CAST(ss.s AS VARCHAR)), r.vec_id
+                   ) AS INT) - 1 AS c,
+                   r.rv[8 * ss.s + 1 : 8 * ss.s + 8] AS cv
+            FROM res r, ss
+        ) WHERE c < 16
+    ),
+    enc AS (
+        SELECT vec_id, s, c AS code FROM (
+            SELECT r.vec_id, cb.s, cb.c,
+                   row_number() OVER (PARTITION BY r.vec_id, cb.s ORDER BY
+                       {_PQ_DIST.format(q='r.rv', s='cb.s', cv='cb.cv')}
+                       ASC, cb.c ASC) AS rn
+            FROM res r CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    pqp AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT q.vec_id AS query_id, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       {_ivf_dist_sql('q.qv', 'c.cv')} ASC, c.cid ASC
+                   ) AS rn
+            FROM q CROSS JOIN c0 c
+            WHERE q.vec_id < 5
+        ) WHERE rn <= 3
+    ),
+    qres AS (
+        SELECT p.query_id, p.cid,
+               list_transform(range(1, 65), i -> p.qv[i] - c.cv[i]) AS rv
+        FROM pqp p JOIN c0 c ON c.cid = p.cid
+    ),
+    qt AS (
+        SELECT qr.query_id, qr.cid, cb.s, cb.c AS code,
+               {_PQ_DIST.format(q='qr.rv', s='cb.s', cv='cb.cv')} AS d
+        FROM qres qr CROSS JOIN cb
+    ),
+    sc AS (
+        SELECT qt.query_id, fa.vec_id,
+               CAST(sum(qt.d) AS BIGINT) AS adc_dist
+        FROM fa
+        JOIN qt ON qt.cid = fa.cid
+        JOIN enc ON enc.vec_id = fa.vec_id
+               AND enc.s = qt.s AND enc.code = qt.code
+        WHERE fa.vec_id <> qt.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+        ) AS INT) AS rank
+        FROM sc
+    ) WHERE rank <= 10
+    """,
+)
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVFPQ — the faithful faiss IndexIVFPQ: PQ
+    quantizes ``vector − assigned_centroid`` instead of the raw vector
+    (residuals are centered near zero, so the same 16-entry codebooks
+    spend their resolution where the data actually lives — the standard
+    accuracy upgrade over raw-vector PQ), and each query builds one ADC
+    table PER PROBED LIST against its own residual. Residuals are
+    integer micro-unit differences, so the whole chain — assignment,
+    residuals, residual-seeded codebooks, encode, per-probe tables,
+    ranking — stays exact and replays digit-for-digit in the oracle.
+    Scale: tables are |queries|·n_probe·m·k integers (broadcast); codes
+    still ~8 bytes/vector; the candidate join keys on (cid, s, code)."""
+    from .ext.similarity import (
+        _pq_adc_table,
+        _pq_codebook_df,
+        _scored_against_int_centroids,
+        assign_nearest_int,
+        quantize_micro_units,
+        train_ivf_centroids_exact,
+    )
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    qemb = emb.select(
+        "vec_id", quantize_micro_units(F.col("embedding")).alias("__q")
+    )
+    cents = train_ivf_centroids_exact(emb, n_clusters=16, iters=0)
+    cdf_cent = spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in cents],
+        schema="cid INT, cv ARRAY<BIGINT>",
+    )
+    assigned = assign_nearest_int(qemb, cents, "vec_id", "__q")
+    res = assigned.join(F.broadcast(cdf_cent), on="cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("__q", "cv", lambda a, b: a - b).alias("__rv"),
+    )
+    # residual-seeded codebooks: k smallest md5(vec_id ':pqr' s) residual
+    # subvectors per subspace (model-sized TakeOrdered per subspace)
+    from .planmode import is_plan_only
+
+    if is_plan_only():
+        cbs = [
+            (s, c, [1000000 if d == c % 8 else 0 for d in range(8)])
+            for s in range(8)
+            for c in range(16)
+        ]
+    else:
+        cbs = []
+        for s_i in range(8):
+            seeds = (
+                res.orderBy(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"),
+                            F.lit(f":pqr{s_i}"),
+                        )
+                    ),
+                    F.col("vec_id"),
+                )
+                .limit(16)
+                .select(
+                    F.slice(F.col("__rv"), s_i * 8 + 1, 8).alias("sv")
+                )
+                .collect()
+            )
+            cbs += [
+                (s_i, c, [int(x) for x in r["sv"]])
+                for c, r in enumerate(seeds)
+            ]
+    cdf = _pq_codebook_df(spark, cbs)
+    # encode residuals: argmin per (vec, s)
+    from .ext.similarity import _pq_subvectors
+
+    subs = _pq_subvectors(
+        res.select("vec_id", "__rv"), "__rv", 8, 8
+    )
+    enc = (
+        subs.join(F.broadcast(cdf), on="s")
+        .withColumn(
+            "__d",
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("__d").alias("d"), F.col("c").alias("c"))).alias("b"))
+        .select("vec_id", "s", F.col("b.c").cast("int").alias("code"))
+    )
+    queries = qemb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "__q"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("cid").asc()
+    )
+    probes = (
+        _scored_against_int_centroids(queries, cents, "__q")
+        .withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= 3)
+        .select("query_id", "__q", "cid")
+    )
+    qres = probes.join(F.broadcast(cdf_cent), on="cid").select(
+        "query_id",
+        "cid",
+        F.zip_with("__q", "cv", lambda a, b: a - b).alias("__rv"),
+    )
+    table = _pq_adc_table(
+        qres.select("query_id", "cid", "__rv"),
+        "query_id",
+        "__rv",
+        cdf,
+        8,
+        8,
+        extra_cols=["cid"],
+    )
+    cand = assigned.select("vec_id", "cid").join(
+        F.broadcast(probes.select("query_id", "cid")), on="cid"
+    ).where(F.col("vec_id") != F.col("query_id"))
+    scored = (
+        cand.join(enc, on="vec_id")
+        .join(F.broadcast(table), on=["query_id", "cid", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("__d").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+@_register(
     "embedding_neardup_pairs",
     f"""
     WITH hp AS (

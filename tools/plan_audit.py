@@ -148,6 +148,7 @@ AUDIT_QUERIES = [
     "ivfpq_indexed_topk",
     "token_budget_mix",
     "source_quality_card",
+    "ivfpq_residual_topk",
 ]
 
 
@@ -181,6 +182,7 @@ EXPECTED_NESTED_LOOP = {
     "pq_adc_topk": "subvectors × codebook-sized model broadcast (PQ encode + ADC table)",
     "ivf_pq_topk": "subvectors/probes × model-sized broadcasts (IVF centroids + PQ codebooks)",
     "ivfpq_indexed_topk": "subvectors/probes × model-sized broadcasts (plan-only uses the unindexed IVF+PQ shape)",
+    "ivfpq_residual_topk": "residual subvectors/probes × model-sized broadcasts (IVF centroids + residual PQ codebooks)",
     "curation_funnel_semantic": "survivor embeddings × centroid-count-sized model broadcast (SemDeDup stage)",
     "source_shingle_jaccard": "source-pair grid join (src_a < src_b over a sources-count-sized side)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
