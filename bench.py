@@ -88,6 +88,7 @@ TIER3_QUERIES = [
     "token_budget_mix",
     "source_quality_card",
     "ivfpq_residual_topk",
+    "cluster_survivor_selection",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

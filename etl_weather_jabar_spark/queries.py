@@ -5376,6 +5376,88 @@ def lsh_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cluster_survivor_selection",
+    f"""
+    WITH clusters AS ({_lsh_cluster_sql()}),
+    m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CASE WHEN len(string_split(text, ' '))
+                         BETWEEN 50 AND 100000
+                     AND length(array_to_string(string_split(text, ' '), ''))
+                         >= 3 * len(string_split(text, ' '))
+                     AND length(array_to_string(string_split(text, ' '), ''))
+                         <= 10 * len(string_split(text, ' '))
+                     AND len(list_filter(string_split(text, ' '),
+                             x -> x LIKE '%#%' OR x LIKE '%...%')) * 10
+                         <= len(string_split(text, ' '))
+                     AND len(list_filter(string_split(text, ' '),
+                             x -> regexp_matches(x, '\\p{{L}}'))) * 10
+                         >= len(string_split(text, ' ')) * 8
+                    THEN 1 ELSE 0 END AS keep_flag
+        FROM documents
+    )
+    SELECT c.doc_id, c.cluster_id, m.keep_flag, m.n_words,
+           CASE WHEN row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY m.keep_flag DESC, m.n_words DESC, c.doc_id ASC
+           ) = 1 THEN 1 ELSE 0 END AS is_survivor
+    FROM clusters c JOIN m ON m.doc_id = c.doc_id
+    """,
+)
+def cluster_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware SURVIVOR selection over near-dup clusters — real
+    dedup keeps the BEST copy, not the first: every document labeled
+    with its MinHash-LSH cluster (the certified star-CC assignment) and
+    a deterministic survivor rank per cluster — Gopher keep-flag first,
+    then longer documents, then lowest id (a total order). Singleton
+    clusters survive themselves; the arrival-order alternative
+    (dedup_keep_first) remains for incremental pipelines where
+    retroactive replacement is impossible. Composes two certified
+    pieces (cluster assignment + quality rules); the oracle replays the
+    COMPOSITION including the recursive closure. Per-cluster groups are
+    near-dup-cluster-sized (bounded by the detectors' banding), so the
+    rank window never meets a corpus-sized group."""
+    from .operators.windows import keep_first_rank
+
+    clusters = lsh_neardup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    keep_flag = (
+        F.size(w).between(50, 100000)
+        & (F.length(F.array_join(w, "")) >= 3 * F.size(w))
+        & (F.length(F.array_join(w, "")) <= 10 * F.size(w))
+        & (
+            F.size(
+                F.filter(w, lambda x: x.contains("#") | x.contains("..."))
+            )
+            * 10
+            <= F.size(w)
+        )
+        & (
+            F.size(F.filter(w, lambda x: x.rlike(r"\p{L}"))) * 10
+            >= F.size(w) * 8
+        )
+    ).cast("int")
+    m = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        keep_flag.alias("keep_flag"),
+    )
+    joined = clusters.join(m, on="doc_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("keep_flag").desc(), F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "keep_flag",
+        "n_words",
+        (F.row_number().over(wr) == 1).cast("int").alias("is_survivor"),
+    )
+
+
+@_register(
     "hash_split_docs",
     f"""
     SELECT doc_id, lang, {_split_sql('doc_id')} AS split

@@ -149,6 +149,7 @@ AUDIT_QUERIES = [
     "token_budget_mix",
     "source_quality_card",
     "ivfpq_residual_topk",
+    "cluster_survivor_selection",
 ]
 
 
