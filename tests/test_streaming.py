@@ -438,3 +438,80 @@ def test_stream_incremental_lsh_dedup_exactly_once(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(surv).collect()
     )
     assert got2 == [1, 3, 11]  # 10 dropped against the persisted index
+
+
+def test_stream_incremental_exact_substring_dedup(spark, tmp_path):
+    """Structured Streaming ingest span-deduped by the persisted k-gram
+    index: each micro-batch runs incremental_exact_substring_dedup
+    inside foreachBatch with an idempotent per-doc sink. A later
+    batch's document repeating an INDEXED span arrives with the span
+    removed (corpus canonical wins); checkpoint restart processes only
+    the new file; a full replay of a committed batch writes
+    byte-identical rollups (replayed occurrences ARE the indexed
+    canonicals)."""
+    import json
+    import os
+
+    from etl_weather_jabar_spark.ext.dedup_text import (
+        incremental_exact_substring_dedup,
+    )
+
+    landing = str(tmp_path / "in")
+    idx = str(tmp_path / "ss_idx")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = "doc_id LONG, text STRING"
+    span = " ".join(f"s{i}" for i in range(10))
+
+    def fold(batch, _bid):
+        if batch.isEmpty():
+            return
+
+        def sink(df):
+            df.localCheckpoint().write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("doc_id").parquet(out)
+
+        incremental_exact_substring_dedup(batch, idx, k=8, sink=sink)
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .json(landing)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    fresh = " ".join(f"a{i}" for i in range(12))
+    with open(f"{landing}/b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": span + " " + fresh}) + "\n")
+    run()
+    r1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert r1[1]["n_removed"] == 0  # first occurrence is canonical
+
+    with open(f"{landing}/b2.json", "w") as f:
+        f.write(
+            json.dumps({"doc_id": 2, "text": span + " tail0 tail1"}) + "\n"
+        )
+    run()  # checkpoint restart: only b2 is processed
+    r2 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert r2[1]["n_removed"] == 0  # untouched from batch 1
+    assert r2[2]["n_removed"] == 10  # indexed span stripped cross-batch
+
+    # full replay from a fresh checkpoint: decisions are byte-identical
+    ckpt2 = str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.schema(schema)
+        .json(landing)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    r3 = {r["doc_id"]: tuple(r) for r in spark.read.parquet(out).collect()}
+    assert r3 == {k: tuple(v) for k, v in r2.items()}
