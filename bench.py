@@ -89,6 +89,7 @@ TIER3_QUERIES = [
     "source_quality_card",
     "ivfpq_residual_topk",
     "cluster_survivor_selection",
+    "pmi_skipgram_window",
     "ivf_indexed_topk",
     "semantic_dedup_docs",
     "embedding_covariance_topk",

@@ -11313,6 +11313,103 @@ def pmi_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pmi_skipgram_window",
+    f"""
+    WITH arr AS (SELECT string_split(text, ' ') AS a FROM documents),
+    uni AS (SELECT unnest(a) AS w FROM arr),
+    ucnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+    big AS (
+        SELECT list_extract(a, i) AS x, list_extract(a, i + d) AS y
+        FROM (
+            SELECT a, i, unnest(generate_series(1, least(3, len(a) - i)))
+                   AS d
+            FROM (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+                  FROM arr)
+        )
+    ),
+    bcnt AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+             FROM big GROUP BY 1, 2),
+    btot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM big)
+    SELECT x, y, bcnt.c AS pair_count,
+           CAST({_sql_halfup(
+               'CAST(bcnt.c AS HUGEINT) * n * n * 1000',
+               'CAST(m AS HUGEINT) * ux.c * uy.c',
+           )} AS BIGINT) AS pmi_ratio_milli
+    FROM bcnt
+    JOIN ucnt ux ON bcnt.x = ux.w
+    JOIN ucnt uy ON bcnt.y = uy.w, tot, btot
+    WHERE bcnt.c >= 8
+    ORDER BY pmi_ratio_milli DESC, x, y LIMIT 50
+    """,
+)
+def pmi_skipgram_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram-window PMI (word2vec's co-occurrence definition):
+    ordered pairs within a ±3 token window instead of adjacency only —
+    the collocation signal that survives word reordering and
+    intervening modifiers, which pmi_topk_bigrams misses. Same exact
+    integer milli-ratio ranking (no log, no float), same 100 TB shape:
+    the window fan-out is a bounded ×3 explode, counts stay vocab- and
+    vocab²-bounded partial aggregates with broadcast joins."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    arr = F.split("text", " ")
+    toks = docs.select(F.explode(arr).alias("w"))
+    ucnt = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = F.col("a")
+    pairs_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(3), F.size(a) - i)),
+                lambda d: F.struct(
+                    F.element_at(a, i).alias("x"),
+                    F.element_at(a, i + d).alias("y"),
+                ),
+            ),
+        )
+    )
+    big = docs.select(arr.alias("a")).select(
+        F.explode(pairs_expr).alias("p")
+    ).select("p.x", "p.y")
+    bcnt = big.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    btot = big.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    joined = (
+        bcnt.where(F.col("c") >= 8)
+        .join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("x"), F.col("c").alias("cx"))
+            ),
+            "x",
+        )
+        .join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("y"), F.col("c").alias("cy"))
+            ),
+            "y",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    dec = "decimal(38,0)"
+    return (
+        joined.select(
+            "x",
+            "y",
+            F.col("c").alias("pair_count"),
+            _half_up_div(
+                F.col("c").cast(dec) * F.col("n") * F.col("n") * F.lit(1000),
+                F.col("m").cast(dec) * F.col("cx") * F.col("cy"),
+            ).alias("pmi_ratio_milli"),
+        )
+        .orderBy(F.col("pmi_ratio_milli").desc(), "x", "y")
+        .limit(50)
+    )
+
+
+@_register(
     "jl_project_embeddings",
     """
     WITH u AS (

@@ -150,6 +150,7 @@ AUDIT_QUERIES = [
     "source_quality_card",
     "ivfpq_residual_topk",
     "cluster_survivor_selection",
+    "pmi_skipgram_window",
 ]
 
 
@@ -192,6 +193,7 @@ EXPECTED_NESTED_LOOP = {
     "semantic_dedup_docs": "corpus × centroid-count-sized model broadcast (SemDeDup assignment)",
     "pagerank_exact_int": "ranks × 1-row node-count/dangling-mass broadcasts per unrolled iteration",
     "pmi_topk_bigrams": "bigram stats × 1-row N and M totals broadcasts",
+    "pmi_skipgram_window": "window-pair stats × 1-row N and M totals broadcasts",
     "pca_power_iteration": "d²-sized covariance × 1-row max-|w| rescale broadcast per unrolled round",
     "bpe_merge_rounds": "vocab-sized symbol table × 1-row best-pair broadcast per round",
     "bpe_encode_stats": "same training chain: 1-row best-pair broadcast per round",
