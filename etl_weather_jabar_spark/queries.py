@@ -2610,9 +2610,13 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.zip_with("__q", "cv", lambda a, b: a - b).alias("__rv"),
     )
-    # residual-seeded codebooks: k smallest md5(vec_id ':pqr' s) residual
-    # subvectors per subspace (model-sized TakeOrdered per subspace)
-    from .planmode import is_plan_only
+    # materialize the residual frame ONCE: the 8 per-subspace codebook
+    # seedings and the encode all read it, and without this the
+    # assignment join was recomputed ~10x (measured 9.9s -> ~3s at
+    # sf0.1). Identity in plan-only mode.
+    from .planmode import checkpoint, is_plan_only
+
+    res = checkpoint(res)
 
     if is_plan_only():
         cbs = [
@@ -2621,28 +2625,46 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(16)
         ]
     else:
-        cbs = []
-        for s_i in range(8):
-            seeds = (
-                res.orderBy(
-                    F.md5(
-                        F.concat(
-                            F.col("vec_id").cast("string"),
-                            F.lit(f":pqr{s_i}"),
-                        )
-                    ),
-                    F.col("vec_id"),
-                )
-                .limit(16)
-                .select(
-                    F.slice(F.col("__rv"), s_i * 8 + 1, 8).alias("sv")
-                )
-                .collect()
+        # all 8 subspaces' seeds in ONE job: explode the per-subspace
+        # rank key, window per subspace, collect the 128 model cells
+        ranked = (
+            res.select(
+                "vec_id",
+                "__rv",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(7))
+                ).alias("s"),
             )
-            cbs += [
-                (s_i, c, [int(x) for x in r["sv"]])
-                for c, r in enumerate(seeds)
-            ]
+            .withColumn(
+                "__hk",
+                F.md5(
+                    F.concat(
+                        F.col("vec_id").cast("string"),
+                        F.lit(":pqr"),
+                        F.col("s").cast("string"),
+                    )
+                ),
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("s").orderBy("__hk", "vec_id")
+                ),
+            )
+            .where(F.col("__rn") <= 16)
+            .select(
+                "s",
+                (F.col("__rn") - 1).alias("c"),
+                F.slice(
+                    F.col("__rv"), F.col("s") * 8 + F.lit(1), F.lit(8)
+                ).alias("sv"),
+            )
+            .collect()
+        )
+        cbs = [
+            (int(r["s"]), int(r["c"]), [int(x) for x in r["sv"]])
+            for r in ranked
+        ]
     cdf = _pq_codebook_df(spark, cbs)
     # encode residuals: argmin per (vec, s)
     from .ext.similarity import _pq_subvectors
