@@ -166,6 +166,32 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+
+    # Round-5 verdict item 2: the driver's tail capture truncates long
+    # lines, so the ONE parsed JSON line carries only the headline value,
+    # the headline per-query map, tier TOTALS, and the A/B block. The
+    # tier2/tier3 per-query maps go to a side artifact
+    # (BENCH_TIERS_r{N}.json, N inferred from the existing BENCH_r files).
+    existing = [
+        int(f[len("BENCH_r") : -len(".json")])
+        for f in os.listdir(REPO)
+        if f.startswith("BENCH_r")
+        and f.endswith(".json")
+        and f[len("BENCH_r") : -len(".json")].isdigit()
+    ]
+    rnd = max(existing, default=0) + 1
+    side_path = os.path.join(REPO, f"BENCH_TIERS_r{rnd:02d}.json")
+    with open(side_path, "w") as fh:
+        json.dump(
+            {
+                "tier2_queries": tier2,
+                "tier3_queries": tier3,
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
+
     print(
         json.dumps(
             {
@@ -174,10 +200,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "tier2_value": round(sum(tier2.values()), 3),
-                "tier2_queries": tier2,
                 "tier3_value": round(sum(tier3.values()), 3),
-                "tier3_queries": tier3,
                 "ab_heaviest_tier3": ab,
+                "tiers_detail": os.path.basename(side_path),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

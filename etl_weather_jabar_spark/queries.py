@@ -1042,17 +1042,26 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM shv a JOIN shv b
           ON a.hv = b.hv AND a.source < b.source
         GROUP BY 1, 2
-    ), hvs AS (
-        SELECT hv, list(DISTINCT source) AS srcs FROM shv GROUP BY 1
+    ), shk AS (
+        SELECT source, hv FROM (
+            SELECT source, hv,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY hv ASC) AS rs
+            FROM shv)
+        WHERE rs <= 128
+    ), u AS (
+        SELECT p.src_a, p.src_b, s.hv,
+               max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN shk s
+          ON s.source = p.src_a OR s.source = p.src_b
+        GROUP BY 1, 2, 3
     ), pu AS (
-        SELECT p.src_a, p.src_b, h.hv,
-               (list_contains(h.srcs, p.src_a)
-                AND list_contains(h.srcs, p.src_b)) AS in_both,
-               row_number() OVER (PARTITION BY p.src_a, p.src_b
-                                  ORDER BY h.hv ASC) AS rn
-        FROM pairs p JOIN hvs h
-          ON list_contains(h.srcs, p.src_a)
-          OR list_contains(h.srcs, p.src_b)
+        SELECT src_a, src_b, hv,
+               (in_a = 1 AND in_b = 1) AS in_both,
+               row_number() OVER (PARTITION BY src_a, src_b
+                                  ORDER BY hv ASC) AS rn
+        FROM u
     ), kmv AS (
         SELECT src_a, src_b,
                CAST(count(*) AS BIGINT) AS k_used,
@@ -1121,16 +1130,32 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
     )
+    # KMV mergeability (round-5 verdict item 1): bottom-k(A∪B) ⊆
+    # bottom-k(A) ∪ bottom-k(B), and any survivor of bottom-k(A∪B)
+    # that lies in A has rank ≤ k within A too — so each source is
+    # pre-truncated to its OWN bottom-128 (skew-safe two-phase top-k,
+    # one pass over S source groups) BEFORE the pair fan-out. The
+    # sketch path is then ≤ S·128 rows total: the pair union is ≤ 256
+    # rows per pair and the per-pair re-rank window sorts sketches,
+    # never the full |A∪B| union (which only the exact half — the
+    # thing the sketch exists to replace at 100 TB — still pays for).
+    # Result is bit-identical to the full-set computation; the DuckDB
+    # twin mirrors the truncation.
+    from .operators.windows import scalable_topk_per_group
+
+    shk = scalable_topk_per_group(
+        shv, ["source"], [F.col("hv").asc()], 128, salt_by=["hv"]
+    ).drop("rnk")
     # pair membership via two broadcast EQUI-joins (never an
     # OR-predicate nested loop over the hash universe): each side of a
-    # pair contributes its hashes tagged, then one (pair, hv) agg
-    # dedupes and sets the both-flag
+    # pair contributes its sketch hashes tagged, then one (pair, hv)
+    # agg dedupes and sets the both-flag
     pkeys = pairs.select("src_a", "src_b")
-    ua = shv.join(
-        F.broadcast(pkeys), shv["source"] == F.col("src_a")
+    ua = shk.join(
+        F.broadcast(pkeys), shk["source"] == F.col("src_a")
     ).select("src_a", "src_b", "hv", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
-    ub = shv.join(
-        F.broadcast(pkeys), shv["source"] == F.col("src_b")
+    ub = shk.join(
+        F.broadcast(pkeys), shk["source"] == F.col("src_b")
     ).select("src_a", "src_b", "hv", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
     u = (
         ua.unionByName(ub)
@@ -2613,10 +2638,12 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the residual frame ONCE: the 8 per-subspace codebook
     # seedings and the encode all read it, and without this the
     # assignment join was recomputed ~10x (measured 9.9s -> ~3s at
-    # sf0.1). Identity in plan-only mode.
+    # sf0.1). reliable=True keeps lineage (persist DISK_ONLY), so on a
+    # real cluster an executor loss recomputes the lost blocks instead
+    # of killing the job. Identity in plan-only mode.
     from .planmode import checkpoint, is_plan_only
 
-    res = checkpoint(res)
+    res = checkpoint(res, reliable=True)
 
     if is_plan_only():
         cbs = [
