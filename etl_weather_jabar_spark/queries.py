@@ -11250,14 +11250,20 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized explode, one broadcast join, one aggregation; the
     training chain upstream is vocabulary-bounded."""
     from .ext.sequencing import bpe_vocab
+    from .operators.joins import broadcast_if_small
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    vocab = bpe_vocab(docs, rounds=_BPE_ROUNDS).select("w", "n_syms")
+    # vocab-broadcast guard (round-5 verdict item 7); persist=True so
+    # the size probe does not re-run the BPE training chain
+    vocab = broadcast_if_small(
+        bpe_vocab(docs, rounds=_BPE_ROUNDS).select("w", "n_syms"),
+        persist=True,
+    )
     dw = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     )
     return (
-        dw.join(F.broadcast(vocab), "w")
+        dw.join(vocab, "w")
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -11329,15 +11335,23 @@ def pmi_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     btot = big.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # vocab-broadcast guard (round-5 verdict item 7): the unigram table
+    # is vocab-bounded but not BOUNDED-bounded — probe once, hint only
+    # if it fits; the hint survives the two aliasing projections, so a
+    # web-scale token universe degrades to a shuffle join instead of
+    # OOMing the driver
+    from .operators.joins import broadcast_if_small
+
+    ucnt_b = broadcast_if_small(ucnt)
     joined = (
         bcnt.where(F.col("c") >= 5)
         .join(
-            F.broadcast(ucnt.select(F.col("w").alias("x"),
-                                    F.col("c").alias("cx"))), "x"
+            ucnt_b.select(F.col("w").alias("x"), F.col("c").alias("cx")),
+            "x",
         )
         .join(
-            F.broadcast(ucnt.select(F.col("w").alias("y"),
-                                    F.col("c").alias("cy"))), "y"
+            ucnt_b.select(F.col("w").alias("y"), F.col("c").alias("cy")),
+            "y",
         )
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(btot))
@@ -11425,18 +11439,19 @@ def pmi_skipgram_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     btot = big.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # vocab-broadcast guard (round-5 verdict item 7): hint only when
+    # the probed unigram table actually fits; shuffle join otherwise
+    from .operators.joins import broadcast_if_small
+
+    ucnt_b = broadcast_if_small(ucnt)
     joined = (
         bcnt.where(F.col("c") >= 8)
         .join(
-            F.broadcast(
-                ucnt.select(F.col("w").alias("x"), F.col("c").alias("cx"))
-            ),
+            ucnt_b.select(F.col("w").alias("x"), F.col("c").alias("cx")),
             "x",
         )
         .join(
-            F.broadcast(
-                ucnt.select(F.col("w").alias("y"), F.col("c").alias("cy"))
-            ),
+            ucnt_b.select(F.col("w").alias("y"), F.col("c").alias("cy")),
             "y",
         )
         .crossJoin(F.broadcast(tot))

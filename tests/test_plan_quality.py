@@ -157,6 +157,50 @@ def test_reliable_checkpoint_persists_disk_only_and_keeps_lineage(spark):
         rel.unpersist()
 
 
+def test_broadcast_if_small_guard_fallback_equals_broadcast(spark):
+    """broadcast_if_small (round-5 verdict item 7): under the row
+    threshold the hint is applied; past it the frame comes back
+    unhinted (shuffle join — a web-scale vocabulary cannot OOM the
+    driver) and the join RESULTS are identical either way; plan-only
+    mode hints without running the probe job."""
+    import pyspark.sql.functions as F
+
+    from etl_weather_jabar_spark.operators.joins import broadcast_if_small
+    from etl_weather_jabar_spark.planmode import plan_only
+
+    vocab = spark.range(200).select(
+        F.col("id").alias("w"), (F.col("id") % 7).alias("c")
+    )
+    fact = spark.range(1000).select((F.col("id") % 300).alias("w"))
+
+    hinted = broadcast_if_small(vocab, max_rows=1000)
+    unhinted = broadcast_if_small(vocab, max_rows=10)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    assert (
+        "ResolvedHint"
+        not in unhinted._jdf.queryExecution().analyzed().toString()
+    )
+    # the hint survives an aliasing projection (the PMI x/y reuse shape)
+    proj = hinted.select(F.col("w").alias("x"), "c")
+    assert "ResolvedHint" in proj._jdf.queryExecution().analyzed().toString()
+
+    a = sorted(map(tuple, fact.join(hinted, "w").collect()))
+    b = sorted(map(tuple, fact.join(unhinted, "w").collect()))
+    assert a == b
+    assert len(a) > 0
+
+    sc = spark.sparkContext
+    group = "bif-planonly"
+    sc.setJobGroup(group, "probe must not run in plan-only mode")
+    try:
+        with plan_only():
+            po = broadcast_if_small(vocab, max_rows=0)
+    finally:
+        sc.setJobGroup("", "")
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    assert "ResolvedHint" in po._jdf.queryExecution().analyzed().toString()
+
+
 def test_spread_never_executes_wide_plans(spark, tmp_path):
     """spread() must (a) fan out small narrow scans, (b) leave
     shuffle-bearing plans untouched WITHOUT executing them (df.rdd under
