@@ -87,7 +87,9 @@ TIER3_QUERIES = [
     "stream_kmv_users",
     "token_budget_mix",
     "source_quality_card",
+    "source_card_overlap",
     "ivfpq_residual_topk",
+    "ivfpq_residual_indexed_topk",
     "cluster_survivor_selection",
     "pmi_skipgram_window",
     "ivf_indexed_topk",

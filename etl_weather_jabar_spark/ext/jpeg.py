@@ -2,16 +2,24 @@
 compressed image format this engine reads without codec libraries
 (after PNG's zlib-deflate and GIF's LZW).
 
-Scope (honest): baseline sequential DCT (SOF0), 8-bit, grayscale or
-YCbCr with sampling factors 1–2 per axis — 4:4:4, 4:2:0 (the common
-camera/web layout), 4:2:2 and 4:4:0 all decode through one generic
-interleaved-MCU loop (T.81 A.2.3); restart markers (DRI/RSTn) handled
-on both encode and decode (round-5 verdict item 4). Huffman tables are
-read from the stream's DHT segments (files from other encoders decode
-too), JFIF color conversion, box-average chroma downsampling on
+Scope (honest): baseline sequential DCT (SOF0) AND progressive DCT
+(SOF2 — round-6: spectral selection + successive approximation, the
+layout most web JPEGs ship), 8-bit, grayscale or YCbCr with sampling
+factors 1–2 per axis — 4:4:4, 4:2:0 (the common camera/web layout),
+4:2:2 and 4:4:0 all decode through one generic interleaved-MCU loop
+(T.81 A.2.3); restart markers (DRI/RSTn) handled on both encode and
+decode in both modes. Progressive decode accumulates quantized
+coefficients across scans (DC first/refine per G.1.2.1, AC first with
+EOB runs per G.1.2.2, AC refinement with correction bits per G.1.2.3)
+and reconstructs once at EOI — progressive transmission reorders the
+SAME quantized coefficients, so a progressive stream decodes
+BIT-IDENTICAL to its baseline twin (pinned in tests). Huffman tables
+are read from the stream's DHT segments (files from other encoders
+decode too), JFIF color conversion, box-average chroma downsampling on
 encode / sample-replication upsampling on decode (libjpeg's "simple"
-mode). NOT supported (ValueError, never a wrong image): progressive
-(SOF2), arithmetic coding, sampling factors > 2, 12-bit depth.
+mode). NOT supported (ValueError, never a wrong image): arithmetic
+coding, hierarchical (SOF3/5/6/7/9+), sampling factors > 2, 12-bit
+depth.
 
 JPEG is lossy: the roundtrip contract is tolerance-bounded (quantized
 DCT error), unlike the bit-exact PNG/GIF paths — the tests pin a flat
@@ -273,13 +281,22 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes.
     ``subsampling``: 444 (default), 420, 422 or 440 chroma layout
     (ignored for gray); ``restart_interval`` > 0 writes a DRI segment
     and emits RSTn markers every that many MCUs (DC predictors reset —
     the error-resilience framing most camera JPEGs carry). Standard-
-    layout Huffman tables are written to the stream."""
+    layout Huffman tables are written to the stream.
+
+    ``progressive=True`` writes SOF2 with a libjpeg-style scan script
+    (interleaved DC first at Al=1 → per-component AC first scans at
+    Al=1 with spectral selection on luma → DC refinement → AC
+    refinements to Al=0): the SAME quantized coefficients as the
+    baseline stream, reordered — so both decode to bit-identical
+    pixels. EOB runs are emitted per block (run length 1), which keeps
+    the standard Annex-K Huffman tables valid for every scan."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
@@ -324,7 +341,8 @@ def encode_jpeg(
         out += dqt(1, qchr)
 
     ncomp = 1 if gray else 3
-    out += b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + b"\x08"
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + (8 + 3 * ncomp).to_bytes(2, "big") + b"\x08"
     out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
         sh, sv = samp[ci]
@@ -343,11 +361,6 @@ def encode_jpeg(
         out += b"\xff\xdd" + (4).to_bytes(2, "big")
         out += restart_interval.to_bytes(2, "big")
 
-    out += b"\xff\xda" + (6 + 2 * ncomp).to_bytes(2, "big") + bytes([ncomp])
-    for ci in range(ncomp):
-        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    out += b"\x00\x3f\x00"
-
     dc_lum, ac_lum = _build_codes(*DC_LUM), _build_codes(*AC_LUM)
     dc_chr, ac_chr = _build_codes(*DC_CHR), _build_codes(*AC_CHR)
     qts = [qlum] + ([] if gray else [qchr, qchr])
@@ -357,6 +370,19 @@ def encode_jpeg(
         _plane_blocks(p, qt, nby=mcuy * sv, nbx=mcux * sh)
         for p, qt, (sh, sv) in zip(planes, qts, samp)
     ]
+
+    if progressive:
+        out += _encode_progressive_scans(
+            coefs, samp, mcux, mcuy, w, h, hmax, vmax,
+            dcs, acs, restart_interval,
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    out += b"\xff\xda" + (6 + 2 * ncomp).to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
 
     writer = _BitWriter()
     preds = [0] * ncomp
@@ -384,6 +410,226 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _comp_block_grid(
+    w: int, h: int, sh: int, sv: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Block grid of ONE component's own samples (T.81 A.1.1): the
+    walk order of a non-interleaved scan — NOT the MCU-padded grid."""
+    cw = (w * sh + hmax - 1) // hmax
+    ch = (h * sv + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _encode_progressive_scans(
+    coefs: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    mcux: int,
+    mcuy: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+    dcs: list[dict],
+    acs: list[dict],
+    restart_interval: int,
+) -> bytes:
+    """The progressive scan script (T.81 Annex G), SOS headers +
+    entropy data: interleaved DC first scan at Al=1, per-component AC
+    first scans at Al=1 (luma spectrally split 1–5 / 6–63 — the
+    "blurry preview first" ordering), DC refinement to Al=0, AC
+    refinements to Al=0. EOB runs are length-1 (plain 0x00 symbol), so
+    the standard tables cover every emitted symbol."""
+    ncomp = len(coefs)
+    out = bytearray()
+
+    def zz_of(ci: int, by: int, bx: int) -> np.ndarray:
+        return coefs[ci][by, bx].flatten()[ZIGZAG]
+
+    def sos_header(comps_in_scan, ss, se, ah, al) -> bytes:
+        ns = len(comps_in_scan)
+        hdr = bytearray(
+            b"\xff\xda" + (6 + 2 * ns).to_bytes(2, "big") + bytes([ns])
+        )
+        for ci in comps_in_scan:
+            hdr += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return bytes(hdr)
+
+    def restart(writer, unit_n, state) -> None:
+        """Byte-align + RSTn every restart_interval units (MCUs for the
+        interleaved DC scan, blocks for single-component scans)."""
+        if (
+            restart_interval
+            and unit_n
+            and unit_n % restart_interval == 0
+        ):
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + state["rst"]])
+            state["rst"] = (state["rst"] + 1) % 8
+            state["preds"] = [0] * ncomp
+
+    # ---- scan 1: DC first, interleaved, Al=1 ------------------------
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    writer = _BitWriter()
+    state = {"rst": 0, "preds": [0] * ncomp}
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            restart(writer, mcu_n, state)
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for vy in range(sv):
+                    for vx in range(sh):
+                        dc = int(coefs[ci][my * sv + vy, mx * sh + vx][0, 0])
+                        v = dc >> 1  # DC point transform: arithmetic shift
+                        diff = v - state["preds"][ci]
+                        state["preds"][ci] = v
+                        s = _category(diff)
+                        writer.write(*dcs[ci][s])
+                        if s:
+                            writer.write(
+                                diff if diff > 0 else diff + (1 << s) - 1, s
+                            )
+            mcu_n += 1
+    writer.flush()
+    out += writer.out
+
+    # ---- AC first scans, Al=1, luma split 1-5 / 6-63 -----------------
+    bands = []
+    for ci in range(ncomp):
+        if ci == 0 and ncomp > 1:
+            bands += [(ci, 1, 5), (ci, 6, 63)]
+        else:
+            bands += [(ci, 1, 63)]
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> None:
+        nonlocal out
+        out += sos_header([ci], ss, se, 0, al)
+        writer = _BitWriter()
+        state = {"rst": 0, "preds": [0] * ncomp}
+        sh, sv = samp[ci]
+        bh, bw = _comp_block_grid(w, h, sh, sv, hmax, vmax)
+        blk_n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                restart(writer, blk_n, state)
+                zz = zz_of(ci, by, bx)
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = -((-v) >> al) if v < 0 else v >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        writer.write(*acs[ci][0xF0])
+                        r -= 16
+                    s = _category(t)
+                    writer.write(*acs[ci][(r << 4) | s])
+                    writer.write(t if t > 0 else t + (1 << s) - 1, s)
+                    r = 0
+                if r:
+                    writer.write(*acs[ci][0x00])  # EOB, run length 1
+                blk_n += 1
+        writer.flush()
+        out += writer.out
+
+    for ci, ss, se in bands:
+        ac_first_scan(ci, ss, se, 1)
+
+    # ---- DC refinement: Ah=1 → Al=0, interleaved, raw bits -----------
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    writer = _BitWriter()
+    state = {"rst": 0, "preds": [0] * ncomp}
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            restart(writer, mcu_n, state)
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for vy in range(sv):
+                    for vx in range(sh):
+                        dc = int(coefs[ci][my * sv + vy, mx * sh + vx][0, 0])
+                        writer.write(dc & 1, 1)
+            mcu_n += 1
+    writer.flush()
+    out += writer.out
+
+    # ---- AC refinement scans: Ah=1 → Al=0 ----------------------------
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> None:
+        nonlocal out
+        ah = al + 1
+        out += sos_header([ci], ss, se, ah, al)
+        writer = _BitWriter()
+        state = {"rst": 0, "preds": [0] * ncomp}
+        sh, sv = samp[ci]
+        bh, bw = _comp_block_grid(w, h, sh, sv, hmax, vmax)
+        blk_n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                restart(writer, blk_n, state)
+                zz = zz_of(ci, by, bx)
+                # events per position: 'z' still-zero, ('c', bit)
+                # previously-significant correction, ('n', sign) newly
+                # significant. The emitter mirrors the decoder's walk
+                # exactly: a run/size symbol covers its run of 'z'
+                # events and every 'c' event passed before placement; a
+                # ZRL covers the first SIXTEEN 'z' events and only the
+                # 'c' events before the 16th; EOB covers the rest.
+                events: list[tuple] = []
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        events.append(("z",))
+                    elif t == 1:
+                        events.append(("n", 1 if v > 0 else 0))
+                    else:
+                        events.append(("c", t & 1))
+                i, n = 0, len(events)
+                while i < n:
+                    j = i
+                    zeros = 0
+                    while j < n and events[j][0] != "n":
+                        if events[j][0] == "z":
+                            zeros += 1
+                        j += 1
+                    if j == n:
+                        if i < n:
+                            writer.write(*acs[ci][0x00])  # EOB, run 1
+                            for e in events[i:]:
+                                if e[0] == "c":
+                                    writer.write(e[1], 1)
+                        i = n
+                        break
+                    while zeros > 15:
+                        writer.write(*acs[ci][0xF0])  # ZRL
+                        cnt = 0
+                        while cnt < 16:
+                            e = events[i]
+                            i += 1
+                            if e[0] == "z":
+                                cnt += 1
+                            else:
+                                writer.write(e[1], 1)
+                        zeros -= 16
+                    writer.write(*acs[ci][(zeros << 4) | 1])
+                    writer.write(events[j][1], 1)
+                    for e in events[i:j]:
+                        if e[0] == "c":
+                            writer.write(e[1], 1)
+                    i = j + 1
+                if n == 0:
+                    writer.write(*acs[ci][0x00])  # empty band: EOB
+                blk_n += 1
+        writer.flush()
+        out += writer.out
+
+    for ci, ss, se in bands:
+        ac_refine_scan(ci, ss, se, 0)
     return bytes(out)
 
 
@@ -461,6 +707,262 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _next_marker(d: bytes, p: int) -> int:
+    """Position of the next real marker (0xFF followed by neither 0x00
+    stuffing, 0xFF fill, nor an RSTn that belongs to entropy data)."""
+    while p + 1 < len(d):
+        if (
+            d[p] == 0xFF
+            and d[p + 1] != 0x00
+            and d[p + 1] != 0xFF
+            and not (0xD0 <= d[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    raise ValueError("JPEG truncated: no marker after scan")
+
+
+def _progressive_scan(
+    d: bytes,
+    start: int,
+    body: bytes,
+    comps: list[tuple[int, int, int, int]],
+    pcoefs: list[np.ndarray],
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]],
+    restart_interval: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+    mcux: int,
+    mcuy: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 Annex G) into the accumulated
+    zigzag coefficient arrays; returns the stream position of the next
+    marker. DC scans (Ss=Se=0) may be interleaved and walk the MCU
+    grid; AC scans are single-component (spec rule, enforced) and walk
+    that component's own block grid. Ah=0 scans establish coefficients
+    at precision Al (G.1.2.1/G.1.2.2, with EOB runs); Ah>0 scans refine
+    by one bit (G.1.2.3: correction bits for already-nonzero
+    coefficients interleave the newly-significant run/size symbols).
+    RSTn every restart_interval units resets DC predictors and must not
+    split an EOB run."""
+    ns = body[0]
+    if len(body) < 4 + 2 * ns:
+        raise ValueError("truncated SOS segment")
+    by_cid = {}
+    for si in range(ns):
+        cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+        by_cid[cs] = (tt >> 4, tt & 0x0F)
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if not (0 <= ss <= se <= 63) or al > 13 or ah > 14:
+        raise ValueError("invalid progressive scan header")
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError(
+            "progressive scan may not mix DC and AC coefficients"
+        )
+    if not dc_scan and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    # scan components, bound to SOF order
+    idxs = []
+    for ci, (cid, _, _, _) in enumerate(comps):
+        if cid in by_cid:
+            idxs.append(ci)
+    if len(idxs) != ns:
+        raise ValueError("scan component not declared in SOF")
+    tabs = {}
+    for ci in idxs:
+        cid = comps[ci][0]
+        dct, act = by_cid[cid]
+        if dc_scan and ah == 0:
+            if (0, dct) not in htables:
+                raise ValueError("missing Huffman table")
+            tabs[ci] = htables[(0, dct)]
+        elif not dc_scan:
+            if (1, act) not in htables:
+                raise ValueError("missing Huffman table")
+            tabs[ci] = htables[(1, act)]
+        else:
+            tabs[ci] = None  # DC refinement: raw bits, no table
+    reader = _BitReader(d, start)
+    p1, m1 = 1 << al, -1 << al
+
+    state = {"eobrun": 0, "preds": [0] * len(comps), "expect_rst": 0}
+
+    def maybe_restart(unit_n: int) -> None:
+        if restart_interval and unit_n and unit_n % restart_interval == 0:
+            if state["eobrun"]:
+                raise ValueError("EOB run crosses a restart interval")
+            got = reader.sync_restart()
+            if got != state["expect_rst"]:
+                raise ValueError("restart marker out of sequence")
+            state["expect_rst"] = (state["expect_rst"] + 1) % 8
+            state["preds"] = [0] * len(comps)
+
+    def dc_first(ci: int, by: int, bx: int) -> None:
+        s = _decode_huffman(reader, tabs[ci])
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        state["preds"][ci] += diff
+        pcoefs[ci][by, bx, 0] = state["preds"][ci] << al
+
+    def dc_refine(ci: int, by: int, bx: int) -> None:
+        if reader.read_bit():
+            # two's-complement OR appends the next lower magnitude bit
+            # correctly for negative DC values too (see module tests)
+            pcoefs[ci][by, bx, 0] |= p1
+
+    def ac_first(ci: int, by: int, bx: int) -> None:
+        zz = pcoefs[ci][by, bx]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huffman(reader, tabs[ci])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    if k > se + 1:
+                        raise ValueError("corrupt ZRL run in AC scan")
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("corrupt AC run/size in scan band")
+            zz[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(ci: int, by: int, bx: int) -> None:
+        zz = pcoefs[ci][by, bx]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _decode_huffman(reader, tabs[ci])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = (1 << r)
+                        if r:
+                            state["eobrun"] += reader.read_bits(r)
+                        break  # rest of band is correction-bits only
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement symbol must have size 1"
+                        )
+                    val = p1 if reader.read_bit() else m1
+                # advance r zero-history positions, reading correction
+                # bits for the nonzero-history positions passed over
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            # EOB-run phase: correction bits for every remaining
+            # nonzero coefficient in the band
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    if dc_scan and ns > 1:
+        block = dc_first if ah == 0 else dc_refine
+        mcu_n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(mcu_n)
+                for ci in idxs:
+                    _, _, sh, sv = comps[ci]
+                    for vy in range(sv):
+                        for vx in range(sh):
+                            block(ci, my * sv + vy, mx * sh + vx)
+                mcu_n += 1
+    elif dc_scan:
+        # single-component DC scan: non-interleaved, the MCU is one
+        # block and the walk is the component's OWN grid (T.81 A.2.2)
+        ci = idxs[0]
+        _, _, sh, sv = comps[ci]
+        bh, bw = _comp_block_grid(w, h, sh, sv, hmax, vmax)
+        block = dc_first if ah == 0 else dc_refine
+        blk_n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(blk_n)
+                block(ci, by, bx)
+                blk_n += 1
+    else:
+        ci = idxs[0]
+        _, _, sh, sv = comps[ci]
+        bh, bw = _comp_block_grid(w, h, sh, sv, hmax, vmax)
+        block = ac_first if ah == 0 else ac_refine
+        blk_n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(blk_n)
+                block(ci, by, bx)
+                blk_n += 1
+        if state["eobrun"]:
+            raise ValueError("EOB run extends past the last block")
+    return _next_marker(d, reader.pos)
+
+
+def _reconstruct_progressive(
+    comps: list[tuple[int, int, int, int]],
+    pcoefs: list[np.ndarray],
+    qtables: dict[int, np.ndarray],
+    w: int,
+    h: int,
+):
+    """Dequantize + IDCT the accumulated coefficient planes (vectorized
+    einsum over all blocks at once), upsample subsampled components by
+    sample replication, crop, JFIF color-convert — the same tail as the
+    baseline path."""
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    full = []
+    for (cid, qid, sh, sv), cz in zip(comps, pcoefs):
+        if qid not in qtables:
+            raise ValueError("missing quant table")
+        q = qtables[qid].astype(np.float64)
+        nby, nbx, _ = cz.shape
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[:, :, ZIGZAG] = cz.astype(np.float64)
+        blocks = nat.reshape(nby, nbx, 8, 8) * q.reshape(8, 8)
+        pix = np.einsum("ji,yxjk,kl->yxil", _DCT, blocks, _DCT) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if sh < hmax:
+            p = np.repeat(p, hmax // sh, axis=1)
+        if sv < vmax:
+            p = np.repeat(p, vmax // sv, axis=0)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes):
     """Baseline JFIF bytes → (h, w) gray or (h, w, 3) RGB uint8.
     Tables are read from the stream; see module docstring for scope."""
@@ -473,6 +975,8 @@ def decode_jpeg(payload: bytes):
     comps = None
     restart_interval = 0
     h = w = 0
+    progressive = False
+    pcoefs: list[np.ndarray] | None = None  # per-component zigzag coefs
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -481,7 +985,12 @@ def decode_jpeg(payload: bytes):
             pos += 1
         marker = d[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI with no scan
+        if marker == 0xD9:  # EOI
+            if pcoefs is not None:
+                # progressive: all scans accumulated — reconstruct once
+                return _reconstruct_progressive(
+                    comps, pcoefs, qtables, w, h
+                )
             raise ValueError("JPEG contains no scan")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # standalone markers carry no length segment; they are not
@@ -527,7 +1036,8 @@ def decode_jpeg(payload: bytes):
                     code <<= 1
                 htables[(tclass, tid)] = inv
                 bpos += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated SOF0 segment")
             if body[0] != 8:
@@ -555,9 +1065,12 @@ def decode_jpeg(payload: bytes):
                 )
             if nc not in (1, 3):
                 raise ValueError("1- or 3-component JPEG only")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG unsupported")
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG "
+                "supported"
+            )
         elif marker == 0xDD:
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
@@ -565,6 +1078,23 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDA:  # SOS — entropy data follows
             if comps is None:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                hmax = max(c[2] for c in comps)
+                vmax = max(c[3] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                if pcoefs is None:
+                    pcoefs = [
+                        np.zeros(
+                            (mcuy * c[3], mcux * c[2], 64), dtype=np.int32
+                        )
+                        for c in comps
+                    ]
+                pos = _progressive_scan(
+                    d, pos + seglen, body, comps, pcoefs, htables,
+                    restart_interval, w, h, hmax, vmax, mcux, mcuy,
+                )
+                continue
             ns = body[0]
             if ns != len(comps):
                 raise ValueError(
@@ -678,4 +1208,12 @@ def decode_jpeg(payload: bytes):
                 np.round(np.stack([r, g, b], axis=2)), 0, 255
             ).astype(np.uint8)
         pos += seglen
+    if (
+        pcoefs is not None
+        and pos + 2 <= len(d)
+        and d[pos : pos + 2] == b"\xff\xd9"
+    ):
+        # EOI in the final two bytes (the loop guard needs 4 bytes for
+        # segment headers): all progressive scans accumulated
+        return _reconstruct_progressive(comps, pcoefs, qtables, w, h)
     raise ValueError("JPEG contains no scan")

@@ -11,12 +11,13 @@ Two decode tiers:
   filters, both implementable with the stdlib — `encode_png`/`decode_png`
   cover 8-bit gray/RGB/RGBA (+alpha variants), filters 0-4, bit-exact
   against numpy ground truth.
-* REAL baseline JPEG too (ext/jpeg.py): Huffman entropy decode + dequant
-  + IDCT with numpy alone — lossy, so tolerance-pinned rather than
-  bit-exact; grayscale and 4:4:4/4:2:0/4:2:2/4:4:0 YCbCr with restart
-  markers (the honest scope note lives in that module).
-* STUBS for formats that genuinely need codec libraries (MP3/H.264,
-  progressive JPEG): `_decode_image_stub` raises unless
+* REAL JPEG too (ext/jpeg.py), baseline SOF0 AND progressive SOF2
+  (spectral selection + successive approximation): Huffman entropy
+  decode + dequant + IDCT with numpy alone — lossy, so tolerance-pinned
+  rather than bit-exact; grayscale and 4:4:4/4:2:0/4:2:2/4:4:0 YCbCr
+  with restart markers (the honest scope note lives in that module).
+* STUBS for formats that genuinely need codec libraries (MP3/H.264):
+  `_decode_image_stub` raises unless
   `fake=True`, in which case a deterministic fake (seeded from the
   content hash) stands in.
 

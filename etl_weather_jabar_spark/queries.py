@@ -1014,10 +1014,14 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "source_shingle_jaccard",
-    f"""
-    WITH toks AS (
+# Shared DuckDB CTE fragments for the source-overlap family
+# (source_shingle_jaccard, source_card_overlap). _SHINGLE_HV_CTES yields
+# shv(source, hv) = the distinct 60-bit 5-gram shingle hashes per source;
+# _KMV_SKETCH_CTES (expects a pairs(src_a, src_b, ...) CTE already
+# defined) yields kmv(src_a, src_b, k_used, k_both) = the bottom-128 KMV
+# set-overlap sketch per pair, computed from per-source pre-truncated
+# sketches (KMV mergeability — identical to the full-set computation).
+_SHINGLE_HV_CTES = f"""toks AS (
         SELECT doc_id, source, {_NORM_TOKENS_SQL} AS t FROM documents
     ), sh AS (
         SELECT doc_id, source,
@@ -1030,19 +1034,9 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT source,
                ('0x' || substr(md5(sg), 1, 15))::BIGINT AS hv
         FROM (SELECT source, unnest(s) AS sg FROM sh)
-    ), sizes AS (
-        SELECT source, CAST(count(*) AS BIGINT) AS n FROM shv GROUP BY 1
-    ), pairs AS (
-        SELECT a.source AS src_a, b.source AS src_b,
-               a.n AS n_a, b.n AS n_b
-        FROM sizes a JOIN sizes b ON a.source < b.source
-    ), inter AS (
-        SELECT a.source AS src_a, b.source AS src_b,
-               CAST(count(*) AS BIGINT) AS n_inter
-        FROM shv a JOIN shv b
-          ON a.hv = b.hv AND a.source < b.source
-        GROUP BY 1, 2
-    ), shk AS (
+    )"""
+
+_KMV_SKETCH_CTES = """shk AS (
         SELECT source, hv FROM (
             SELECT source, hv,
                    row_number() OVER (PARTITION BY source
@@ -1068,7 +1062,102 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
                    AS k_both
         FROM pu WHERE rn <= 128 GROUP BY 1, 2
+    )"""
+
+
+def _source_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (source, hv): 60-bit md5 hashes of 5-gram shingles per
+    source — the shared input of the exact and KMV halves of the
+    source-overlap family. md5 (not xxhash64) because the DuckDB twins
+    replay the hash order bit-for-bit."""
+    from .functions.text import shingles
+
+    return (
+        docs.select(
+            "source", F.explode(shingles(F.col("text"), 5)).alias("sg")
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .distinct()
     )
+
+
+def _kmv_sketch_pairs(shv: DataFrame, pkeys: DataFrame) -> DataFrame:
+    """Per-pair KMV set-overlap sketch (src_a, src_b, k_used, k_both)
+    from per-source bottom-128 sketches.
+
+    KMV mergeability (round-5 verdict item 1): bottom-k(A∪B) ⊆
+    bottom-k(A) ∪ bottom-k(B), and any survivor of bottom-k(A∪B) that
+    lies in A has rank ≤ k within A too — so each source is
+    pre-truncated to its OWN bottom-128 (skew-safe two-phase top-k, one
+    pass over S source groups) BEFORE the pair fan-out. The sketch path
+    is ≤ S·128 rows total: the pair union is ≤ 256 rows per pair and
+    the per-pair re-rank window sorts sketches, never the full |A∪B|
+    union. Bit-identical to the full-set computation; the DuckDB twin
+    (_KMV_SKETCH_CTES) mirrors the truncation. ``pkeys`` carries the
+    (src_a, src_b) pair keys (S² rows — broadcast)."""
+    from .operators.windows import scalable_topk_per_group
+
+    shk = scalable_topk_per_group(
+        shv, ["source"], [F.col("hv").asc()], 128, salt_by=["hv"]
+    ).drop("rnk")
+    # pair membership via two broadcast EQUI-joins (never an
+    # OR-predicate nested loop over the hash universe): each side of a
+    # pair contributes its sketch hashes tagged, then one (pair, hv)
+    # agg dedupes and sets the both-flag
+    ua = shk.join(
+        F.broadcast(pkeys), shk["source"] == F.col("src_a")
+    ).select(
+        "src_a", "src_b", "hv",
+        F.lit(1).alias("__a"), F.lit(0).alias("__b"),
+    )
+    ub = shk.join(
+        F.broadcast(pkeys), shk["source"] == F.col("src_b")
+    ).select(
+        "src_a", "src_b", "hv",
+        F.lit(0).alias("__a"), F.lit(1).alias("__b"),
+    )
+    u = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "hv")
+        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy(F.col("hv").asc())
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 128)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.sum(
+                ((F.col("__a") == 1) & (F.col("__b") == 1)).cast("int")
+            )
+            .cast("bigint")
+            .alias("k_both"),
+        )
+    )
+
+
+@_register(
+    "source_shingle_jaccard",
+    f"""
+    WITH {_SHINGLE_HV_CTES}, sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM shv GROUP BY 1
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.n AS n_a, b.n AS n_b
+        FROM sizes a JOIN sizes b ON a.source < b.source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM shv a JOIN shv b
+          ON a.hv = b.hv AND a.source < b.source
+        GROUP BY 1, 2
+    ), {_KMV_SKETCH_CTES}
     SELECT p.src_a, p.src_b, p.n_a, p.n_b,
            coalesce(i.n_inter, 0) AS n_inter,
            CAST(coalesce(i.n_inter, 0) * 1000000
@@ -1095,21 +1184,8 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch column is what you keep when sources grow past that —
     per-source bottom-k sketches are k rows each and merge like any
     KMV."""
-    from .functions.text import shingles
-
     docs = spread(load_table(spark, sf_dir, "documents"))
-    shv = (
-        docs.select(
-            "source", F.explode(shingles(F.col("text"), 5)).alias("sg")
-        )
-        .select(
-            "source",
-            F.conv(F.substring(F.md5("sg"), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("hv"),
-        )
-        .distinct()
-    )
+    shv = _source_shingle_hashes(docs)
     sizes = shv.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -1130,52 +1206,7 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
     )
-    # KMV mergeability (round-5 verdict item 1): bottom-k(A∪B) ⊆
-    # bottom-k(A) ∪ bottom-k(B), and any survivor of bottom-k(A∪B)
-    # that lies in A has rank ≤ k within A too — so each source is
-    # pre-truncated to its OWN bottom-128 (skew-safe two-phase top-k,
-    # one pass over S source groups) BEFORE the pair fan-out. The
-    # sketch path is then ≤ S·128 rows total: the pair union is ≤ 256
-    # rows per pair and the per-pair re-rank window sorts sketches,
-    # never the full |A∪B| union (which only the exact half — the
-    # thing the sketch exists to replace at 100 TB — still pays for).
-    # Result is bit-identical to the full-set computation; the DuckDB
-    # twin mirrors the truncation.
-    from .operators.windows import scalable_topk_per_group
-
-    shk = scalable_topk_per_group(
-        shv, ["source"], [F.col("hv").asc()], 128, salt_by=["hv"]
-    ).drop("rnk")
-    # pair membership via two broadcast EQUI-joins (never an
-    # OR-predicate nested loop over the hash universe): each side of a
-    # pair contributes its sketch hashes tagged, then one (pair, hv)
-    # agg dedupes and sets the both-flag
-    pkeys = pairs.select("src_a", "src_b")
-    ua = shk.join(
-        F.broadcast(pkeys), shk["source"] == F.col("src_a")
-    ).select("src_a", "src_b", "hv", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
-    ub = shk.join(
-        F.broadcast(pkeys), shk["source"] == F.col("src_b")
-    ).select("src_a", "src_b", "hv", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
-    u = (
-        ua.unionByName(ub)
-        .groupBy("src_a", "src_b", "hv")
-        .agg(F.max("__a").alias("__a"), F.max("__b").alias("__b"))
-    )
-    w = Window.partitionBy("src_a", "src_b").orderBy(F.col("hv").asc())
-    kmv = (
-        u.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 128)
-        .groupBy("src_a", "src_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("k_used"),
-            F.sum(
-                ((F.col("__a") == 1) & (F.col("__b") == 1)).cast("int")
-            )
-            .cast("bigint")
-            .alias("k_both"),
-        )
-    )
+    kmv = _kmv_sketch_pairs(shv, pairs.select("src_a", "src_b"))
     ni = F.coalesce(F.col("n_inter"), F.lit(0).cast("bigint"))
     return (
         pairs.join(inter, on=["src_a", "src_b"], how="left")
@@ -1361,10 +1392,10 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "source_quality_card",
-    f"""
-    WITH d AS (
+# Shared DuckDB fragments for the data-card family (source_quality_card,
+# source_card_overlap): _CARD_CTES computes the per-doc quality/dup/lang
+# staging, _CARD_SELECT rolls it up to the per-source card row.
+_CARD_CTES = f"""d AS (
         SELECT source, doc_id, lang, text,
                string_split(text, ' ') AS w,
                md5(text) AS h
@@ -1404,8 +1435,9 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
             FROM lm
         ) WHERE rn = 1
-    )
-    SELECT g.source,
+    )"""
+
+_CARD_SELECT = f"""SELECT g.source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(g.n_words) AS BIGINT) AS n_tokens,
            CAST({_sql_halfup('sum(g.n_words)', 'count(*)')} AS BIGINT)
@@ -1419,22 +1451,14 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g
     JOIN dup ON dup.source = g.source AND dup.doc_id = g.doc_id
     JOIN dom ON dom.source = g.source
-    GROUP BY 1
-    """,
-)
-def source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The per-SOURCE data card a curation run publishes before
-    choosing mixture weights: document/token volume, exact half-up mean
-    length, Gopher keep-rate (the full rule conjunction, Unicode alpha
-    class), within-source exact-duplicate rate, language count and
-    dominant language (deterministic tie-break) — one scan-shaped
-    query, every ratio in exact integer ppm. Composes rule sets that
-    are individually certified (gopher_rules_docs, dedup_exact_docs,
-    lang stats) into the summary REAL decisions read; the oracle
-    replays the composition. 100 TB: one shuffle on (source, text-hash)
-    for the dup flag, one on source for the rollup; everything else is
-    scan-level column math."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    GROUP BY 1"""
+
+
+def _quality_card_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of _CARD_CTES + _CARD_SELECT: per-source volume,
+    exact mean length, full Gopher keep-rate, exact-dup rate, language
+    mix — one scan shape, every ratio exact integer ppm. Shared by
+    source_quality_card and source_card_overlap."""
     w = F.split("text", " ")
     m = docs.select(
         "source",
@@ -1500,6 +1524,121 @@ def source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dominant_lang",
         )
     )
+
+
+@_register(
+    "source_quality_card",
+    f"""
+    WITH {_CARD_CTES}
+    {_CARD_SELECT}
+    """,
+)
+def source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-SOURCE data card a curation run publishes before
+    choosing mixture weights: document/token volume, exact half-up mean
+    length, Gopher keep-rate (the full rule conjunction, Unicode alpha
+    class), within-source exact-duplicate rate, language count and
+    dominant language (deterministic tie-break) — one scan-shaped
+    query, every ratio in exact integer ppm. Composes rule sets that
+    are individually certified (gopher_rules_docs, dedup_exact_docs,
+    lang stats) into the summary REAL decisions read; the oracle
+    replays the composition. 100 TB: one shuffle on (source, text-hash)
+    for the dup flag, one on source for the rollup; everything else is
+    scan-level column math."""
+    return _quality_card_frame(
+        spread(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@_register(
+    "source_card_overlap",
+    f"""
+    WITH {_CARD_CTES},
+    card AS (
+    {_CARD_SELECT}
+    ), {_SHINGLE_HV_CTES}, srcs AS (
+        SELECT DISTINCT source FROM shv
+    ), pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ), {_KMV_SKETCH_CTES}, kppm AS (
+        SELECT src_a, src_b,
+               CAST(k_both * 1000000 // k_used AS BIGINT) AS kmv_ppm
+        FROM kmv
+    ), bidir AS (
+        SELECT src_a AS source, src_b AS partner, kmv_ppm FROM kppm
+        UNION ALL
+        SELECT src_b AS source, src_a AS partner, kmv_ppm FROM kppm
+    ), best AS (
+        SELECT source, partner, kmv_ppm FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY kmv_ppm DESC, partner ASC) AS rn
+            FROM bidir
+        ) WHERE rn = 1
+    )
+    SELECT card.*, best.partner AS top_overlap_src,
+           best.kmv_ppm AS top_overlap_kmv_ppm
+    FROM card JOIN best ON best.source = card.source
+    """,
+)
+def source_card_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE unified per-source data card (round-5 verdict item 5): the
+    quality-card row (volume, exact mean length, Gopher keep-rate,
+    exact-dup rate, language mix — _quality_card_frame) EXTENDED with
+    the cross-source overlap verdict a mixture decision needs: which
+    OTHER source this one overlaps most (top_overlap_src) and the KMV
+    bottom-128 sketch estimate of that shingle-set Jaccard in ppm
+    (top_overlap_kmv_ppm). One certified query now answers
+    volume/quality/dup/language/overlap — the table a real curator
+    reads before setting mixture weights; source_quality_card and
+    source_shingle_jaccard stay registered unchanged for
+    round-over-round comparability.
+
+    100 TB: the card half is scan-shaped (one shuffle on (source, h),
+    one on source); the overlap half is SKETCH-sized end to end —
+    per-source bottom-128 KMV sketches (_kmv_sketch_pairs, ≤ S·128
+    rows) fanned out over S² broadcast pair keys; no full shingle-set
+    pair join anywhere (that exact diagnostic lives, clearly labelled,
+    in source_shingle_jaccard)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    card = _quality_card_frame(docs)
+    shv = _source_shingle_hashes(docs)
+    srcs = shv.select("source").distinct()
+    pkeys = srcs.select(F.col("source").alias("src_a")).join(
+        srcs.select(F.col("source").alias("src_b")),
+        F.col("src_a") < F.col("src_b"),
+    )
+    kppm = _kmv_sketch_pairs(shv, pkeys).select(
+        "src_a",
+        "src_b",
+        floor_div(F.col("k_both") * F.lit(1000000), F.col("k_used"))
+        .alias("kmv_ppm"),
+    )
+    bidir = kppm.select(
+        F.col("src_a").alias("source"),
+        F.col("src_b").alias("partner"),
+        "kmv_ppm",
+    ).unionByName(
+        kppm.select(
+            F.col("src_b").alias("source"),
+            F.col("src_a").alias("partner"),
+            "kmv_ppm",
+        )
+    )
+    wb = Window.partitionBy("source").orderBy(
+        F.col("kmv_ppm").desc(), F.col("partner").asc()
+    )
+    best = (
+        bidir.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("partner").alias("top_overlap_src"),
+            F.col("kmv_ppm").alias("top_overlap_kmv_ppm"),
+        )
+    )
+    return card.join(best, on="source")
 
 
 # =========================================================================
@@ -2614,8 +2753,10 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import (
         _pq_adc_table,
         _pq_codebook_df,
+        _pq_encode_frame,
+        _residual_frame,
         _scored_against_int_centroids,
-        assign_nearest_int,
+        pq_seed_codebooks_residual,
         quantize_micro_units,
         train_ivf_centroids_exact,
     )
@@ -2629,91 +2770,21 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(c), [int(x) for x in v]) for c, v in cents],
         schema="cid INT, cv ARRAY<BIGINT>",
     )
-    assigned = assign_nearest_int(qemb, cents, "vec_id", "__q")
-    res = assigned.join(F.broadcast(cdf_cent), on="cid").select(
-        "vec_id",
-        "cid",
-        F.zip_with("__q", "cv", lambda a, b: a - b).alias("__rv"),
-    )
-    # materialize the residual frame ONCE: the 8 per-subspace codebook
-    # seedings and the encode all read it, and without this the
-    # assignment join was recomputed ~10x (measured 9.9s -> ~3s at
-    # sf0.1). reliable=True keeps lineage (persist DISK_ONLY), so on a
-    # real cluster an executor loss recomputes the lost blocks instead
-    # of killing the job. Identity in plan-only mode.
-    from .planmode import checkpoint, is_plan_only
+    res = _residual_frame(emb, cents)
+    # materialize the residual frame ONCE: the one-job codebook seeding
+    # and the encode both read it, and without this the assignment join
+    # was recomputed ~10x (measured 9.9s -> ~3s at sf0.1).
+    # reliable=True keeps lineage (persist DISK_ONLY), so on a real
+    # cluster an executor loss recomputes the lost blocks instead of
+    # killing the job. Identity in plan-only mode.
+    from .planmode import checkpoint
 
     res = checkpoint(res, reliable=True)
-
-    if is_plan_only():
-        cbs = [
-            (s, c, [1000000 if d == c % 8 else 0 for d in range(8)])
-            for s in range(8)
-            for c in range(16)
-        ]
-    else:
-        # all 8 subspaces' seeds in ONE job: explode the per-subspace
-        # rank key, window per subspace, collect the 128 model cells
-        ranked = (
-            res.select(
-                "vec_id",
-                "__rv",
-                F.explode(
-                    F.sequence(F.lit(0), F.lit(7))
-                ).alias("s"),
-            )
-            .withColumn(
-                "__hk",
-                F.md5(
-                    F.concat(
-                        F.col("vec_id").cast("string"),
-                        F.lit(":pqr"),
-                        F.col("s").cast("string"),
-                    )
-                ),
-            )
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy("s").orderBy("__hk", "vec_id")
-                ),
-            )
-            .where(F.col("__rn") <= 16)
-            .select(
-                "s",
-                (F.col("__rn") - 1).alias("c"),
-                F.slice(
-                    F.col("__rv"), F.col("s") * 8 + F.lit(1), F.lit(8)
-                ).alias("sv"),
-            )
-            .collect()
-        )
-        cbs = [
-            (int(r["s"]), int(r["c"]), [int(x) for x in r["sv"]])
-            for r in ranked
-        ]
+    cbs = pq_seed_codebooks_residual(res)
     cdf = _pq_codebook_df(spark, cbs)
-    # encode residuals: argmin per (vec, s)
-    from .ext.similarity import _pq_subvectors
-
-    subs = _pq_subvectors(
-        res.select("vec_id", "__rv"), "__rv", 8, 8
-    )
-    enc = (
-        subs.join(F.broadcast(cdf), on="s")
-        .withColumn(
-            "__d",
-            F.aggregate(
-                F.zip_with(
-                    F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct(F.col("__d").alias("d"), F.col("c").alias("c"))).alias("b"))
-        .select("vec_id", "s", F.col("b.c").cast("int").alias("code"))
+    # encode residuals: argmin per (vec, s) — the one shared encode
+    enc = _pq_encode_frame(
+        res.select("vec_id", "__rv"), "__rv", cdf, 8, 8, "vec_id"
     )
     queries = qemb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "__q"
@@ -2741,7 +2812,7 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
         extra_cols=["cid"],
     )
-    cand = assigned.select("vec_id", "cid").join(
+    cand = res.select("vec_id", "cid").join(
         F.broadcast(probes.select("query_id", "cid")), on="cid"
     ).where(F.col("vec_id") != F.col("query_id"))
     scored = (
@@ -2758,6 +2829,52 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "vec_id", "adc_dist", "rank")
     )
+
+
+@_register("ivfpq_residual_indexed_topk")
+def ivfpq_residual_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED residual-IVFPQ serving path (round-5 verdict item
+    6 — faiss IndexIVFPQ's actual on-disk architecture):
+    ext/similarity.py::save_ivfpq_residual_index writes per vector only
+    (id, residual code array, cid) partitionBy(cid) plus the integer
+    centroids and residual-seeded codebooks as model files;
+    ivfpq_residual_topk_indexed probes the stored centroids, reads ONLY
+    the probed list partitions (PartitionFilters asserted in
+    tests/test_similarity.py), rebuilds each query's per-list residual
+    and ADC-ranks from the stored codes. Same deterministic semantics
+    and model state as the certified in-memory composition
+    ivfpq_residual_topk, so the SAME DuckDB twin certifies the whole
+    persisted chain."""
+    import tempfile
+
+    from .ext.similarity import (
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+    )
+    from .planmode import is_plan_only
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if is_plan_only():
+        # the serving plan bakes index file paths into its scans; the
+        # unindexed composition is the representative plan shape
+        return ivfpq_residual_topk(spark, sf_dir)
+    key = sf_dir + ":ivfpqr"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="ivfpqr_q_") + "/idx"
+        cents = train_ivf_centroids_exact(emb, n_clusters=16, iters=0)
+        save_ivfpq_residual_index(emb, idx, cents)
+        _IVF_INDEX_MEMO[key] = idx
+    return ivfpq_residual_topk_indexed(spark, idx, queries, k=10, n_probe=3)
+
+
+# identical semantics + model state as ivfpq_residual_topk, so the same
+# twin certifies the persisted residual chain
+ORACLE_SQL["ivfpq_residual_indexed_topk"] = ORACLE_SQL["ivfpq_residual_topk"]
 
 
 @_register(
@@ -9449,13 +9566,16 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                     # alternate the real-world layouts: half the JPEGs
                     # ship 4:2:0 chroma subsampling, a third of those
-                    # also carry restart markers (DRI/RSTn) — the
-                    # camera/web profile the round-5 decoder widened to
+                    # also carry restart markers (DRI/RSTn), and the
+                    # other half of the baseline rows ship PROGRESSIVE
+                    # (SOF2) streams — the dominant web profile the
+                    # round-6 decoder widened to
                     payload = encode_jpeg(
                         px,
                         quality=90,
                         subsampling="420" if int(did) % 8 == 2 else "444",
                         restart_interval=2 if int(did) % 24 == 2 else 0,
+                        progressive=int(did) % 8 == 6,
                     )
                     mime = "image/jpeg"
                 else:

@@ -87,12 +87,19 @@ def test_malformed_and_out_of_scope_raise():
         decode_jpeg(b"\x00\x01rubbish")
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated mid-stream
-    # progressive marker (SOF2) is rejected, never mis-decoded
+    # a BASELINE scan mislabelled as progressive (SOF2) is rejected:
+    # its single scan spans Ss=0..Se=63, which a progressive scan may
+    # not (T.81 G.1: DC and AC never share a scan)
     prog = bytearray(good)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="may not mix"):
         decode_jpeg(bytes(prog))
+    # genuinely unsupported frame types still raise
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="only baseline"):
+        decode_jpeg(bytes(lossless))
     # subsampled SOF is rejected
     sub = bytearray(good)
     with pytest.raises(ValueError, match="no scan|marker"):
@@ -239,3 +246,153 @@ def test_jpeg_420_luma_fidelity_on_noise():
         return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
 
     assert int(np.max(np.abs(luma(img) - luma(out)))) <= 20
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """Progressive (SOF2) transmission reorders the SAME quantized
+    coefficients, so a progressive stream must decode bit-identical to
+    its baseline twin — across gray/color, every chroma layout, odd
+    dimensions, and restart markers (round-5 verdict item 4)."""
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:41, 0:57]
+    color = np.clip(
+        np.stack(
+            [(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256],
+            axis=2,
+        )
+        + rng.integers(-12, 12, (41, 57, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    gray = np.clip(
+        (yy * 4 + xx * 3) % 256 + rng.integers(-12, 12, (41, 57)), 0, 255
+    ).astype(np.uint8)
+
+    for ss in ("444", "420", "422", "440"):
+        b = decode_jpeg(encode_jpeg(color, 85, subsampling=ss))
+        p = decode_jpeg(
+            encode_jpeg(color, 85, subsampling=ss, progressive=True)
+        )
+        assert np.array_equal(b, p), ss
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, 85)),
+        decode_jpeg(encode_jpeg(gray, 85, progressive=True)),
+    )
+    # restart markers inside progressive scans (RSTn resets preds AND
+    # may not split an EOB run)
+    for ri in (1, 3):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(color, 70, subsampling="420")),
+            decode_jpeg(
+                encode_jpeg(
+                    color,
+                    70,
+                    subsampling="420",
+                    progressive=True,
+                    restart_interval=ri,
+                )
+            ),
+        ), ri
+    # pure noise at several qualities — the worst case for the AC
+    # refinement correction-bit interleave
+    for q in (30, 60, 95):
+        noise = rng.integers(0, 256, (19, 23, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(noise, q)),
+            decode_jpeg(encode_jpeg(noise, q, progressive=True)),
+        ), q
+
+
+def test_progressive_eob_run_hand_crafted_stream():
+    """Decode paths our encoder never emits, driven by a hand-built
+    stream: an EOBn symbol with r=1 (EOB run spanning multiple blocks —
+    real encoders' bread and butter) and a custom DHT. The decoded
+    image is checked against an independent numpy IDCT of the planted
+    coefficients."""
+    from etl_weather_jabar_spark.ext.jpeg import ZIGZAG, _BitWriter, _DCT
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    # quant table: all ones (tid 0)
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    # SOF2: 8-bit, h=8, w=24 (3 blocks), 1 component, q-table 0
+    sof2 = seg(0xC2, bytes([8, 0, 8, 0, 24, 1, 1, 0x11, 0]))
+    # custom DC table (tid 0): two 2-bit codes 00->cat0, 01->cat2
+    dc_bits = [0, 2] + [0] * 14
+    dht_dc = seg(0xC4, bytes([0x00] + dc_bits + [0x00, 0x02]))
+    # custom AC table (tid 0): two 2-bit codes 00->(r0,s2), 01->EOB1 (0x10)
+    ac_bits = [0, 2] + [0] * 14
+    dht_ac = seg(0xC4, bytes([0x10] + ac_bits + [0x02, 0x10]))
+
+    # DC first scan (Ss=0 Se=0 Ah=0 Al=0): diffs 0, +3, -2
+    wtr = _BitWriter()
+    wtr.write(0b00, 2)              # cat0 -> diff 0
+    wtr.write(0b01, 2); wtr.write(0b11, 2)   # cat2 -> +3
+    wtr.write(0b01, 2); wtr.write(0b01, 2)   # cat2 raw 01 -> -2
+    wtr.flush()
+    sos_dc = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bytes(wtr.out)
+
+    # AC first scan (Ss=1 Se=63 Ah=0 Al=0): block1 zz[1]=+3 then EOBn
+    # r=1 with extension bit 1 -> run = 2+1 = 3 blocks (1 covers the
+    # rest of block1, blocks 2 and 3 entirely)
+    wtr = _BitWriter()
+    wtr.write(0b00, 2)              # (r=0, s=2)
+    wtr.write(0b11, 2)              # +3
+    wtr.write(0b01, 2)              # EOBn r=1
+    wtr.write(0b1, 1)               # extension -> eobrun covers blocks 2,3
+    wtr.flush()
+    sos_ac = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bytes(wtr.out)
+
+    blob = b"\xff\xd8" + dqt + sof2 + dht_dc + dht_ac + sos_dc + sos_ac + b"\xff\xd9"
+    got = decode_jpeg(blob)
+    assert got.shape == (8, 24)
+
+    # independent reconstruction of the planted coefficients
+    dcs = [0, 3, 1]  # cumulative DC predictor: 0, 0+3, 3-2
+    expect = np.zeros((8, 24))
+    for b, dc in enumerate(dcs):
+        zz = np.zeros(64)
+        zz[0] = dc
+        if b == 0:
+            zz[1] = 3
+        nat = np.zeros(64)
+        nat[ZIGZAG] = zz
+        blk = _DCT.T @ nat.reshape(8, 8) @ _DCT + 128.0
+        expect[:, b * 8 : b * 8 + 8] = blk
+    assert np.array_equal(
+        got, np.clip(np.round(expect), 0, 255).astype(np.uint8)
+    )
+
+
+def test_progressive_flows_through_spark_multimodal(spark):
+    """A progressive JPEG payload flows through the Arrow mapInPandas
+    pipeline exactly like a baseline one: dims exact, channel means
+    within the lossy tolerance, aHash equal to the baseline twin's (the
+    pixels are bit-identical)."""
+    from etl_weather_jabar_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        ahash_media,
+        extract_features_real,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(24, 16, 3)).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_jpeg(img, 92)), "image/jpeg", 16, 24, None),
+        (
+            2,
+            "image",
+            bytearray(encode_jpeg(img, 92, progressive=True)),
+            "image/jpeg",
+            16,
+            24,
+            None,
+        ),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features_real(media).collect()}
+    assert (feats[2]["width"], feats[2]["height"]) == (16, 24)
+    assert feats[1]["mean_r"] == feats[2]["mean_r"]
+    sigs = {r["media_id"]: r["sig"] for r in ahash_media(media).collect()}
+    assert sigs[1] == sigs[2] and isinstance(sigs[2], int)

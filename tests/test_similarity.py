@@ -878,3 +878,27 @@ def test_ivfpq_indexed_registry_partition_pruned(spark):
     lists = spark.read.parquet(f"{idx}/lists")
     assert set(lists.columns) == {"vec_id", "codes", "cid"}
     assert lists.count() == 500
+
+
+def test_ivfpq_residual_indexed_registry_partition_pruned(spark):
+    """The persisted RESIDUAL IVFPQ serving query (round-5 verdict item
+    6) reads only probed list partitions (PartitionFilters on cid), the
+    stored lists carry ONLY (vec_id, codes, cid) — residual codes, no
+    raw vectors — and the persisted serve matches the certified
+    in-memory composition row for row."""
+    from etl_weather_jabar_spark import queries as Q
+
+    df = Q.QUERIES["ivfpq_residual_indexed_topk"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cid" in plan.split("PartitionFilters:")[1].split("]")[0]
+    idx = Q._IVF_INDEX_MEMO["/root/testdata/sf0.001:ivfpqr"]
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert set(lists.columns) == {"vec_id", "codes", "cid"}
+    assert lists.count() == 500
+    mem = Q.QUERIES["ivfpq_residual_topk"](spark, "/root/testdata/sf0.001")
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, mem.collect())
+    )

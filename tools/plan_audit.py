@@ -148,7 +148,9 @@ AUDIT_QUERIES = [
     "ivfpq_indexed_topk",
     "token_budget_mix",
     "source_quality_card",
+    "source_card_overlap",
     "ivfpq_residual_topk",
+    "ivfpq_residual_indexed_topk",
     "cluster_survivor_selection",
     "pmi_skipgram_window",
 ]
@@ -185,8 +187,10 @@ EXPECTED_NESTED_LOOP = {
     "ivf_pq_topk": "subvectors/probes × model-sized broadcasts (IVF centroids + PQ codebooks)",
     "ivfpq_indexed_topk": "subvectors/probes × model-sized broadcasts (plan-only uses the unindexed IVF+PQ shape)",
     "ivfpq_residual_topk": "residual subvectors/probes × model-sized broadcasts (IVF centroids + residual PQ codebooks)",
+    "ivfpq_residual_indexed_topk": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape)",
     "curation_funnel_semantic": "survivor embeddings × centroid-count-sized model broadcast (SemDeDup stage)",
     "source_shingle_jaccard": "source-pair grid join (src_a < src_b over a sources-count-sized side)",
+    "source_card_overlap": "source-pair grid join (src_a < src_b over a sources-count-sized side)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
