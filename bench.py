@@ -100,6 +100,7 @@ TIER3_QUERIES = [
     "multimodal_features_real",
     "chunk_dedup_docs",
     "classifier_filter_docs",
+    "perceptron_train_filter",
     "image_ahash_neardup",
     "bpe_merge_rounds",
     "bpe_encode_stats",

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ext.dedup_text import (
@@ -1454,13 +1454,13 @@ _CARD_SELECT = f"""SELECT g.source,
     GROUP BY 1"""
 
 
-def _quality_card_frame(docs: DataFrame) -> DataFrame:
-    """Spark twin of _CARD_CTES + _CARD_SELECT: per-source volume,
-    exact mean length, full Gopher keep-rate, exact-dup rate, language
-    mix — one scan shape, every ratio exact integer ppm. Shared by
-    source_quality_card and source_card_overlap."""
+def _gopher_measures(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher rule staging (the Spark twin of _CARD_CTES's
+    ``m``): word/char counts, Unicode-alpha and symbol-token counts,
+    text hash — shared by the data-card family and the perceptron
+    trainer's rule label."""
     w = F.split("text", " ")
-    m = docs.select(
+    return docs.select(
         "source",
         "doc_id",
         "lang",
@@ -1476,13 +1476,28 @@ def _quality_card_frame(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_symbol"),
     )
-    keep = (
+
+
+def _gopher_keep() -> Column:
+    """The full Gopher keep conjunction over _gopher_measures columns
+    (certified by source_quality_card / gopher_rules_docs). A function,
+    not a module constant: Column construction needs a live session."""
+    return (
         F.col("n_words").between(50, 100000)
         & (F.col("sum_len") >= 3 * F.col("n_words"))
         & (F.col("sum_len") <= 10 * F.col("n_words"))
         & (F.col("n_symbol") * 10 <= F.col("n_words"))
         & (F.col("n_alpha") * 10 >= F.col("n_words") * 8)
-    ).cast("int")
+    )
+
+
+def _quality_card_frame(docs: DataFrame) -> DataFrame:
+    """Spark twin of _CARD_CTES + _CARD_SELECT: per-source volume,
+    exact mean length, full Gopher keep-rate, exact-dup rate, language
+    mix — one scan shape, every ratio exact integer ppm. Shared by
+    source_quality_card and source_card_overlap."""
+    m = _gopher_measures(docs)
+    keep = _gopher_keep().cast("int")
     is_dup = (
         F.count(F.lit(1)).over(Window.partitionBy("source", "h")) > 1
     ).cast("int")
@@ -11169,6 +11184,170 @@ def classifier_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.alias("best_score"),
         (best - second).alias("margin"),
         F.when(best > 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+def _perc_round_sql(r: int) -> str:
+    """One unrolled batch-perceptron round (margin → misclassified set
+    → weight delta → new weights) for the perceptron oracle."""
+    p = r - 1
+    return f"""m{r} AS (
+        SELECT f.doc_id, CAST(sum(f.c * w{p}.w) AS BIGINT) AS m
+        FROM feats f JOIN w{p} USING (slot) GROUP BY 1
+    ), mis{r} AS (
+        SELECT l.doc_id, l.y
+        FROM lab l LEFT JOIN m{r} USING (doc_id)
+        WHERE l.y * coalesce(m{r}.m, 0) <= 0
+    ), d{r} AS (
+        SELECT f.slot, CAST(sum(mis{r}.y * f.c) AS BIGINT) AS dw
+        FROM feats f JOIN mis{r} USING (doc_id) GROUP BY 1
+    ), w{r} AS (
+        SELECT coalesce(w{p}.slot, d{r}.slot) AS slot,
+               CAST(coalesce(w{p}.w, 0) + coalesce(d{r}.dw, 0) AS BIGINT)
+                   AS w
+        FROM w{p} FULL JOIN d{r} ON w{p}.slot = d{r}.slot
+    )"""
+
+
+@_register(
+    "perceptron_train_filter",
+    f"""
+    WITH {_CARD_CTES},
+    lab AS (
+        SELECT doc_id, source,
+               CASE WHEN keep = 1 THEN 1 ELSE -1 END AS y
+        FROM g
+    ),
+    ptoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(tok || ':fh'), 1, 8) AS BIGINT)
+                   % {_FH_DIM} AS slot,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ptoks GROUP BY 1, 2
+    ),
+    w1 AS (
+        SELECT f.slot, CAST(sum(l.y * f.c) AS BIGINT) AS w
+        FROM feats f JOIN lab l USING (doc_id) GROUP BY 1
+    ), {_perc_round_sql(2)}, {_perc_round_sql(3)},
+    mf AS (
+        SELECT f.doc_id, CAST(sum(f.c * w3.w) AS BIGINT) AS m
+        FROM feats f JOIN w3 USING (slot) GROUP BY 1
+    )
+    SELECT l.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(mf.m, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred_keep,
+           CAST(sum(CASE WHEN l.y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_label_keep,
+           CAST(sum(CASE WHEN (coalesce(mf.m, 0) > 0) = (l.y = 1)
+                    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+               AS agreement_ppm
+    FROM lab l LEFT JOIN mf USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def perceptron_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING — the missing half of
+    classifier_filter_docs (which is inference-only): a 3-round BATCH
+    perceptron over hashed token features learns to mimic the certified
+    Gopher rule label (the fastText-distillation shape real pipelines
+    use: expensive rule/LLM labels on a seed set, a cheap linear model
+    for the full corpus). Everything is exact integers — features are
+    token counts in {_FH_DIM} hashing-trick slots, the label is ±1, a
+    round updates w += Σ_misclassified y·x (order-independent, unlike
+    sequential perceptron — so the model is a pure function of the
+    corpus and the oracle replays training digit-for-digit as three
+    unrolled relational rounds). Output: per-source prediction/label
+    agreement — the curator's check that the cheap filter is safe to
+    deploy.
+
+    100 TB: the feature frame is one corpus explode + (doc, slot) agg,
+    materialized ONCE (reliable checkpoint — lineage kept, spills to
+    disk); each round is two broadcast joins against the 64-row weight
+    vector plus one partial-aggregatable delta; nothing driver-sized
+    ever collects."""
+    from .functions.text import feature_hash_slot
+    from .planmode import checkpoint, loop_rounds
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lab = _gopher_measures(docs).select(
+        "doc_id",
+        "source",
+        F.when(_gopher_keep(), 1).otherwise(-1).cast("int").alias("y"),
+    )
+    feats = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .select(
+            "doc_id", feature_hash_slot(F.col("tok"), _FH_DIM).alias("slot")
+        )
+        .groupBy("doc_id", "slot")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # feats feeds every round + the final scoring; lab feeds each
+    # round's misclassified set + the final rollup
+    feats = checkpoint(feats, reliable=True)
+    lab = checkpoint(lab, reliable=True)
+    w = (
+        feats.join(lab.select("doc_id", "y"), "doc_id")
+        .groupBy("slot")
+        .agg(F.sum(F.col("y") * F.col("c")).cast("bigint").alias("w"))
+    )
+    for _ in range(loop_rounds(2)):
+        m = (
+            feats.join(F.broadcast(w), "slot")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * F.col("w")).cast("bigint").alias("m"))
+        )
+        mis = (
+            lab.select("doc_id", "y")
+            .join(m, "doc_id", "left")
+            .where(F.col("y") * F.coalesce(F.col("m"), F.lit(0)) <= 0)
+        )
+        delta = (
+            feats.join(mis, "doc_id")
+            .groupBy("slot")
+            .agg(F.sum(F.col("y") * F.col("c")).cast("bigint").alias("dw"))
+        )
+        w = (
+            w.join(delta, "slot", "full")
+            .select(
+                "slot",
+                (
+                    F.coalesce(F.col("w"), F.lit(0))
+                    + F.coalesce(F.col("dw"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("w"),
+            )
+        )
+    mf = (
+        feats.join(F.broadcast(w), "slot")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("bigint").alias("m"))
+    )
+    pred = (
+        lab.join(mf, "doc_id", "left")
+        .withColumn("mm", F.coalesce("m", F.lit(0)))
+    )
+    return pred.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("mm") > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_pred_keep"),
+        F.sum((F.col("y") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_label_keep"),
+        floor_div(
+            F.sum(((F.col("mm") > 0) == (F.col("y") == 1)).cast("int"))
+            * F.lit(1000000),
+            F.count(F.lit(1)),
+        ).alias("agreement_ppm"),
     )
 
 

@@ -116,6 +116,7 @@ AUDIT_QUERIES = [
     "explode_outer_tokens",
     "chunk_dedup_docs",
     "classifier_filter_docs",
+    "perceptron_train_filter",
     "bpe_merge_rounds",
     "bpe_encode_stats",
     "pmi_topk_bigrams",
