@@ -101,6 +101,8 @@ TIER3_QUERIES = [
     "chunk_dedup_docs",
     "classifier_filter_docs",
     "perceptron_train_filter",
+    "bm25_topk_docs",
+    "hybrid_rrf_topk",
     "image_ahash_neardup",
     "bpe_merge_rounds",
     "bpe_encode_stats",

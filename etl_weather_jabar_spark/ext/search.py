@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exact import floor_div
+
 
 def build_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -117,3 +119,82 @@ def phrase_match_indexed(
         F.col("shard").isin(sorted(set(shards)))
     )
     return phrase_match(postings, terms, id_col)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """Exact-integer BM25 ranked retrieval (Robertson/Okapi) — the
+    lexical-ranking half a retrieval-based curation stack runs beside
+    vector ANN.
+
+    Log-free exact form: the idf is the rational surrogate
+    ``(D − df + 1)·10⁶ div (df + 1)`` (monotone in df exactly like
+    Robertson's log idf — same ranking behavior, but integer-exact so
+    any engine replays it digit-for-digit), and the tf normalization
+    ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` is cross-multiplied
+    into one integer division with avgdl kept as the exact rational
+    S/D (S = corpus token count, D = doc count):
+
+        contrib = idf_ppm · tf·(k1ₘ+1000)·1000·S
+                  div (tf·10⁶·S + k1ₘ·((1000−bₘ)·S + bₘ·dl·D))
+
+    Magnitudes fit decimal(38)/HUGEINT up to S ≈ 10¹³ tokens (≈ 100 TB
+    of text) — documented bound, checked via the decimal cast.
+
+    ``terms`` is the query: (th) 16-hex term hashes, broadcast. Returns
+    (id, score_u) — integer score units, summed per doc over matched
+    query terms only (docs matching no term simply don't appear, as in
+    any inverted-index engine). 100 TB: one postings aggregation per
+    (doc, term), df/dl/S/D are partial-aggregatable counts, the query
+    join is a broadcast; nothing driver-sized collects."""
+    posts = build_postings(docs, id_col, text_col)
+    dl = posts.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    tot = dl.agg(
+        F.sum("dl").cast("bigint").alias("S"),
+        F.count(F.lit(1)).cast("bigint").alias("D"),
+    )
+    tf = (
+        posts.join(F.broadcast(terms.select("th")), "th")
+        .groupBy(id_col, "th")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("th").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    dec = "decimal(38,0)"
+    k1m, bm = F.lit(k1_milli), F.lit(b_milli)
+    idf_ppm = floor_div(
+        (F.col("D") - F.col("df") + 1).cast(dec) * F.lit(1000000),
+        F.col("df") + 1,
+    ).cast(dec)
+    num = (
+        idf_ppm
+        * F.col("tf").cast(dec)
+        * (k1m + 1000).cast(dec)
+        * F.lit(1000).cast(dec)
+        * F.col("S").cast(dec)
+    )
+    den = (
+        F.col("tf").cast(dec) * F.lit(1000000).cast(dec) * F.col("S").cast(dec)
+        + k1m.cast(dec)
+        * (
+            (F.lit(1000) - bm).cast(dec) * F.col("S").cast(dec)
+            + bm.cast(dec) * F.col("dl").cast(dec) * F.col("D").cast(dec)
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "th")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__c", floor_div(num, den))
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("bigint").alias("score_u"))
+    )

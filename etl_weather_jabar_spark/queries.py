@@ -11351,6 +11351,221 @@ def perceptron_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bm25_topk_docs",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    qterms AS (
+        SELECT substr(md5(tok), 1, 16) AS th FROM (
+            SELECT tok, count(*) AS c FROM tok
+            WHERE length(tok) >= 5
+            GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 8)
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(dl) AS HUGEINT) AS S,
+               CAST(count(*) AS HUGEINT) AS D
+        FROM dl
+    ),
+    tf AS (
+        SELECT t.doc_id, q.th, CAST(count(*) AS BIGINT) AS tf
+        FROM tok t JOIN qterms q ON substr(md5(t.tok), 1, 16) = q.th
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    sc AS (
+        SELECT tf.doc_id,
+               CAST(sum(
+                   ((D - df + 1) * 1000000 // (df + 1))
+                   * CAST(tf AS HUGEINT) * 2200 * 1000 * S
+                   // (CAST(tf AS HUGEINT) * 1000000 * S
+                       + 1200 * (250 * S + 750 * CAST(dl AS HUGEINT) * D))
+               ) AS BIGINT) AS score_u
+        FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), tot
+        GROUP BY 1
+    )
+    SELECT doc_id, score_u,
+           CAST(row_number() OVER (ORDER BY score_u DESC, doc_id ASC)
+                AS INT) AS rank
+    FROM sc ORDER BY score_u DESC, doc_id ASC LIMIT 20
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (ext/search.py::
+    bm25_scores) — the lexical half of a retrieval-curation stack,
+    complementing the vector-ANN family: top-20 documents for the
+    corpus' own 8 heaviest content terms (length ≥ 5, deterministic
+    (count, token) tie-break — a stand-in for a user query that any
+    engine reproduces). The idf is the exact rational surrogate
+    (D−df+1)·10⁶ div (df+1) (monotone in df like Robertson's log idf)
+    and the tf normalization is one cross-multiplied integer division,
+    so scores — including ties — replay digit-for-digit in the oracle.
+    100 TB: df/dl/S/D are partial-aggregatable counts, the query join
+    is an 8-row broadcast, the top-20 is TakeOrdered (no global
+    sort)."""
+    from .ext.search import bm25_scores
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 5)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qterms = (
+        tokc.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(8)
+        .select(F.substring(F.md5("tok"), 1, 16).alias("th"))
+    )
+    sc = bm25_scores(docs, qterms)
+    top = sc.orderBy(F.col("score_u").desc(), F.col("doc_id").asc()).limit(
+        20
+    )
+    w = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@_register(
+    "hybrid_rrf_topk",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    qterms AS (
+        SELECT substr(md5(tok), 1, 16) AS th FROM (
+            SELECT tok, count(*) AS c FROM tok
+            WHERE length(tok) >= 5
+            GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 8)
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(dl) AS HUGEINT) AS S,
+               CAST(count(*) AS HUGEINT) AS D
+        FROM dl
+    ),
+    tf AS (
+        SELECT t.doc_id, q.th, CAST(count(*) AS BIGINT) AS tf
+        FROM tok t JOIN qterms q ON substr(md5(t.tok), 1, 16) = q.th
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    sc AS (
+        SELECT tf.doc_id,
+               CAST(sum(
+                   ((D - df + 1) * 1000000 // (df + 1))
+                   * CAST(tf AS HUGEINT) * 2200 * 1000 * S
+                   // (CAST(tf AS HUGEINT) * 1000000 * S
+                       + 1200 * (250 * S + 750 * CAST(dl AS HUGEINT) * D))
+               ) AS BIGINT) AS score_u
+        FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), tot
+        GROUP BY 1
+    ),
+    lex AS (
+        SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY score_u DESC, doc_id ASC) AS BIGINT) AS rank_lex
+        FROM sc ORDER BY score_u DESC, doc_id ASC LIMIT 50
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               {_cos_sql('e.embedding', 'q.v')} AS cosine
+        FROM embeddings e, qv q
+        WHERE e.vec_id <> 0
+    ),
+    vec AS (
+        SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank_vec
+        FROM cos ORDER BY cosine DESC, doc_id ASC LIMIT 50
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               l.rank_lex, v.rank_vec,
+               CAST(coalesce(1000000000 // (60 + l.rank_lex), 0)
+                    + coalesce(1000000000 // (60 + v.rank_vec), 0)
+                    AS BIGINT) AS rrf_u
+        FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_u,
+           CAST(row_number() OVER (ORDER BY rrf_u DESC, doc_id ASC)
+                AS INT) AS rank
+    FROM fused ORDER BY rrf_u DESC, doc_id ASC LIMIT 20
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion of the two certified
+    rankers, the shape modern retrieval-curation stacks actually
+    deploy: BM25 top-50 (lexical, bm25_topk_docs' exact-integer scorer,
+    corpus top-8 content terms as the query) fused with embedding
+    cosine top-50 against document 0's vector (ann_cosine_topk's
+    rounded-cosine scorer) via RRF with the standard k=60:
+    rrf = Σ floor(10⁹/(60+rank)) — integer micro-units, so fusion,
+    ties and the final top-20 replay exactly. Documents ranked by only
+    one side keep a NULL rank on the other (full-outer fusion, the real
+    semantics — a doc without an embedding can still win on lexical).
+    100 TB: both sides end in TakeOrdered top-50; fusion is a 50∪50-row
+    join."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    from .ext.search import bm25_scores
+    from .ext.similarity import brute_force_topk
+
+    tokc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 5)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qterms = (
+        tokc.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(8)
+        .select(F.substring(F.md5("tok"), 1, 16).alias("th"))
+    )
+    wl = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+    lex = (
+        bm25_scores(docs, qterms)
+        .orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number().over(wl).cast("bigint").alias("rank_lex"),
+        )
+    )
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = brute_force_topk(emb, queries, k=50).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("rank_vec"),
+    )
+    rrf = F.coalesce(
+        floor_div(F.lit(1000000000), F.lit(60) + F.col("rank_lex")),
+        F.lit(0).cast("bigint"),
+    ) + F.coalesce(
+        floor_div(F.lit(1000000000), F.lit(60) + F.col("rank_vec")),
+        F.lit(0).cast("bigint"),
+    )
+    fused = lex.join(vec, "doc_id", "full").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        rrf.cast("bigint").alias("rrf_u"),
+    )
+    wf = Window.orderBy(F.col("rrf_u").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf_u").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+    )
+
+
 @_register("image_ahash_neardup")  # rows-only: binary payload ops
 def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup detection end-to-end: synthesize one
