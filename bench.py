@@ -103,6 +103,7 @@ TIER3_QUERIES = [
     "perceptron_train_filter",
     "bm25_topk_docs",
     "hybrid_rrf_topk",
+    "bm25_indexed_topk",
     "image_ahash_neardup",
     "bpe_merge_rounds",
     "bpe_encode_stats",

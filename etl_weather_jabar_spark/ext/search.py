@@ -169,6 +169,22 @@ def bm25_scores(
     df = tf.groupBy("th").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
+    return _bm25_combine(tf, df, dl, tot, id_col, k1_milli, b_milli)
+
+
+def _bm25_combine(
+    tf: DataFrame,
+    df: DataFrame,
+    dl: DataFrame,
+    tot: DataFrame,
+    id_col: str,
+    k1_milli: int,
+    b_milli: int,
+) -> DataFrame:
+    """The ONE BM25 scoring combiner (shared by the inline scorer and
+    the persisted-index serve, so their oracle equivalence rests on a
+    single arithmetic): per-(doc, term) integer contribution summed per
+    doc. ``df`` is vocab-bounded and ``tot`` 1-row, both broadcast."""
     dec = "decimal(38,0)"
     k1m, bm = F.lit(k1_milli), F.lit(b_milli)
     idf_ppm = floor_div(
@@ -198,3 +214,79 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum("__c").cast("bigint").alias("score_u"))
     )
+
+
+def _shard_of(n_shards: int):
+    return F.pmod(
+        F.conv(F.substring("th", 1, 2), 16, 10).cast("int"), F.lit(n_shards)
+    )
+
+
+def save_search_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+) -> None:
+    """Persist the FULL search index a ranked-retrieval deployment
+    serves from (the Lucene shape: postings + norms + segment stats):
+
+    * ``<path>/postings`` — positional postings partitioned by the
+      term-hash shard (pruned to the query's shards at serve time,
+      same layout as save_postings_index; serves BOTH phrase queries
+      and BM25);
+    * ``<path>/doclen`` — per-document token counts (the "norms"
+      sidecar: BM25's length normalization needs ALL terms' counts,
+      which a shard-pruned scan cannot reconstruct);
+    * ``<path>/stats`` — the 1-row (S, D) corpus totals.
+    """
+    posts = build_postings(docs, id_col, text_col)
+    posts.withColumn("shard", _shard_of(n_shards)).write.partitionBy(
+        "shard"
+    ).mode("overwrite").parquet(f"{path}/postings")
+    dl = posts.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    dl.agg(
+        F.sum("dl").cast("bigint").alias("S"),
+        F.count(F.lit(1)).cast("bigint").alias("D"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    terms: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """BM25 against a persisted search index: the postings scan is
+    partition-PRUNED to the query terms' shards (PartitionFilters —
+    asserted in pytest), tf/df aggregate from only those shards, and
+    the doclen/stats sidecars supply the length normalization. Same
+    results as :func:`bm25_scores` on the indexed corpus (same model
+    state, same combiner)."""
+    shards = sorted(
+        {
+            r["s"]
+            for r in terms.select(_shard_of(n_shards).alias("s")).collect()
+        }
+    )
+    posts = spark.read.parquet(f"{path}/postings").where(
+        F.col("shard").isin(shards)
+    )
+    tf = (
+        posts.join(F.broadcast(terms.select("th")), "th")
+        .groupBy(id_col, "th")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("th").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    tot = spark.read.parquet(f"{path}/stats")
+    return _bm25_combine(tf, df, dl, tot, id_col, k1_milli, b_milli)

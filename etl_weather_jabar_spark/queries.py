@@ -11430,6 +11430,58 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+@_register("bm25_indexed_topk")
+def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED ranked-retrieval serving path (the Lucene shape:
+    sharded postings + doclen "norms" sidecar + 1-row corpus stats —
+    ext/search.py::save_search_index): the postings scan is
+    partition-pruned to the query terms' shards (PartitionFilters
+    asserted in tests/test_analytics.py), tf/df aggregate from those
+    shards only, and the sidecars supply BM25's length normalization
+    (which a pruned scan cannot reconstruct — the reason the norms file
+    exists). Same model state and the SAME scoring combiner as
+    bm25_topk_docs, so the same DuckDB twin certifies the persisted
+    chain — the ivf_indexed_topk pattern applied to text retrieval."""
+    import tempfile
+
+    from .ext.search import bm25_topk_indexed, save_search_index
+    from .planmode import is_plan_only
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 5)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qterms = (
+        tokc.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(8)
+        .select(F.substring(F.md5("tok"), 1, 16).alias("th"))
+    )
+    if is_plan_only():
+        # the serving plan bakes index file paths into its scans; the
+        # unindexed scorer is the representative plan shape
+        return bm25_topk_docs(spark, sf_dir)
+    key = sf_dir + ":bm25"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="bm25_q_") + "/idx"
+        save_search_index(docs, idx)
+        _IVF_INDEX_MEMO[key] = idx
+    sc = bm25_topk_indexed(spark, idx, qterms)
+    top = sc.orderBy(F.col("score_u").desc(), F.col("doc_id").asc()).limit(
+        20
+    )
+    w = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# identical semantics + model state as bm25_topk_docs, so the same twin
+# certifies the persisted retrieval chain
+ORACLE_SQL["bm25_indexed_topk"] = ORACLE_SQL["bm25_topk_docs"]
+
+
 @_register(
     "hybrid_rrf_topk",
     f"""

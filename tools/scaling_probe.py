@@ -365,6 +365,20 @@ def main() -> None:
 
         return bigram_lm_score(d)
 
+    def _bm25(d):
+        from etl_weather_jabar_spark.ext.search import bm25_scores
+
+        qterms = (
+            d.select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.length("tok") >= 5)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("tok").asc())
+            .limit(8)
+            .select(F.substring(F.md5("tok"), 1, 16).alias("th"))
+        )
+        return bm25_scores(d, qterms)
+
     def _phrase(d):
         from etl_weather_jabar_spark.ext.search import (
             build_postings,
@@ -821,6 +835,14 @@ def main() -> None:
                 replicate(emb, k, "vec_id"),
                 n_bits=8 + max(1, round(__import__("math").log2(k))),
             ),
+        ),
+        # BM25 lexical ranking: postings aggs (dl/tf/df) + 8-row query
+        # broadcast + per-doc sum - every stage partial-aggregates;
+        # term selection re-derives per side but is itself one
+        # vocab-bounded aggregate
+        "bm25_scores": (
+            lambda: _bm25(docs),
+            lambda: _bm25(replicate(docs, k, "doc_id")),
         ),
         # KMV bottom-k distinct sketch: distinct + group-bounded window;
         # sketch stays k rows per group at any cardinality
