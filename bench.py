@@ -104,6 +104,7 @@ TIER3_QUERIES = [
     "bm25_topk_docs",
     "hybrid_rrf_topk",
     "bm25_indexed_topk",
+    "bm25_incremental_topk",
     "image_ahash_neardup",
     "bpe_merge_rounds",
     "bpe_encode_stats",

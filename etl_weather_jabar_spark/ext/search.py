@@ -290,3 +290,42 @@ def bm25_topk_indexed(
     dl = spark.read.parquet(f"{path}/doclen")
     tot = spark.read.parquet(f"{path}/stats")
     return _bm25_combine(tf, df, dl, tot, id_col, k1_milli, b_milli)
+
+
+def append_to_search_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+) -> int:
+    """Incremental index maintenance — the O(batch) append path a
+    production retrieval index runs instead of nightly rebuilds:
+    documents whose id is already indexed are anti-joined away (so a
+    replayed batch is a no-op — idempotent by construction), the new
+    docs' postings/doclen rows APPEND, and the 1-row stats file is
+    rewritten from the appended doclen (doc-count-sized aggregate, not
+    a corpus rescan). Returns the number of newly indexed documents.
+
+    Serving correctness does not depend on append timing: BM25 reads
+    df/tf from the (pruned) postings and dl/S/D from the sidecars, all
+    of which this function keeps exactly consistent with a full
+    rebuild over the union corpus (pinned in pytest)."""
+    spark = docs.sparkSession
+    seen = spark.read.parquet(f"{path}/doclen").select(id_col)
+    fresh = docs.join(seen, on=id_col, how="left_anti")
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+    posts = build_postings(fresh, id_col, text_col)
+    posts.withColumn("shard", _shard_of(n_shards)).write.partitionBy(
+        "shard"
+    ).mode("append").parquet(f"{path}/postings")
+    posts.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    ).write.mode("append").parquet(f"{path}/doclen")
+    spark.read.parquet(f"{path}/doclen").agg(
+        F.sum("dl").cast("bigint").alias("S"),
+        F.count(F.lit(1)).cast("bigint").alias("D"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    return n_new

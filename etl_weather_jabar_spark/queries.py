@@ -11482,6 +11482,64 @@ def bm25_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["bm25_indexed_topk"] = ORACLE_SQL["bm25_topk_docs"]
 
 
+@_register("bm25_incremental_topk")
+def bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance certified by hash: build the
+    search index on the even-id half of the corpus, append the odd-id
+    half with ext/search.py::append_to_search_index (O(batch), anti-join
+    idempotent — the appended batch deliberately REPLAYS some even ids
+    to prove the no-op), then serve. The result must equal a full
+    rebuild over the whole corpus, so the SAME DuckDB twin as
+    bm25_topk_docs certifies the append path — postings, doclen norms
+    and corpus stats all stay exactly consistent."""
+    import tempfile
+
+    from .ext.search import (
+        append_to_search_index,
+        bm25_topk_indexed,
+        save_search_index,
+    )
+    from .planmode import is_plan_only
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 5)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qterms = (
+        tokc.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(8)
+        .select(F.substring(F.md5("tok"), 1, 16).alias("th"))
+    )
+    if is_plan_only():
+        return bm25_topk_docs(spark, sf_dir)
+    key = sf_dir + ":bm25inc"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="bm25inc_q_") + "/idx"
+        save_search_index(docs.where(F.col("doc_id") % 2 == 0), idx)
+        # the batch replays every even id < 100 alongside the odd half
+        append_to_search_index(
+            docs.where(
+                (F.col("doc_id") % 2 == 1) | (F.col("doc_id") < 100)
+            ),
+            idx,
+        )
+        _IVF_INDEX_MEMO[key] = idx
+    sc = bm25_topk_indexed(spark, idx, qterms)
+    top = sc.orderBy(F.col("score_u").desc(), F.col("doc_id").asc()).limit(
+        20
+    )
+    w = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# append path == full rebuild == the inline scorer, same twin
+ORACLE_SQL["bm25_incremental_topk"] = ORACLE_SQL["bm25_topk_docs"]
+
+
 @_register(
     "hybrid_rrf_topk",
     f"""
