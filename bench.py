@@ -105,6 +105,7 @@ TIER3_QUERIES = [
     "hybrid_rrf_topk",
     "bm25_indexed_topk",
     "bm25_incremental_topk",
+    "stream_bm25_topk",
     "image_ahash_neardup",
     "bpe_merge_rounds",
     "bpe_encode_stats",

@@ -310,8 +310,16 @@ def append_to_search_index(
     Serving correctness does not depend on append timing: BM25 reads
     df/tf from the (pruned) postings and dl/S/D from the sidecars, all
     of which this function keeps exactly consistent with a full
-    rebuild over the union corpus (pinned in pytest)."""
+    rebuild over the union corpus (pinned in pytest). A missing index
+    bootstraps from the batch (so a streaming foreachBatch can use
+    this as its only commit path)."""
+    from .similarity import _hadoop_path_exists
+
     spark = docs.sparkSession
+    if not _hadoop_path_exists(spark, f"{path}/doclen"):
+        n = docs.count()
+        save_search_index(docs, path, id_col, text_col, n_shards)
+        return n
     seen = spark.read.parquet(f"{path}/doclen").select(id_col)
     fresh = docs.join(seen, on=id_col, how="left_anti")
     n_new = fresh.count()

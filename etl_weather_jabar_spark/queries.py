@@ -11540,6 +11540,79 @@ def bm25_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["bm25_incremental_topk"] = ORACLE_SQL["bm25_topk_docs"]
 
 
+@_register("stream_bm25_topk")
+def stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-maintained search index with a full oracle (the
+    retrieval sibling of stream_kmv_users): document micro-batches land
+    as json; a real Structured Streaming query folds each batch into
+    the persisted index via ext/search.py::append_to_search_index —
+    exactly-once comes from the INDEX itself (the doc-id anti-join
+    makes a replayed batch after a checkpoint restart a no-op, no
+    separate ledger needed), and the first batch bootstraps the index.
+    The served ranking is a pure function of the inserted documents
+    regardless of batching, so the SAME DuckDB twin as bm25_topk_docs
+    certifies the whole streamed chain."""
+    import glob
+    import os
+    import tempfile
+
+    from .ext.search import append_to_search_index, bm25_topk_indexed
+    from .planmode import is_plan_only
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 5)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qterms = (
+        tokc.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(8)
+        .select(F.substring(F.md5("tok"), 1, 16).alias("th"))
+    )
+    if is_plan_only():
+        return bm25_topk_docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sbm25_q_")
+    landing, idx, ckpt = f"{tmp}/in", f"{tmp}/idx", f"{tmp}/ckpt"
+    os.makedirs(landing)
+    even = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+    src = docs.select("doc_id", "text")
+    for i, b in enumerate([src.where(even), src.where(~even)]):
+        d = f"{tmp}/stage{i}"
+        b.write.json(d)
+        for j, part in enumerate(sorted(glob.glob(f"{d}/part-*.json"))):
+            os.rename(part, f"{landing}/b{i}_{j:04d}.json")
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        append_to_search_index(batch, idx)
+
+    q = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .json(landing)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_bm25_topk: stream did not finish within 300s — "
+            "refusing to serve a partial index"
+        )
+    sc = bm25_topk_indexed(spark, idx, qterms)
+    top = sc.orderBy(F.col("score_u").desc(), F.col("doc_id").asc()).limit(
+        20
+    )
+    w = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# streamed appends == full rebuild == the inline scorer, same twin
+ORACLE_SQL["stream_bm25_topk"] = ORACLE_SQL["bm25_topk_docs"]
+
+
 @_register(
     "hybrid_rrf_topk",
     f"""

@@ -121,6 +121,7 @@ AUDIT_QUERIES = [
     "hybrid_rrf_topk",
     "bm25_indexed_topk",
     "bm25_incremental_topk",
+    "stream_bm25_topk",
     "bpe_merge_rounds",
     "bpe_encode_stats",
     "pmi_topk_bigrams",
@@ -200,6 +201,7 @@ EXPECTED_NESTED_LOOP = {
     "bm25_topk_docs": "per-doc scores × 1-row S/D corpus totals broadcast",
     "bm25_indexed_topk": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
     "bm25_incremental_topk": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
+    "stream_bm25_topk": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
