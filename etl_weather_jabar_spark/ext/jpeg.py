@@ -4,9 +4,10 @@ compressed image format this engine reads without codec libraries
 
 Scope (honest): baseline sequential DCT (SOF0) AND progressive DCT
 (SOF2 — round-6: spectral selection + successive approximation, the
-layout most web JPEGs ship), 8-bit, grayscale or YCbCr with sampling
-factors 1–2 per axis — 4:4:4, 4:2:0 (the common camera/web layout),
-4:2:2 and 4:4:0 all decode through one generic interleaved-MCU loop
+layout most web JPEGs ship), 8-bit, grayscale or YCbCr with
+power-of-two sampling factors (1/2/4) per axis — 4:4:4, 4:2:0 (the
+common camera/web layout), 4:2:2, 4:4:0 and 4:1:1 (the DV-camera
+layout) all decode through one generic interleaved-MCU loop
 (T.81 A.2.3); restart markers (DRI/RSTn) handled on both encode and
 decode in both modes. Progressive decode accumulates quantized
 coefficients across scans (DC first/refine per G.1.2.1, AC first with
@@ -18,8 +19,8 @@ are read from the stream's DHT segments (files from other encoders
 decode too), JFIF color conversion, box-average chroma downsampling on
 encode / sample-replication upsampling on decode (libjpeg's "simple"
 mode). NOT supported (ValueError, never a wrong image): arithmetic
-coding, hierarchical (SOF3/5/6/7/9+), sampling factors > 2, 12-bit
-depth.
+coding, hierarchical (SOF3/5/6/7/9+), the non-power-of-two sampling
+factor 3 (legal in T.81, emitted by nothing real), 12-bit depth.
 
 JPEG is lossy: the roundtrip contract is tolerance-bounded (quantized
 DCT error), unlike the bit-exact PNG/GIF paths — the tests pin a flat
@@ -273,6 +274,7 @@ _SUBSAMPLING = {
     "420": [(2, 2), (1, 1), (1, 1)],
     "422": [(2, 1), (1, 1), (1, 1)],
     "440": [(1, 2), (1, 1), (1, 1)],
+    "411": [(4, 1), (1, 1), (1, 1)],
 }
 
 
@@ -1051,9 +1053,9 @@ def decode_jpeg(payload: bytes):
             for ci in range(nc):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
                 sh, sv = samp >> 4, samp & 0x0F
-                if sh not in (1, 2) or sv not in (1, 2):
+                if sh not in (1, 2, 4) or sv not in (1, 2, 4):
                     raise ValueError(
-                        "sampling factors above 2 unsupported"
+                        "sampling factors must be 1, 2 or 4"
                     )
                 comps.append((cid, qid, sh, sv))
             if nc == 3 and [c[0] for c in comps] != [1, 2, 3]:

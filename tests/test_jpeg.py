@@ -225,10 +225,11 @@ def test_jpeg_420_and_restart_markers_roundtrip():
         decode_jpeg(p[: idx + 1])
     with pytest.raises(ValueError, match="restart marker"):
         decode_jpeg(p[:idx] + p[idx + 2 :])
-    # sampling factors above 2 stay rejected
+    # non-power-of-two sampling factors stay rejected (3 is legal in
+    # T.81 but nothing real emits it; 4 now decodes - see 411 test)
     import struct
 
-    sof = b"\x08\x00\x10\x00\x10\x01\x01\x41\x00"
+    sof = b"\x08\x00\x10\x00\x10\x01\x01\x31\x00"
     blob = b"\xff\xd8\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(blob)
@@ -396,3 +397,32 @@ def test_progressive_flows_through_spark_multimodal(spark):
     assert feats[1]["mean_r"] == feats[2]["mean_r"]
     sigs = {r["media_id"]: r["sig"] for r in ahash_media(media).collect()}
     assert sigs[1] == sigs[2] and isinstance(sigs[2], int)
+
+
+def test_jpeg_411_layout():
+    """Sampling factor 4 (4:1:1 — the DV-camera layout): flat blocks
+    exact, restart framing transparent, progressive bit-identical to
+    baseline, and factor 3 still rejected."""
+    flat = np.full((24, 33, 3), [90, 160, 30], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, 95, subsampling="411"))
+    assert out.shape == flat.shape
+    assert int(np.abs(out.astype(int) - flat.astype(int)).max()) == 0
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.clip(
+        np.stack([(yy * 3 + xx) % 256, (xx * 5) % 256, (yy * 7) % 256], axis=2)
+        + rng.integers(-10, 10, (37, 53, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 85, subsampling="411"))
+    assert np.array_equal(
+        base, decode_jpeg(encode_jpeg(img, 85, subsampling="411",
+                                      progressive=True))
+    )
+    assert np.array_equal(
+        base,
+        decode_jpeg(encode_jpeg(img, 85, subsampling="411",
+                                restart_interval=2)),
+    )
