@@ -106,6 +106,7 @@ TIER3_QUERIES = [
     "bm25_indexed_topk",
     "bm25_incremental_topk",
     "stream_bm25_topk",
+    "label_propagation_communities",
     "image_ahash_neardup",
     "bpe_merge_rounds",
     "bpe_encode_stats",

@@ -350,3 +350,56 @@ def bfs_levels(
         levels = checkpoint(levels.unionByName(nxt))
         frontier = nxt
     return levels
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """SYNCHRONOUS label propagation (Raghavan et al. 2007) — the
+    cheap community-detection pass a dedup/graph pipeline runs when
+    connected components is too coarse (CC merges everything touching;
+    LPA splits a component into densely-linked groups).
+
+    Deterministic exact form: labels start as the node id; every round
+    ALL nodes simultaneously adopt the label held by the majority of
+    their neighbors, ties broken by the SMALLEST label — so with a
+    fixed round count the result is a pure function of the edge set
+    and any engine replays it (asynchronous LPA, the usual variant, is
+    update-order-dependent and cannot be certified). Returns
+    (node, lbl) after ``rounds`` rounds.
+
+    100 TB: each round is one equi-join of edges against the label
+    frame (shuffle on dst) + one (node, lbl) count + one argmax agg
+    (min of (−count, lbl) structs — partial-aggregatable); labels are
+    checkpointed per round so lineage stays flat. Nodes are defined
+    FROM the symmetrized edge set, so every node has ≥ 1 neighbor and
+    no keep-old-label fallback path is needed."""
+    ed = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    lab = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").cast("bigint").alias("lbl")
+    )
+    for _ in range(loop_rounds(rounds)):
+        c = (
+            ed.join(
+                lab.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        lab = checkpoint(
+            c.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+                ).alias("b")
+            )
+            .select(F.col("src").alias("node"), F.col("b.lbl").alias("lbl"))
+        )
+    return lab

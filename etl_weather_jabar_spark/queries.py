@@ -7483,6 +7483,67 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_triangles(edges)
 
 
+def _lpa_round_sql(r: int) -> str:
+    """One unrolled synchronous-LPA round (neighbor label counts →
+    majority label, smallest-label tie-break) for the LPA oracle."""
+    p = r - 1
+    return f"""c{r} AS (
+        SELECT e.src AS node, l.lbl, CAST(count(*) AS BIGINT) AS c
+        FROM ed e JOIN l{p} l ON l.node = e.dst GROUP BY 1, 2
+    ), l{r} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl, row_number() OVER (
+                PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+            FROM c{r}
+        ) WHERE rn = 1
+    )"""
+
+
+@_register(
+    "label_propagation_communities",
+    f"""
+    WITH e0 AS (
+        SELECT o_custkey % 500 AS a, o_orderkey % 500 AS b
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    ed AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT a AS src, b AS dst FROM e0
+            UNION ALL
+            SELECT b AS src, a AS dst FROM e0
+        ) WHERE src <> dst
+    ),
+    l0 AS (
+        SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS lbl FROM ed
+    ), {_lpa_round_sql(1)}, {_lpa_round_sql(2)}, {_lpa_round_sql(3)}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l3 GROUP BY 1
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation
+    (ext/graph.py::label_propagation) — the cheap split of a near-dup
+    or interaction graph into densely-linked groups where connected
+    components is too coarse. Synchronous + smallest-label tie-break
+    makes the 3-round result a pure function of the edge set, so the
+    oracle replays every round as unrolled relational CTEs (the
+    pagerank_exact_int pattern). Output: per-community node counts.
+    100 TB: each round is one edge-sized equi-join + two
+    partial-aggregatable aggs; labels checkpoint per round so lineage
+    stays flat."""
+    from .ext.graph import label_propagation
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.where(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_custkey") % 500).alias("src"),
+        (F.col("o_orderkey") % 500).alias("dst"),
+    )
+    lab = label_propagation(edges, rounds=3)
+    return lab.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
 @_register(
     "recursive_cte_rollup",
     """

@@ -208,3 +208,44 @@ def test_bfs_levels_hand_built_graph(spark):
     got = {r["node"]: r["level"] for r in bfs_levels(edges, 0).collect()}
     assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
     assert 8 not in got and 9 not in got
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Synchronous LPA (ext/graph.py::label_propagation): the Spark
+    result equals an independent sequential python replay of the same
+    deterministic rule (simultaneous majority adoption, smallest-label
+    tie-break) on a two-cliques-plus-bridge graph, and the communities
+    are FINER than connected components (one component, >1 label)."""
+    from collections import Counter
+
+    from etl_weather_jabar_spark.ext.graph import label_propagation
+
+    edges = (
+        [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+        + [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+        + [(4, 10)]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["lbl"]
+        for r in label_propagation(df, rounds=3).collect()
+    }
+
+    # independent replay
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(lbl[m] for m in nbrs)
+            best = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == best)
+        lbl = new
+    assert got == lbl
+    assert len(set(got.values())) > 1  # finer than the single component
+    # the two cliques do not share a label
+    assert {got[n] for n in (1, 2, 3)} != {got[n] for n in (11, 12, 13)}

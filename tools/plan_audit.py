@@ -122,6 +122,7 @@ AUDIT_QUERIES = [
     "bm25_indexed_topk",
     "bm25_incremental_topk",
     "stream_bm25_topk",
+    "label_propagation_communities",
     "bpe_merge_rounds",
     "bpe_encode_stats",
     "pmi_topk_bigrams",
