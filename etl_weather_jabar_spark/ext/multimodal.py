@@ -10,7 +10,9 @@ Two decode tiers:
 * REAL PNG as well (bottom of file): PNG is zlib-deflate + per-scanline
   filters, both implementable with the stdlib — `encode_png`/`decode_png`
   cover 8-bit gray/RGB/RGBA (+alpha variants), filters 0-4, bit-exact
-  against numpy ground truth.
+  against numpy ground truth. REAL 24-bit BMP too (`encode_bmp`/
+  `decode_bmp` — bottom-up AND top-down rows, stride padding; lossless,
+  so roundtrips are bit-exact).
 * REAL JPEG too (ext/jpeg.py), baseline SOF0 AND progressive SOF2
   (spectral selection + successive approximation): Huffman entropy
   decode + dequant + IDCT with numpy alone — lossy, so tolerance-pinned
@@ -276,6 +278,68 @@ def decode_ppm(payload: bytes):
     return data.reshape(h, w, 3)
 
 
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) RGB uint8 → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up, BGR byte order, rows padded to 4 bytes — the classic
+    Windows layout every viewer reads)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = a[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += bgr[y].tobytes() + pad
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(hdr + info + body)
+
+
+def decode_bmp(payload: bytes):
+    """24-bit uncompressed BMP bytes → (h, w, 3) RGB uint8. Supports
+    bottom-up (positive height) and top-down (negative height) rows;
+    raises ValueError on compressed / paletted / other bit depths —
+    never a silently wrong image."""
+    import struct
+
+    import numpy as np
+
+    d = bytes(payload)
+    if len(d) < 54 or d[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", d, 10)[0]
+    hsize = struct.unpack_from("<I", d, 14)[0]
+    if hsize < 40:
+        raise ValueError("BITMAPCOREHEADER unsupported")
+    w, h_signed = struct.unpack_from("<ii", d, 18)
+    planes, bpp = struct.unpack_from("<HH", d, 26)
+    compression = struct.unpack_from("<I", d, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError("invalid BMP dimensions")
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(d):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        d, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
 def encode_wav_pcm16(samples, rate: int = 16000) -> bytes:
     """int16 mono samples → WAV (PCM) bytes via the stdlib wave module."""
     import io
@@ -368,6 +432,11 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                             m = a.reshape(-1, 3).mean(axis=0)
                         else:
                             m = [float(a.mean())] * 3
+                        mr, mg, mb = (f"{float(x):.4f}" for x in m)
+                    elif mime == "image/bmp":
+                        a = decode_bmp(payload)  # real 24-bit decode
+                        h, w = int(a.shape[0]), int(a.shape[1])
+                        m = a.reshape(-1, 3).mean(axis=0)
                         mr, mg, mb = (f"{float(x):.4f}" for x in m)
                     elif mime in ("audio/wav", "audio/flac"):
                         if mime == "audio/flac":
@@ -674,6 +743,8 @@ def ahash_media(media: DataFrame) -> DataFrame:
                         from .jpeg import decode_jpeg
 
                         arr = decode_jpeg(raw)
+                    elif mime == "image/bmp":
+                        arr = decode_bmp(raw)
                     else:
                         arr = decode_ppm(raw)
                     if arr.ndim == 3 and arr.shape[2] == 4:
@@ -1195,6 +1266,8 @@ def resize_media_real(media: DataFrame, width: int, height: int) -> DataFrame:
                         enc = encode_jpeg(
                             nn(decode_jpeg(raw), width, height)
                         )
+                    elif mime == "image/bmp":
+                        enc = encode_bmp(nn(decode_bmp(raw), width, height))
                     else:
                         raise ValueError("unsupported mime")
                     new_pay.append(enc)

@@ -9654,6 +9654,11 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                         progressive=int(did) % 8 == 6,
                     )
                     mime = "image/jpeg"
+                elif int(did) % 8 == 4:
+                    from .ext.multimodal import encode_bmp
+
+                    payload = encode_bmp(px)
+                    mime = "image/bmp"
                 else:
                     payload = encode_ppm(px)
                     mime = "image/x-ppm"

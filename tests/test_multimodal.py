@@ -901,3 +901,72 @@ def test_gif_lzw_final_code_boundary_regression():
     for side in (8, 12, 16, 23):  # incl. the originally-failing 8×8
         img = np.zeros((side, side), dtype=np.uint8)
         assert (decode_gif(encode_gif(img, pal)) == pal[img]).all()
+
+
+def test_bmp_roundtrip_exact_and_layouts():
+    """24-bit BMP (lossless): encode→decode is bit-exact including odd
+    widths (stride padding); a hand-built TOP-DOWN stream decodes to
+    the same pixels; malformed/out-of-scope payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(7, 5, 3), (1, 1, 3), (16, 33, 3), (3, 2, 3)]:
+        a = rng.integers(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(a)), a), shape
+
+    # top-down variant: flip the height sign and reorder rows
+    a = rng.integers(0, 256, (4, 3, 3)).astype(np.uint8)
+    b = bytearray(encode_bmp(a))
+    struct.pack_into("<i", b, 22, -4)  # negative height = top-down
+    off = struct.unpack_from("<I", b, 10)[0]
+    stride = (3 * 3 + 3) & ~3
+    rows = [bytes(b[off + y * stride : off + (y + 1) * stride]) for y in range(4)]
+    b[off:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(bytes(b)), a)
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX123")
+    good = bytearray(encode_bmp(a))
+    struct.pack_into("<H", good, 28, 8)  # 8-bit palette: out of scope
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(good))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(a)[:-4])
+
+
+def test_bmp_flows_through_spark_multimodal(spark):
+    """image/bmp payloads flow through extract_features_real and
+    ahash_media: dims exact, channel means EXACT (lossless codec),
+    fingerprint equal to the same pixels shipped as PPM."""
+    import numpy as np
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        ahash_media,
+        encode_bmp,
+        encode_ppm,
+        extract_features_real,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (9, 14, 3)).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_bmp(img)), "image/bmp", 14, 9, None),
+        (2, "image", bytearray(encode_ppm(img)), "image/x-ppm", 14, 9, None),
+        (3, "image", bytearray(b"BMjunk"), "image/bmp", 1, 1, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features_real(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (14, 9)
+    assert feats[1]["mean_r"] == feats[2]["mean_r"]  # lossless == PPM
+    assert feats[3]["width"] is None  # quarantine
+    sigs = {r["media_id"]: r["sig"] for r in ahash_media(media).collect()}
+    assert sigs[1] == sigs[2] and sigs[3] is None
