@@ -372,7 +372,7 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     checkpointed per round so lineage stays flat. Nodes are defined
     FROM the symmetrized edge set, so every node has ≥ 1 neighbor and
     no keep-old-label fallback path is needed."""
-    ed = (
+    ed = checkpoint(
         edges.select("src", "dst")
         .union(
             edges.select(

@@ -94,8 +94,7 @@ def save_postings_index(
     a shard holds many terms, bounding partition count at n_shards
     regardless of vocabulary size)."""
     build_postings(docs, id_col, text_col).withColumn(
-        "shard",
-        F.pmod(F.conv(F.substring("th", 1, 2), 16, 10).cast("int"), n_shards),
+        "shard", _shard_of(n_shards)
     ).write.partitionBy("shard").mode("overwrite").parquet(path)
 
 
@@ -111,10 +110,9 @@ def phrase_match_indexed(
     Spark prunes to the terms' partitions before any IO (asserted via
     PartitionFilters in tests). The match itself is the same anchor
     intersection as :func:`phrase_match`."""
-    shard_of = F.pmod(
-        F.conv(F.substring("th", 1, 2), 16, 10).cast("int"), n_shards
-    )
-    shards = [r["s"] for r in terms.select(shard_of.alias("s")).collect()]
+    shards = [
+        r["s"] for r in terms.select(_shard_of(n_shards).alias("s")).collect()
+    ]
     postings = spark.read.parquet(path).where(
         F.col("shard").isin(sorted(set(shards)))
     )
@@ -134,18 +132,21 @@ def bm25_scores(
     vector ANN.
 
     Log-free exact form: the idf is the rational surrogate
-    ``(D − df + 1)·10⁶ div (df + 1)`` (monotone in df exactly like
+    ``(D − df + 1)·10³ div (df + 1)`` (monotone in df exactly like
     Robertson's log idf — same ranking behavior, but integer-exact so
     any engine replays it digit-for-digit), and the tf normalization
     ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` is cross-multiplied
-    into one integer division with avgdl kept as the exact rational
-    S/D (S = corpus token count, D = doc count):
+    into one integer division with avgdl PRE-ROUNDED once to integer
+    milli-tokens (adm = 1000·S div D — deterministic, replayed by the
+    oracle), which keeps S and D out of the per-row products:
 
-        contrib = idf_ppm · tf·(k1ₘ+1000)·1000·S
-                  div (tf·10⁶·S + k1ₘ·((1000−bₘ)·S + bₘ·dl·D))
+        norm_milli = (1000−bₘ) + bₘ·1000·dl div adm
+        contrib    = idf_milli · tf·(k1ₘ+1000)·10⁶
+                     div (tf·10⁶ + k1ₘ·norm_milli)
 
-    Magnitudes fit decimal(38)/HUGEINT up to S ≈ 10¹³ tokens (≈ 100 TB
-    of text) — documented bound, checked via the decimal cast.
+    Every operand is ≤ idf_milli·tf·2200·10⁶ ≲ 10³⁴ even at 10¹⁵ documents
+    and 10⁶-token docs — decimal(38)/HUGEINT-safe for any corpus this
+    side of the crawl horizon.
 
     ``terms`` is the query: (th) 16-hex term hashes, broadcast. Returns
     (id, score_u) — integer score units, summed per doc over matched
@@ -187,25 +188,32 @@ def _bm25_combine(
     doc. ``df`` is vocab-bounded and ``tot`` 1-row, both broadcast."""
     dec = "decimal(38,0)"
     k1m, bm = F.lit(k1_milli), F.lit(b_milli)
-    idf_ppm = floor_div(
-        (F.col("D") - F.col("df") + 1).cast(dec) * F.lit(1000000),
+    # avgdl pre-rounded ONCE to integer milli-tokens (1000·S div D):
+    # keeping avgdl as the raw rational S/D forces S and D into every
+    # per-row product, which overflows decimal(38) for web-scale
+    # corpora (review finding); the deterministic pre-rounding replays
+    # exactly in the oracle and bounds every operand at
+    # idf_milli·tf·2200 ≲ 10^28 for D ≤ 10^15 docs, tf ≤ 10^6
+    tot = tot.withColumn(
+        "adm", floor_div(F.lit(1000).cast(dec) * F.col("S"), F.col("D"))
+    )
+    idf_milli = floor_div(
+        (F.col("D") - F.col("df") + 1).cast(dec) * F.lit(1000),
         F.col("df") + 1,
     ).cast(dec)
+    norm_milli = (F.lit(1000) - bm).cast(dec) + floor_div(
+        bm.cast(dec) * F.lit(1000) * F.col("dl"), F.col("adm")
+    ).cast(dec)
+    # ×10⁶ output scale: keeps integer resolution at ANY corpus size
+    # (without it the floor division collapses small-corpus scores to
+    # 0/1); operands stay ≤ ~10³⁴, inside decimal(38)
     num = (
-        idf_ppm
+        idf_milli
         * F.col("tf").cast(dec)
         * (k1m + 1000).cast(dec)
-        * F.lit(1000).cast(dec)
-        * F.col("S").cast(dec)
+        * F.lit(1000000).cast(dec)
     )
-    den = (
-        F.col("tf").cast(dec) * F.lit(1000000).cast(dec) * F.col("S").cast(dec)
-        + k1m.cast(dec)
-        * (
-            (F.lit(1000) - bm).cast(dec) * F.col("S").cast(dec)
-            + bm.cast(dec) * F.col("dl").cast(dec) * F.col("D").cast(dec)
-        )
-    )
+    den = F.col("tf").cast(dec) * F.lit(1000000) + k1m.cast(dec) * norm_milli
     return (
         tf.join(F.broadcast(df), "th")
         .join(dl, id_col)
@@ -222,6 +230,51 @@ def _shard_of(n_shards: int):
     )
 
 
+def _fs_and_path(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _committed_batches(spark, path: str) -> list[str]:
+    """Batch directories under ``<path>/batches`` whose atomic
+    ``_committed`` marker exists — the ONLY state serving reads."""
+    fs, root, jvm = _fs_and_path(spark, f"{path}/batches")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        if st.isDirectory():
+            d = st.getPath()
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
+                out.append(d.toString())
+    return sorted(out)
+
+
+def _write_index_batch(
+    docs: DataFrame,
+    batch_dir: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+) -> None:
+    """Write one batch's postings + doclen into ``batch_dir`` then
+    publish it with a single atomic ``_committed`` file create. Until
+    the marker lands the batch is invisible to every reader, so a
+    crash mid-write leaves no partial state — the replay overwrites
+    the unpublished directory and re-commits."""
+    posts = build_postings(docs, id_col, text_col)
+    posts.withColumn("shard", _shard_of(n_shards)).write.partitionBy(
+        "shard"
+    ).mode("overwrite").parquet(f"{batch_dir}/postings")
+    posts.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    ).write.mode("overwrite").parquet(f"{batch_dir}/doclen")
+    fs, d, jvm = _fs_and_path(docs.sparkSession, batch_dir)
+    fs.create(jvm.org.apache.hadoop.fs.Path(d, "_committed")).close()
+
+
 def save_search_index(
     docs: DataFrame,
     path: str,
@@ -230,29 +283,23 @@ def save_search_index(
     n_shards: int = 32,
 ) -> None:
     """Persist the FULL search index a ranked-retrieval deployment
-    serves from (the Lucene shape: postings + norms + segment stats):
+    serves from (the Lucene shape: immutable SEGMENTS, each published
+    atomically):
 
-    * ``<path>/postings`` — positional postings partitioned by the
-      term-hash shard (pruned to the query's shards at serve time,
-      same layout as save_postings_index; serves BOTH phrase queries
-      and BM25);
-    * ``<path>/doclen`` — per-document token counts (the "norms"
-      sidecar: BM25's length normalization needs ALL terms' counts,
-      which a shard-pruned scan cannot reconstruct);
-    * ``<path>/stats`` — the 1-row (S, D) corpus totals.
+    * ``<path>/batches/<key>/postings`` — positional postings
+      partitioned by the term-hash shard (pruned to the query's shards
+      at serve time; serves BOTH phrase queries and BM25);
+    * ``<path>/batches/<key>/doclen`` — per-document token counts (the
+      "norms" sidecar: BM25's length normalization needs ALL terms'
+      counts, which a shard-pruned scan cannot reconstruct);
+    * ``<path>/batches/<key>/_committed`` — the atomic publish marker
+      (one FS create): readers see a batch entirely or not at all, so
+      a crash between the postings and doclen writes can never leave a
+      half-visible segment (corpus totals are computed from committed
+      doclens at serve — doc-count-sized, never stale).
     """
-    posts = build_postings(docs, id_col, text_col)
-    posts.withColumn("shard", _shard_of(n_shards)).write.partitionBy(
-        "shard"
-    ).mode("overwrite").parquet(f"{path}/postings")
-    dl = posts.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl")
-    )
-    dl.write.mode("overwrite").parquet(f"{path}/doclen")
-    dl.agg(
-        F.sum("dl").cast("bigint").alias("S"),
-        F.count(F.lit(1)).cast("bigint").alias("D"),
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_index_batch(docs, f"{path}/batches/base", id_col, text_col,
+                       n_shards)
 
 
 def bm25_topk_indexed(
@@ -266,19 +313,29 @@ def bm25_topk_indexed(
 ) -> DataFrame:
     """BM25 against a persisted search index: the postings scan is
     partition-PRUNED to the query terms' shards (PartitionFilters —
-    asserted in pytest), tf/df aggregate from only those shards, and
-    the doclen/stats sidecars supply the length normalization. Same
+    asserted in pytest) and reads only COMMITTED segments; tf/df
+    aggregate from those shards, the committed doclen sidecars supply
+    the length normalization and the (S, D) totals. Same
     results as :func:`bm25_scores` on the indexed corpus (same model
     state, same combiner)."""
+    batches = _committed_batches(spark, path)
+    if not batches:
+        raise ValueError(f"no committed index batches under {path}")
     shards = sorted(
         {
             r["s"]
             for r in terms.select(_shard_of(n_shards).alias("s")).collect()
         }
     )
-    posts = spark.read.parquet(f"{path}/postings").where(
-        F.col("shard").isin(shards)
-    )
+    # one read per committed segment, unioned (multi-root partition
+    # discovery conflicts otherwise); the shard filter pushes through
+    # the union into every scan's PartitionFilters
+    from functools import reduce
+
+    posts = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{b}/postings") for b in batches],
+    ).where(F.col("shard").isin(shards))
     tf = (
         posts.join(F.broadcast(terms.select("th")), "th")
         .groupBy(id_col, "th")
@@ -287,8 +344,14 @@ def bm25_topk_indexed(
     df = tf.groupBy("th").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    dl = spark.read.parquet(f"{path}/doclen")
-    tot = spark.read.parquet(f"{path}/stats")
+    dl = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{b}/doclen") for b in batches],
+    )
+    tot = dl.agg(
+        F.sum("dl").cast("bigint").alias("S"),
+        F.count(F.lit(1)).cast("bigint").alias("D"),
+    )
     return _bm25_combine(tf, df, dl, tot, id_col, k1_milli, b_milli)
 
 
@@ -298,42 +361,68 @@ def append_to_search_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int = 32,
+    batch_key: str | None = None,
 ) -> int:
-    """Incremental index maintenance — the O(batch) append path a
-    production retrieval index runs instead of nightly rebuilds:
-    documents whose id is already indexed are anti-joined away (so a
-    replayed batch is a no-op — idempotent by construction), the new
-    docs' postings/doclen rows APPEND, and the 1-row stats file is
-    rewritten from the appended doclen (doc-count-sized aggregate, not
-    a corpus rescan). Returns the number of newly indexed documents.
+    """Incremental index maintenance — the O(batch) SEGMENT append a
+    production retrieval index runs instead of nightly rebuilds,
+    crash-safe exactly-once BY CONSTRUCTION (review finding: the old
+    multi-file append broke its replay guarantee on a crash between
+    files):
 
-    Serving correctness does not depend on append timing: BM25 reads
-    df/tf from the (pruned) postings and dl/S/D from the sidecars, all
-    of which this function keeps exactly consistent with a full
-    rebuild over the union corpus (pinned in pytest). A missing index
+    * already-indexed ids are anti-joined away against the COMMITTED
+      doclens, so a batch overlapping earlier batches indexes only its
+      new documents;
+    * the batch lands in its own directory and becomes visible through
+      ONE atomic ``_committed`` create — a crash anywhere before the
+      marker leaves an invisible partial directory that the replay
+      simply overwrites and re-commits;
+    * a replay of an already-committed batch maps to the same
+      directory (``batch_key`` defaults to an order-independent
+      content key over the batch's ids), sees the marker, and is a
+      no-op; corpus totals are derived from committed doclens at serve
+      time, so there is no stats file to go stale.
+
+    Returns the number of newly indexed documents. A missing index
     bootstraps from the batch (so a streaming foreachBatch can use
-    this as its only commit path)."""
-    from .similarity import _hadoop_path_exists
-
+    this as its only commit path). Serving equals a full rebuild over
+    the union corpus regardless of batching or crash/replay timing
+    (pinned in pytest)."""
     spark = docs.sparkSession
-    if not _hadoop_path_exists(spark, f"{path}/doclen"):
+    batches = _committed_batches(spark, path)
+    if not batches:
         n = docs.count()
-        save_search_index(docs, path, id_col, text_col, n_shards)
+        _write_index_batch(
+            docs, f"{path}/batches/base", id_col, text_col, n_shards
+        )
         return n
-    seen = spark.read.parquet(f"{path}/doclen").select(id_col)
+    if batch_key is None:
+        # order-independent content key: decimal sum (an int64 sum of
+        # xxhash64 values overflows under ANSI) folded to 63 bits
+        r = docs.agg(
+            F.sum(
+                F.xxhash64(F.col(id_col).cast("string")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        batch_key = "b%016x_%d" % (
+            int(r["h"] or 0) % (1 << 63),
+            int(r["n"]),
+        )
+    bdir = f"{path}/batches/{batch_key}"
+    fs, d, jvm = _fs_and_path(spark, bdir)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
+        return 0  # replayed committed batch: exactly-once no-op
+    from functools import reduce
+
+    seen = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{b}/doclen") for b in batches],
+    ).select(id_col)
     fresh = docs.join(seen, on=id_col, how="left_anti")
     n_new = fresh.count()
     if n_new == 0:
         return 0
-    posts = build_postings(fresh, id_col, text_col)
-    posts.withColumn("shard", _shard_of(n_shards)).write.partitionBy(
-        "shard"
-    ).mode("append").parquet(f"{path}/postings")
-    posts.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("dl")
-    ).write.mode("append").parquet(f"{path}/doclen")
-    spark.read.parquet(f"{path}/doclen").agg(
-        F.sum("dl").cast("bigint").alias("S"),
-        F.count(F.lit(1)).cast("bigint").alias("D"),
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_index_batch(fresh, bdir, id_col, text_col, n_shards)
     return n_new

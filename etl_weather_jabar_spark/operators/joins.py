@@ -52,7 +52,9 @@ def broadcast_if_small(
     ``persist=True`` caches the frame (MEMORY_AND_DISK, evictable)
     before probing — for vocabularies with EXPENSIVE lineage (a trained
     BPE symbol table) where re-running the training chain for the probe
-    would double the query; cheap one-scan counts skip it.
+    would double the query; cheap one-scan counts skip it. No explicit
+    unpersist: the frame is query-local, so the ContextCleaner reclaims
+    the blocks once the driver garbage-collects the DataFrame.
 
     Plan-only mode applies the hint without probing (no jobs at
     construction — the audited plan keeps its intended shape).

@@ -69,6 +69,13 @@ def checkpoint(df: DataFrame, *, reliable: bool = False) -> DataFrame:
     ``setCheckpointDir`` on HDFS/S3 — matters when even
     recompute-from-source is too expensive; local mode has no
     replicated FS, so it is documented rather than defaulted.
+
+    Lifetime: callers do not unpersist — these frames are query-local,
+    so once the query's DataFrames are garbage-collected on the driver
+    Spark's ContextCleaner unpersists the blocks asynchronously
+    (reference tracking is on by default); a long session running many
+    queries holds at most the not-yet-collected tail, not a monotone
+    leak.
     """
     if is_plan_only():
         return df

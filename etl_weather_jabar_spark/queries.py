@@ -1594,7 +1594,7 @@ def source_quality_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT card.*, best.partner AS top_overlap_src,
            best.kmv_ppm AS top_overlap_kmv_ppm
-    FROM card JOIN best ON best.source = card.source
+    FROM card LEFT JOIN best ON best.source = card.source
     """,
 )
 def source_card_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,7 +1653,10 @@ def source_card_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kmv_ppm").alias("top_overlap_kmv_ppm"),
         )
     )
-    return card.join(best, on="source")
+    # LEFT join: a source with no shingle pair (e.g. all-short docs at
+    # some corpus shape) keeps its card row with a NULL partner — the
+    # unified card must never silently lose sources (review finding)
+    return card.join(best, on="source", how="left")
 
 
 # =========================================================================
@@ -11417,10 +11420,11 @@ def perceptron_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "bm25_topk_docs",
-    """
-    WITH tok AS (
+# Shared DuckDB fragment for the BM25 retrieval family: corpus top-8
+# content terms as the query, postings-derived tf/df/dl/totals, and the
+# rescaled exact-integer scorer (avgdl pre-rounded to milli-tokens,
+# milli idf) — mirrors ext/search.py::_bm25_combine digit for digit.
+_BM25_SQL_CTES = """tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents
     ),
@@ -11435,7 +11439,8 @@ def perceptron_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
         SELECT CAST(sum(dl) AS HUGEINT) AS S,
-               CAST(count(*) AS HUGEINT) AS D
+               CAST(count(*) AS HUGEINT) AS D,
+               CAST(1000 * sum(dl) AS HUGEINT) // count(*) AS adm
         FROM dl
     ),
     tf AS (
@@ -11447,14 +11452,21 @@ def perceptron_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc AS (
         SELECT tf.doc_id,
                CAST(sum(
-                   ((D - df + 1) * 1000000 // (df + 1))
-                   * CAST(tf AS HUGEINT) * 2200 * 1000 * S
-                   // (CAST(tf AS HUGEINT) * 1000000 * S
-                       + 1200 * (250 * S + 750 * CAST(dl AS HUGEINT) * D))
+                   ((D - df + 1) * 1000 // (df + 1))
+                   * CAST(tf AS HUGEINT) * 2200 * 1000000
+                   // (CAST(tf AS HUGEINT) * 1000000
+                       + 1200 * (250 + (750 * 1000 * CAST(dl AS HUGEINT))
+                                       // adm))
                ) AS BIGINT) AS score_u
         FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), tot
         GROUP BY 1
-    )
+    )"""
+
+
+@_register(
+    "bm25_topk_docs",
+    f"""
+    WITH {_BM25_SQL_CTES}
     SELECT doc_id, score_u,
            CAST(row_number() OVER (ORDER BY score_u DESC, doc_id ASC)
                 AS INT) AS rank
@@ -11612,9 +11624,12 @@ def stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval sibling of stream_kmv_users): document micro-batches land
     as json; a real Structured Streaming query folds each batch into
     the persisted index via ext/search.py::append_to_search_index —
-    exactly-once comes from the INDEX itself (the doc-id anti-join
-    makes a replayed batch after a checkpoint restart a no-op, no
-    separate ledger needed), and the first batch bootstraps the index.
+    exactly-once comes from the INDEX itself: each batch is an
+    immutable segment published by ONE atomic _committed create, so a
+    crash mid-commit leaves an invisible partial the replay overwrites,
+    a replayed committed batch maps to the same segment directory
+    (batch_id key) and no-ops, and the doc-id anti-join dedups
+    overlapping batches. The first batch bootstraps the index.
     The served ranking is a pure function of the inserted documents
     regardless of batching, so the SAME DuckDB twin as bm25_topk_docs
     certifies the whole streamed chain."""
@@ -11651,7 +11666,7 @@ def stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(part, f"{landing}/b{i}_{j:04d}.json")
 
     def commit(batch: DataFrame, batch_id: int) -> None:
-        append_to_search_index(batch, idx)
+        append_to_search_index(batch, idx, batch_key=f"sb{batch_id}")
 
     q = (
         spark.readStream.schema("doc_id LONG, text STRING")
@@ -11682,41 +11697,7 @@ ORACLE_SQL["stream_bm25_topk"] = ORACLE_SQL["bm25_topk_docs"]
 @_register(
     "hybrid_rrf_topk",
     f"""
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
-    ),
-    qterms AS (
-        SELECT substr(md5(tok), 1, 16) AS th FROM (
-            SELECT tok, count(*) AS c FROM tok
-            WHERE length(tok) >= 5
-            GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 8)
-    ),
-    dl AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
-    ),
-    tot AS (
-        SELECT CAST(sum(dl) AS HUGEINT) AS S,
-               CAST(count(*) AS HUGEINT) AS D
-        FROM dl
-    ),
-    tf AS (
-        SELECT t.doc_id, q.th, CAST(count(*) AS BIGINT) AS tf
-        FROM tok t JOIN qterms q ON substr(md5(t.tok), 1, 16) = q.th
-        GROUP BY 1, 2
-    ),
-    dfq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-    sc AS (
-        SELECT tf.doc_id,
-               CAST(sum(
-                   ((D - df + 1) * 1000000 // (df + 1))
-                   * CAST(tf AS HUGEINT) * 2200 * 1000 * S
-                   // (CAST(tf AS HUGEINT) * 1000000 * S
-                       + 1200 * (250 * S + 750 * CAST(dl AS HUGEINT) * D))
-               ) AS BIGINT) AS score_u
-        FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), tot
-        GROUP BY 1
-    ),
+    WITH {_BM25_SQL_CTES},
     lex AS (
         SELECT doc_id, CAST(row_number() OVER (
                    ORDER BY score_u DESC, doc_id ASC) AS BIGINT) AS rank_lex

@@ -514,9 +514,12 @@ def test_bm25_indexed_prunes_partitions_and_matches_direct(spark, tmp_path):
     got = sorted(map(tuple, out.collect()))
     direct = sorted(map(tuple, bm25_scores(docs, terms).collect()))
     assert got == direct and len(got) == 3  # doc 3 matches no term
-    # tf saturation + idf: doc 4 (3×alpha, short) outranks doc 2 (1×each)
     scores = dict(got)
-    assert scores[1] > scores[2]
+    # idf + tf saturation doing their jobs: the extra alpha occurrence
+    # lifts doc 1 over doc 2, but tf-STUFFING loses to term DIVERSITY —
+    # doc 4's 3×alpha (one low-idf term, saturated) scores below doc
+    # 2's alpha+gamma
+    assert scores[1] > scores[2] > scores[4] > 0
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan), plan
@@ -558,6 +561,66 @@ def test_search_index_incremental_append(spark, tmp_path):
     got = sorted(map(tuple, bm25_topk_indexed(spark, idx, terms).collect()))
     want = sorted(map(tuple, bm25_topk_indexed(spark, full, terms).collect()))
     assert got == want and len(got) == 3
+
+
+def test_search_index_crash_replay_exactly_once(spark, tmp_path):
+    """The atomic segment commit (review finding): a crash BETWEEN the
+    batch's file writes and its _committed marker leaves an invisible
+    partial — serving ignores it, and the replay overwrites and
+    re-commits to the exact full-rebuild state; a replay of a COMMITTED
+    batch is a no-op (same content key → same segment → marker seen)."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.search import (
+        _committed_batches,
+        append_to_search_index,
+        bm25_topk_indexed,
+        save_search_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta words here")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(3, "gamma gamma alpha"), (4, "beta beta beta alpha")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "crash")
+    save_search_index(base, idx)
+    assert append_to_search_index(batch, idx) == 2
+
+    # simulate the crash: delete the batch segment's marker — the
+    # partial directory still exists but must be invisible
+    import os
+
+    seg = [
+        b for b in _committed_batches(spark, idx) if not b.endswith("base")
+    ]
+    assert len(seg) == 1
+    marker = seg[0].replace("file:", "") + "/_committed"
+    os.remove(marker)
+    assert len(_committed_batches(spark, idx)) == 1  # only base visible
+
+    terms = spark.createDataFrame([("alpha",), ("gamma",)], ["w"]).select(
+        F.substring(F.md5("w"), 1, 16).alias("th")
+    )
+    pre = sorted(map(tuple, bm25_topk_indexed(spark, idx, terms).collect()))
+    full_base = str(tmp_path / "fb")
+    save_search_index(base, full_base)
+    assert pre == sorted(
+        map(tuple, bm25_topk_indexed(spark, full_base, terms).collect())
+    )  # the uncommitted partial contributed NOTHING
+
+    # replay after the crash: same batch → same segment, re-written and
+    # re-committed; serving now equals the full rebuild over the union
+    assert append_to_search_index(batch, idx) == 2
+    assert append_to_search_index(batch, idx) == 0  # committed replay
+    full = str(tmp_path / "full")
+    save_search_index(base.unionByName(batch), full)
+    assert sorted(
+        map(tuple, bm25_topk_indexed(spark, idx, terms).collect())
+    ) == sorted(map(tuple, bm25_topk_indexed(spark, full, terms).collect()))
 
 
 def test_unicode_text_tier_multilingual(spark):
