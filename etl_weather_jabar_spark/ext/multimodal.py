@@ -373,6 +373,66 @@ def decode_wav_pcm16(payload: bytes):
     return rate, data
 
 
+def _ulaw_encode(samples) -> "np.ndarray":
+    """int16 → G.711 µ-law bytes (CCITT segment encoding, bias 0x84,
+    clip 32635), vectorized numpy — the telephony codec 8 kHz voice
+    corpora ship in."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int32)
+    sign = np.where(s < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(s), 32635) + 0x84
+    # exponent = position of the highest set bit above bit 7 (0..7)
+    exponent = np.clip(
+        np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7, 0, 7
+    )
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def _ulaw_decode(data) -> "np.ndarray":
+    """G.711 µ-law bytes → int16, vectorized numpy (exact inverse of
+    the segment table)."""
+    import numpy as np
+
+    u = (~np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int32)) & 0xFF
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def encode_au_ulaw(samples, rate: int = 8000) -> bytes:
+    """int16 mono samples → Sun .au (audio/basic) bytes, G.711 µ-law
+    encoding (the canonical container for 8 kHz telephony audio)."""
+    import struct
+
+    body = _ulaw_encode(samples).tobytes()
+    # .snd magic, data offset 24, data size, encoding 1 (µ-law 8-bit),
+    # sample rate, channels — all big-endian
+    return struct.pack(">4sIIIII", b".snd", 24, len(body), 1, rate, 1) + body
+
+
+def decode_au_ulaw(payload: bytes):
+    """Sun .au (G.711 µ-law, mono) bytes → (rate, int16 numpy array).
+    Raises ValueError on other encodings/channel counts — never a
+    silently wrong waveform."""
+    import struct
+
+    d = bytes(payload)
+    if len(d) < 24 or d[:4] != b".snd":
+        raise ValueError("not a Sun .au payload")
+    off, size, enc, rate, ch = struct.unpack(">IIIII", d[4:24])
+    if enc != 1:
+        raise ValueError("only G.711 mu-law .au supported")
+    if ch != 1:
+        raise ValueError("only mono .au supported")
+    if off < 24 or off > len(d):
+        raise ValueError("truncated .au header")
+    n = min(size, len(d) - off) if size != 0xFFFFFFFF else len(d) - off
+    return rate, _ulaw_decode(d[off : off + n])
+
+
 REAL_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -438,11 +498,13 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                         h, w = int(a.shape[0]), int(a.shape[1])
                         m = a.reshape(-1, 3).mean(axis=0)
                         mr, mg, mb = (f"{float(x):.4f}" for x in m)
-                    elif mime in ("audio/wav", "audio/flac"):
+                    elif mime in ("audio/wav", "audio/flac", "audio/basic"):
                         if mime == "audio/flac":
                             from .flac import decode_flac
 
                             rate, data = decode_flac(bytes(payload))
+                        elif mime == "audio/basic":
+                            rate, data = decode_au_ulaw(payload)
                         else:
                             rate, data = decode_wav_pcm16(payload)
                         dur = int(len(data) * 1000 // max(rate, 1))

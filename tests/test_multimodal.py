@@ -970,3 +970,59 @@ def test_bmp_flows_through_spark_multimodal(spark):
     assert feats[3]["width"] is None  # quarantine
     sigs = {r["media_id"]: r["sig"] for r in ahash_media(media).collect()}
     assert sigs[1] == sigs[2] and sigs[3] is None
+
+
+def test_ulaw_au_codec_roundtrip_and_flow(spark):
+    """G.711 µ-law in the Sun .au container: quantize-idempotent
+    (decode∘encode∘decode == decode), sign-symmetric, error bounded by
+    the segment width, zero exact at zero; flows through
+    extract_features_real with exact duration and a sane RMS;
+    malformed/out-of-scope payloads quarantine."""
+    import numpy as np
+    import pytest
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        decode_au_ulaw,
+        encode_au_ulaw,
+        extract_features_real,
+    )
+
+    rng = np.random.default_rng(21)
+    pcm = rng.integers(-32000, 32000, 8000).astype(np.int16)
+    rate, dec = decode_au_ulaw(encode_au_ulaw(pcm, rate=8000))
+    assert rate == 8000 and len(dec) == len(pcm)
+    # segment-bounded error: |err| <= 2^(exp+3) for each sample's segment
+    err = np.abs(dec.astype(np.int32) - pcm.astype(np.int32))
+    seg = np.clip(
+        np.floor(
+            np.log2(np.maximum(np.abs(pcm.astype(np.int32)) + 132, 1))
+        ).astype(np.int32)
+        - 7,
+        0,
+        7,
+    )
+    assert np.all(err <= (np.int32(1) << (seg + 3)))
+    # idempotent after the first quantization
+    _, dec2 = decode_au_ulaw(encode_au_ulaw(dec, rate=8000))
+    assert np.array_equal(dec, dec2)
+    # sign symmetry + exact zero
+    _, z = decode_au_ulaw(encode_au_ulaw(np.array([0, 100, -100], np.int16)))
+    assert z[0] == 0 and z[1] == -z[2]
+
+    rows = [
+        (1, "audio", bytearray(encode_au_ulaw(pcm)), "audio/basic", None, None, 1000),
+        (2, "audio", bytearray(b".sndjunk"), "audio/basic", None, None, 1),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features_real(media).collect()}
+    assert feats[1]["duration_ms"] == 1000  # 8000 samples @ 8 kHz
+    want = float(np.sqrt(np.mean(dec.astype(np.float64) ** 2)))
+    assert abs(float(feats[1]["rms"]) - want) < 1.0
+    assert feats[2]["rms"] is None  # quarantine
+
+    with pytest.raises(ValueError, match="mu-law"):
+        import struct
+
+        bad = struct.pack(">4sIIIII", b".snd", 24, 4, 3, 8000, 1) + b"\0" * 4
+        decode_au_ulaw(bad)
