@@ -119,6 +119,36 @@ def phrase_match_indexed(
     return phrase_match(postings, terms, id_col)
 
 
+def phrase_match_segments(
+    spark,
+    path: str,
+    terms: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Phrase query against the committed-segment search index
+    (save_search_index / append_to_search_index) — the same postings
+    serve BOTH ranked retrieval and phrase lookup, as the index
+    docstring promises: committed segments only, scans pruned to the
+    phrase terms' shards, then the standard anchor intersection."""
+    from functools import reduce
+
+    batches = _committed_batches(spark, path)
+    if not batches:
+        raise ValueError(f"no committed index batches under {path}")
+    shards = sorted(
+        {
+            r["s"]
+            for r in terms.select(_shard_of(n_shards).alias("s")).collect()
+        }
+    )
+    postings = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{b}/postings") for b in batches],
+    ).where(F.col("shard").isin(shards))
+    return phrase_match(postings, terms, id_col)
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: DataFrame,

@@ -688,3 +688,50 @@ def test_unicode_text_tier_multilingual(spark):
     assert m["lat"] > 0 and m["cyr"] > 0 and m["han"] > 0
     assert m["lat"] + m["cyr"] + m["han"] == m["all_l"]
     assert counts[5]["all_l"] == 0
+
+
+def test_phrase_match_over_segment_index(spark, tmp_path):
+    """One index serves both query types: phrase lookup against the
+    committed-segment search index equals the direct phrase_match over
+    the union corpus (appends included), prunes to the phrase's shards,
+    and ignores uncommitted partials."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.search import (
+        append_to_search_index,
+        build_postings,
+        phrase_match,
+        phrase_match_segments,
+        save_search_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(3, "alpha beta gamma at the start")], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "segphrase")
+    save_search_index(base, idx)
+    assert append_to_search_index(batch, idx) == 1
+
+    terms = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")], ["off", "w"]
+    ).select(
+        F.col("off").cast("bigint"),
+        F.substring(F.md5("w"), 1, 16).alias("th"),
+    )
+    out = phrase_match_segments(spark, idx, terms)
+    got = sorted((r["doc_id"], r["pos0"]) for r in out.collect())
+    direct = sorted(
+        (r["doc_id"], r["pos0"])
+        for r in phrase_match(
+            build_postings(base.unionByName(batch)), terms
+        ).collect()
+    )
+    assert got == direct == [(1, 0), (2, 1), (3, 0)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan), plan
