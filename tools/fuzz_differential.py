@@ -895,6 +895,91 @@ def run_filteragg_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(sql).fetchall()))
 
 
+def gen_bm25_case(rng: random.Random) -> dict:
+    """Family 15 (round 6): the exact-integer BM25 scorer under random
+    parameters — k1/b across their real ranges (b=0 disables length
+    norm, b=1000 is full), random corpus slices, random query-term
+    counts and length floors. Both engines run the identical rescaled
+    integer arithmetic (milli idf, pre-rounded avgdl), so any mismatch
+    is an engine-parity bug in decimal//HUGEINT division or ordering."""
+    return {
+        "kind": "bm25",
+        "k1m": rng.randrange(800, 2001),
+        "bm": rng.choice([0, 250, 500, 750, 1000, rng.randrange(0, 1001)]),
+        "m": rng.randrange(1, 6),
+        "r": 0,
+        "L": rng.randrange(4, 7),
+        "n": rng.randrange(1, 9),
+    }
+
+
+def run_bm25_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.search import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % case["m"] == case["r"]
+    ).select("doc_id", "text")
+    tokc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= case["L"])
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qterms = (
+        tokc.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(case["n"])
+        .select(F.substring(F.md5("tok"), 1, 16).alias("th"))
+    )
+    out = bm25_scores(
+        docs, qterms, k1_milli=case["k1m"], b_milli=case["bm"]
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+def run_bm25_duckdb(con, case: dict):
+    k1m, bm = case["k1m"], case["bm"]
+    q = f"""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {case['m']} = {case['r']}
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM src
+    ),
+    qterms AS (
+        SELECT substr(md5(tok), 1, 16) AS th FROM (
+            SELECT tok, count(*) AS c FROM tok
+            WHERE length(tok) >= {case['L']}
+            GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT {case['n']})
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tot AS (
+        SELECT CAST(count(*) AS HUGEINT) AS D,
+               CAST(1000 * sum(dl) AS HUGEINT) // count(*) AS adm
+        FROM dl
+    ),
+    tf AS (
+        SELECT t.doc_id, q.th, CAST(count(*) AS BIGINT) AS tf
+        FROM tok t JOIN qterms q ON substr(md5(t.tok), 1, 16) = q.th
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           CAST(sum(
+               ((D - df + 1) * 1000 // (df + 1))
+               * CAST(tf AS HUGEINT) * {k1m + 1000} * 1000000
+               // (CAST(tf AS HUGEINT) * 1000000
+                   + {k1m} * ({1000 - bm}
+                              + ({bm} * 1000 * CAST(dl AS HUGEINT)) // adm))
+           ) AS BIGINT) AS score_u
+    FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), tot
+    GROUP BY 1
+    """
+    return sorted(map(tuple, con.execute(q).fetchall()))
+
+
 def gen_case(rng: random.Random) -> dict:
     """One random query AST: table (or an equi-join of two), 0-2 filters,
     0-2 group keys, 1-3 aggs."""
@@ -1160,6 +1245,10 @@ def main() -> int:
             case = gen_ntile_case(rng)
             a = normalize(run_ntile_spark(spark, sf_dir, case))
             b = normalize(run_ntile_duckdb(con, case))
+        elif roll < 0.985:
+            case = gen_bm25_case(rng)
+            a = normalize(run_bm25_spark(spark, sf_dir, case))
+            b = normalize(run_bm25_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
