@@ -1188,6 +1188,11 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    # family 15 (BM25) runs on the documents corpus, which is not in
+    # the relational-AST TABLES dict
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
 
     rng = random.Random(seed)
     failures = 0
