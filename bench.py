@@ -107,6 +107,7 @@ TIER3_QUERIES = [
     "bm25_incremental_topk",
     "stream_bm25_topk",
     "label_propagation_communities",
+    "contrastive_negatives_docs",
     "image_ahash_neardup",
     "bpe_merge_rounds",
     "bpe_encode_stats",

@@ -11796,6 +11796,102 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "contrastive_negatives_docs",
+    """
+    WITH d AS (
+        SELECT doc_id, md5(text) AS h,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cn'),
+                                   1, 4) AS BIGINT) % 32 AS bucket
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+               md5(CAST(a.doc_id AS VARCHAR) || ','
+                   || CAST(c.doc_id AS VARCHAR)) AS pk
+        FROM d a JOIN d c ON a.bucket = c.bucket
+        WHERE a.doc_id <> c.doc_id AND a.h <> c.h
+    )
+    SELECT anchor_id, neg_id, CAST(rnk AS INT) AS rank FROM (
+        SELECT anchor_id, neg_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY pk ASC, neg_id ASC) AS rnk
+        FROM pairs
+    ) WHERE rnk <= 4
+    """,
+)
+def contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-bucket NEGATIVE mining for contrastive
+    embedding training (the SimCLR/DPR data-prep step): each anchor
+    document draws 4 negatives from its salted-hash bucket (the
+    "in-batch negatives" shape — the bucket IS the training batch),
+    EXCLUDING itself and exact duplicates (identical text hash — a
+    duplicate labelled negative would teach the model to separate
+    identical content). Selection order is md5(anchor,candidate), so
+    the drawn negatives are a pure function of the corpus — replayed
+    by the oracle and append-stable for epoch reproducibility.
+
+    100 TB: the pair fan-out is bucket-local (B docs/bucket → B²/bucket
+    — the bucket COUNT is the dial that holds B at training-batch size
+    as the corpus grows, like every banded tier here); the per-anchor
+    top-4 runs through the skew-safe two-phase top-k; text never
+    shuffles (only 16-hex hashes and ids)."""
+    from .operators.windows import scalable_topk_per_group
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":cn"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 32
+        ).alias("bucket"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("h").alias("ah"),
+        "bucket",
+    )
+    c = d.select(
+        F.col("doc_id").alias("neg_id"), F.col("h").alias("ch"), "bucket"
+    )
+    pairs = (
+        a.join(c, on="bucket")
+        .where(
+            (F.col("anchor_id") != F.col("neg_id"))
+            & (F.col("ah") != F.col("ch"))
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(","),
+                    F.col("neg_id").cast("string"),
+                )
+            ).alias("pk"),
+        )
+    )
+    return scalable_topk_per_group(
+        pairs,
+        ["anchor_id"],
+        [F.col("pk").asc(), F.col("neg_id").asc()],
+        4,
+        salt_by=["neg_id"],
+        rank_col="rank",
+    ).select("anchor_id", "neg_id", F.col("rank").cast("int"))
+
+
 @_register("image_ahash_neardup")  # rows-only: binary payload ops
 def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup detection end-to-end: synthesize one

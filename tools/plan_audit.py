@@ -123,6 +123,7 @@ AUDIT_QUERIES = [
     "bm25_incremental_topk",
     "stream_bm25_topk",
     "label_propagation_communities",
+    "contrastive_negatives_docs",
     "bpe_merge_rounds",
     "bpe_encode_stats",
     "pmi_topk_bigrams",
