@@ -106,6 +106,10 @@ TIER3_QUERIES = [
     "bm25_indexed_topk",
     "bm25_incremental_topk",
     "stream_bm25_topk",
+    "bm25_pruned_topk",
+    "bm25_delete_serve",
+    "bm25_compacted_topk",
+    "ivfpq_rerank_topk",
     "label_propagation_communities",
     "contrastive_negatives_docs",
     "image_ahash_neardup",

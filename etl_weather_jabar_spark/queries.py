@@ -2665,10 +2665,13 @@ def ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["ivfpq_indexed_topk"] = ORACLE_SQL["ivf_pq_topk"]
 
 
-@_register(
-    "ivfpq_residual_topk",
-    f"""
-    WITH q AS (
+# Shared DuckDB fragment for the residual-IVFPQ family: the full exact
+# chain — assignment, residuals, residual-seeded codebooks, encode,
+# query probes, per-probe ADC tables — ending in the scored candidate
+# set ``sc`` (query_id, vec_id, adc_dist). The base query ranks it to
+# top-10; the two-stage rerank twin takes top-50 as the candidate set
+# and re-ranks by exact cosine on the raw vectors.
+_IVFPQ_RES_CTES = f"""q AS (
         SELECT vec_id,
                list_transform(embedding, x ->
                    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
@@ -2747,7 +2750,13 @@ ORACLE_SQL["ivfpq_indexed_topk"] = ORACLE_SQL["ivf_pq_topk"]
                AND enc.s = qt.s AND enc.code = qt.code
         WHERE fa.vec_id <> qt.query_id
         GROUP BY 1, 2
-    )
+    )"""
+
+
+@_register(
+    "ivfpq_residual_topk",
+    f"""
+    WITH {_IVFPQ_RES_CTES}
     SELECT query_id, vec_id, adc_dist, rank FROM (
         SELECT *, CAST(row_number() OVER (
             PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
@@ -2893,6 +2902,107 @@ def ivfpq_residual_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical semantics + model state as ivfpq_residual_topk, so the same
 # twin certifies the persisted residual chain
 ORACLE_SQL["ivfpq_residual_indexed_topk"] = ORACLE_SQL["ivfpq_residual_topk"]
+
+
+@_register(
+    "ivfpq_rerank_topk",
+    f"""
+    WITH {_IVFPQ_RES_CTES},
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+            ) AS rn
+            FROM sc
+        ) WHERE rn <= 50
+    ),
+    rr AS (
+        SELECT c.query_id, c.vec_id,
+               {_cos_sql('e.embedding', 'qe.embedding')} AS cosine
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+        ) AS INT) AS rank
+        FROM rr
+    ) WHERE rank <= 10
+    """,
+)
+def ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval — the deployment shape every IVFPQ user
+    actually runs (round-6 verdict item 4): the persisted residual-IVFPQ
+    index nominates top-50 ADC candidates per query (compressed codes
+    only — 8 bytes/vector), then ONLY those candidates' raw vectors are
+    fetched and re-ranked by exact cosine (brute_force_topk's rounded
+    scorer) for the final top-10. Certifies the recall/exactness seam
+    the one-stage family leaves implicit: ADC distortion decides the
+    candidate set, exact geometry decides the ranking. The oracle
+    replays the whole chain — candidate set AND re-rank — digit for
+    digit; a recall floor vs brute_force_topk is pinned in
+    tests/test_similarity.py. 100 TB: stage 1 reads n_probe/n_clusters
+    partition-pruned code lists; stage 2's raw-vector fetch is a
+    |queries|·50-row broadcast semi-join against the vector store — the
+    full-precision vectors never stream through ranking."""
+    import tempfile
+
+    from .ext.similarity import (
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+    )
+    from .functions.vectors import cosine_similarity
+    from .planmode import is_plan_only
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if is_plan_only():
+        # the serving plan bakes index file paths into its scans; the
+        # unindexed composition is the representative stage-1 shape
+        cand = ivfpq_residual_topk(spark, sf_dir).select(
+            "query_id", "vec_id"
+        )
+    else:
+        # same corpus, same model params → share bm25-style index memo
+        # with ivfpq_residual_indexed_topk (identical on-disk state)
+        key = sf_dir + ":ivfpqr"
+        idx = _IVF_INDEX_MEMO.get(key)
+        if idx is None:
+            idx = tempfile.mkdtemp(prefix="ivfpqr_q_") + "/idx"
+            cents = train_ivf_centroids_exact(emb, n_clusters=16, iters=0)
+            save_ivfpq_residual_index(emb, idx, cents)
+            _IVF_INDEX_MEMO[key] = idx
+        cand = ivfpq_residual_topk_indexed(
+            spark, idx, queries, k=50, n_probe=3
+        ).select("query_id", "vec_id")
+    rr = (
+        cand.join(emb.select("vec_id", "embedding"), on="vec_id")
+        .join(
+            F.broadcast(
+                queries.select("query_id", F.col("embedding").alias("__qv"))
+            ),
+            on="query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("__qv")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
 
 
 @_register(
@@ -11420,19 +11530,24 @@ def perceptron_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared DuckDB fragment for the BM25 retrieval family: corpus top-8
-# content terms as the query, postings-derived tf/df/dl/totals, and the
+# Shared DuckDB fragment for the BM25 retrieval family: a deterministic
+# content-term query, postings-derived tf/df/dl/totals, and the
 # rescaled exact-integer scorer (avgdl pre-rounded to milli-tokens,
 # milli idf) — mirrors ext/search.py::_bm25_combine digit for digit.
-_BM25_SQL_CTES = """tok AS (
+# ``qterms_body`` picks the query terms from the ``tc`` token counts;
+# ``docs_where`` narrows the corpus (the delete/compaction twins score
+# against the SURVIVING documents only).
+def _bm25_sql_ctes(qterms_body: str, docs_where: str = "") -> str:
+    return f"""tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents
+        FROM documents {docs_where}
+    ),
+    tc AS (
+        SELECT tok, count(*) AS c FROM tok
+        WHERE length(tok) >= 5 GROUP BY 1
     ),
     qterms AS (
-        SELECT substr(md5(tok), 1, 16) AS th FROM (
-            SELECT tok, count(*) AS c FROM tok
-            WHERE length(tok) >= 5
-            GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 8)
+        SELECT substr(md5(tok), 1, 16) AS th FROM ({qterms_body})
     ),
     dl AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
@@ -11463,6 +11578,17 @@ _BM25_SQL_CTES = """tok AS (
     )"""
 
 
+_BM25_TOP8_BODY = "SELECT tok FROM tc ORDER BY c DESC, tok ASC LIMIT 8"
+# mixed query for the MaxScore serve: 4 heaviest terms (low idf, huge
+# posting lists) + 4 rarest with df ≥ 2 (high idf — they set θ and
+# demote the heavy terms to non-essential, so the prune has real work)
+_BM25_MIXED_BODY = (
+    "(SELECT tok FROM tc ORDER BY c DESC, tok ASC LIMIT 4) UNION "
+    "(SELECT tok FROM tc WHERE c >= 2 ORDER BY c ASC, tok ASC LIMIT 4)"
+)
+_BM25_SQL_CTES = _bm25_sql_ctes(_BM25_TOP8_BODY)
+
+
 @_register(
     "bm25_topk_docs",
     f"""
@@ -11480,7 +11606,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus' own 8 heaviest content terms (length ≥ 5, deterministic
     (count, token) tie-break — a stand-in for a user query that any
     engine reproduces). The idf is the exact rational surrogate
-    (D−df+1)·10⁶ div (df+1) (monotone in df like Robertson's log idf)
+    (D−df+1)·10³ div (df+1) (monotone in df like Robertson's log idf)
     and the tf normalization is one cross-multiplied integer division,
     so scores — including ties — replay digit-for-digit in the oracle.
     100 TB: df/dl/S/D are partial-aggregatable counts, the query join
@@ -11692,6 +11818,192 @@ def stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # streamed appends == full rebuild == the inline scorer, same twin
 ORACLE_SQL["stream_bm25_topk"] = ORACLE_SQL["bm25_topk_docs"]
+
+
+def _bm25_query_terms(docs: DataFrame, mixed: bool = False) -> DataFrame:
+    """The deterministic content-term query the BM25 family serves
+    (mirrors _BM25_TOP8_BODY / _BM25_MIXED_BODY): top-8 heaviest tokens
+    of length ≥ 5, or — for the MaxScore serve — 4 heaviest + 4 rarest
+    with count ≥ 2 (the rare high-idf terms set θ and demote the heavy
+    terms to non-essential, giving the prune real work)."""
+    tokc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 5)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if mixed:
+        picked = (
+            tokc.orderBy(F.col("c").desc(), F.col("tok").asc())
+            .limit(4)
+            .select("tok")
+            .unionByName(
+                tokc.where(F.col("c") >= 2)
+                .orderBy(F.col("c").asc(), F.col("tok").asc())
+                .limit(4)
+                .select("tok")
+            )
+            .distinct()
+        )
+    else:
+        picked = tokc.orderBy(
+            F.col("c").desc(), F.col("tok").asc()
+        ).limit(8).select("tok")
+    return picked.select(F.substring(F.md5("tok"), 1, 16).alias("th"))
+
+
+def _bm25_rank_top20(sc: DataFrame) -> DataFrame:
+    top = sc.orderBy(F.col("score_u").desc(), F.col("doc_id").asc()).limit(
+        20
+    )
+    w = Window.orderBy(F.col("score_u").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@_register(
+    "bm25_pruned_topk",
+    f"""
+    WITH {_bm25_sql_ctes(_BM25_MIXED_BODY)}
+    SELECT doc_id, score_u,
+           CAST(row_number() OVER (ORDER BY score_u DESC, doc_id ASC)
+                AS INT) AS rank
+    FROM sc ORDER BY score_u DESC, doc_id ASC LIMIT 20
+    """,
+)
+def bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered top-k PRUNED retrieval (round-6 verdict item 5 —
+    MaxScore/WAND-lite, ext/search.py::_bm25_maxscore): the persisted
+    index's per-term (max_tf, min_dl) caps — written at index time, run
+    through the SAME contribution arithmetic — upper-bound every doc's
+    per-term score; θ comes from exactly scoring the best term's docs,
+    and docs matching only "non-essential" terms (summed caps < θ) are
+    pruned BEFORE the scoring aggregation. Pure transparency: the top-20
+    is bit-identical to the unpruned serve, so the plain BM25 twin
+    certifies the pruned plan. The query is MIXED (4 heaviest + 4 rare
+    df≥2 terms) — the shape where MaxScore actually pays: rare high-idf
+    terms set θ, the heavy terms' huge posting lists get skipped."""
+    from .ext.search import bm25_topk_indexed, save_search_index
+    from .planmode import is_plan_only
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    qterms = _bm25_query_terms(docs, mixed=True)
+    if is_plan_only():
+        return bm25_topk_docs(spark, sf_dir)
+    key = sf_dir + ":bm25"  # same index as bm25_indexed_topk
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="bm25_q_") + "/idx"
+        save_search_index(docs, idx)
+        _IVF_INDEX_MEMO[key] = idx
+    return _bm25_rank_top20(
+        bm25_topk_indexed(spark, idx, qterms, prune_k=20)
+    )
+
+
+@_register(
+    "bm25_delete_serve",
+    f"""
+    WITH {_bm25_sql_ctes(_BM25_TOP8_BODY, "WHERE doc_id % 10 <> 3")}
+    SELECT doc_id, score_u,
+           CAST(row_number() OVER (ORDER BY score_u DESC, doc_id ASC)
+                AS INT) AS rank
+    FROM sc ORDER BY score_u DESC, doc_id ASC LIMIT 20
+    """,
+)
+def bm25_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE deletes certified by hash (round-6 missing item 1 —
+    takedown / decontamination, the reason a curation stack keeps this
+    index): build the full index, delete_from_search_index the
+    doc_id % 10 == 3 slice (a delete segment: ids + their dl + own
+    1-row stats, atomic commit), then serve. The ranking — scores, df,
+    S/D totals, ties — must equal a FULL REBUILD WITHOUT the documents,
+    which is exactly what the twin computes (documents WHERE
+    doc_id % 10 <> 3). Query terms are re-derived from the surviving
+    corpus, as a live deployment would."""
+    from .ext.search import (
+        bm25_topk_indexed,
+        delete_from_search_index,
+        save_search_index,
+    )
+    from .planmode import is_plan_only
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    survivors = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 3)
+    qterms = _bm25_query_terms(survivors)
+    if is_plan_only():
+        return bm25_topk_docs(spark, sf_dir)
+    key = sf_dir + ":bm25del"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="bm25del_q_") + "/idx"
+        save_search_index(docs, idx)
+        delete_from_search_index(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 3).select(
+                "doc_id"
+            ),
+            idx,
+        )
+        _IVF_INDEX_MEMO[key] = idx
+    return _bm25_rank_top20(bm25_topk_indexed(spark, idx, qterms))
+
+
+@_register("bm25_compacted_topk")
+def bm25_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT COMPACTION certified by hash (round-6 missing item 1 —
+    the Lucene merge policy): the index accumulates three appended
+    segments plus a tombstone delete, compact_search_index merges them
+    into ONE segment with the deletes applied physically (atomic: the
+    merged segment's _committed simultaneously publishes its data and
+    retires its sources), the retired dirs are vacuumed, and the serve
+    must still equal a full rebuild without the deleted docs — the SAME
+    twin as bm25_delete_serve. Also pins that compaction bounds the
+    segment count: exactly one live segment remains."""
+    from .ext.search import (
+        append_to_search_index,
+        bm25_topk_indexed,
+        compact_search_index,
+        delete_from_search_index,
+        save_search_index,
+        vacuum_search_index,
+        _live_state,
+    )
+    from .planmode import is_plan_only
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    survivors = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 3)
+    qterms = _bm25_query_terms(survivors)
+    if is_plan_only():
+        return bm25_topk_docs(spark, sf_dir)
+    key = sf_dir + ":bm25cmp"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="bm25cmp_q_") + "/idx"
+        third = F.pmod(F.col("doc_id"), F.lit(3))
+        save_search_index(docs.where(third == 0), idx)
+        append_to_search_index(docs.where(third == 1), idx)
+        append_to_search_index(docs.where(third == 2), idx)
+        delete_from_search_index(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 3).select(
+                "doc_id"
+            ),
+            idx,
+        )
+        assert compact_search_index(spark, idx) is True
+        vacuum_search_index(spark, idx)
+        live_b, live_d = _live_state(spark, idx)
+        assert len(live_b) == 1 and not live_d
+        _IVF_INDEX_MEMO[key] = idx
+    return _bm25_rank_top20(bm25_topk_indexed(spark, idx, qterms))
+
+
+# compaction + physical deletes == rebuild without the docs, same twin
+ORACLE_SQL["bm25_compacted_topk"] = ORACLE_SQL["bm25_delete_serve"]
 
 
 @_register(

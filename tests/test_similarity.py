@@ -902,3 +902,49 @@ def test_ivfpq_residual_indexed_registry_partition_pruned(spark):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, mem.collect())
     )
+
+
+def test_ivfpq_rerank_recall_floor_and_exact_seam(spark):
+    """Two-stage retrieval (round-7 order 4): exact-cosine re-ranking of
+    the persisted residual-IVFPQ top-50 candidates. Pins (a) a recall@10
+    floor vs brute_force_topk, (b) that the re-rank STRICTLY improves on
+    serving the one-stage ADC top-10 (the seam's whole value: ADC
+    distortion nominates, exact geometry ranks), and (c) that every
+    rerank cosine equals the brute-force scorer's value for the same
+    pair (stage 2 is exact, not another approximation)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark import queries as Q
+    from etl_weather_jabar_spark.ext.similarity import brute_force_topk
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rer = Q.QUERIES["ivfpq_rerank_topk"](spark, sf).collect()
+    one = Q.QUERIES["ivfpq_residual_indexed_topk"](spark, sf).collect()
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = brute_force_topk(emb, qs, k=10).collect()
+
+    def by_query(rows):
+        d = defaultdict(set)
+        for r in rows:
+            d[r["query_id"]].add(r["vec_id"])
+        return d
+
+    b, o, rr = by_query(bf), by_query(one), by_query(rer)
+    mean_rerank = sum(len(rr[q] & b[q]) for q in b) / (10 * len(b))
+    mean_one = sum(len(o[q] & b[q]) for q in b) / (10 * len(b))
+    # measured 0.34 vs 0.08 at sf0.001 (recall is bounded by the probed
+    # 3/16 lists, not by the re-rank); floors pinned below the noise
+    assert mean_rerank >= 0.3, (mean_rerank, mean_one)
+    assert mean_rerank > mean_one, (mean_rerank, mean_one)
+
+    bf_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in bf}
+    for r in rer:
+        k = (r["query_id"], r["vec_id"])
+        if k in bf_cos:
+            assert r["cosine"] == bf_cos[k], k

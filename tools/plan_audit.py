@@ -122,6 +122,10 @@ AUDIT_QUERIES = [
     "bm25_indexed_topk",
     "bm25_incremental_topk",
     "stream_bm25_topk",
+    "bm25_pruned_topk",
+    "bm25_delete_serve",
+    "bm25_compacted_topk",
+    "ivfpq_rerank_topk",
     "label_propagation_communities",
     "contrastive_negatives_docs",
     "bpe_merge_rounds",
@@ -204,6 +208,10 @@ EXPECTED_NESTED_LOOP = {
     "bm25_indexed_topk": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
     "bm25_incremental_topk": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
     "stream_bm25_topk": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
+    "bm25_pruned_topk": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
+    "bm25_delete_serve": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
+    "bm25_compacted_topk": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
+    "ivfpq_rerank_topk": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape for stage 1)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
