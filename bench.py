@@ -194,7 +194,17 @@ def main() -> None:
         and f[len("BENCH_r") : -len(".json")].isdigit()
     ]
     rnd = max(existing, default=0) + 1
+    # never clobber an earlier run's side file for the same inferred
+    # round (two bench runs can happen before the harness writes
+    # BENCH_r{rnd}.json): first-writer keeps the bare name, later runs
+    # get an attempt suffix (round-6 advisor finding)
     side_path = os.path.join(REPO, f"BENCH_TIERS_r{rnd:02d}.json")
+    attempt = 1
+    while os.path.exists(side_path):
+        attempt += 1
+        side_path = os.path.join(
+            REPO, f"BENCH_TIERS_r{rnd:02d}_a{attempt}.json"
+        )
     with open(side_path, "w") as fh:
         json.dump(
             {

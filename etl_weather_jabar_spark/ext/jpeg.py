@@ -738,6 +738,7 @@ def _progressive_scan(
     vmax: int,
     mcux: int,
     mcuy: int,
+    sa_state: dict[tuple[int, int], int],
 ) -> int:
     """Decode ONE progressive scan (T.81 Annex G) into the accumulated
     zigzag coefficient arrays; returns the stream position of the next
@@ -748,7 +749,15 @@ def _progressive_scan(
     by one bit (G.1.2.3: correction bits for already-nonzero
     coefficients interleave the newly-significant run/size symbols).
     RSTn every restart_interval units resets DC predictors and must not
-    split an EOB run."""
+    split an EOB run.
+
+    ``sa_state`` tracks the successive-approximation chain per
+    (component, coefficient) across scans (round-6 advisor finding: a
+    malformed chain — a refinement before any first scan, an Ah that
+    skips the previous Al, a duplicate first scan — used to decode to
+    wrong pixels instead of raising, against the module's 'ValueError,
+    never a wrong image' contract): each refinement must have
+    Ah == the band's previous Al and Al == Ah − 1 (G.1.1.1.1)."""
     ns = body[0]
     if len(body) < 4 + 2 * ns:
         raise ValueError("truncated SOS segment")
@@ -767,6 +776,10 @@ def _progressive_scan(
         )
     if not dc_scan and ns != 1:
         raise ValueError("progressive AC scan must be single-component")
+    if ah and al != ah - 1:
+        raise ValueError(
+            "progressive refinement must reduce Al by exactly one bit"
+        )
     # scan components, bound to SOF order
     idxs = []
     for ci, (cid, _, _, _) in enumerate(comps):
@@ -774,6 +787,27 @@ def _progressive_scan(
             idxs.append(ci)
     if len(idxs) != ns:
         raise ValueError("scan component not declared in SOF")
+    for ci in idxs:
+        for k in range(ss, se + 1):
+            prev = sa_state.get((ci, k))
+            if ah == 0:
+                if prev is not None:
+                    raise ValueError(
+                        "duplicate first scan for a coefficient band in "
+                        "the successive-approximation chain"
+                    )
+            else:
+                if prev is None:
+                    raise ValueError(
+                        "progressive refinement before any first scan "
+                        "for its coefficient band"
+                    )
+                if prev != ah:
+                    raise ValueError(
+                        "successive-approximation gap: refinement Ah "
+                        "must equal the band's previous Al"
+                    )
+            sa_state[(ci, k)] = al
     tabs = {}
     for ci in idxs:
         cid = comps[ci][0]
@@ -979,6 +1013,7 @@ def decode_jpeg(payload: bytes):
     h = w = 0
     progressive = False
     pcoefs: list[np.ndarray] | None = None  # per-component zigzag coefs
+    sa_state: dict[tuple[int, int], int] = {}  # (comp, coef) -> last Al
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -1095,6 +1130,7 @@ def decode_jpeg(payload: bytes):
                 pos = _progressive_scan(
                     d, pos + seglen, body, comps, pcoefs, htables,
                     restart_interval, w, h, hmax, vmax, mcux, mcuy,
+                    sa_state,
                 )
                 continue
             ns = body[0]

@@ -426,3 +426,49 @@ def test_jpeg_411_layout():
         decode_jpeg(encode_jpeg(img, 85, subsampling="411",
                                 restart_interval=2)),
     )
+
+
+def test_progressive_successive_approximation_chain_validated():
+    """Round-6 advisor finding: a malformed successive-approximation
+    chain must RAISE, not decode to wrong pixels. Byte-surgery on a
+    valid SOF2 stream's scan headers: (a) a refinement whose Ah skips
+    the band's previous Al, (b) a refinement relabelled as a duplicate
+    first scan, (c) a refinement that drops Al by more than one bit —
+    each must be a ValueError; the untouched stream still round-trips."""
+    import numpy as np
+    import pytest
+
+    from etl_weather_jabar_spark.ext.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(gray, 85, progressive=True))
+    decode_jpeg(bytes(enc))  # valid as produced
+
+    # locate every SOS header's Ah/Al byte: FFDA len(2) ns comps*2 Ss Se AhAl
+    def ahal_offsets(b: bytes) -> list[int]:
+        out, i = [], 2
+        while i + 4 <= len(b):
+            if b[i] == 0xFF and b[i + 1] == 0xDA:
+                ns = b[i + 4]
+                out.append(i + 4 + 1 + 2 * ns + 2)
+                i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+            elif b[i] == 0xFF and b[i + 1] not in (0x00, 0xD8, 0xD9):
+                i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+            else:
+                i += 1
+        return out
+
+    offs = ahal_offsets(bytes(enc))
+    # the scan script ends in Ah=1→Al=0 refinements
+    ref_off = next(o for o in reversed(offs) if enc[o] == 0x10)
+
+    for bad, msg in [
+        (0x21, "gap"),          # Ah=2, Al=1: previous Al was 1, not 2
+        (0x01, "duplicate"),    # Ah=0, Al=1: second "first scan"
+        (0x30, "exactly one"),  # Ah=3, Al=0: refinement skips bits
+    ]:
+        tampered = bytearray(enc)
+        tampered[ref_off] = bad
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(tampered))
