@@ -689,11 +689,9 @@ def _bm25_maxscore(
         return _bm25_combine_carried(
             matched, df, tot, id_col, k1_milli, b_milli
         )
-    cand = (
-        matched.where(F.col("th").isin(essential))
-        .select(id_col)
-        .distinct()
-    )
+    # no .distinct() on the candidate ids: left_semi tolerates duplicate
+    # right keys, and the distinct would be one more full shuffle
+    cand = matched.where(F.col("th").isin(essential)).select(id_col)
     return _bm25_combine_carried(
         matched.join(cand, on=id_col, how="left_semi"),
         df, tot, id_col, k1_milli, b_milli,

@@ -287,3 +287,57 @@ def test_delete_requires_index(spark, tmp_path):
             spark.createDataFrame([(1,)], ["doc_id"]),
             str(tmp_path / "absent"),
         )
+
+
+def test_streaming_append_with_compaction_bounds_segments(spark, tmp_path):
+    """The production cadence: a Structured Streaming foreachBatch that
+    appends each micro-batch as a segment AND compacts whenever the
+    live-segment count exceeds the bound — the segment count stays
+    bounded over an unbounded stream (round-7 order 3 'done' criterion)
+    and the served ranking still equals the inline scorer over all
+    inserted docs."""
+    import glob
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha w{i % 7} beta w{(i * 3) % 11} gamma common")
+            for i in range(1, 25)
+        ],
+        ["doc_id", "text"],
+    )
+    tmp = str(tmp_path)
+    landing, idx, ckpt = f"{tmp}/in", f"{tmp}/idx", f"{tmp}/ckpt"
+    os.makedirs(landing)
+    # 6 micro-batches of 4 docs each
+    for i in range(6):
+        b = docs.where(
+            (F.col("doc_id") > i * 4) & (F.col("doc_id") <= (i + 1) * 4)
+        )
+        d = f"{tmp}/stage{i}"
+        b.coalesce(1).write.json(d)
+        for j, part in enumerate(sorted(glob.glob(f"{d}/part-*.json"))):
+            os.rename(part, f"{landing}/b{i}_{j:04d}.json")
+
+    max_live = []
+
+    def commit(batch, batch_id):
+        append_to_search_index(batch, idx, batch_key=f"sb{batch_id}")
+        compact_search_index(spark, idx, max_segments=3)
+        max_live.append(len(_live_state(spark, idx)[0]))
+
+    q = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert max(max_live) <= 3, max_live  # bounded over the whole stream
+    terms = _terms(spark, ["alpha", "gamma"])
+    assert _serve(spark, idx, terms) == sorted(
+        map(tuple, bm25_scores(docs, terms).collect())
+    )

@@ -938,6 +938,154 @@ def run_bm25_spark(spark, sf_dir: str, case: dict):
     return sorted(map(tuple, out.collect()))
 
 
+def gen_bm25_lifecycle_case(rng: random.Random) -> dict:
+    """Family 16 — the PERSISTED index lifecycle (round 7): the corpus
+    lands as 1–3 segments (appends deliberately replay part of an
+    earlier segment to exercise the Bloom-gated overlap anti-join), a
+    random slice may be tombstone-deleted, the index may then be
+    compacted (deletes applied physically, sources retired atomically),
+    and the serve may run the MaxScore prune. Whatever the path, the
+    served ranking must equal DuckDB's inline BM25 over the SURVIVING
+    documents — one twin certifies append/delete/compact/prune
+    composition under random parameters."""
+    dm = rng.choice([None, None, 5, 7, 9, 11, 13])
+    return {
+        "kind": "bm25_lifecycle",
+        "k1m": rng.randrange(800, 2001),
+        "bm": rng.choice([0, 250, 750, rng.randrange(0, 1001)]),
+        "m": rng.randrange(1, 4),
+        "L": rng.randrange(4, 7),
+        "n": rng.randrange(2, 9),
+        "segs": rng.randrange(1, 4),
+        "del_m": dm,
+        "compact": rng.random() < 0.5,
+        "prune_k": rng.choice([None, 5, 10, 20]),
+    }
+
+
+def run_bm25_lifecycle_spark(spark, sf_dir: str, case: dict):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.search import (
+        append_to_search_index,
+        bm25_topk_indexed,
+        compact_search_index,
+        delete_from_search_index,
+        save_search_index,
+        vacuum_search_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % case["m"] == 0
+    ).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="fuzz_sidx_")
+    idx = f"{tmp}/idx"
+    try:
+        ns = case["segs"]
+        part = F.pmod(F.col("doc_id"), F.lit(ns))
+        save_search_index(docs.where(part == 0), idx)
+        for i in range(1, ns):
+            # each append replays a slice of segment 0 (overlap no-ops)
+            batch = docs.where(
+                (part == i) | ((part == 0) & (F.col("doc_id") < 40 * i))
+            )
+            append_to_search_index(batch, idx)
+        if case["del_m"] is not None:
+            delete_from_search_index(
+                docs.where(
+                    F.pmod(F.col("doc_id"), F.lit(case["del_m"])) == 0
+                ).select("doc_id"),
+                idx,
+            )
+        if case["compact"]:
+            compact_search_index(spark, idx)
+            vacuum_search_index(spark, idx)
+        surv = docs
+        if case["del_m"] is not None:
+            surv = docs.where(
+                F.pmod(F.col("doc_id"), F.lit(case["del_m"])) != 0
+            )
+        tokc = (
+            surv.select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.length("tok") >= case["L"])
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        qterms = (
+            tokc.orderBy(F.col("c").desc(), F.col("tok").asc())
+            .limit(case["n"])
+            .select(F.substring(F.md5("tok"), 1, 16).alias("th"))
+        )
+        out = bm25_topk_indexed(
+            spark, idx, qterms,
+            k1_milli=case["k1m"], b_milli=case["bm"],
+            prune_k=case["prune_k"],
+        )
+        if case["prune_k"] is not None:
+            out = out.orderBy(
+                F.col("score_u").desc(), F.col("doc_id").asc()
+            ).limit(case["prune_k"])
+        return sorted(map(tuple, out.collect()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_bm25_lifecycle_duckdb(con, case: dict):
+    k1m, bm = case["k1m"], case["bm"]
+    not_deleted = (
+        f"AND doc_id % {case['del_m']} <> 0"
+        if case["del_m"] is not None
+        else ""
+    )
+    limit = (
+        f"ORDER BY score_u DESC, doc_id ASC LIMIT {case['prune_k']}"
+        if case["prune_k"] is not None
+        else ""
+    )
+    q = f"""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {case['m']} = 0 {not_deleted}
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM src
+    ),
+    qterms AS (
+        SELECT substr(md5(tok), 1, 16) AS th FROM (
+            SELECT tok, count(*) AS c FROM tok
+            WHERE length(tok) >= {case['L']}
+            GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT {case['n']})
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    tot AS (
+        SELECT CAST(count(*) AS HUGEINT) AS D,
+               CAST(1000 * sum(dl) AS HUGEINT) // count(*) AS adm
+        FROM dl
+    ),
+    tf AS (
+        SELECT t.doc_id, q.th, CAST(count(*) AS BIGINT) AS tf
+        FROM tok t JOIN qterms q ON substr(md5(t.tok), 1, 16) = q.th
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           CAST(sum(
+               ((D - df + 1) * 1000 // (df + 1))
+               * CAST(tf AS HUGEINT) * {k1m + 1000} * 1000000
+               // (CAST(tf AS HUGEINT) * 1000000
+                   + {k1m} * ({1000 - bm}
+                              + ({bm} * 1000 * CAST(dl AS HUGEINT)) // adm))
+           ) AS BIGINT) AS score_u
+    FROM tf JOIN dfq USING (th) JOIN dl USING (doc_id), tot
+    GROUP BY 1
+    {limit}
+    """
+    return sorted(map(tuple, con.execute(q).fetchall()))
+
+
 def run_bm25_duckdb(con, case: dict):
     k1m, bm = case["k1m"], case["bm"]
     q = f"""
@@ -1250,10 +1398,14 @@ def main() -> int:
             case = gen_ntile_case(rng)
             a = normalize(run_ntile_spark(spark, sf_dir, case))
             b = normalize(run_ntile_duckdb(con, case))
-        elif roll < 0.985:
+        elif roll < 0.98:
             case = gen_bm25_case(rng)
             a = normalize(run_bm25_spark(spark, sf_dir, case))
             b = normalize(run_bm25_duckdb(con, case))
+        elif roll < 0.99:
+            case = gen_bm25_lifecycle_case(rng)
+            a = normalize(run_bm25_lifecycle_spark(spark, sf_dir, case))
+            b = normalize(run_bm25_lifecycle_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
