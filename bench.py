@@ -110,6 +110,8 @@ TIER3_QUERIES = [
     "bm25_delete_serve",
     "bm25_compacted_topk",
     "ivfpq_rerank_topk",
+    "ivfpq_delete_serve",
+    "phrase_kwic_snippets",
     "label_propagation_communities",
     "contrastive_negatives_docs",
     "image_ahash_neardup",

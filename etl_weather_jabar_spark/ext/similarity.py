@@ -867,6 +867,66 @@ def save_ivfpq_residual_index(
     )
 
 
+def delete_from_vector_index(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> int:
+    """Tombstone vectors out of a persisted index (takedown /
+    decontamination — the vector-side twin of
+    ext/search.py::delete_from_search_index): writes a DELETE SEGMENT
+    of ids under ``<path>/deletes/<key>`` published by one atomic
+    ``_committed`` create; the serve (:func:`ivfpq_residual_topk_indexed`)
+    anti-joins tombstoned ids out of the candidate lists, so ranking
+    equals a serve over the index without those vectors (model state —
+    centroids, codebooks — deliberately unchanged, exactly like a faiss
+    ``remove_ids``: quantizers are trained artifacts, not per-vector
+    state; certified by the ivfpq_delete_serve twin). Physical removal
+    is a rebuild (``save_*_index`` — the IVF re-cluster lifecycle in
+    SCALING.md); unlike the text index the lists live in ONE directory,
+    so there is no segment-merge compaction to piggyback on. Returns
+    the number of newly tombstoned ids (ids not in the index tombstone
+    harmlessly — the anti-join just never matches them)."""
+    from .search import _committed_dirs, _content_batch_key, _fs_and_path
+
+    spark = ids.sparkSession
+    tgt = ids.select(id_col).distinct()
+    existing = _committed_dirs(spark, f"{path}/deletes")
+    if existing:
+        from functools import reduce
+
+        seen = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(f"{d}/ids") for d in existing.values()],
+        ).select(id_col)
+        tgt = tgt.join(seen, on=id_col, how="left_anti")
+    tgt = tgt.persist()
+    n = tgt.count()
+    if n == 0:
+        return 0
+    key = "d" + _content_batch_key(tgt, id_col)[1:]
+    ddir = f"{path}/deletes/{key}"
+    fs, d, jvm = _fs_and_path(spark, ddir)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
+        return 0
+    tgt.write.mode("overwrite").parquet(f"{ddir}/ids")
+    tgt.unpersist()
+    fs.create(jvm.org.apache.hadoop.fs.Path(d, "_committed")).close()
+    return n
+
+
+def _vector_delete_ids(spark, path: str, id_col: str) -> DataFrame | None:
+    from functools import reduce
+
+    from .search import _committed_dirs
+
+    dirs = _committed_dirs(spark, f"{path}/deletes")
+    if not dirs:
+        return None
+    return reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{d}/ids") for d in dirs.values()],
+    ).select(id_col)
+
+
 def ivfpq_residual_topk_indexed(
     spark,
     path: str,
@@ -885,10 +945,12 @@ def ivfpq_residual_topk_indexed(
     query builds one ADC table PER PROBED LIST against its own residual
     (query − that list's centroid), and candidates score by summed
     lookups at their stored residual codes keyed on
-    (query, cid, s, code). Same deterministic semantics as the certified
-    in-memory composition ivfpq_residual_topk with the same model state.
-    Scale: tables are |queries|·n_probe·n_sub·n_codes integers
-    (broadcast); the lists carry ~n_sub bytes per vector."""
+    (query, cid, s, code). Tombstoned ids
+    (:func:`delete_from_vector_index`) are anti-joined out of the
+    candidate lists before scoring. Same deterministic semantics as the
+    certified in-memory composition ivfpq_residual_topk with the same
+    model state. Scale: tables are |queries|·n_probe·n_sub·n_codes
+    integers (broadcast); the lists carry ~n_sub bytes per vector."""
     cents_df = spark.read.parquet(f"{path}/centroids")
     cents = sorted(
         (int(r["cid"]), [int(x) for x in r["cv"]])
@@ -918,6 +980,9 @@ def ivfpq_residual_topk_indexed(
     lists = spark.read.parquet(f"{path}/lists").where(
         F.col("cid").isin(probe_cids)
     )
+    tombstoned = _vector_delete_ids(spark, path, id_col)
+    if tombstoned is not None:
+        lists = lists.join(tombstoned, on=id_col, how="left_anti")
     qres = probes.join(F.broadcast(cdf_cent), on="cid").select(
         query_id_col,
         "cid",

@@ -3006,6 +3006,62 @@ def ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivfpq_delete_serve",
+    f"""
+    WITH {_IVFPQ_RES_CTES}
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+        ) AS INT) AS rank
+        FROM sc WHERE vec_id % 10 <> 3
+    ) WHERE rank <= 10
+    """,
+)
+def ivfpq_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR-INDEX tombstone deletes certified by hash — the embedding
+    side of takedown/decontamination (the text twin is
+    bm25_delete_serve): build the persisted residual-IVFPQ index,
+    delete_from_vector_index the vec_id % 10 == 3 slice (an atomic
+    delete segment of ids), then serve. Tombstoned vectors vanish from
+    the candidate lists while the MODEL state (centroids, residual
+    codebooks) deliberately stays — exactly faiss remove_ids semantics:
+    quantizers are trained artifacts, not per-vector state — so the
+    twin replays the full-corpus model and filters the scored
+    candidates. Physical removal is the IVF re-cluster rebuild
+    (SCALING.md lifecycle section)."""
+    import tempfile
+
+    from .ext.similarity import (
+        delete_from_vector_index,
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+    )
+    from .planmode import is_plan_only
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if is_plan_only():
+        return ivfpq_residual_topk(spark, sf_dir)
+    key = sf_dir + ":ivfpqrdel"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="ivfpqrdel_q_") + "/idx"
+        cents = train_ivf_centroids_exact(emb, n_clusters=16, iters=0)
+        save_ivfpq_residual_index(emb, idx, cents)
+        delete_from_vector_index(
+            emb.where(F.pmod(F.col("vec_id"), F.lit(10)) == 3).select(
+                "vec_id"
+            ),
+            idx,
+        )
+        _IVF_INDEX_MEMO[key] = idx
+    return ivfpq_residual_topk_indexed(spark, idx, queries, k=10, n_probe=3)
+
+
+@_register(
     "embedding_neardup_pairs",
     f"""
     WITH hp AS (
@@ -13448,6 +13504,120 @@ def phrase_search_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("doc_id", "n_matches", "first_pos", "phrase")
+    )
+
+
+@_register(
+    "phrase_kwic_snippets",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS pos,
+               unnest(ss) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents)
+    ),
+    tri AS (
+        SELECT doc_id, pos, tok AS w0,
+               lead(tok, 1) OVER w AS w1,
+               lead(tok, 2) OVER w AS w2
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    top1 AS (
+        SELECT w0, w1, w2 FROM tri WHERE w2 IS NOT NULL
+        GROUP BY 1, 2, 3 ORDER BY count(*) DESC, w0, w1, w2 LIMIT 1
+    ),
+    terms AS (
+        SELECT CAST(0 AS BIGINT) AS off, substr(md5(w0), 1, 16) AS th
+        FROM top1
+        UNION ALL
+        SELECT 1, substr(md5(w1), 1, 16) FROM top1
+        UNION ALL
+        SELECT 2, substr(md5(w2), 1, 16) FROM top1
+    ),
+    post AS (
+        SELECT doc_id, pos, substr(md5(tok), 1, 16) AS th FROM toks
+    ),
+    cand AS (
+        SELECT p.doc_id, p.pos - t.off AS pos0, t.off
+        FROM post p JOIN terms t USING (th)
+    ),
+    m AS (
+        SELECT doc_id, pos0 FROM cand WHERE pos0 >= 0
+        GROUP BY 1, 2
+        HAVING count(DISTINCT off) = (SELECT count(DISTINCT off) FROM terms)
+    )
+    SELECT m.doc_id, CAST(m.pos0 AS BIGINT) AS pos0,
+           array_to_string(
+               s.ss[CAST(greatest(m.pos0 - 3, 0) + 1 AS BIGINT)
+                    : CAST(m.pos0 + 6 AS BIGINT)], ' ') AS snippet
+    FROM m JOIN (
+        SELECT doc_id, string_split(text, ' ') AS ss FROM documents
+    ) s USING (doc_id)
+    """,
+)
+def phrase_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) snippet extraction — the corpus-
+    inspection step that follows a phrase hit in any retrieval/
+    decontamination review UI: for every anchor where the corpus's top
+    trigram matches (the same deterministic phrase + anchor
+    intersection as phrase_search_topgram), emit the ±3-token context
+    window around the phrase as a snippet. The window slice is
+    position arithmetic on the already-split token array (greatest(p−3,
+    0) .. p+5, both engines truncating at the document edges
+    identically), so snippets replay digit-for-digit in the oracle.
+    100 TB: anchors are match-sized; the text join back is
+    matched-docs-only (the one place raw text is touched — snippets are
+    the reason it must be); everything upstream is the 16-hex postings
+    plan that never shuffles text."""
+    from .ext.search import build_postings, phrase_match
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    arr = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tri_seq = F.when(
+        F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = arr.select(
+        F.explode(
+            F.transform(
+                tri_seq,
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w0"),
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.w0", "g.w1", "g.w2")
+    top1 = (
+        tri.groupBy("w0", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "w0", "w1", "w2")
+        .limit(1)
+        .drop("__c")
+    )
+    terms = top1.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("off"),
+                        F.substring(F.md5(f"w{i}"), 1, 16).alias("th"),
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("t")
+    ).select("t.off", "t.th")
+    matches = phrase_match(build_postings(docs), terms)
+    start0 = F.greatest(F.col("pos0") - 3, F.lit(0))
+    length = F.col("pos0") + F.lit(5) - start0 + 1
+    return matches.join(arr, "doc_id").select(
+        "doc_id",
+        F.col("pos0").cast("bigint").alias("pos0"),
+        F.concat_ws(
+            " ",
+            F.slice("t", (start0 + 1).cast("int"), length.cast("int")),
+        ).alias("snippet"),
     )
 
 

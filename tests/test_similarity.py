@@ -948,3 +948,46 @@ def test_ivfpq_rerank_recall_floor_and_exact_seam(spark):
         k = (r["query_id"], r["vec_id"])
         if k in bf_cos:
             assert r["cosine"] == bf_cos[k], k
+
+
+def test_vector_index_tombstone_deletes(spark, tmp_path):
+    """delete_from_vector_index: tombstoned vectors vanish from the
+    persisted residual-IVFPQ serve (candidates only — model state
+    stays, faiss remove_ids semantics); double-deletes and unknown ids
+    are no-ops; the probed-list partition pruning is unaffected."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        delete_from_vector_index,
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+    )
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "vdel")
+    cents = train_ivf_centroids_exact(emb, n_clusters=16, iters=0)
+    save_ivfpq_residual_index(emb, idx, cents)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pre = ivfpq_residual_topk_indexed(spark, idx, queries, k=10).collect()
+    victims = sorted({r["vec_id"] for r in pre})[:4]
+
+    ids = spark.createDataFrame(
+        [(v,) for v in victims] + [(987654321,)], ["vec_id"]
+    )
+    assert delete_from_vector_index(ids, idx) == 5  # unknown id: inert
+    assert delete_from_vector_index(ids, idx) == 0  # replay: no-op
+
+    post = ivfpq_residual_topk_indexed(spark, idx, queries, k=10)
+    rows = post.collect()
+    assert not {r["vec_id"] for r in rows} & set(victims)
+    # surviving candidates keep their pre-delete ADC distances (model
+    # state untouched); only the ranking re-seats
+    pre_d = {(r["query_id"], r["vec_id"]): r["adc_dist"] for r in pre}
+    for r in rows:
+        k = (r["query_id"], r["vec_id"])
+        if k in pre_d:
+            assert r["adc_dist"] == pre_d[k]

@@ -126,6 +126,8 @@ AUDIT_QUERIES = [
     "bm25_delete_serve",
     "bm25_compacted_topk",
     "ivfpq_rerank_topk",
+    "ivfpq_delete_serve",
+    "phrase_kwic_snippets",
     "label_propagation_communities",
     "contrastive_negatives_docs",
     "bpe_merge_rounds",
@@ -212,6 +214,7 @@ EXPECTED_NESTED_LOOP = {
     "bm25_delete_serve": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
     "bm25_compacted_topk": "per-doc scores × 1-row S/D corpus totals broadcast (plan-only uses the unindexed scorer)",
     "ivfpq_rerank_topk": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape for stage 1)",
+    "ivfpq_delete_serve": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
