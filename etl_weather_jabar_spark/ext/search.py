@@ -864,13 +864,29 @@ def compact_search_index(
     max_segments: int = 1,
     id_col: str = "doc_id",
     n_shards: int = 32,
+    tier_size: int | None = None,
 ) -> bool:
-    """Merge the live segments into ONE and apply all tombstones
-    physically (the Lucene merge policy, relational form — round-6
-    missing item 1: without it the segment count grows one directory
-    per micro-batch forever and nothing can ever be removed). No-op
-    (returns False) while the index has ≤ ``max_segments`` live
-    segments AND no pending deletes.
+    """Merge live segments and retire the consumed dirs (the Lucene
+    merge policy, relational form — round-6 missing item 1: without it
+    the segment count grows one directory per micro-batch forever and
+    nothing can ever be removed).
+
+    Default (``tier_size=None``): FULL compaction — all live segments
+    merge into one and every pending tombstone is applied physically
+    (the delete segments are consumed too). No-op (returns False)
+    while the index has ≤ ``max_segments`` live segments AND no
+    pending deletes.
+
+    ``tier_size=k``: SIZE-TIERED compaction — only the k smallest live
+    segments (by their stats doc counts, an O(#segments) 1-row read)
+    merge; tombstones are NOT applied and stay live (serving still
+    anti-joins them, so results are identical — double-subtraction is
+    impossible because the tombstoned rows remain physically present
+    in the merged data). This is the amortized policy a 10-minute
+    micro-batch cadence runs continuously: each batch pays a
+    tier-sized rewrite instead of a corpus-sized one, and a periodic
+    full compaction applies the accumulated deletes. No-op while
+    fewer than ``tier_size`` live segments exist.
 
     Crash-safe by the same single-create atomicity as every segment:
     the merged segment is written with a ``_sources`` file naming every
@@ -889,6 +905,20 @@ def compact_search_index(
     import hashlib
 
     batches, deletes = _live_state(spark, path)
+    if tier_size is not None:
+        if len(batches) < tier_size:
+            return False
+        sized = sorted(
+            (
+                int(
+                    spark.read.parquet(f"{b}/stats").collect()[0]["D"] or 0
+                ),
+                b,
+            )
+            for b in batches
+        )
+        batches = [b for _, b in sized[:tier_size]]
+        deletes = []  # tombstones stay live; serve keeps anti-joining
     if len(batches) <= max_segments and not deletes:
         return False
     rels = sorted(
@@ -949,16 +979,38 @@ def vacuum_search_index(spark, path: str) -> int:
     segments named in any committed segment's ``_sources`` (invisible
     to every reader since the compaction committed, so removal is safe
     at any time, including concurrently with serving). Returns the
-    number of directories removed."""
-    batches = _committed_dirs(spark, f"{path}/batches")
-    dead: set[str] = set()
-    for d in batches.values():
-        dead.update(_read_sources(spark, d))
+    number of directories removed.
+
+    Deletion is TOPOLOGICAL (self-review finding): a dead dir may
+    itself be a retired COMPACTED segment whose ``_sources`` file is
+    the only death record of older dirs (compact-of-compact chains) —
+    removing it first would resurrect those older dirs for any reader
+    arriving mid-vacuum (double-counted docs). So a dead dir is only
+    removed once every dir IT records as a source is already gone;
+    iterate to a fixpoint. A crash mid-vacuum therefore always leaves
+    a consistent live set."""
     fs, root, jvm = _fs_and_path(spark, path)
+
+    def alive(rel: str) -> bool:
+        return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(root, rel)))
+
     n = 0
-    for rel in sorted(dead):
-        p = jvm.org.apache.hadoop.fs.Path(root, rel)
-        if fs.exists(p):
-            fs.delete(p, True)
+    while True:
+        batches = _committed_dirs(spark, f"{path}/batches")
+        dead: set[str] = set()
+        recorded: dict[str, list[str]] = {}
+        for name, d in batches.items():
+            srcs = _read_sources(spark, d)
+            recorded[f"batches/{name}"] = srcs
+            dead.update(srcs)
+        removable = [
+            rel
+            for rel in sorted(dead)
+            if alive(rel)
+            and all(not alive(s) for s in recorded.get(rel, []))
+        ]
+        if not removable:
+            return n
+        for rel in removable:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(root, rel), True)
             n += 1
-    return n

@@ -341,3 +341,76 @@ def test_streaming_append_with_compaction_bounds_segments(spark, tmp_path):
     assert _serve(spark, idx, terms) == sorted(
         map(tuple, bm25_scores(docs, terms).collect())
     )
+
+
+def test_vacuum_compact_chain_topological(spark, tmp_path):
+    """Compact-of-compact chains (self-review finding): a retired
+    merged segment's _sources file is the only death record of the
+    dirs it consumed, so vacuum must remove it LAST — otherwise a
+    reader arriving mid-vacuum would see the older dirs resurrect and
+    double-count their docs. Pins the fixpoint removal of the whole
+    chain and a consistent serve afterwards."""
+    docs = _corpus(spark)
+    idx = str(tmp_path / "chain")
+    save_search_index(docs.where(F.col("doc_id") <= 2), idx)
+    assert append_to_search_index(
+        docs.where(F.col("doc_id").isin([3, 4])), idx
+    ) == 2
+    assert compact_search_index(spark, idx) is True  # M1 <- [base, b1]
+    assert append_to_search_index(docs.where(F.col("doc_id") > 4), idx) == 2
+    assert compact_search_index(spark, idx) is True  # M2 <- [M1, b2]
+    b, d = _live_state(spark, idx)
+    assert len(b) == 1 and "compact_" in b[0]
+
+    # base, b1, b2 and M1 are all dead; M1 holds base/b1's death record
+    assert vacuum_search_index(spark, idx) == 4
+    assert vacuum_search_index(spark, idx) == 0
+    b2_, d2_ = _live_state(spark, idx)
+    assert b2_ == b and not d2_
+    terms = _terms(spark, ["alpha", "gamma"])
+    assert _serve(spark, idx, terms) == sorted(
+        map(tuple, bm25_scores(docs, terms).collect())
+    )
+
+
+def test_tiered_compaction_merges_smallest_keeps_tombstones_live(
+    spark, tmp_path
+):
+    """Size-tiered compaction (the amortized Lucene policy): only the
+    k smallest live segments merge, tombstones stay live and keep
+    anti-joining at serve (no double-subtraction possible — the rows
+    remain physically present in the merged data), and a later FULL
+    compaction still applies them physically."""
+    docs = _corpus(spark)
+    idx = str(tmp_path / "tier")
+    save_search_index(docs.where(F.col("doc_id") <= 2), idx)  # 2 docs
+    for i in (3, 4, 5, 6):  # four 1-doc segments
+        assert append_to_search_index(
+            docs.where(F.col("doc_id") == i), idx
+        ) == 1
+    assert delete_from_search_index(
+        spark.createDataFrame([(5,)], ["doc_id"]), idx
+    ) == 1
+    assert len(_live_state(spark, idx)[0]) == 5
+
+    # not enough segments for the tier: no-op
+    assert compact_search_index(spark, idx, tier_size=9) is False
+    assert compact_search_index(spark, idx, tier_size=3) is True
+    b, d = _live_state(spark, idx)
+    # merged(3 smallest) + base(2 docs) + one 1-doc segment; delete live
+    assert len(b) == 3 and len(d) == 1
+
+    terms = _terms(spark, ["alpha", "gamma"])
+    survivors = docs.where(F.col("doc_id") != 5)
+    want = sorted(map(tuple, bm25_scores(survivors, terms).collect()))
+    assert _serve(spark, idx, terms) == want
+
+    # replayed tier merge: same subset -> same key -> no-op... but the
+    # live set changed (merged segment now among the 3 smallest), so a
+    # second tier pass merges again — run FULL compaction to finish
+    assert compact_search_index(spark, idx) is True
+    b2, d2 = _live_state(spark, idx)
+    assert len(b2) == 1 and not d2
+    assert _serve(spark, idx, terms) == want
+    assert vacuum_search_index(spark, idx) > 0
+    assert _serve(spark, idx, terms) == want
