@@ -913,6 +913,75 @@ def delete_from_vector_index(
     return n
 
 
+def _gen_number(name: str) -> int:
+    """Numeric order of a generation directory name ``g%06d``."""
+    return int(name[1:])
+
+
+def _vector_live_state(
+    spark, path: str
+) -> tuple[list[str], list[str], list[str]]:
+    """Resolve a lifecycle'd vector index's serving state: the list of
+    BASE lists paths (the newest committed generation's ``lists``, or
+    the original ``<path>/lists`` if no compaction ever ran), the LIVE
+    committed append dirs, and the LIVE committed delete dirs — live
+    meaning not recorded as consumed by the chosen generation. Each
+    generation's ``consumed`` parquet is CUMULATIVE (it copies its
+    predecessor's rows), so one read of the newest generation settles
+    every older dir's fate; uncommitted dirs (crashed writers) are
+    invisible by construction (``_committed`` marker check)."""
+    from .search import _committed_dirs
+
+    gens = _committed_dirs(spark, f"{path}/gens")
+    appends = _committed_dirs(spark, f"{path}/appends")
+    deletes = _committed_dirs(spark, f"{path}/deletes")
+    consumed: set[tuple[str, str]] = set()
+    base = [f"{path}/lists"]
+    if gens:
+        newest = max(gens, key=_gen_number)
+        gdir = gens[newest]
+        base = [f"{gdir}/lists"]
+        consumed = {
+            (r["kind"], r["key"])
+            for r in spark.read.parquet(f"{gdir}/consumed").collect()
+        }
+    live_appends = [
+        d for k, d in sorted(appends.items()) if ("append", k) not in consumed
+    ]
+    live_deletes = [
+        d for k, d in sorted(deletes.items()) if ("delete", k) not in consumed
+    ]
+    return base, live_appends, live_deletes
+
+
+def _vector_lists(
+    spark, path: str, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame | None]:
+    """(live lists frame, live tombstone ids or None) for a persisted
+    vector index: base-generation lists unioned with live append
+    segments (each scan keeps its own partitionBy(cid) layout, so a
+    downstream ``cid`` filter prunes partitions in EVERY branch of the
+    union), minus nothing yet — the tombstone anti-join is the caller's
+    (it must land after the candidate-list probe filter)."""
+    from functools import reduce
+
+    base, live_appends, live_deletes = _vector_live_state(spark, path)
+    lists = reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.parquet(p)
+            for p in base + [f"{d}/lists" for d in live_appends]
+        ],
+    )
+    tomb = None
+    if live_deletes:
+        tomb = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(f"{d}/ids") for d in live_deletes],
+        ).select(id_col)
+    return lists, tomb
+
+
 def _vector_delete_ids(spark, path: str, id_col: str) -> DataFrame | None:
     from functools import reduce
 
@@ -977,10 +1046,13 @@ def ivfpq_residual_topk_indexed(
     probe_cids = sorted(
         {r["cid"] for r in probes.select("cid").distinct().collect()}
     )
-    lists = spark.read.parquet(f"{path}/lists").where(
-        F.col("cid").isin(probe_cids)
-    )
-    tombstoned = _vector_delete_ids(spark, path, id_col)
+    # generation-aware resolution: newest committed compaction gen (or
+    # the original lists) unioned with live append segments; the cid
+    # filter pushes through the union into PartitionFilters on every
+    # branch. Tombstones land AFTER the probe filter, so the anti-join
+    # only touches candidate-list rows.
+    lists, tombstoned = _vector_lists(spark, path, id_col)
+    lists = lists.where(F.col("cid").isin(probe_cids))
     if tombstoned is not None:
         lists = lists.join(tombstoned, on=id_col, how="left_anti")
     qres = probes.join(F.broadcast(cdf_cent), on="cid").select(
@@ -1017,6 +1089,209 @@ def ivfpq_residual_topk_indexed(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def append_to_vector_index(
+    new_vectors: DataFrame,
+    path: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append vectors to a persisted residual-IVFPQ index WITHOUT
+    retraining — faiss ``IndexIVFPQ.add`` semantics, and the vector
+    twin of ext/search.py::append_to_search_index: the new batch is
+    residual-encoded against the STORED model state (centroids +
+    codebooks are trained artifacts and deliberately do not move) and
+    written as one append segment ``<path>/appends/<key>/lists``
+    (partitionBy(cid), same schema as the base lists) published by one
+    atomic ``_committed`` create. The serve unions live segments with
+    the base, so appended vectors rank identically to base vectors
+    encoded under the same model. Replays are no-ops twice over: the
+    order-independent two-hash content key dedupes exact batch replays,
+    and an id anti-join against every serving segment drops rows whose
+    id is already indexed (column-pruned id scans). Ids with a LIVE
+    tombstone stay dead even if re-appended (the serve's anti-join is
+    takedown-wins); physically re-adding one requires a
+    :func:`compact_vector_index` first. Returns the number of newly
+    indexed vectors. Model drift from appends is the re-cluster
+    lifecycle's problem (SCALING.md): when appended mass shifts the
+    distribution, rebuild via recluster/save, not by mutating the
+    trained state under a serving reader."""
+    from functools import reduce
+
+    from .search import _content_batch_key, _fs_and_path
+
+    spark = new_vectors.sparkSession
+    base, live_appends, _ = _vector_live_state(spark, path)
+    batch = (
+        spread(new_vectors)
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
+    existing = reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.parquet(p).select(id_col)
+            for p in base + [f"{d}/lists" for d in live_appends]
+        ],
+    )
+    batch = batch.join(existing, on=id_col, how="left_anti").persist()
+    try:
+        if batch.count() == 0:
+            return 0
+        key = "a" + _content_batch_key(batch, id_col)[1:]
+        adir = f"{path}/appends/{key}"
+        fs, d, jvm = _fs_and_path(spark, adir)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
+            return 0
+        cents = load_int_centroids(spark, path)
+        cdf = spark.read.parquet(f"{path}/codebooks")
+        res = _residual_frame(batch, cents, id_col, vec_col)
+        codes = _pq_encode_frame(
+            res.select(id_col, "__rv"), "__rv", cdf, n_sub, sub_dim, id_col
+        )
+        packed = codes.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x.code,
+            ).alias("codes")
+        )
+        seg = res.select(id_col, "cid").join(packed, on=id_col)
+        seg.write.partitionBy("cid").mode("overwrite").parquet(
+            f"{adir}/lists"
+        )
+        n = spark.read.parquet(f"{adir}/lists").count()
+        fs.create(jvm.org.apache.hadoop.fs.Path(d, "_committed")).close()
+        return n
+    finally:
+        batch.unpersist()
+
+
+def load_int_centroids(spark, path: str) -> list[tuple[int, list[int]]]:
+    """The integer micro-unit centroids a residual-IVFPQ index stores."""
+    return sorted(
+        (int(r["cid"]), [int(x) for x in r["cv"]])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+
+
+def compact_vector_index(spark, path: str, id_col: str = "vec_id") -> str:
+    """Physically apply tombstones and merge append segments into ONE
+    new base — the vector-index analogue of
+    ext/search.py::compact_search_index, and the step faiss has no
+    equivalent for (``remove_ids`` only tombstones; here reclaiming the
+    space is a relational rewrite). Writes a new GENERATION
+    ``<path>/gens/g%06d/lists`` = (base ∪ live appends) anti-join live
+    tombstones, partitionBy(cid) unchanged, plus a CUMULATIVE
+    ``consumed`` parquet (its predecessor's rows + the base + every
+    segment merged or applied) — all published by one atomic
+    ``_committed`` create, so a reader sees the old live set or the
+    new, never both. Model state (centroids, codebooks) is untouched:
+    compaction moves bytes, not geometry, and the serve's ranking is
+    pinned equal before/after in pytest. Consumed dirs stay on disk
+    (crash-safe: a half-written generation without its marker is
+    invisible and a rerun just takes the next number) until
+    :func:`vacuum_vector_index` removes them. Returns the new
+    generation directory."""
+    from functools import reduce
+
+    from .search import _committed_dirs, _fs_and_path
+
+    gens_all = []
+    fs, groot, jvm = _fs_and_path(spark, f"{path}/gens")
+    if fs.exists(groot):
+        gens_all = [
+            st.getPath().getName()
+            for st in fs.listStatus(groot)
+            if st.isDirectory()
+        ]
+    nxt = max((_gen_number(g) for g in gens_all), default=-1) + 1
+    gkey = "g%06d" % nxt
+    gdir = f"{path}/gens/{gkey}"
+
+    base, live_appends, live_deletes = _vector_live_state(spark, path)
+    committed_gens = _committed_dirs(spark, f"{path}/gens")
+    lists = reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.parquet(p)
+            for p in base + [f"{d}/lists" for d in live_appends]
+        ],
+    )
+    if live_deletes:
+        tomb = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(f"{d}/ids") for d in live_deletes],
+        ).select(id_col)
+        lists = lists.join(tomb, on=id_col, how="left_anti")
+    lists.write.partitionBy("cid").mode("overwrite").parquet(
+        f"{gdir}/lists"
+    )
+
+    consumed: list[tuple[str, str]] = []
+    if committed_gens:
+        prev = max(committed_gens, key=_gen_number)
+        consumed += [
+            (r["kind"], r["key"])
+            for r in spark.read.parquet(
+                f"{committed_gens[prev]}/consumed"
+            ).collect()
+        ]
+        consumed.append(("gen", prev))
+    else:
+        consumed.append(("base", "lists"))
+    consumed += [("append", d.rsplit("/", 1)[1]) for d in live_appends]
+    consumed += [("delete", d.rsplit("/", 1)[1]) for d in live_deletes]
+    spark.createDataFrame(
+        sorted(set(consumed)), schema="kind STRING, key STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{gdir}/consumed")
+    fs2, d2, jvm2 = _fs_and_path(spark, gdir)
+    fs2.create(jvm2.org.apache.hadoop.fs.Path(d2, "_committed")).close()
+    return gdir
+
+
+def vacuum_vector_index(spark, path: str) -> int:
+    """Remove every dir the NEWEST committed generation records as
+    consumed: applied delete segments, merged append segments, the
+    original base lists, and superseded older generations. Safe by
+    construction for any reader that resolves the live set through
+    :func:`_vector_live_state` from now on — consumption facts live
+    INSIDE the surviving newest generation (never removed), so unlike
+    the text index's ``_sources`` chain there is no topological
+    ordering constraint; a reader that pinned an OLD generation before
+    vacuum must drain first (the Lucene reader-refcount caveat,
+    SCALING.md). Returns the number of directories removed."""
+    from .search import _committed_dirs, _fs_and_path
+
+    gens = _committed_dirs(spark, f"{path}/gens")
+    if not gens:
+        return 0
+    newest = max(gens, key=_gen_number)
+    consumed = {
+        (r["kind"], r["key"])
+        for r in spark.read.parquet(
+            f"{gens[newest]}/consumed"
+        ).collect()
+    }
+    removed = 0
+    for kind, key in sorted(consumed):
+        if kind == "append":
+            target = f"{path}/appends/{key}"
+        elif kind == "delete":
+            target = f"{path}/deletes/{key}"
+        elif kind == "base":
+            target = f"{path}/lists"
+        elif kind == "gen" and key != newest:
+            target = f"{path}/gens/{key}"
+        else:
+            continue
+        fs, p, jvm = _fs_and_path(spark, target)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed += 1
+    return removed
 
 
 def save_ivf_index(

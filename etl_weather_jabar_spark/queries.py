@@ -2670,8 +2670,18 @@ ORACLE_SQL["ivfpq_indexed_topk"] = ORACLE_SQL["ivf_pq_topk"]
 # query probes, per-probe ADC tables — ending in the scored candidate
 # set ``sc`` (query_id, vec_id, adc_dist). The base query ranks it to
 # top-10; the two-stage rerank twin takes top-50 as the candidate set
-# and re-ranks by exact cosine on the raw vectors.
-_IVFPQ_RES_CTES = f"""q AS (
+# and re-ranks by exact cosine on the raw vectors. ``train_pred``
+# (a predicate template over the ``{v}`` id column) restricts the
+# MODEL-TRAINING corpus — centroid seeds and residual codebook seeds —
+# while assignment/encode/scoring still cover every vector: exactly
+# append_to_vector_index's semantics (new vectors encoded under the
+# stored model, quantizers never move).
+
+
+def _ivfpq_res_ctes(train_pred: str = "TRUE") -> str:
+    tp_q = train_pred.format(v="vec_id")
+    tp_r = train_pred.format(v="r.vec_id")
+    return f"""q AS (
         SELECT vec_id,
                list_transform(embedding, x ->
                    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
@@ -2683,7 +2693,7 @@ _IVFPQ_RES_CTES = f"""q AS (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
                ) AS INT) - 1 AS cid,
                qv AS cv
-        FROM (SELECT vec_id, qv FROM q
+        FROM (SELECT vec_id, qv FROM q WHERE {tp_q}
               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
     ),
     fa AS (
@@ -2709,7 +2719,7 @@ _IVFPQ_RES_CTES = f"""q AS (
                            || CAST(ss.s AS VARCHAR)), r.vec_id
                    ) AS INT) - 1 AS c,
                    r.rv[8 * ss.s + 1 : 8 * ss.s + 8] AS cv
-            FROM res r, ss
+            FROM res r, ss WHERE {tp_r}
         ) WHERE c < 16
     ),
     enc AS (
@@ -2751,6 +2761,9 @@ _IVFPQ_RES_CTES = f"""q AS (
         WHERE fa.vec_id <> qt.query_id
         GROUP BY 1, 2
     )"""
+
+
+_IVFPQ_RES_CTES = _ivfpq_res_ctes()
 
 
 @_register(
@@ -3057,6 +3070,129 @@ def ivfpq_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             idx,
         )
+        _IVF_INDEX_MEMO[key] = idx
+    return ivfpq_residual_topk_indexed(spark, idx, queries, k=10, n_probe=3)
+
+
+@_register(
+    "ivfpq_append_serve_topk",
+    f"""
+    WITH {_ivfpq_res_ctes("({v} % 4 <> 1)")}
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+        ) AS INT) AS rank
+        FROM sc
+    ) WHERE rank <= 10
+    """,
+)
+def ivfpq_append_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR-INDEX APPEND certified by hash — faiss IndexIVFPQ.add
+    semantics, the embedding twin of bm25_incremental_topk: the index
+    is built (centroids trained, codebooks seeded) on the vec_id%4≠1
+    slice only, then the %4==1 slice arrives later via
+    ext/similarity.py::append_to_vector_index — residual-encoded under
+    the STORED model state (quantizers are trained artifacts and never
+    move on append) into an atomic append segment the serve unions with
+    the base lists. The twin replays exactly that asymmetry: centroid
+    seeds and codebook seeds come from the base slice, while
+    assignment/encode/scoring cover every vector. 100 TB: appends are
+    O(batch) encode jobs + one partitioned segment write; serving
+    unions partition-pruned scans, and segment count is bounded by
+    compact_vector_index (the ivfpq_compacted_topk lifecycle)."""
+    import tempfile
+
+    from .ext.similarity import (
+        append_to_vector_index,
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+    )
+    from .planmode import is_plan_only
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if is_plan_only():
+        return ivfpq_residual_topk(spark, sf_dir)
+    key = sf_dir + ":ivfpqapp"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="ivfpqapp_q_") + "/idx"
+        base = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) != 1)
+        cents = train_ivf_centroids_exact(base, n_clusters=16, iters=0)
+        save_ivfpq_residual_index(base, idx, cents)
+        append_to_vector_index(
+            emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == 1), idx
+        )
+        _IVF_INDEX_MEMO[key] = idx
+    return ivfpq_residual_topk_indexed(spark, idx, queries, k=10, n_probe=3)
+
+
+@_register(
+    "ivfpq_compacted_topk",
+    f"""
+    WITH {_ivfpq_res_ctes("({v} % 4 <> 1)")}
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+        ) AS INT) AS rank
+        FROM sc WHERE vec_id % 10 <> 3
+    ) WHERE rank <= 10
+    """,
+)
+def ivfpq_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL vector-index lifecycle certified end-to-end by one
+    hash: build on the vec_id%4≠1 slice, APPEND the %4==1 slice under
+    the stored model, tombstone the %10==3 slice
+    (delete_from_vector_index), COMPACT — a new generation = (base ∪
+    appends) anti-join tombstones, published atomically with a
+    cumulative ``consumed`` manifest — then VACUUM the consumed dirs
+    and serve from what physically remains. The twin replays the
+    append-asymmetric model and drops deleted ids from the scored set;
+    pytest separately pins serve-equality at every lifecycle step
+    (tombstones-pending == compacted == vacuumed) and crash-safety
+    (uncommitted generations are invisible). This is the faiss gap
+    closed relationally: remove_ids only masks, here the bytes are
+    reclaimed while model state (centroids, codebooks) stays fixed."""
+    import tempfile
+
+    from .ext.similarity import (
+        append_to_vector_index,
+        compact_vector_index,
+        delete_from_vector_index,
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+        vacuum_vector_index,
+    )
+    from .planmode import is_plan_only
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if is_plan_only():
+        return ivfpq_residual_topk(spark, sf_dir)
+    key = sf_dir + ":ivfpqcomp"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="ivfpqcomp_q_") + "/idx"
+        base = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) != 1)
+        cents = train_ivf_centroids_exact(base, n_clusters=16, iters=0)
+        save_ivfpq_residual_index(base, idx, cents)
+        append_to_vector_index(
+            emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == 1), idx
+        )
+        delete_from_vector_index(
+            emb.where(F.pmod(F.col("vec_id"), F.lit(10)) == 3).select(
+                "vec_id"
+            ),
+            idx,
+        )
+        compact_vector_index(spark, idx)
+        vacuum_vector_index(spark, idx)
         _IVF_INDEX_MEMO[key] = idx
     return ivfpq_residual_topk_indexed(spark, idx, queries, k=10, n_probe=3)
 

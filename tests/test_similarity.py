@@ -991,3 +991,115 @@ def test_vector_index_tombstone_deletes(spark, tmp_path):
         k = (r["query_id"], r["vec_id"])
         if k in pre_d:
             assert r["adc_dist"] == pre_d[k]
+
+
+def test_vector_index_append_compact_vacuum_lifecycle(spark, tmp_path):
+    """The full vector-index lifecycle (ivfpq_compacted_topk's pytest
+    side): append under the stored model, tombstone, compact, vacuum —
+    serve equality pinned at EVERY step, appends idempotent two ways
+    (batch replay and already-indexed ids), tombstoned bytes physically
+    gone after compaction, consumed dirs gone after vacuum, and a
+    compact-of-compact chain stays consistent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        append_to_vector_index,
+        compact_vector_index,
+        delete_from_vector_index,
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+        vacuum_vector_index,
+    )
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where(F.pmod("vec_id", F.lit(4)) != 1)
+    rest = emb.where(F.pmod("vec_id", F.lit(4)) == 1)
+    idx = str(tmp_path / "vlife")
+    cents = train_ivf_centroids_exact(base, n_clusters=16, iters=0)
+    save_ivfpq_residual_index(base, idx, cents)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                ivfpq_residual_topk_indexed(
+                    spark, idx, queries, k=10
+                ).collect(),
+            )
+        )
+
+    n_rest = rest.count()
+    assert append_to_vector_index(rest, idx) == n_rest
+    assert append_to_vector_index(rest, idx) == 0  # batch replay
+    # already-indexed ids are dropped, genuinely new ones land
+    mixed = emb.where(F.col("vec_id").isin([0, 1, 2]))  # 1 is appended
+    assert append_to_vector_index(mixed, idx) == 0  # 0,2 base; 1 appended
+    appended = serve()
+    assert {t[1] % 4 for t in appended} & {1}, "appended slice must serve"
+
+    delete_from_vector_index(
+        emb.where(F.pmod("vec_id", F.lit(10)) == 3).select("vec_id"), idx
+    )
+    tombed = serve()
+    assert all(t[1] % 10 != 3 for t in tombed)
+
+    # crash injection: a gen dir without _committed is invisible
+    os.makedirs(f"{idx}/gens/g000099", exist_ok=True)
+    with open(f"{idx}/gens/g000099/garbage", "w") as fh:
+        fh.write("crashed writer")
+    assert serve() == tombed
+
+    gdir = compact_vector_index(spark, idx)
+    assert serve() == tombed
+    # tombstoned ids are PHYSICALLY gone from the new generation
+    gen_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{gdir}/lists").select("vec_id").collect()
+    }
+    assert not {i for i in gen_ids if i % 10 == 3}
+    assert vacuum_vector_index(spark, idx) > 0
+    assert serve() == tombed
+    # consumed dirs removed; base lists gone, newest gen survives
+    assert not os.path.exists(f"{idx}/lists")
+    assert os.path.exists(f"{gdir}/lists")
+    live_appends = [
+        d
+        for d in (
+            os.listdir(f"{idx}/appends")
+            if os.path.exists(f"{idx}/appends")
+            else []
+        )
+    ]
+    assert live_appends == []
+
+    # chain: second delete + compact-of-compact + vacuum
+    delete_from_vector_index(
+        emb.where(F.pmod("vec_id", F.lit(10)) == 7).select("vec_id"), idx
+    )
+    compact_vector_index(spark, idx)
+    r2 = serve()
+    assert all(t[1] % 10 not in (3, 7) for t in r2)
+    vacuum_vector_index(spark, idx)
+    assert serve() == r2
+    # resurrect after physical removal: the id is genuinely new again
+    # (its tombstone was applied and consumed), lands in a live append
+    # segment, and the serve no longer anti-joins it away
+    dead = sorted(i for i in gen_ids if i % 10 == 7)[:1]
+    if dead:
+        again = emb.where(F.col("vec_id").isin(dead))
+        assert append_to_vector_index(again, idx) == 1  # physically gone
+        from etl_weather_jabar_spark.ext.similarity import _vector_lists
+
+        lists, tomb = _vector_lists(spark, idx)
+        live_ids = {r["vec_id"] for r in lists.select("vec_id").collect()}
+        assert dead[0] in live_ids
+        assert tomb is None or dead[0] not in {
+            r["vec_id"] for r in tomb.collect()
+        }
