@@ -1177,6 +1177,71 @@ def load_int_centroids(spark, path: str) -> list[tuple[int, list[int]]]:
     )
 
 
+def ivfpq_reconstruction_error(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT per-vector squared reconstruction error of a persisted
+    residual-IVFPQ index: for every serving vector, the integer
+    micro-unit residual (vector − its STORED list centroid) minus the
+    decoded codebook entries of its STORED codes, squared and summed —
+    ‖rv − decode(codes)‖², the quantity faiss reports as quantization
+    distortion. Every term is an exact integer, so the whole monitor
+    replays digit-for-digit in the oracle (ivfpq_drift_report). Uses
+    the stored assignment (cid from the lists, not a re-assignment), so
+    drift in the ASSIGNMENT itself shows up as error growth rather than
+    being silently re-fitted. Returns (id, cid, sq_err). Scale: one
+    broadcast of centroids+codebooks (KB), one join of the corpus
+    against the code lists on id — the raw vectors stream through one
+    projection; nothing quadratic."""
+    cents = load_int_centroids(spark, path)
+    cdf_cent = spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in cents],
+        schema="cid INT, cv ARRAY<BIGINT>",
+    )
+    cdf = spark.read.parquet(f"{path}/codebooks")
+    lists, tomb = _vector_lists(spark, path, id_col)
+    if tomb is not None:
+        lists = lists.join(tomb, on=id_col, how="left_anti")
+    rv = (
+        corpus.select(
+            id_col, quantize_micro_units(F.col(vec_col)).alias("__q")
+        )
+        .join(lists.select(id_col, "cid", "codes"), on=id_col)
+        .join(F.broadcast(cdf_cent), on="cid")
+        .select(
+            id_col,
+            "cid",
+            F.zip_with("__q", "cv", lambda a, b: a - b).alias("__rv"),
+            F.posexplode("codes").alias("s", "code"),
+        )
+    )
+    per_sub = rv.join(
+        F.broadcast(cdf.withColumnRenamed("c", "code")), on=["s", "code"]
+    ).select(
+        id_col,
+        "cid",
+        F.aggregate(
+            F.zip_with(
+                F.slice(
+                    F.col("__rv"), F.col("s") * sub_dim + 1, sub_dim
+                ),
+                F.col("cv"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("__se"),
+    )
+    return per_sub.groupBy(id_col, "cid").agg(
+        F.sum("__se").cast("bigint").alias("sq_err")
+    )
+
+
 def compact_vector_index(spark, path: str, id_col: str = "vec_id") -> str:
     """Physically apply tombstones and merge append segments into ONE
     new base — the vector-index analogue of

@@ -2678,15 +2678,21 @@ ORACLE_SQL["ivfpq_indexed_topk"] = ORACLE_SQL["ivf_pq_topk"]
 # stored model, quantizers never move).
 
 
-def _ivfpq_res_ctes(train_pred: str = "TRUE") -> str:
+def _ivfpq_res_ctes(
+    train_pred: str = "TRUE",
+    corpus_pred: str = "TRUE",
+    n_probe: int = 3,
+    n_queries: int = 5,
+) -> str:
     tp_q = train_pred.format(v="vec_id")
     tp_r = train_pred.format(v="r.vec_id")
+    cp = corpus_pred.format(v="vec_id")
     return f"""q AS (
         SELECT vec_id,
                list_transform(embedding, x ->
                    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
                ) AS qv
-        FROM embeddings
+        FROM embeddings WHERE {cp}
     ),
     c0 AS (
         SELECT CAST(row_number() OVER (
@@ -2738,8 +2744,8 @@ def _ivfpq_res_ctes(train_pred: str = "TRUE") -> str:
                        {_ivf_dist_sql('q.qv', 'c.cv')} ASC, c.cid ASC
                    ) AS rn
             FROM q CROSS JOIN c0 c
-            WHERE q.vec_id < 5
-        ) WHERE rn <= 3
+            WHERE q.vec_id < {n_queries}
+        ) WHERE rn <= {n_probe}
     ),
     qres AS (
         SELECT p.query_id, p.cid,
@@ -3195,6 +3201,172 @@ def ivfpq_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vacuum_vector_index(spark, idx)
         _IVF_INDEX_MEMO[key] = idx
     return ivfpq_residual_topk_indexed(spark, idx, queries, k=10, n_probe=3)
+
+
+@_register("stream_ivfpq_topk")
+def stream_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-maintained VECTOR index with a full oracle — the
+    embedding sibling of stream_bm25_topk: the index is built on the
+    vec_id%4≠1 slice, then the %4==1 slice arrives as json micro-batches
+    a real Structured Streaming query folds into the persisted index via
+    ext/similarity.py::append_to_vector_index. Exactly-once comes from
+    the INDEX itself (content-keyed atomic segments no-op on replay; the
+    id anti-join dedups overlapping batches), so the served ranking is a
+    pure function of the inserted vectors regardless of batching and the
+    SAME twin as ivfpq_append_serve_topk certifies the streamed chain.
+    Vectors cross the json hop as micro-unit BIGINT arrays — the exact
+    integers the quantization contract produces — and are reconstructed
+    by x/10⁶ (re-quantization is the identity on them), so streaming
+    adds zero float drift."""
+    import glob
+    import os
+    import tempfile
+
+    from .ext.similarity import (
+        append_to_vector_index,
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+    )
+    from .ext.similarity import quantize_micro_units as _qmu
+    from .planmode import is_plan_only
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if is_plan_only():
+        return ivfpq_residual_topk(spark, sf_dir)
+    key = sf_dir + ":ivfpqstream"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        tmp = tempfile.mkdtemp(prefix="sivfpq_q_")
+        idx, landing, ckpt = f"{tmp}/idx", f"{tmp}/in", f"{tmp}/ckpt"
+        os.makedirs(landing)
+        base = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) != 1)
+        cents = train_ivf_centroids_exact(base, n_clusters=16, iters=0)
+        save_ivfpq_residual_index(base, idx, cents)
+        late = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == 1).select(
+            "vec_id", _qmu(F.col("embedding")).alias("qv")
+        )
+        halves = F.pmod(F.col("vec_id"), F.lit(8)) == 1
+        for i, b in enumerate([late.where(halves), late.where(~halves)]):
+            d = f"{tmp}/stage{i}"
+            b.write.json(d)
+            for j, part in enumerate(sorted(glob.glob(f"{d}/part-*.json"))):
+                os.rename(part, f"{landing}/b{i}_{j:04d}.json")
+
+        def commit(batch: DataFrame, batch_id: int) -> None:
+            append_to_vector_index(
+                batch.select(
+                    "vec_id",
+                    F.transform(
+                        "qv", lambda x: x / F.lit(1000000.0)
+                    ).alias("embedding"),
+                ),
+                idx,
+            )
+
+        q = (
+            spark.readStream.schema("vec_id LONG, qv ARRAY<BIGINT>")
+            .json(landing)
+            .writeStream.foreachBatch(commit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_ivfpq_topk: stream did not finish within 300s — "
+                "refusing to serve a partial index"
+            )
+        _IVF_INDEX_MEMO[key] = idx
+    return ivfpq_residual_topk_indexed(spark, idx, queries, k=10, n_probe=3)
+
+
+# streamed appends == one-shot append == the asymmetric-model twin
+ORACLE_SQL["stream_ivfpq_topk"] = ORACLE_SQL["ivfpq_append_serve_topk"]
+
+
+@_register(
+    "ivfpq_drift_report",
+    f"""
+    WITH {_ivfpq_res_ctes("({v} % 4 <> 1)")},
+    err AS (
+        SELECT r.vec_id,
+               CAST(sum(list_sum(list_transform(range(1, 9), i ->
+                   (r.rv[8 * e.s + i] - cb.cv[i])
+                   * (r.rv[8 * e.s + i] - cb.cv[i])))) AS HUGEINT) AS se
+        FROM res r
+        JOIN enc e ON e.vec_id = r.vec_id
+        JOIN cb ON cb.s = e.s AND cb.c = e.code
+        GROUP BY 1
+    )
+    SELECT CASE WHEN vec_id % 4 = 1 THEN 'appended' ELSE 'base' END
+               AS cohort,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(se) // count(*) AS BIGINT) AS avg_sq_err,
+           CAST(max(se) AS BIGINT) AS max_sq_err
+    FROM err GROUP BY 1
+    """,
+)
+def ivfpq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-STALENESS monitor for the persisted vector index, exact to
+    the last integer: per-vector squared PQ reconstruction error
+    ‖residual − decode(stored codes)‖²
+    (ext/similarity.py::ivfpq_reconstruction_error — stored assignment,
+    stored codebooks, no re-fitting), rolled up per cohort: vectors the
+    model was TRAINED on (the %4≠1 base) vs vectors APPENDED later
+    under the frozen model. The appended cohort's higher average is the
+    drift signal that triggers the re-cluster rebuild in SCALING.md's
+    lifecycle — here the trigger arithmetic itself is hash-certified
+    (every residual is an exact integer, so avg/max replay
+    digit-for-digit in the oracle). 100 TB: one broadcast of model
+    state, one id-join of corpus against code lists, partial-aggregated
+    rollup — nothing quadratic, nothing collected."""
+    import tempfile
+
+    from .ext.similarity import (
+        append_to_vector_index,
+        ivfpq_reconstruction_error,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+    )
+    from .planmode import is_plan_only
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    if is_plan_only():
+        return ivfpq_residual_topk(spark, sf_dir)
+    key = sf_dir + ":ivfpqapp"
+    idx = _IVF_INDEX_MEMO.get(key)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="ivfpqapp_q_") + "/idx"
+        base = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) != 1)
+        cents = train_ivf_centroids_exact(base, n_clusters=16, iters=0)
+        save_ivfpq_residual_index(base, idx, cents)
+        append_to_vector_index(
+            emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == 1), idx
+        )
+        _IVF_INDEX_MEMO[key] = idx
+    rep = ivfpq_reconstruction_error(spark, idx, emb)
+    return (
+        rep.withColumn(
+            "cohort",
+            F.when(
+                F.pmod(F.col("vec_id"), F.lit(4)) == 1, F.lit("appended")
+            ).otherwise(F.lit("base")),
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.expr(
+                "CAST(sum(CAST(sq_err AS DECIMAL(38,0))) div count(1)"
+                " AS BIGINT)"
+            ).alias("avg_sq_err"),
+            F.max("sq_err").alias("max_sq_err"),
+        )
+    )
 
 
 @_register(

@@ -1086,6 +1086,121 @@ def run_bm25_lifecycle_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(q).fetchall()))
 
 
+def gen_vector_lifecycle_case(rng: random.Random) -> dict:
+    """Family 17 — the PERSISTED VECTOR index lifecycle (round 7): a
+    random corpus slice trains the residual-IVFPQ model on a random
+    sub-split, the held-out split may arrive later as appends (encoded
+    under the stored model, optionally in two overlapping batches to
+    exercise the already-indexed id anti-join), a random slice may be
+    tombstoned, the index may be compacted+vacuumed, and the serve runs
+    with random k / n_probe / query count. Whatever the path, the served
+    ADC ranking must equal DuckDB's replay of the asymmetric model over
+    the surviving vectors — one parameterized twin
+    (queries.py::_ivfpq_res_ctes) certifies the whole composition."""
+    s = rng.choice([3, 4, 5])
+    return {
+        "kind": "vector_lifecycle",
+        "m": rng.randrange(1, 4),
+        "s": s,
+        "r": rng.randrange(s),
+        "append": rng.random() < 0.8,
+        "two_batches": rng.random() < 0.5,
+        "del_m": rng.choice([None, None, 7, 9, 11]),
+        "compact": rng.random() < 0.5,
+        "k": rng.choice([5, 10, 15]),
+        "p": rng.randrange(2, 5),
+        "nq": rng.randrange(3, 7),
+    }
+
+
+def run_vector_lifecycle_spark(spark, sf_dir: str, case: dict):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        append_to_vector_index,
+        compact_vector_index,
+        delete_from_vector_index,
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+        vacuum_vector_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") % case["m"] == 0
+    )
+    base = emb.where(F.col("vec_id") % case["s"] != case["r"])
+    rest = emb.where(F.col("vec_id") % case["s"] == case["r"])
+    tmp = tempfile.mkdtemp(prefix="fuzz_vidx_")
+    idx = f"{tmp}/idx"
+    try:
+        cents = train_ivf_centroids_exact(base, n_clusters=16, iters=0)
+        save_ivfpq_residual_index(base, idx, cents)
+        if case["append"]:
+            if case["two_batches"]:
+                # first batch is a strict subset; the full batch then
+                # overlaps it (already-indexed ids must anti-join away)
+                append_to_vector_index(
+                    rest.where(F.col("vec_id") % 2 == 0), idx
+                )
+            append_to_vector_index(rest, idx)
+        if case["del_m"] is not None:
+            delete_from_vector_index(
+                emb.where(F.col("vec_id") % case["del_m"] == 0).select(
+                    "vec_id"
+                ),
+                idx,
+            )
+        if case["compact"]:
+            compact_vector_index(spark, idx)
+            vacuum_vector_index(spark, idx)
+        # twin's query set comes from its corpus CTE: slice-wide when
+        # the held-out split was appended, base-only when it never
+        # arrived (the twin's corpus == training corpus then)
+        qsrc = emb if case["append"] else base
+        queries = qsrc.where(F.col("vec_id") < case["nq"]).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivfpq_residual_topk_indexed(
+            spark, idx, queries, k=case["k"], n_probe=case["p"]
+        )
+        return sorted(map(tuple, out.collect()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_vector_lifecycle_duckdb(con, case: dict):
+    from etl_weather_jabar_spark.queries import _ivfpq_res_ctes
+
+    m, s, r = case["m"], case["s"], case["r"]
+    if case["append"]:
+        cp = f"({{v}} % {m} = 0)"
+        tp = f"({{v}} % {s} <> {r})"
+    else:
+        # held-out split never arrived: corpus == training corpus
+        cp = f"({{v}} % {m} = 0 AND {{v}} % {s} <> {r})"
+        tp = "TRUE"
+    ctes = _ivfpq_res_ctes(tp, cp, n_probe=case["p"], n_queries=case["nq"])
+    del_f = (
+        f"WHERE vec_id % {case['del_m']} <> 0"
+        if case["del_m"] is not None
+        else ""
+    )
+    q = f"""
+    WITH {ctes}
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+        ) AS INT) AS rank
+        FROM sc {del_f}
+    ) WHERE rank <= {case['k']}
+    """
+    return sorted(map(tuple, con.execute(q).fetchall()))
+
+
 def run_bm25_duckdb(con, case: dict):
     k1m, bm = case["k1m"], case["bm"]
     q = f"""
@@ -1336,10 +1451,14 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    # family 15 (BM25) runs on the documents corpus, which is not in
-    # the relational-AST TABLES dict
+    # families 15/16 (BM25) run on the documents corpus and family 17
+    # (vector lifecycle) on embeddings — neither is in the
+    # relational-AST TABLES dict
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
     )
 
     rng = random.Random(seed)
@@ -1406,6 +1525,10 @@ def main() -> int:
             case = gen_bm25_lifecycle_case(rng)
             a = normalize(run_bm25_lifecycle_spark(spark, sf_dir, case))
             b = normalize(run_bm25_lifecycle_duckdb(con, case))
+        elif roll < 0.993:
+            case = gen_vector_lifecycle_case(rng)
+            a = normalize(run_vector_lifecycle_spark(spark, sf_dir, case))
+            b = normalize(run_vector_lifecycle_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
