@@ -858,6 +858,7 @@ def save_ivfpq_residual_index(
     res.select(id_col, "cid").join(packed, on=id_col).write.partitionBy(
         "cid"
     ).mode("overwrite").parquet(f"{path}/lists")
+    _vec_bloom_write(res.select(id_col), id_col, f"{path}/idbloom")
     spark.createDataFrame(
         [(int(c), [int(x) for x in v]) for c, v in centroids],
         schema="cid INT, cv ARRAY<BIGINT>",
@@ -916,6 +917,46 @@ def delete_from_vector_index(
 def _gen_number(name: str) -> int:
     """Numeric order of a generation directory name ``g%06d``."""
     return int(name[1:])
+
+
+# id-Bloom sidecar contract for the vector index — same lane/bit layout
+# as the text index's idbloom (ext/search.py), distinct salt so the two
+# families never alias each other's bit patterns
+_VBLOOM_BITS = 122880
+_VBLOOM_K = 3
+_VBLOOM_SALT = "vidx"
+
+
+def _vec_bloom_write(ids: DataFrame, id_col: str, out_dir: str) -> None:
+    from .heavy_hitters import bloom_build
+
+    bloom_build(
+        ids.select(F.col(id_col).cast("string").alias("__id")),
+        "__id",
+        _VBLOOM_K,
+        _VBLOOM_BITS,
+        _VBLOOM_SALT,
+        "xxhash64",
+    ).write.mode("overwrite").parquet(out_dir)
+
+
+def _vec_bloom_cond(key, lanes_map):
+    """Membership conjunction against the merged per-segment id Blooms
+    broadcast as a ``__lanes`` map — the vector-index twin of
+    ext/search.py::_bloom_cond (same lane/bit contract, own salt)."""
+    from .heavy_hitters import _bloom_pos
+
+    cond = None
+    for i in range(_VBLOOM_K):
+        p = _bloom_pos(key, i, _VBLOOM_BITS, _VBLOOM_SALT, "xxhash64")
+        lane_bits = F.coalesce(
+            F.element_at(lanes_map, F.floor(p / 60).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        )
+        bit = F.pow(F.lit(2.0), F.pmod(p, F.lit(60))).cast("bigint")
+        hit = lane_bits.bitwiseAND(bit) != 0
+        cond = hit if cond is None else (cond & hit)
+    return cond
 
 
 def _vector_live_state(
@@ -1111,7 +1152,12 @@ def append_to_vector_index(
     encoded under the same model. Replays are no-ops twice over: the
     order-independent two-hash content key dedupes exact batch replays,
     and an id anti-join against every serving segment drops rows whose
-    id is already indexed (column-pruned id scans). Ids with a LIVE
+    id is already indexed — Bloom-GATED like the text index's append:
+    every segment carries an ``idbloom`` sidecar whose mergeable lanes
+    OR into one broadcast map, Bloom-negative rows skip the corpus id
+    scan entirely, and only possible members pay the exact anti-join
+    (O(batch) appends; pre-sidecar indexes fall back to the exact
+    path). Ids with a LIVE
     tombstone stay dead even if re-appended (the serve's anti-join is
     takedown-wins); physically re-adding one requires a
     :func:`compact_vector_index` first. Returns the number of newly
@@ -1130,14 +1176,55 @@ def append_to_vector_index(
         .select(id_col, vec_col)
         .dropDuplicates([id_col])
     )
-    existing = reduce(
-        DataFrame.unionByName,
-        [
-            spark.read.parquet(p).select(id_col)
-            for p in base + [f"{d}/lists" for d in live_appends]
-        ],
-    )
-    batch = batch.join(existing, on=id_col, how="left_anti").persist()
+    # Bloom-gated dedup (O(batch), the text index's idbloom pattern):
+    # OR the per-segment id-Bloom lanes into one broadcast map; Bloom-
+    # negative rows are certainly new and never read the corpus ids;
+    # only positives fall back to the exact anti-join. Indexes written
+    # before the sidecar existed fall back to the exact path wholesale.
+    id_paths = [
+        p[: -len("/lists")] for p in base + [f"{d}/lists" for d in live_appends]
+    ]
+    bloom_paths = [f"{p}/idbloom" for p in id_paths]
+    if all(_hadoop_path_exists(spark, bp) for bp in bloom_paths):
+        lanes = (
+            reduce(
+                DataFrame.unionByName,
+                [spark.read.parquet(bp) for bp in bloom_paths],
+            )
+            .groupBy("lane")
+            .agg(F.expr("bit_or(bits)").cast("bigint").alias("bits"))
+        )
+        one = lanes.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("lane"), F.col("bits")))
+            ).alias("__lanes")
+        )
+        probed = batch.crossJoin(F.broadcast(one))
+        cond = _vec_bloom_cond(F.col(id_col).cast("string"), F.col("__lanes"))
+        pos = probed.where(cond).drop("__lanes")
+        if pos.limit(1).count() == 0:
+            pass  # every id certainly new: the corpus ids are never read
+        else:
+            seen = reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.parquet(f"{p}/lists").select(id_col)
+                    for p in id_paths
+                ],
+            )
+            batch = probed.where(~cond).drop("__lanes").unionByName(
+                pos.join(seen, on=id_col, how="left_anti")
+            )
+    else:
+        existing = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(f"{p}/lists").select(id_col)
+                for p in id_paths
+            ],
+        )
+        batch = batch.join(existing, on=id_col, how="left_anti")
+    batch = batch.persist()
     try:
         if batch.count() == 0:
             return 0
@@ -1162,7 +1249,11 @@ def append_to_vector_index(
         seg.write.partitionBy("cid").mode("overwrite").parquet(
             f"{adir}/lists"
         )
-        n = spark.read.parquet(f"{adir}/lists").count()
+        written = spark.read.parquet(f"{adir}/lists")
+        _vec_bloom_write(
+            written.select(id_col), id_col, f"{adir}/idbloom"
+        )
+        n = written.count()
         fs.create(jvm.org.apache.hadoop.fs.Path(d, "_committed")).close()
         return n
     finally:
@@ -1293,6 +1384,12 @@ def compact_vector_index(spark, path: str, id_col: str = "vec_id") -> str:
         lists = lists.join(tomb, on=id_col, how="left_anti")
     lists.write.partitionBy("cid").mode("overwrite").parquet(
         f"{gdir}/lists"
+    )
+    # rebuilt (not OR'd) so physically-removed tombstoned ids drop out
+    _vec_bloom_write(
+        spark.read.parquet(f"{gdir}/lists").select(id_col),
+        id_col,
+        f"{gdir}/idbloom",
     )
 
     consumed: list[tuple[str, str]] = []
