@@ -113,6 +113,11 @@ TIER3_QUERIES = [
     "ivfpq_delete_serve",
     "phrase_kwic_snippets",
     "label_propagation_communities",
+    "ivfpq_append_serve_topk",
+    "ivfpq_compacted_topk",
+    "stream_ivfpq_topk",
+    "ivfpq_drift_report",
+    "incremental_minhash_gate",
     "contrastive_negatives_docs",
     "image_ahash_neardup",
     "bpe_merge_rounds",

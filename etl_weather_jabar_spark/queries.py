@@ -194,10 +194,10 @@ def _simhash_fp_cte() -> str:
     """
 
 
-def _minhash_neardup_sql() -> str:
-    """DuckDB twin of the md5-mode MinHash(16)+LSH(4 bands, 5-gram
-    shingles) candidate pairs → exact shingle-Jaccard ≥ 0.5 verify
-    (ext/dedup_text.py::minhash_lsh_candidates + jaccard_verify)."""
+def _minhash_front_sql() -> tuple[str, str]:
+    """(mins, bands) SQL fragments of the md5-mode MinHash(16)+LSH(4)
+    chain — shared by the near-dup pair twin and the incremental gate
+    twin so both certify the ONE signature arithmetic."""
     mins = ",\n               ".join(
         f"min(('0x' || substr(md5(sg || ':{i // 2}'), "
         f"{1 + 15 * (i % 2)}, 15))::BIGINT) AS h{i}"
@@ -210,6 +210,14 @@ def _minhash_neardup_sql() -> str:
         )
         for b in range(4)
     )
+    return mins, bands
+
+
+def _minhash_neardup_sql() -> str:
+    """DuckDB twin of the md5-mode MinHash(16)+LSH(4 bands, 5-gram
+    shingles) candidate pairs → exact shingle-Jaccard ≥ 0.5 verify
+    (ext/dedup_text.py::minhash_lsh_candidates + jaccard_verify)."""
+    mins, bands = _minhash_front_sql()
     return f"""
     WITH toks AS (
         SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents
@@ -253,6 +261,77 @@ def _minhash_neardup_sql() -> str:
         JOIN sz sb ON sb.doc_id = c.id_b
     )
     SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+
+def _minhash_gate_sql() -> str:
+    """DuckDB twin of the incremental MinHash dedup GATE
+    (ext/dedup_text.py::incremental_lsh_neardup, md5 mode): the old
+    slice (doc_id%3≠2) bootstraps the persisted band store with
+    greedy-by-id within-batch dedup, then the new slice (doc_id%3=2)
+    drops a doc iff it shares a band bucket AND agrees on ≥ 12/16
+    signature coordinates (0.7 threshold) with any INDEXED SURVIVOR or
+    any smaller-id doc of its own batch — the one-pass greedy rule,
+    replayed exactly (a dropped smaller-id doc still blocks, matching
+    the engine's batch_pairs expansion)."""
+    mins, bands = _minhash_front_sql()
+    agree = " + ".join(
+        f"(sa.h{i} = sb.h{i})::INT" for i in range(16)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+                    ELSE [array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)]
+               END AS s
+        FROM toks
+    ), shingle_rows AS (
+        SELECT DISTINCT doc_id, unnest(s) AS sg FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM shingle_rows
+        GROUP BY doc_id
+    ), banded AS (
+        {bands}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ), mt AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        WHERE {agree} >= 12
+    ), old_drop AS (
+        SELECT DISTINCT id_b AS doc_id FROM mt
+        WHERE id_a % 3 <> 2 AND id_b % 3 <> 2
+    ), old_surv AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 3 <> 2
+          AND doc_id NOT IN (SELECT doc_id FROM old_drop)
+    ), new_drop AS (
+        SELECT DISTINCT d AS doc_id FROM (
+            SELECT m.id_b AS d FROM mt m
+            JOIN old_surv o ON o.doc_id = m.id_a
+            WHERE m.id_b % 3 = 2
+            UNION ALL
+            SELECT m.id_a AS d FROM mt m
+            JOIN old_surv o ON o.doc_id = m.id_b
+            WHERE m.id_a % 3 = 2
+            UNION ALL
+            SELECT m.id_b AS d FROM mt m
+            WHERE m.id_a % 3 = 2 AND m.id_b % 3 = 2
+        )
+    )
+    SELECT doc_id,
+           doc_id NOT IN (SELECT doc_id FROM new_drop) AS kept
+    FROM documents WHERE doc_id % 3 = 2
     """
 
 
@@ -3641,6 +3720,83 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", hash_fn="md5"
     )
     return jaccard_verify(cand, docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@_register("incremental_minhash_gate", _minhash_gate_sql())
+def incremental_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONLINE ingestion dedup gate certified by hash — the
+    production shape of continuous-ingest near-dup control
+    (ext/dedup_text.py::incremental_lsh_neardup): the doc_id%3≠2 slice
+    bootstraps a PERSISTED LSH band store (snapshot table of banded
+    MinHash signatures, greedy-by-id within-batch dedup), then the
+    %3==2 slice arrives as a new batch and each doc is kept iff it
+    shares no band bucket at ≥ 12/16 signature agreement (threshold
+    0.7) with an indexed survivor or a smaller-id batchmate. Returns
+    (doc_id, kept) for every new doc. md5 hash mode so the oracle
+    replays the store bootstrap AND the gate decision bit-for-bit.
+    100 TB: per batch the store is touched only in the buckets the
+    batch lands in (left_semi prune), work is O(batch + candidates) —
+    never O(corpus) — and boilerplate buckets are capped."""
+    import tempfile
+
+    from .ext.dedup_text import (
+        bands_from_signatures,
+        incremental_lsh_neardup,
+        minhash_signatures,
+    )
+    from .planmode import is_plan_only
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    new = docs.where(F.pmod("doc_id", F.lit(3)) == 2)
+    if is_plan_only():
+        # representative per-batch plan without the snapshot-store IO:
+        # sign + band the batch, agreement join against the old slice
+        old_b = bands_from_signatures(
+            minhash_signatures(
+                docs.where(F.pmod("doc_id", F.lit(3)) != 2), hash_fn="md5"
+            ),
+            16,
+            4,
+        )
+        new_b = bands_from_signatures(
+            minhash_signatures(new, hash_fn="md5"), 16, 4
+        )
+        hit = (
+            new_b.join(
+                old_b.select("band", "bucket").distinct(),
+                ["band", "bucket"],
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+            .withColumn("kept", F.lit(False))
+        )
+        return (
+            new.select("doc_id")
+            .join(hit, "doc_id", "left")
+            .select("doc_id", F.coalesce("kept", F.lit(True)).alias("kept"))
+        )
+    store = tempfile.mkdtemp(prefix="mh_gate_q_") + "/store"
+    incremental_lsh_neardup(
+        docs.where(F.pmod("doc_id", F.lit(3)) != 2),
+        store,
+        hash_fn="md5",
+        threshold=0.7,
+    )
+    surv = incremental_lsh_neardup(
+        new, store, hash_fn="md5", threshold=0.7
+    )
+    return (
+        new.select("doc_id")
+        .join(
+            surv.select("doc_id").withColumn("kept", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("kept", F.lit(False)).alias("kept"))
+    )
 
 
 @_register(
