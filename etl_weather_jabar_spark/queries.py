@@ -3800,6 +3800,78 @@ def incremental_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_exact_gate",
+    """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 2
+    ), nw AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2
+    ), keptids AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM nw WHERE h NOT IN (SELECT h FROM old)
+        ) WHERE rn = 1
+    )
+    SELECT doc_id,
+           doc_id IN (SELECT doc_id FROM keptids) AS kept
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def incremental_exact_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tier-1 EXACT sibling of incremental_minhash_gate, certified
+    by hash (ext/dedup_text.py::incremental_exact_dedup): the old slice
+    bootstraps the persisted 2-column (md5, src_id) fingerprint
+    snapshot, the new slice anti-joins it (already-seen content drops)
+    and keep-firsts within the batch. Returns (doc_id, kept) per new
+    doc. The crash contract (corpus write FIRST, fingerprint commit
+    SECOND → at-least-once rerun + idempotent sink = exactly-once) is
+    pinned in tests/test_dedup_text.py; here the oracle certifies the
+    keep DECISION end-to-end. 100 TB: the index is ~50 bytes/doc and
+    the batch never rescans prior text."""
+    import tempfile
+
+    from .ext.dedup_text import incremental_exact_dedup
+    from .planmode import is_plan_only
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    new = docs.where(F.pmod("doc_id", F.lit(3)) == 2)
+    if is_plan_only():
+        old_h = docs.where(F.pmod("doc_id", F.lit(3)) != 2).select(
+            F.md5("text").alias("__h")
+        )
+        kept = (
+            new.withColumn("__h", F.md5("text"))
+            .join(old_h, "__h", "left_anti")
+            .select("doc_id")
+            .withColumn("kept", F.lit(True))
+        )
+        return (
+            new.select("doc_id")
+            .join(kept, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("kept", F.lit(False)).alias("kept")
+            )
+        )
+    store = tempfile.mkdtemp(prefix="ex_gate_q_") + "/store"
+    incremental_exact_dedup(
+        docs.where(F.pmod("doc_id", F.lit(3)) != 2), store
+    )
+    surv = incremental_exact_dedup(new, store)
+    return (
+        new.select("doc_id")
+        .join(
+            surv.select("doc_id").withColumn("kept", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("kept", F.lit(False)).alias("kept"))
+    )
+
+
+@_register(
     "simhash_neardup_pairs",
     _simhash_fp_cte()
     + """
