@@ -1103,3 +1103,69 @@ def test_vector_index_append_compact_vacuum_lifecycle(spark, tmp_path):
         assert tomb is None or dead[0] not in {
             r["vec_id"] for r in tomb.collect()
         }
+
+
+def test_vector_ingest_cadence_compaction_bounds_segments(spark, tmp_path):
+    """The production ingest cadence on the VECTOR index: micro-batches
+    append as segments, compaction runs whenever the live append count
+    exceeds the bound — segment count stays bounded over the whole
+    ingest, and because appends encode under the FROZEN model, the
+    final serve equals a one-shot append of the same vectors (batching
+    is invisible). Mirrors the text-side streaming bound test; the
+    actual Structured Streaming plumbing is certified by the
+    stream_ivfpq_topk registry twin."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        _vector_live_state,
+        append_to_vector_index,
+        compact_vector_index,
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+        vacuum_vector_index,
+    )
+
+    rows = [
+        (i, [((i * 31 + j * 7) % 13 - 6) / 8.0 for j in range(64)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    base = emb.where(F.col("vec_id") < 16)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def serve(path):
+        return sorted(
+            map(
+                tuple,
+                ivfpq_residual_topk_indexed(
+                    spark, path, queries, k=8, n_probe=3
+                ).collect(),
+            )
+        )
+
+    cents = train_ivf_centroids_exact(base, n_clusters=4, iters=0)
+
+    idx1 = str(tmp_path / "cadence")
+    save_ivfpq_residual_index(base, idx1, cents)
+    max_live = []
+    for b in range(4):
+        lo, hi = 16 + b * 6, 16 + (b + 1) * 6
+        append_to_vector_index(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            idx1,
+        )
+        _, live_appends, _ = _vector_live_state(spark, idx1)
+        if len(live_appends) > 2:
+            compact_vector_index(spark, idx1)
+            vacuum_vector_index(spark, idx1)
+            _, live_appends, _ = _vector_live_state(spark, idx1)
+        max_live.append(len(live_appends))
+    assert max(max_live) <= 3, max_live
+
+    idx2 = str(tmp_path / "oneshot")
+    save_ivfpq_residual_index(base, idx2, cents)
+    append_to_vector_index(emb.where(F.col("vec_id") >= 16), idx2)
+    assert serve(idx1) == serve(idx2)

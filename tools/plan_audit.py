@@ -129,6 +129,12 @@ AUDIT_QUERIES = [
     "ivfpq_delete_serve",
     "phrase_kwic_snippets",
     "label_propagation_communities",
+    "ivfpq_append_serve_topk",
+    "ivfpq_compacted_topk",
+    "stream_ivfpq_topk",
+    "ivfpq_drift_report",
+    "incremental_minhash_gate",
+    "incremental_exact_gate",
     "contrastive_negatives_docs",
     "bpe_merge_rounds",
     "bpe_encode_stats",
