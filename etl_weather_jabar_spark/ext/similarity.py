@@ -1358,12 +1358,13 @@ def compact_vector_index(spark, path: str, id_col: str = "vec_id") -> str:
     gens_all = []
     fs, groot, jvm = _fs_and_path(spark, f"{path}/gens")
     if fs.exists(groot):
-        gens_all = [
-            st.getPath().getName()
-            for st in fs.listStatus(groot)
-            if st.isDirectory()
-        ]
-    nxt = max((_gen_number(g) for g in gens_all), default=-1) + 1
+        for st in fs.listStatus(groot):
+            if st.isDirectory():
+                try:
+                    gens_all.append(_gen_number(st.getPath().getName()))
+                except ValueError:
+                    pass
+    nxt = max(gens_all, default=-1) + 1
     gkey = "g%06d" % nxt
     gdir = f"{path}/gens/{gkey}"
 
@@ -1452,6 +1453,24 @@ def vacuum_vector_index(spark, path: str) -> int:
         fs, p, jvm = _fs_and_path(spark, target)
         if fs.exists(p):
             fs.delete(p, True)
+            removed += 1
+    # crashed compaction writers: an UNCOMMITTED gen dir numbered below
+    # the newest committed one can never be completed (any later writer
+    # took a higher number), so it is invisible garbage — reclaim it.
+    # In-flight writers are numbered above `newest` and stay untouched.
+    fs, groot, jvm = _fs_and_path(spark, f"{path}/gens")
+    if fs.exists(groot):
+        for st in fs.listStatus(groot):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            try:
+                num = _gen_number(name)
+            except ValueError:
+                continue
+            if name in gens or num >= _gen_number(newest):
+                continue
+            fs.delete(st.getPath(), True)
             removed += 1
     return removed
 

@@ -1066,8 +1066,11 @@ def test_vector_index_append_compact_vacuum_lifecycle(spark, tmp_path):
     assert not {i for i in gen_ids if i % 10 == 3}
     assert vacuum_vector_index(spark, idx) > 0
     assert serve() == tombed
-    # consumed dirs removed; base lists gone, newest gen survives
+    # consumed dirs removed; base lists gone, newest gen survives; the
+    # crash-injected uncommitted gen (numbered below the newest
+    # committed one) is reclaimed as unreachable garbage
     assert not os.path.exists(f"{idx}/lists")
+    assert not os.path.exists(f"{idx}/gens/g000099")
     assert os.path.exists(f"{gdir}/lists")
     live_appends = [
         d
