@@ -8,7 +8,7 @@ error on arbitrary inputs and never crash on its own output."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from etl_weather_jabar_spark.ext.flac import decode_flac, encode_flac
@@ -106,13 +106,35 @@ def test_wav_roundtrip_property(clip):
 
 @settings(max_examples=20, deadline=None)
 @given(rgb_images(max_side=24), st.integers(70, 98))
+@example(  # the chroma-edge case that falsified the old 128 bound
+    img=np.array(
+        [[[96, 115, 68], [80, 101, 45]],
+         [[6, 235, 252], [75, 121, 14]],
+         [[53, 168, 195], [214, 188, 238]]],
+        dtype=np.uint8,
+    ),
+    quality=70,
+)
 def test_jpeg_lossy_roundtrip_property(img, quality):
     dec = decode_jpeg(encode_jpeg(img, quality=quality))
     assert dec.shape == img.shape
-    # error bounded by the quantization step of the worst table entry
-    # at this quality (plus clipping): generous but REAL bound — a
-    # broken entropy/IDCT path blows far past it
-    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 128
+    # Error tripwires. The one-number-per-channel bound this test used
+    # to assert (max ≤ 128) was EMPIRICAL and a legitimate encode
+    # finally falsified it (3×2 chroma-edge image at q70 → 144): the
+    # true per-channel worst case is chroma quant error × the 1.772
+    # Cb→B conversion gain summed over coefficients — hundreds, not
+    # 128. What separates a working codec from a broken entropy/IDCT
+    # path robustly: LUMA max error (gain 1, fine quant table), the
+    # MEAN absolute error (broken paths scramble most pixels), and a
+    # loose per-channel ceiling.
+    err = np.abs(dec.astype(int) - img.astype(int))
+    luma_err = np.abs(
+        (0.299 * dec[..., 0] + 0.587 * dec[..., 1] + 0.114 * dec[..., 2])
+        - (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    )
+    assert int(luma_err.max()) <= 128
+    assert float(err.mean()) <= 48.0
+    assert int(err.max()) <= 192
     # flat regions must stay tight regardless of quality
     flat = np.full((8, 8, 3), int(img[0, 0, 0]), dtype=np.uint8)
     dflat = decode_jpeg(encode_jpeg(flat, quality=quality))
