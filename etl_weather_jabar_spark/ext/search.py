@@ -486,12 +486,11 @@ def _write_index_batch(
     invisible to every reader, so a crash mid-write leaves no partial
     state — the replay overwrites the unpublished directory and
     re-commits."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .heavy_hitters import bloom_build
 
     posts = build_postings(docs, id_col, text_col).persist()
-    posts.withColumn("shard", _shard_of(n_shards)).write.partitionBy(
-        "shard"
-    ).mode("overwrite").parquet(f"{batch_dir}/postings")
     dl = posts.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("dl")
     ).persist()
@@ -502,27 +501,45 @@ def _write_index_batch(
         .withColumn("shard", _shard_of(n_shards))
         .persist()
     )
-    termdocs.write.partitionBy("shard").mode("overwrite").parquet(
-        f"{batch_dir}/termdocs"
-    )
-    termdocs.groupBy("shard", "th").agg(
-        F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl")
-    ).write.partitionBy("shard").mode("overwrite").parquet(
-        f"{batch_dir}/termcaps"
-    )
-    dl.write.mode("overwrite").parquet(f"{batch_dir}/doclen")
-    dl.agg(
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("S"),
-        F.count(F.lit(1)).cast("bigint").alias("D"),
-    ).write.mode("overwrite").parquet(f"{batch_dir}/stats")
-    bloom_build(
-        dl.select(F.col(id_col).cast("string").alias("__id")),
-        "__id",
-        _BLOOM_K,
-        _BLOOM_BITS,
-        _BLOOM_SALT,
-        "xxhash64",
-    ).write.mode("overwrite").parquet(f"{batch_dir}/idbloom")
+    # materialize the shared parents ONCE (posts → dl → termdocs all
+    # land in cache off this one job), then submit the six sidecar
+    # writes CONCURRENTLY: each is a small cache-fed job whose cost is
+    # scheduling + file-commit overhead, so sequential submission made
+    # the append latency 6× the work (the round-7 stream_bm25 bench
+    # regression). Thread-submitted Spark actions are supported and
+    # the writes touch disjoint directories; the atomic `_committed`
+    # create still lands strictly after every write returns.
+    termdocs.count()
+    writes = [
+        lambda: posts.withColumn("shard", _shard_of(n_shards))
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(f"{batch_dir}/postings"),
+        lambda: termdocs.write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(f"{batch_dir}/termdocs"),
+        lambda: termdocs.groupBy("shard", "th")
+        .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(f"{batch_dir}/termcaps"),
+        lambda: dl.write.mode("overwrite").parquet(f"{batch_dir}/doclen"),
+        lambda: dl.agg(
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("S"),
+            F.count(F.lit(1)).cast("bigint").alias("D"),
+        ).write.mode("overwrite").parquet(f"{batch_dir}/stats"),
+        lambda: bloom_build(
+            dl.select(F.col(id_col).cast("string").alias("__id")),
+            "__id",
+            _BLOOM_K,
+            _BLOOM_BITS,
+            _BLOOM_SALT,
+            "xxhash64",
+        ).write.mode("overwrite").parquet(f"{batch_dir}/idbloom"),
+    ]
+    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        for f in [ex.submit(w) for w in writes]:
+            f.result()  # re-raise the first failure; commit never lands
     posts.unpersist()
     dl.unpersist()
     termdocs.unpersist()

@@ -858,7 +858,13 @@ def save_ivfpq_residual_index(
     res.select(id_col, "cid").join(packed, on=id_col).write.partitionBy(
         "cid"
     ).mode("overwrite").parquet(f"{path}/lists")
-    _vec_bloom_write(res.select(id_col), id_col, f"{path}/idbloom")
+    # bloom from the WRITTEN lists (column-pruned id scan) — building
+    # it from `res` would re-run the whole assignment lineage
+    _vec_bloom_write(
+        spark.read.parquet(f"{path}/lists").select(id_col),
+        id_col,
+        f"{path}/idbloom",
+    )
     spark.createDataFrame(
         [(int(c), [int(x) for x in v]) for c, v in centroids],
         schema="cid INT, cv ARRAY<BIGINT>",
