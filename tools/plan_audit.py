@@ -208,6 +208,10 @@ EXPECTED_NESTED_LOOP = {
     "ivfpq_indexed_topk": "subvectors/probes × model-sized broadcasts (plan-only uses the unindexed IVF+PQ shape)",
     "ivfpq_residual_topk": "residual subvectors/probes × model-sized broadcasts (IVF centroids + residual PQ codebooks)",
     "ivfpq_residual_indexed_topk": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape)",
+    "ivfpq_append_serve_topk": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape)",
+    "ivfpq_compacted_topk": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape)",
+    "stream_ivfpq_topk": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape)",
+    "ivfpq_drift_report": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape)",
     "curation_funnel_semantic": "survivor embeddings × centroid-count-sized model broadcast (SemDeDup stage)",
     "source_shingle_jaccard": "source-pair grid join (src_a < src_b over a sources-count-sized side)",
     "source_card_overlap": "source-pair grid join (src_a < src_b over a sources-count-sized side)",
