@@ -766,10 +766,27 @@ def append_to_search_index(
         return n
     if batch_key is None:
         batch_key = _content_batch_key(docs, id_col)
+    live_keys = {b.rsplit("/", 1)[1] for b in batches}
     bdir = f"{path}/batches/{batch_key}"
     fs, d, jvm = _fs_and_path(spark, bdir)
     if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
-        return 0  # replayed committed batch: exactly-once no-op
+        if batch_key in live_keys:
+            return 0  # replayed committed batch: exactly-once no-op
+        # the same-key dir was RETIRED by a compaction (pre-vacuum):
+        # this append is a legitimate re-add of content that was
+        # delete-compacted away — it must land under a fresh key, not
+        # be absorbed by the dead dir (mirror of the vector-side
+        # re-append guard; true replays of retired batches still no-op
+        # via the doc-id dedup leaving the batch empty)
+        r = 2
+        while True:
+            bdir = f"{path}/batches/{batch_key}_r{r}"
+            fs, d, jvm = _fs_and_path(spark, bdir)
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
+                break
+            if f"{batch_key}_r{r}" in live_keys:
+                return 0
+            r += 1
     lanes = (
         _union_reads(spark, batches, "idbloom")
         .groupBy("lane")
@@ -861,10 +878,24 @@ def delete_from_search_index(
         return 0
     if delete_key is None:
         delete_key = "d" + _content_batch_key(resolved, id_col)[1:]
+    live_keys = {b.rsplit("/", 1)[1] for b in deletes}
     ddir = f"{path}/deletes/{delete_key}"
     fs, d, jvm = _fs_and_path(spark, ddir)
     if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
-        return 0
+        if delete_key in live_keys:
+            return 0
+        # same content key but the segment was RETIRED by a compaction
+        # (pre-vacuum): a re-delete of re-added content must land under
+        # a fresh key, not be absorbed by the dead dir
+        r = 2
+        while True:
+            ddir = f"{path}/deletes/{delete_key}_r{r}"
+            fs, d, jvm = _fs_and_path(spark, ddir)
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
+                break
+            if f"{delete_key}_r{r}" in live_keys:
+                return 0
+            r += 1
     resolved.write.mode("overwrite").parquet(f"{ddir}/ids")
     resolved.agg(
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("S"),

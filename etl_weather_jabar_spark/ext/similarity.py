@@ -892,17 +892,22 @@ def delete_from_vector_index(
     so there is no segment-merge compaction to piggyback on. Returns
     the number of newly tombstoned ids (ids not in the index tombstone
     harmlessly — the anti-join just never matches them)."""
-    from .search import _committed_dirs, _content_batch_key, _fs_and_path
+    from .search import _content_batch_key, _fs_and_path
 
     spark = ids.sparkSession
     tgt = ids.select(id_col).distinct()
-    existing = _committed_dirs(spark, f"{path}/deletes")
-    if existing:
+    # replay guard over LIVE tombstones only: a delete segment already
+    # CONSUMED by a compaction must not absorb a re-delete — its ids
+    # were physically removed, and if one was later re-appended
+    # (compact-then-append resurrect), the new delete must land or the
+    # takedown silently fails until vacuum clears the stale dir
+    _, _, live_deletes = _vector_live_state(spark, path)
+    if live_deletes:
         from functools import reduce
 
         seen = reduce(
             DataFrame.unionByName,
-            [spark.read.parquet(f"{d}/ids") for d in existing.values()],
+            [spark.read.parquet(f"{d}/ids") for d in live_deletes],
         ).select(id_col)
         tgt = tgt.join(seen, on=id_col, how="left_anti")
     tgt = tgt.persist()
@@ -910,10 +915,24 @@ def delete_from_vector_index(
     if n == 0:
         return 0
     key = "d" + _content_batch_key(tgt, id_col)[1:]
+    live_keys = {d.rsplit("/", 1)[1] for d in live_deletes}
     ddir = f"{path}/deletes/{key}"
     fs, d, jvm = _fs_and_path(spark, ddir)
     if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
-        return 0
+        if key in live_keys:
+            return 0  # genuine replay of a live tombstone
+        # same content key but the segment was CONSUMED by a compaction
+        # (not yet vacuumed): this is a RE-delete of physically-removed
+        # then re-appended ids — it must land under a fresh key
+        r = 2
+        while True:
+            ddir = f"{path}/deletes/{key}_r{r}"
+            fs, d, jvm = _fs_and_path(spark, ddir)
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
+                break
+            if f"{key}_r{r}" in live_keys:
+                return 0
+            r += 1
     tgt.write.mode("overwrite").parquet(f"{ddir}/ids")
     tgt.unpersist()
     fs.create(jvm.org.apache.hadoop.fs.Path(d, "_committed")).close()
@@ -1235,10 +1254,27 @@ def append_to_vector_index(
         if batch.count() == 0:
             return 0
         key = "a" + _content_batch_key(batch, id_col)[1:]
+        # same-key commit check against LIVE segments only: a segment
+        # CONSUMED by a compaction (pre-vacuum) must not absorb a
+        # legitimate re-append of the same ids after their physical
+        # removal — mirror of the delete-side re-delete guard
+        live_keys = {d.rsplit("/", 1)[1] for d in live_appends}
         adir = f"{path}/appends/{key}"
         fs, d, jvm = _fs_and_path(spark, adir)
         if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
-            return 0
+            if key in live_keys:
+                return 0
+            r = 2
+            while True:
+                adir = f"{path}/appends/{key}_r{r}"
+                fs, d, jvm = _fs_and_path(spark, adir)
+                if not fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(d, "_committed")
+                ):
+                    break
+                if f"{key}_r{r}" in live_keys:
+                    return 0
+                r += 1
         cents = load_int_centroids(spark, path)
         cdf = spark.read.parquet(f"{path}/codebooks")
         res = _residual_frame(batch, cents, id_col, vec_col)

@@ -414,3 +414,50 @@ def test_tiered_compaction_merges_smallest_keeps_tombstones_live(
     assert _serve(spark, idx, terms) == want
     assert vacuum_search_index(spark, idx) > 0
     assert _serve(spark, idx, terms) == want
+
+
+def test_readd_and_redelete_after_compaction_land_fresh_keys(
+    spark, tmp_path
+):
+    """The delete→compact→re-add→re-delete cycle (self-review finding,
+    mirrored on the vector side): while RETIRED same-content-key dirs
+    sit unvacuumed on disk, a legitimate re-append of delete-compacted
+    content and a re-delete of re-added content must both LAND (under
+    fresh suffixed keys) instead of being absorbed by the dead dirs;
+    true replays still no-op."""
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha w{i % 5} beta w{(i * 3) % 7} gamma common")
+            for i in range(1, 13)
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    base = docs.where(F.col("doc_id") <= 8)
+    extra = docs.where(F.col("doc_id") > 8)
+    save_search_index(base, idx)
+    assert append_to_search_index(extra, idx) == 4
+
+    victim = docs.where(F.col("doc_id").isin([9, 10]))
+    assert delete_from_search_index(victim.select("doc_id"), idx) == 2
+    compact_search_index(spark, idx)  # applies + retires, NO vacuum
+
+    # re-add the delete-compacted docs: same content as the retired
+    # append segment → same content key → must land under a fresh key
+    assert append_to_search_index(victim, idx) == 2
+    terms = _terms(spark, ["alpha", "gamma"])
+    assert _serve(spark, idx, terms) == sorted(
+        map(tuple, bm25_scores(docs, terms).collect())
+    )
+    # true replay of the re-added batch: no-op
+    assert append_to_search_index(victim, idx) == 0
+
+    # re-delete the re-added docs: same ids as the retired delete
+    # segment → same content key → must land under a fresh key
+    assert delete_from_search_index(victim.select("doc_id"), idx) == 2
+    surv = docs.where(~F.col("doc_id").isin([9, 10]))
+    assert _serve(spark, idx, terms) == sorted(
+        map(tuple, bm25_scores(surv, terms).collect())
+    )
+    # replay of the live re-delete: no-op
+    assert delete_from_search_index(victim.select("doc_id"), idx) == 0

@@ -1106,6 +1106,25 @@ def test_vector_index_append_compact_vacuum_lifecycle(spark, tmp_path):
         assert tomb is None or dead[0] not in {
             r["vec_id"] for r in tomb.collect()
         }
+        # RE-delete hazard (self-review finding): tombstone the
+        # resurrected id, compact WITHOUT vacuuming (the consumed
+        # delete segment with this exact content key stays on disk),
+        # re-append the id, then delete it AGAIN. The replay guard must
+        # consult LIVE tombstones only and the same-key commit check
+        # must not absorb the re-delete — otherwise the takedown
+        # silently fails until vacuum.
+        one = again.select("vec_id")
+        assert delete_from_vector_index(one, idx) == 1
+        assert delete_from_vector_index(one, idx) == 0  # live replay
+        compact_vector_index(spark, idx)  # applies + consumes it
+        assert append_to_vector_index(again, idx) == 1
+        assert delete_from_vector_index(one, idx) == 1  # must land
+        lists2, tomb2 = _vector_lists(spark, idx)
+        assert tomb2 is not None and dead[0] in {
+            r["vec_id"] for r in tomb2.collect()
+        }
+        live2 = {r["vec_id"] for r in lists2.select("vec_id").collect()}
+        assert dead[0] in live2  # physically present, tombstone-masked
 
 
 def test_vector_ingest_cadence_compaction_bounds_segments(spark, tmp_path):
