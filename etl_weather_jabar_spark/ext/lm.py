@@ -121,3 +121,152 @@ def bigram_lm_score(
             "min_ppm",
         )
     )
+
+
+def _h16(*cols) -> "F.Column":
+    """16-hex md5 key of the space-joined columns (the corpus-wide gram
+    key used by every dedup/LM stage — text itself never shuffles)."""
+    parts: list = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(" "))
+        parts.append(c)
+    return F.substring(F.md5(F.concat(*parts)), 1, 16)
+
+
+def trigram_backoff_score(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid-backoff trigram LM (Brants et al. 2007) in exact integer
+    arithmetic: each trigram occurrence in ``eval_docs`` is scored by
+
+    * ``c(w1 w2 w3) · 10⁶ div c(w1 w2)``            if the trigram was seen
+      in ``train_docs``, else
+    * ``(c(w2 w3) · 10⁶ div c(w2)) · 2 div 5``      (α = 0.4 as the exact
+      rational 2/5) if the bigram was seen, else
+    * ``(c(w3) · 10⁶ div N) · 4 div 25``            (α² = 4/25), 0 for OOV.
+
+    All counts come from ``train_docs`` only — the train/eval split is the
+    caller's, so held-out scoring (the CCNet deployment shape: score the
+    crawl with a model trained on the reference corpus) is the default
+    call, not a variant. No floats, no ``log``: the backoff discounts are
+    exact integer multiplications/divisions, so the score is bit-identical
+    in any engine and summation order, like :func:`bigram_lm_score`.
+
+    100 TB: three partial-aggregatable count tables (trigram, bigram,
+    unigram — vocabulary-bounded, the trigram table |V|³ worst case but
+    Zipf-sparse in practice), three LEFT equi-joins on 16-hex keys, one
+    per-doc map-side-combining rollup. Text never shuffles.
+    """
+
+    def grams(docs: DataFrame, n: int, names: list[str]) -> DataFrame:
+        arr = docs.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("t")
+        )
+        arr = arr.select(
+            F.col(id_col), F.filter("t", lambda w: w != "").alias("t")
+        )
+        seq = F.when(
+            F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        words = [
+            (lambda k: (lambda i: F.element_at("t", i + k)))(k)
+            for k in range(n)
+        ]
+        fields = {
+            "h3": lambda i: _h16(*(w(i) for w in words)),
+            "h12": lambda i: _h16(words[0](i), words[1](i)),
+            "h23": lambda i: _h16(words[1](i), words[2](i)),
+            "h2": lambda i: _h16(words[1](i)),
+            "hw": lambda i: _h16(words[-1](i)),
+            "h1": lambda i: _h16(words[0](i)),
+        }
+        return arr.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    seq,
+                    lambda i: F.struct(
+                        *[fields[nm](i).alias(nm) for nm in names]
+                    ),
+                )
+            ).alias("g"),
+        ).select(F.col(id_col), *[F.col(f"g.{nm}").alias(nm) for nm in names])
+
+    tri_t = grams(train_docs, 3, ["h3", "h12"])
+    big_t = grams(train_docs, 2, ["h3", "h1"])
+    uni_t = grams(train_docs, 1, ["h1"])
+
+    c3 = tri_t.groupBy("h3").agg(
+        F.min("h12").alias("h12"), F.count(F.lit(1)).alias("c3")
+    )
+    c12 = tri_t.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
+    stats3 = c3.join(c12, "h12").select(
+        "h3", F.expr("c3 * 1000000 div c12").alias("ppm3")
+    )
+    # big_t's "h3" is the joint bigram hash _h16("w2 w3"); "h1" is the
+    # conditioning first word's hash (the denominator's unigram key).
+    c23 = big_t.groupBy(F.col("h3").alias("h23")).agg(
+        F.min("h1").alias("h2"), F.count(F.lit(1)).alias("c23")
+    )
+    c2 = uni_t.groupBy(F.col("h1").alias("h2")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    stats2 = c23.join(c2, "h2").select(
+        "h23",
+        F.expr("(c23 * 1000000 div c2) * 2 div 5").alias("ppm2"),
+    )
+    n_tok = uni_t.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    stats1 = (
+        uni_t.groupBy(F.col("h1").alias("hw"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "hw", F.expr("(c1 * 1000000 div n) * 4 div 25").alias("ppm1")
+        )
+    )
+
+    occ = grams(eval_docs, 3, ["h3", "h23", "hw"])
+    scored = (
+        occ.join(stats3, "h3", "left")
+        .join(stats2, "h23", "left")
+        .join(stats1, "hw", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("ppm3").isNotNull(), F.col("ppm3"))
+            .otherwise(
+                F.when(F.col("ppm2").isNotNull(), F.col("ppm2")).otherwise(
+                    F.coalesce("ppm1", F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias("ppm"),
+        )
+    )
+    perdoc = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.sum("ppm").alias("__sp"),
+            F.min("ppm").cast("bigint").alias("min_ppm"),
+        )
+        .withColumn(
+            "bo_ppm",
+            half_up_div(F.col("__sp"), F.col("n_trigrams")).cast("bigint"),
+        )
+    )
+    return (
+        eval_docs.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias(
+                "n_trigrams"
+            ),
+            "bo_ppm",
+            "min_ppm",
+        )
+    )

@@ -13770,6 +13770,109 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs)
 
 
+@_register(
+    "trigram_backoff_ppl",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ss, 1) AS BIGINT) AS pos,
+               unnest(ss) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                         AS ss
+              FROM documents)
+    ),
+    seqs AS (
+        SELECT doc_id, doc_id % 2 AS half, tok AS w1,
+               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+               lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        FROM toks
+    ),
+    tri AS (
+        SELECT doc_id, half,
+               substr(md5(w1 || ' ' || w2 || ' ' || w3), 1, 16) AS h3,
+               substr(md5(w1 || ' ' || w2), 1, 16) AS h12,
+               substr(md5(w2 || ' ' || w3), 1, 16) AS h23,
+               substr(md5(w3), 1, 16) AS hw
+        FROM seqs WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+    ),
+    big AS (
+        SELECT substr(md5(w1 || ' ' || w2), 1, 16) AS h23,
+               substr(md5(w1), 1, 16) AS h2
+        FROM seqs WHERE half = 0 AND w2 IS NOT NULL
+    ),
+    uni AS (
+        SELECT substr(md5(w1), 1, 16) AS hw FROM seqs WHERE half = 0
+    ),
+    c3 AS (SELECT h3, min(h12) AS h12, count(*) AS c3
+           FROM tri WHERE half = 0 GROUP BY 1),
+    c12 AS (SELECT h12, count(*) AS c12
+            FROM tri WHERE half = 0 GROUP BY 1),
+    stats3 AS (
+        SELECT h3, CAST(c3 * 1000000 AS BIGINT) // c12 AS ppm3
+        FROM c3 JOIN c12 USING (h12)
+    ),
+    c23 AS (SELECT h23, min(h2) AS h2, count(*) AS c23
+            FROM big GROUP BY 1),
+    c2 AS (SELECT h2, count(*) AS c2
+           FROM (SELECT hw AS h2 FROM uni) GROUP BY 1),
+    stats2 AS (
+        SELECT h23,
+               (CAST(c23 * 1000000 AS BIGINT) // c2) * 2 // 5 AS ppm2
+        FROM c23 JOIN c2 USING (h2)
+    ),
+    stats1 AS (
+        SELECT hw,
+               (CAST(count(*) * 1000000 AS BIGINT)
+                    // (SELECT count(*) FROM uni)) * 4 // 25 AS ppm1
+        FROM uni GROUP BY hw
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CASE WHEN s3.ppm3 IS NOT NULL THEN s3.ppm3
+                    WHEN s2.ppm2 IS NOT NULL THEN s2.ppm2
+                    ELSE coalesce(s1.ppm1, 0) END AS ppm
+        FROM tri t
+        LEFT JOIN stats3 s3 USING (h3)
+        LEFT JOIN stats2 s2 USING (h23)
+        LEFT JOIN stats1 s1 USING (hw)
+        WHERE t.half = 1
+    ),
+    pd AS (
+        SELECT doc_id, count(*) AS n_trigrams,
+               CAST(sum(ppm) AS BIGINT) AS sp,
+               CAST(min(ppm) AS BIGINT) AS min_ppm
+        FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST({_sql_halfup('pd.sp', 'pd.n_trigrams')} AS BIGINT)
+               AS bo_ppm,
+           pd.min_ppm
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN pd USING (doc_id)
+    """,
+)
+def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out stupid-backoff trigram LM scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the web-scale
+    backoff that replaces Kneser-Ney smoothing with a fixed α = 0.4
+    penalty precisely because it needs no renormalization pass): the
+    model trains on even doc_ids and scores odd doc_ids, the CCNet
+    deployment shape (score the crawl with a reference-corpus model).
+    Every backoff level is exact integer arithmetic (α as the rational
+    2/5, α² as 4/25 — see ext/lm.py::trigram_backoff_score), so the
+    oracle replays training AND inference bit-for-bit. 100 TB: three
+    vocabulary-bounded count tables, three LEFT equi-joins on 16-hex
+    keys, map-side-combining per-doc rollup; text never shuffles."""
+    from .ext.lm import trigram_backoff_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    ev = docs.where(F.col("doc_id") % 2 == 1)
+    return trigram_backoff_score(train, ev)
+
+
 
 @_register("video_frame_sample_stats")  # rows-only: binary payload ops
 def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15053,6 +15156,136 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("qty_units"),
         )
+    )
+
+
+@_register(
+    "record_linkage_customers",
+    """
+    WITH a AS (
+        SELECT c_custkey AS a_key, c_name AS a_name,
+               c_nationkey AS nat,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS a_band,
+               c_mktsegment AS a_seg
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    b AS (
+        SELECT c_custkey AS b_key,
+               CASE WHEN c_custkey % 7 = 0 THEN c_name || '~'
+                    ELSE c_name END AS b_name,
+               c_nationkey AS nat,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 10000
+                   + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END
+                   AS b_band,
+               CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END AS b_seg
+        FROM customer
+    ),
+    cand AS (
+        SELECT a_key, b_key FROM a JOIN b USING (nat)
+        WHERE a_band // 10 = b_band // 10
+        UNION
+        SELECT a_key, b_key FROM a JOIN b USING (nat)
+        WHERE a_seg = b_seg
+    ),
+    scored AS (
+        SELECT c.a_key, c.b_key,
+               CAST(CASE WHEN a.a_name = b.b_name THEN 24 ELSE -8 END
+                  + CASE WHEN a.a_band = b.b_band THEN 6 ELSE -4 END
+                  + CASE WHEN a.a_seg = b.b_seg THEN 5 ELSE -3 END
+                 AS BIGINT) AS weight
+        FROM cand c JOIN a USING (a_key) JOIN b USING (b_key)
+    )
+    SELECT a_key, b_key, weight
+    FROM (SELECT *, row_number() OVER (PARTITION BY a_key
+              ORDER BY weight DESC, b_key) AS rn
+          FROM scored WHERE weight >= 15)
+    WHERE rn = 1
+    """,
+)
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, Fellegi-Sunter model (JASA 1969)
+    with multi-pass blocking (Hernández & Stolfo 1995): source A (clean
+    even-key customers) is linked against source B (all customers with
+    deterministic field corruptions — name tail for keys ≡0 mod 7,
+    balance band bumped for ≡0 mod 3, segment lost for ≡0 mod 5).
+    Candidate pairs come from TWO independent blocking passes
+    ((nation, balance-kiloband) and (nation, segment) — multi-pass
+    recovers pairs either single key would miss), are deduplicated,
+    then scored by summed per-field integer log-odds weights
+    (agree/disagree: name +24/-8, band +6/-4, segment +5/-3 — fixed
+    centiban weights, the precomputed-m/u deployment shape); pairs at
+    or above the decision threshold keep the best match per A record
+    (weight desc, key asc). Balance bands use exact cents + floor_div
+    so negative balances floor identically in both engines. 100 TB:
+    the blocking keys are the quadratic dial (block sizes bounded ⇒
+    candidate count linear in input); comparisons are pure JVM column
+    expressions on the pair frame; the best-match window partitions by
+    A key over block-bounded groups."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    band = floor_div(cents, F.lit(10000).cast("bigint"))
+    a = c.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nat"),
+        band.alias("a_band"),
+        F.col("c_mktsegment").alias("a_seg"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.col("c_name"), F.lit("~")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.col("c_nationkey").alias("nat"),
+        (
+            band
+            + F.when(F.col("c_custkey") % 3 == 0, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("b_band"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+    )
+    ten = F.lit(10).cast("bigint")
+    p1 = (
+        a.join(b, "nat")
+        .where(floor_div(F.col("a_band"), ten) == floor_div(F.col("b_band"), ten))
+        .select("a_key", "b_key")
+    )
+    p2 = (
+        a.join(b, "nat")
+        .where(F.col("a_seg") == F.col("b_seg"))
+        .select("a_key", "b_key")
+    )
+    cand = p1.union(p2).distinct()
+    sc = (
+        cand.join(a.drop("nat"), "a_key")
+        .join(b.drop("nat"), "b_key")
+        .select(
+            "a_key",
+            "b_key",
+            (
+                F.when(F.col("a_name") == F.col("b_name"), 24).otherwise(-8)
+                + F.when(F.col("a_band") == F.col("b_band"), 6).otherwise(-4)
+                + F.when(F.col("a_seg") == F.col("b_seg"), 5).otherwise(-3)
+            )
+            .cast("bigint")
+            .alias("weight"),
+        )
+        .where(F.col("weight") >= 15)
+    )
+    w = Window.partitionBy("a_key").orderBy(
+        F.desc("weight"), F.col("b_key")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("a_key", "b_key", "weight")
     )
 
 

@@ -735,3 +735,115 @@ def test_phrase_match_over_segment_index(spark, tmp_path):
     assert got == direct == [(1, 0), (2, 1), (3, 0)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[shard#\d+ IN \(", plan), plan
+
+
+def test_trigram_backoff_matches_python_replay(spark):
+    """Stupid-backoff trigram scoring pinned against an independent
+    python reference: all three backoff levels fire (seen trigram,
+    bigram-only backoff with the exact 2/5 discount, unigram-only with
+    4/25), OOV scores 0, and a short eval doc (<3 tokens) takes the
+    NULL path."""
+    from collections import Counter
+
+    from etl_weather_jabar_spark.ext.lm import trigram_backoff_score
+
+    train_rows = [
+        (0, "the cat sat on the mat"),
+        (2, "the cat sat again and again"),
+    ]
+    eval_rows = [
+        (1, "the cat sat on a mat"),   # seen tri + bigram + unigram + OOV
+        (3, "zz qq"),                  # <3 tokens → NULL scores
+        (5, "wolf eats the cat"),      # OOV head, then seen levels
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_trigrams"], r["bo_ppm"], r["min_ppm"])
+        for r in trigram_backoff_score(train, ev).collect()
+    }
+
+    c3, c12, c23, c2, c1 = (
+        Counter(), Counter(), Counter(), Counter(), Counter()
+    )
+    n_tok = 0
+    for _, t in train_rows:
+        w = t.split(" ")
+        for a, b, c in zip(w, w[1:], w[2:]):
+            c3[(a, b, c)] += 1
+            c12[(a, b)] += 1
+        for a, b in zip(w, w[1:]):
+            c23[(a, b)] += 1
+            c2[a] += 1
+        for a in w:
+            c1[a] += 1
+            n_tok += 1
+
+    def score(a, b, c):
+        if c3[(a, b, c)]:
+            return c3[(a, b, c)] * 1_000_000 // c12[(a, b)]
+        if c23[(b, c)]:
+            return (c23[(b, c)] * 1_000_000 // c2[b]) * 2 // 5
+        if c1[c]:
+            return (c1[c] * 1_000_000 // n_tok) * 4 // 25
+        return 0
+
+    levels_seen = set()
+    for d, t in eval_rows:
+        w = t.split(" ")
+        ppms = [score(a, b, c) for a, b, c in zip(w, w[1:], w[2:])]
+        for a, b, c in zip(w, w[1:], w[2:]):
+            if c3[(a, b, c)]:
+                levels_seen.add(3)
+            elif c23[(b, c)]:
+                levels_seen.add(2)
+            elif c1[c]:
+                levels_seen.add(1)
+            else:
+                levels_seen.add(0)
+        if not ppms:
+            assert out[d] == (0, None, None)
+            continue
+        sp, n = sum(ppms), len(ppms)
+        assert out[d] == (n, (2 * sp + n) // (2 * n), min(ppms))
+    # the fixture genuinely exercises every backoff level + OOV
+    assert levels_seen == {3, 2, 1, 0}
+
+
+def test_record_linkage_fs_semantics(spark, tmp_path):
+    """Fellegi-Sunter linkage semantics pinned on a hand-built customer
+    table: clean records link to themselves; a name-corrupted record
+    (key ≡0 mod 7 with every other field agreeing) scores 24 points
+    below the clean pair and falls under the threshold; multi-pass
+    blocking recovers a pair whose balance-band pass misses (band
+    bumped across the kiloband edge) through the segment pass."""
+    from etl_weather_jabar_spark.queries import record_linkage_customers
+
+    rows = [
+        # key, name, nation, acctbal, segment
+        (2, "Customer#2", 1, 500.00, "BUILDING"),
+        (4, "Customer#4", 1, 700.00, "MACHINERY"),
+        (14, "Customer#14", 1, 800.00, "AUTOMOBILE"),  # %7==0 → name corrupt
+        (6, "Customer#6", 2, 995.00, "FURNITURE"),  # %3==0 → band 9→10
+        (8, "Customer#8", 2, 100.00, "HOUSEHOLD"),
+        (9, "Customer#9", 2, 100.00, "HOUSEHOLD"),  # odd → not in A
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/customer.parquet")
+    out = {
+        r["a_key"]: (r["b_key"], r["weight"])
+        for r in record_linkage_customers(spark, sf).collect()
+    }
+    # clean self-pairs: all three fields agree → 24+6+5
+    assert out[2] == (2, 35)
+    assert out[4] == (4, 35)
+    assert out[8] == (8, 35)
+    # name-corrupted candidate: -8+6+5 = 3 < 15 → no match survives
+    assert 14 not in out
+    # band-bumped record (9.95→10.05 kiloband edge: band pass misses,
+    # segment pass recovers): name +24, band -4, segment +5 = 25
+    assert out[6] == (6, 25)
