@@ -15289,4 +15289,150 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "orc_roundtrip_agg",
+    f"""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           {_sql_sum('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1
+    """,
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC storage parity: a filtered orders slice is written as an ORC
+    table PARTITIONED BY priority, read back with a partition predicate,
+    and aggregated — the oracle computes the same aggregate straight from
+    the parquet, so any loss or type drift across the ORC hop (timestamp
+    precision, double round-trip, partition-value string encoding) fails
+    the hash. The read-back plan must partition-prune: only the two
+    selected priority directories are listed (asserted in
+    tests/test_sinks_sources.py). 100 TB: ORC is the other columnar
+    format a lake-adjacent engine must ingest; both its predicate
+    pushdown and partition pruning ride the same DataSource V1 scan
+    machinery as parquet, so every filter/projection guarantee carries
+    over unchanged."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 3 == 0
+    )
+    (
+        o.select(
+            "o_orderkey",
+            _units(F.col("o_totalprice"), 2).alias("price_units"),
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .orc(out)
+    )
+    back = spark.read.orc(out).where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("price_units") / F.lit(100.0)).alias("revenue"),
+    )
+
+
+@_register(
+    "wordpiece_encode_stats",
+    f"""
+    WITH RECURSIVE srcw AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT source,
+                     unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    wordtab AS (SELECT w, CAST(sum(f) AS BIGINT) AS f FROM srcw GROUP BY 1),
+    pos1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS p
+             FROM wordtab),
+    lens AS (SELECT w, f, p, unnest([1, 2, 3]) AS l FROM pos1),
+    subs AS (SELECT substr(w, CAST(p AS INTEGER), CAST(l AS INTEGER))
+                        AS piece,
+                    CAST(l AS BIGINT) AS plen,
+                    CAST(sum(f) AS BIGINT) AS c
+             FROM lens WHERE p + l - 1 <= length(w) GROUP BY 1, 2),
+    vtop AS (SELECT piece, plen FROM subs WHERE plen > 1
+             ORDER BY c DESC, piece ASC LIMIT 24),
+    vocab AS (SELECT piece, plen FROM subs WHERE plen = 1
+              UNION ALL SELECT piece, plen FROM vtop),
+    step(w, rem, i, piece) AS (
+        SELECT w, w AS rem, CAST(-1 AS BIGINT) AS i,
+               CAST(NULL AS VARCHAR) AS piece
+        FROM wordtab
+        UNION ALL
+        SELECT s.w,
+               CASE WHEN coalesce(v3.piece, v2.piece, v1.piece) IS NULL
+                    THEN ''
+                    ELSE substr(s.rem,
+                        length(coalesce(v3.piece, v2.piece, v1.piece)) + 1)
+               END,
+               s.i + 1,
+               coalesce(v3.piece, v2.piece, v1.piece, '[UNK]')
+        FROM step s
+        LEFT JOIN vocab v3
+            ON v3.plen = 3 AND v3.piece = substr(s.rem, 1, 3)
+        LEFT JOIN vocab v2
+            ON v2.plen = 2 AND v2.piece = substr(s.rem, 1, 2)
+        LEFT JOIN vocab v1
+            ON v1.plen = 1 AND v1.piece = substr(s.rem, 1, 1)
+        WHERE s.rem <> ''
+    ),
+    em0 AS (SELECT w, i, piece,
+                   CASE WHEN i = 0 THEN piece
+                        ELSE '##' || piece END AS dp
+            FROM step WHERE i >= 0),
+    unkw AS (SELECT DISTINCT w FROM em0 WHERE piece = '[UNK]'),
+    em AS (SELECT * FROM em0 WHERE w NOT IN (SELECT w FROM unkw)
+           UNION ALL
+           SELECT w, CAST(0 AS BIGINT), '[UNK]', '[UNK]' FROM unkw),
+    encw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces,
+                    max(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END)
+                        AS has_unk
+             FROM em GROUP BY 1),
+    per_src AS (
+        SELECT s.source,
+               CAST(sum(s.f) AS BIGINT) AS n_words,
+               CAST(sum(s.f * e.n_pieces) AS BIGINT) AS n_pieces,
+               CAST(sum(s.f * e.has_unk) AS BIGINT) AS unk_words
+        FROM srcw s JOIN encw e USING (w) GROUP BY 1),
+    dpc AS (SELECT s.source,
+                   CAST(count(DISTINCT e.dp) AS BIGINT) AS distinct_pieces
+            FROM (SELECT DISTINCT source, w FROM srcw) s
+            JOIN em e USING (w) GROUP BY 1)
+    SELECT p.source, p.n_words, p.n_pieces,
+           CAST({_sql_halfup('p.n_pieces * 1000000', 'p.n_words')}
+               AS BIGINT) AS avg_pieces_ppm,
+           p.unk_words, d.distinct_pieces
+    FROM per_src p JOIN dpc d USING (source)
+    """,
+)
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece / MaxMatch subword tokenization (Wu et al. 2016 §4.1;
+    Song et al. 2021): a corpus-derived subword vocabulary (all single
+    chars + top-24 weighted substrings) greedily longest-match encodes
+    the DISTINCT word table, and per-source fertility statistics roll
+    up through the word counts — the numbers a tokenizer rollout is
+    judged by (pieces per word, [UNK] rate, piece inventory in use).
+    The oracle replays vocabulary derivation AND the greedy segmentation
+    (a recursive CTE with the same three per-length prefix joins), so
+    the hash certifies every emitted piece. 100 TB: the encoder runs on
+    the vocabulary-sized distinct-word frame (iterations ≤ longest word,
+    broadcast vocab, pure equi-joins), and the corpus-sized work is one
+    broadcast join of (word → pieces) — see ext/tokenize.py."""
+    from .ext.tokenize import wordpiece_doc_stats
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return wordpiece_doc_stats(docs)
+
+
 ALL = sorted(QUERIES)

@@ -251,3 +251,61 @@ def test_bpe_vocab_encoding_matches_reference(spark):
     assert got == {
         w: (wc[w], " ".join(syms), len(syms)) for w, syms in vocab.items()
     }
+
+
+def test_wordpiece_greedy_longest_match_and_unk(spark):
+    """WordPiece encode pinned on a hand-built vocab: greedy
+    longest-match-first (prefers the 3-char piece over 2/1), continuation
+    pieces get the ## display prefix, and a word with an unmatchable
+    position becomes ONE [UNK] token (all-or-nothing, canonical
+    WordPiece) — plus the corpus-derived vocab guarantees no [UNK] on
+    in-corpus words."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.tokenize import (
+        UNK,
+        substring_vocab,
+        word_counts,
+        wordpiece_encode,
+    )
+
+    words = spark.createDataFrame(
+        [("unable", 2), ("unit", 1), ("qxy", 1)], ["w", "f"]
+    ).select("w", F.col("f").cast("bigint").alias("f"))
+    vocab = spark.createDataFrame(
+        [("una", 3), ("un", 2), ("ble", 3), ("u", 1), ("n", 1),
+         ("a", 1), ("b", 1), ("l", 1), ("e", 1), ("it", 2), ("q", 1)],
+        ["piece", "plen"],
+    ).select("piece", F.col("plen").cast("bigint").alias("plen"))
+    em = wordpiece_encode(words, vocab)
+    got = {}
+    for r in em.collect():
+        got.setdefault(r["w"], []).append((r["i"], r["dp"]))
+    got = {w: [p for _, p in sorted(v)] for w, v in got.items()}
+    # greedy takes "una" (len 3) even though "un" is also in vocab
+    assert got["unable"] == ["una", "##ble"]
+    assert got["unit"] == ["un", "##it"]
+    # "qxy": q matches, then 'x' has no piece → whole word is one [UNK]
+    assert got["qxy"] == [UNK]
+
+    # corpus-derived vocab: single-char coverage → zero [UNK]
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    wc = word_counts(docs)
+    v = substring_vocab(wc, max_len=3, top_k=4)
+    em2 = wordpiece_encode(wc, v)
+    assert em2.where(F.col("piece") == UNK).count() == 0
+    # every word reassembles exactly from its pieces, in order
+    back = {
+        r["w"]: r["j"]
+        for r in em2.groupBy("w")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("i", "piece")))
+                .getField("piece")
+            ).alias("j")
+        )
+        .collect()
+    }
+    assert back == {"alpha": "alpha", "beta": "beta", "gamma": "gamma"}

@@ -359,3 +359,31 @@ def test_append_zordered_with_frozen_bounds(spark, tmp_path):
     # a second optimize with the same bounds_path reuses the frozen stats
     optimize_zorder(spark, path, ["x", "y"], n_files=12, bits=8, bounds_path=bpath)
     assert spark.read.parquet(path).count() == 12000
+
+
+def test_orc_roundtrip_partition_pruning(spark, tmp_path):
+    """The ORC read-back in orc_roundtrip_agg must partition-prune: with
+    a priority predicate on a priority-partitioned ORC table, the scan
+    lists only the selected directories (PartitionFilters in the plan,
+    partition count matches), and values survive the hop exactly."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i * 100, pr) for i in range(20)
+         for pr in ("1-URGENT", "2-HIGH", "5-LOW")],
+        ["k", "units", "pr"],
+    )
+    out = str(tmp_path / "orc")
+    df.write.mode("overwrite").partitionBy("pr").orc(out)
+    back = spark.read.orc(out).where(F.col("pr").isin("1-URGENT", "2-HIGH"))
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*pr#\d+ IN", plan), plan
+    got = {
+        (r["pr"], r["n"], r["su"])
+        for r in back.groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("units").alias("su"))
+        .collect()
+    }
+    assert got == {("1-URGENT", 20, 19000), ("2-HIGH", 20, 19000)}
