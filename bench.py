@@ -137,6 +137,12 @@ TIER3_QUERIES = [
     "gopher_rules_docs",
     "frame_timeline_sample",
     "bloom_prejoin_revenue",
+    # round-7 overtime additions
+    "trigram_backoff_ppl",
+    "record_linkage_customers",
+    "wordpiece_encode_stats",
+    "orc_roundtrip_agg",
+    "audio_codec_survey",
 ]
 
 

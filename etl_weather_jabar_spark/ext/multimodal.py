@@ -413,6 +413,251 @@ def encode_au_ulaw(samples, rate: int = 8000) -> bytes:
     return struct.pack(">4sIIIII", b".snd", 24, len(body), 1, rate, 1) + body
 
 
+def _alaw_encode(samples) -> "np.ndarray":
+    """int16 → G.711 A-law bytes (ITU-T G.711 segment encoding with the
+    0x55 even-bit inversion), vectorized numpy — the telephony codec of
+    the E1/European sphere, the sibling of :func:`_ulaw_encode`.
+
+    Follows the canonical public linear2alaw (Sun g711.c): input is
+    reduced to 13 bits (>>3), negatives map to ``-x-1`` (one's
+    complement) so the segment search runs on magnitudes, segments are
+    the 8 doubling ranges ending at 0xFFF, and the 4-bit mantissa takes
+    bits ``seg..seg+3`` (``>>1`` in the two linear segments)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int32) >> 3
+    mask = np.where(s >= 0, 0xD5, 0x55).astype(np.int32)
+    mag = np.where(s >= 0, s, -s - 1)
+    mag = np.minimum(mag, 0xFFF)
+    # segment = index of first end >= mag over ends 0x1F,0x3F,...,0xFFF
+    seg = np.clip(
+        np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 4, 0, 7
+    )
+    man = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    aval = (seg << 4) | man
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def _alaw_decode(data) -> "np.ndarray":
+    """G.711 A-law bytes → int16, vectorized numpy (exact inverse of
+    the segment table; every one of the 256 codes is a fixed point of
+    encode∘decode — pinned in tests)."""
+    import numpy as np
+
+    a = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int32) ^ 0x55
+    man = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(
+        seg == 0,
+        man + 8,
+        (man + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def encode_au_alaw(samples, rate: int = 8000) -> bytes:
+    """int16 mono samples → Sun .au bytes, G.711 A-law (encoding 27)."""
+    import struct
+
+    body = _alaw_encode(samples).tobytes()
+    return struct.pack(">4sIIIII", b".snd", 24, len(body), 27, rate, 1) + body
+
+
+def decode_au_alaw(payload: bytes):
+    """Sun .au (G.711 A-law, mono) bytes → (rate, int16 numpy array).
+    ValueError on any other encoding — never a silently wrong
+    waveform."""
+    import struct
+
+    d = bytes(payload)
+    if len(d) < 24 or d[:4] != b".snd":
+        raise ValueError("not a Sun .au payload")
+    off, size, enc, rate, ch = struct.unpack(">IIIII", d[4:24])
+    if enc != 27:
+        raise ValueError("only G.711 A-law .au supported here")
+    if ch != 1:
+        raise ValueError("only mono .au supported")
+    if off < 24 or off > len(d):
+        raise ValueError("truncated .au header")
+    n = min(size, len(d) - off) if size != 0xFFFFFFFF else len(d) - off
+    return rate, _alaw_decode(d[off : off + n])
+
+
+# --- IMA ADPCM (WAV format tag 0x11, "DVI/IMA") -------------------------
+# The 4:1 block-predictive codec game audio and telephony WAVs ship in.
+# Public spec: IMA Digital Audio Focus Group "Recommended Practices for
+# Enhancing Digital Audio Compatibility" (1992); tables as in every
+# public implementation (e.g. the Stichting Mathematisch Centrum ADPCM
+# reference code). Each block restarts the predictor — the seek/appand
+# unit, and the reason a corrupted block never poisons its neighbors.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_encode_block(samples, predictor: int, index: int):
+    """Encode one block's samples (after the header sample) to nibbles;
+    returns (nibbles list, final predictor, final index)."""
+    out = []
+    for s in samples:
+        step = _IMA_STEPS[index]
+        diff = int(s) - predictor
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        vpdiff = step >> 3
+        if diff >= step:
+            nib |= 4
+            diff -= step
+            vpdiff += step
+        step >>= 1
+        if diff >= step:
+            nib |= 2
+            diff -= step
+            vpdiff += step
+        step >>= 1
+        if diff >= step:
+            nib |= 1
+            vpdiff += step
+        predictor = predictor - vpdiff if nib & 8 else predictor + vpdiff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+        out.append(nib)
+    return out, predictor, index
+
+
+def _ima_decode_block(nibbles, predictor: int, index: int):
+    """Decode nibbles given the block header state; returns (samples
+    list, final predictor, final index) — the exact mirror of
+    :func:`_ima_encode_block`'s in-loop reconstruction."""
+    out = []
+    for nib in nibbles:
+        step = _IMA_STEPS[index]
+        vpdiff = step >> 3
+        if nib & 4:
+            vpdiff += step
+        if nib & 2:
+            vpdiff += step >> 1
+        if nib & 1:
+            vpdiff += step >> 2
+        predictor = predictor - vpdiff if nib & 8 else predictor + vpdiff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+        out.append(predictor)
+    return out, predictor, index
+
+
+def encode_wav_ima(samples, rate: int = 8000, block_align: int = 256) -> bytes:
+    """int16 mono samples → WAV bytes, IMA ADPCM (format tag 0x11).
+
+    Block layout (mono): 4-byte header (int16 first sample verbatim,
+    uint8 step index, uint8 reserved 0) + ``block_align - 4`` nibble
+    bytes (low nibble first) ⇒ ``(block_align-4)·2 + 1`` samples per
+    full block. The step index carries ACROSS blocks (adaptation state
+    survives; only the predictor is re-seeded from the verbatim header
+    sample). The final block is zero-padded; the true sample count goes
+    in the mandatory ``fact`` chunk."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    spb = (block_align - 4) * 2 + 1
+    index = 0
+    blocks = []
+    for off in range(0, max(len(s), 1), spb):
+        chunk = s[off : off + spb]
+        if len(chunk) == 0:
+            break
+        head = int(chunk[0])
+        body = [int(x) for x in chunk[1:]]
+        body += [head] * (spb - 1 - len(body))  # pad holds the level
+        nibs, _, index_out = _ima_encode_block(body, head, index)
+        packed = bytearray()
+        for i in range(0, len(nibs), 2):
+            packed.append((nibs[i] & 0x0F) | ((nibs[i + 1] & 0x0F) << 4))
+        blocks.append(
+            struct.pack("<hBB", head, index, 0) + bytes(packed)
+        )
+        index = index_out
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, rate * block_align // spb,
+        block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<I", len(s))
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_wav_ima(payload: bytes):
+    """WAV (IMA ADPCM, mono) bytes → (rate, int16 numpy array), exact
+    mirror of :func:`encode_wav_ima`. ValueError on non-IMA format
+    tags, non-mono streams, or truncated chunks — quarantine, never a
+    silently wrong waveform."""
+    import struct
+
+    import numpy as np
+
+    d = bytes(payload)
+    if len(d) < 12 or d[:4] != b"RIFF" or d[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data, n_samples = 12, None, None, None
+    while pos + 8 <= len(d):
+        tag = d[pos : pos + 4]
+        (size,) = struct.unpack("<I", d[pos + 4 : pos + 8])
+        body = d[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"fact":
+            (n_samples,) = struct.unpack("<I", body[:4])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag16, ch, rate, _, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag16 != 0x11:
+        raise ValueError("only IMA ADPCM (0x11) supported here")
+    if ch != 1 or bits != 4:
+        raise ValueError("only mono 4-bit IMA supported")
+    spb = (block_align - 4) * 2 + 1
+    out = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated IMA block header")
+        head, index, _ = struct.unpack("<hBB", block[:4])
+        if index > 88:
+            raise ValueError("IMA step index out of range")
+        nibs = []
+        for byte in block[4:]:
+            nibs.append(byte & 0x0F)
+            nibs.append(byte >> 4)
+        samples, _, _ = _ima_decode_block(nibs, head, index)
+        out.append(head)
+        out.extend(samples)
+    if n_samples is not None:
+        out = out[:n_samples]
+    return rate, np.asarray(out, dtype=np.int16)
+
+
 def decode_au_ulaw(payload: bytes):
     """Sun .au (G.711 µ-law, mono) bytes → (rate, int16 numpy array).
     Raises ValueError on other encodings/channel counts — never a
@@ -498,13 +743,23 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                         h, w = int(a.shape[0]), int(a.shape[1])
                         m = a.reshape(-1, 3).mean(axis=0)
                         mr, mg, mb = (f"{float(x):.4f}" for x in m)
-                    elif mime in ("audio/wav", "audio/flac", "audio/basic"):
+                    elif mime in (
+                        "audio/wav",
+                        "audio/flac",
+                        "audio/basic",
+                        "audio/x-alaw-basic",
+                        "audio/x-wav-ima-adpcm",
+                    ):
                         if mime == "audio/flac":
                             from .flac import decode_flac
 
                             rate, data = decode_flac(bytes(payload))
                         elif mime == "audio/basic":
                             rate, data = decode_au_ulaw(payload)
+                        elif mime == "audio/x-alaw-basic":
+                            rate, data = decode_au_alaw(payload)
+                        elif mime == "audio/x-wav-ima-adpcm":
+                            rate, data = decode_wav_ima(payload)
                         else:
                             rate, data = decode_wav_pcm16(payload)
                         dur = int(len(data) * 1000 // max(rate, 1))

@@ -102,7 +102,7 @@ def substring_vocab(
 
 
 def wordpiece_encode(
-    words: DataFrame, vocab: DataFrame, max_len: int = 3
+    words: DataFrame, vocab: DataFrame, max_len: int = 3, parts: int = 1
 ) -> DataFrame:
     """Greedy longest-match-first segmentation of the distinct-word
     table against ``vocab`` (piece, plen). Returns one row per emitted
@@ -116,8 +116,18 @@ def wordpiece_encode(
     equi-joins (longest length first). The state frame is
     vocabulary-sized; iterations ≤ the longest word's length, with a
     localCheckpoint per round so the plan stays flat (identity in
-    plan-only mode, where a single representative round is built)."""
-    vocab = F.broadcast(checkpoint(vocab.select("piece", "plen")))
+    plan-only mode, where a single representative round is built).
+
+    ``parts`` sizes the loop's partitioning: the state frame is the
+    DISTINCT-WORD table, orders of magnitude smaller than the corpus,
+    so the default 1 keeps each of the ~max-word-length iterations a
+    single-task job instead of inheriting the corpus's partition count
+    (32 empty-ish tasks per round dominated the wall clock). A truly
+    web-scale vocabulary (10⁸ distinct words) sets parts ≈ vocab_rows /
+    10⁶ — the loop cost scales with the vocabulary, never the corpus."""
+    vocab = F.broadcast(
+        checkpoint(vocab.select("piece", "plen").coalesce(parts))
+    )
     by_len = {
         ln: vocab.where(F.col("plen") == ln).select(
             F.col("piece").alias(f"__p{ln}")
@@ -130,10 +140,17 @@ def wordpiece_encode(
         row = words.agg(F.max(F.length("w"))).collect()[0][0]
         iters = int(row or 1)
 
-    state = words.select("w", F.col("w").alias("rem"), F.lit(0).alias("i"))
+    state = words.select(
+        "w", F.col("w").alias("rem"), F.lit(0).alias("i")
+    ).coalesce(parts)
     outs: list[DataFrame] = []
     for _ in range(iters):
         state = checkpoint(state)
+        # probe the just-MATERIALIZED frame (≈ free), so each round's
+        # step computes exactly once — not once for the probe and once
+        # for the next round's checkpoint
+        if not is_plan_only() and state.isEmpty():
+            break
         j = state
         for ln in range(max_len, 0, -1):
             j = j.join(
@@ -161,11 +178,14 @@ def wordpiece_encode(
             F.col("rem2").alias("rem"),
             (F.col("i") + 1).alias("i"),
         )
-        if not is_plan_only():
-            # vocabulary-sized probe; stop as soon as every word finished
-            if state.isEmpty():
-                break
     from functools import reduce as _reduce
+
+    if not outs:  # empty word table: empty emission frame, same schema
+        outs = [
+            words.select(
+                "w", F.lit(0).alias("i"), F.lit(UNK).alias("piece")
+            ).where(F.lit(False))
+        ]
 
     em = _reduce(lambda a, b: a.unionByName(b), outs).select(
         "w",

@@ -15435,4 +15435,100 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_doc_stats(docs)
 
 
+@_register("audio_codec_survey")  # rows-only: binary payload ops
+def audio_codec_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every telephony audio codec exercised end-to-end from the
+    registry: per document a digest-derived int16 waveform ships as
+    doc_id mod 4 → PCM WAV / G.711 µ-law .au / G.711 A-law .au /
+    IMA ADPCM WAV (format 0x11), decodes through the Arrow
+    mapInPandas feature pipeline, and rolls up per (source, codec):
+    clip count, total duration, and summed 4-dp RMS. Rows-only check
+    (binary payloads have no SQL twin); each codec's bit-level
+    contract — A-law's 256 fixed points, IMA's block-predictor
+    semantics — is pinned in tests/test_multimodal.py. 100 TB: the
+    payload column prunes away for non-audio queries; decode is
+    Arrow-batched, never row-at-a-time Python in the JVM path."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .ext.multimodal import MEDIA_SCHEMA, extract_features_real
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+
+    def make_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .ext.multimodal import (
+            encode_au_alaw,
+            encode_au_ulaw,
+            encode_wav_ima,
+            encode_wav_pcm16,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5((text or "").encode()).digest()
+                n = 600 + digest[0]
+                raw = (digest * (n // 8 + 1))[: n * 2]
+                base = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                env = (
+                    np.frombuffer(digest, dtype=np.uint8)[
+                        (np.arange(n) * 64 // n) % 16
+                    ].astype(np.int64)
+                    % 8
+                    + 1
+                )
+                samples = ((base * env) // 8).astype(np.int16)
+                m = int(did) % 4
+                if m == 0:
+                    payload = encode_wav_pcm16(samples, 8000)
+                    mime = "audio/wav"
+                elif m == 1:
+                    payload = encode_au_ulaw(samples, 8000)
+                    mime = "audio/basic"
+                elif m == 2:
+                    payload = encode_au_alaw(samples, 8000)
+                    mime = "audio/x-alaw-basic"
+                else:
+                    payload = encode_wav_ima(samples, 8000, 256)
+                    mime = "audio/x-wav-ima-adpcm"
+                rows.append(
+                    (int(did), "audio", payload, mime, None, None,
+                     int(n * 1000 // 8000))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "mime",
+                    "width", "height", "duration_ms",
+                ],
+            )
+
+    media = docs.mapInPandas(make_media, schema=MEDIA_SCHEMA)
+    feats = extract_features_real(media)
+    # dimension branch: a plain pruned scan (doc_id, source) — no spread,
+    # no recompute of the synth pipeline
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        (F.col("doc_id") % 4).alias("codec"),
+    )
+    return (
+        feats.join(src, "media_id")
+        .groupBy("source", "codec")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.sum("duration_ms").cast("bigint").alias("total_ms"),
+            F.sum(
+                F.round(F.col("rms").cast("double") * 10000).cast("bigint")
+            ).alias("rms_e4_sum"),
+        )
+    )
+
+
 ALL = sorted(QUERIES)

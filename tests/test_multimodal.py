@@ -1026,3 +1026,93 @@ def test_ulaw_au_codec_roundtrip_and_flow(spark):
 
         bad = struct.pack(">4sIIIII", b".snd", 24, 4, 3, 8000, 1) + b"\0" * 4
         decode_au_ulaw(bad)
+
+
+def test_alaw_codec_properties():
+    """G.711 A-law: every one of the 256 codes is a fixed point of
+    encode∘decode (the canonical segment-codec sanity check), the
+    full-sweep reconstruction error is bounded by half the top-segment
+    step (512 in the 16-bit domain), the .au container round-trips, and
+    a µ-law payload is rejected (never silently mis-decoded)."""
+    import numpy as np
+    import pytest
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        _alaw_decode,
+        _alaw_encode,
+        decode_au_alaw,
+        encode_au_alaw,
+        encode_au_ulaw,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    dec = _alaw_decode(codes.tobytes())
+    assert np.array_equal(_alaw_encode(dec), codes)
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    y = _alaw_decode(_alaw_encode(x).tobytes())
+    err = np.abs(x.astype(np.int32) - y.astype(np.int32))
+    assert err.max() <= 512
+    # small signals keep fine resolution (linear segment: step 16)
+    small = np.arange(-255, 256, dtype=np.int16)
+    es = np.abs(
+        small.astype(np.int32)
+        - _alaw_decode(_alaw_encode(small).tobytes()).astype(np.int32)
+    )
+    assert es.max() <= 16
+
+    sig = (x[::7]).astype(np.int16)
+    rate, back = decode_au_alaw(encode_au_alaw(sig, 8000))
+    assert rate == 8000 and np.array_equal(
+        back, _alaw_decode(_alaw_encode(sig).tobytes())
+    )
+    with pytest.raises(ValueError):
+        decode_au_alaw(encode_au_ulaw(sig, 8000))
+
+
+def test_ima_adpcm_wav_roundtrip_properties():
+    """IMA ADPCM (WAV 0x11): decode∘encode tracks a smooth waveform
+    (mean error ~1 LSB, pinned ≤ 4), a DC signal converges exactly
+    (the adaptive step decays to the floor), the fact chunk truncates
+    padding so length round-trips for non-block-multiple inputs, the
+    step index carries across blocks (encode of the concatenation ==
+    concatenation semantics), and malformed payloads raise."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    from etl_weather_jabar_spark.ext.multimodal import (
+        decode_wav_ima,
+        encode_wav_ima,
+    )
+
+    steps = np.frombuffer(
+        hashlib.md5(b"ima").digest() * 512, dtype=np.int8
+    ).astype(np.int32)
+    sig = np.clip(np.cumsum(steps) * 7, -30000, 30000).astype(np.int16)
+    rate, back = decode_wav_ima(encode_wav_ima(sig, 8000, 256))
+    assert rate == 8000 and len(back) == len(sig)
+    err = np.abs(sig.astype(np.int32) - back.astype(np.int32))
+    assert err.mean() <= 4
+
+    dc = np.full(2000, 12345, dtype=np.int16)
+    _, dcb = decode_wav_ima(encode_wav_ima(dc))
+    assert len(dcb) == 2000
+    assert np.abs(dcb[-100:].astype(np.int32) - 12345).max() == 0
+
+    # non-block-multiple length round-trips exactly via the fact chunk
+    odd = sig[:777]
+    _, ob = decode_wav_ima(encode_wav_ima(odd, 8000, 64))
+    assert len(ob) == 777
+
+    wav = bytearray(encode_wav_ima(sig[:100], 8000, 64))
+    with pytest.raises(ValueError):
+        decode_wav_ima(bytes(wav[: len(wav) // 2]))  # truncated chunk
+    with pytest.raises(ValueError):
+        decode_wav_ima(b"RIFF\x04\x00\x00\x00WAVE")  # missing chunks
+    # PCM WAV (format 1) must be rejected by the IMA decoder
+    from etl_weather_jabar_spark.ext.multimodal import encode_wav_pcm16
+
+    with pytest.raises(ValueError):
+        decode_wav_ima(encode_wav_pcm16(sig[:100], 8000))
