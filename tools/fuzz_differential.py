@@ -1201,6 +1201,244 @@ def run_vector_lifecycle_duckdb(con, case: dict):
     return sorted(map(tuple, con.execute(q).fetchall()))
 
 
+def gen_tokenlm_case(rng: random.Random) -> dict:
+    """Family 18 — tokenizer/LM differentials on a SYNTHETIC corpus
+    (hash-derived words, never affine — see the module gotcha): either
+    a WordPiece segmentation (random vocab size, optionally dropping
+    the k lexicographically-largest single-char pieces so the [UNK]
+    all-or-nothing retraction actually fires) compared PER WORD against
+    the recursive-CTE replay, or a stupid-backoff trigram scoring with
+    a random train/eval split modulus compared per document."""
+    import hashlib
+
+    seed = rng.randrange(1 << 30)
+    docs = []
+    for d in range(rng.randrange(8, 30)):
+        lh = hashlib.md5(f"{seed}:{d}:len".encode()).hexdigest()
+        n_words = 3 + int(lh[:2], 16) % 10
+        words = []
+        for p in range(n_words):
+            h = hashlib.md5(f"{seed}:{d}:{p}".encode()).hexdigest()
+            wl = 1 + int(h[:2], 16) % 9
+            words.append(h[2 : 2 + wl])
+        docs.append((d, " ".join(words), f"s{d % 3}"))
+    sub = rng.choice(["wordpiece", "backoff"])
+    case = {"kind": "tokenlm", "sub": sub, "docs": docs}
+    if sub == "wordpiece":
+        case["top_k"] = rng.randrange(2, 30)
+        case["drop"] = rng.randrange(0, 3)
+    else:
+        case["mod"] = rng.randrange(2, 5)
+    return case
+
+
+def run_tokenlm_spark(spark, sf_dir: str, case: dict):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        case["docs"], ["doc_id", "text", "source"]
+    )
+    if case["sub"] == "wordpiece":
+        from etl_weather_jabar_spark.ext.tokenize import (
+            UNK,
+            substring_vocab,
+            word_counts,
+            wordpiece_encode,
+        )
+
+        wc = word_counts(docs)
+        vocab = substring_vocab(wc, max_len=3, top_k=case["top_k"])
+        if case["drop"]:
+            singles = vocab.where(F.col("plen") == 1)
+            singles = (
+                singles.withColumn(
+                    "rn",
+                    F.row_number().over(W.orderBy(F.col("piece").desc())),
+                )
+                .where(F.col("rn") > case["drop"])
+                .drop("rn")
+            )
+            vocab = singles.unionByName(vocab.where(F.col("plen") > 1))
+        em = wordpiece_encode(wc, vocab)
+        out = em.groupBy("w").agg(
+            F.count(F.lit(1)).alias("np"),
+            F.max((F.col("piece") == UNK).cast("int")).alias("unk"),
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(F.struct("i", "dp"))
+                ).getField("dp"),
+            ).alias("ps"),
+        )
+        return sorted(
+            (r["w"], int(r["np"]), int(r["unk"]), r["ps"])
+            for r in out.collect()
+        )
+    from etl_weather_jabar_spark.ext.lm import trigram_backoff_score
+
+    train = docs.where(F.col("doc_id") % case["mod"] == 0)
+    ev = docs.where(F.col("doc_id") % case["mod"] != 0)
+    return sorted(
+        map(tuple, trigram_backoff_score(train, ev).collect())
+    )
+
+
+def run_tokenlm_duckdb(con, case: dict):
+    import pandas as pd
+
+    pdf = pd.DataFrame(case["docs"], columns=["doc_id", "text", "source"])
+    con.register("fuzzdocs", pdf)
+    halfup = (
+        lambda num, den: f"(((2*({num}) + ({den})) - ((((2*({num}) + ({den}))) "
+        f"% ((2*({den}))) + ((2*({den})))) % ((2*({den}))))) // ((2*({den}))))"
+    )
+    if case["sub"] == "wordpiece":
+        sql = f"""
+        WITH RECURSIVE wordtab AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                            x -> x <> '')) AS w
+                  FROM fuzzdocs)
+            GROUP BY 1
+        ),
+        pos1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS p
+                 FROM wordtab),
+        lens AS (SELECT w, f, p, unnest([1, 2, 3]) AS l FROM pos1),
+        subs AS (SELECT substr(w, CAST(p AS INTEGER), CAST(l AS INTEGER))
+                            AS piece,
+                        CAST(l AS BIGINT) AS plen,
+                        CAST(sum(f) AS BIGINT) AS c
+                 FROM lens WHERE p + l - 1 <= length(w) GROUP BY 1, 2),
+        v1 AS (SELECT piece, plen FROM subs WHERE plen = 1),
+        v1k AS (SELECT piece, plen FROM
+                    (SELECT piece, plen,
+                            row_number() OVER (ORDER BY piece DESC) AS rn
+                     FROM v1)
+                WHERE rn > {case["drop"]}),
+        vtop AS (SELECT piece, plen FROM subs WHERE plen > 1
+                 ORDER BY c DESC, piece ASC LIMIT {case["top_k"]}),
+        vocab AS (SELECT * FROM v1k UNION ALL SELECT * FROM vtop),
+        step(w, rem, i, piece) AS (
+            SELECT w, w AS rem, CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR)
+            FROM wordtab
+            UNION ALL
+            SELECT s.w,
+                   CASE WHEN coalesce(v3.piece, v2.piece, v1.piece) IS NULL
+                        THEN ''
+                        ELSE substr(s.rem,
+                            length(coalesce(v3.piece, v2.piece,
+                                            v1.piece)) + 1)
+                   END,
+                   s.i + 1,
+                   coalesce(v3.piece, v2.piece, v1.piece, '[UNK]')
+            FROM step s
+            LEFT JOIN vocab v3
+                ON v3.plen = 3 AND v3.piece = substr(s.rem, 1, 3)
+            LEFT JOIN vocab v2
+                ON v2.plen = 2 AND v2.piece = substr(s.rem, 1, 2)
+            LEFT JOIN vocab v1
+                ON v1.plen = 1 AND v1.piece = substr(s.rem, 1, 1)
+            WHERE s.rem <> ''
+        ),
+        em0 AS (SELECT w, i, piece,
+                       CASE WHEN i = 0 THEN piece
+                            ELSE '##' || piece END AS dp
+                FROM step WHERE i >= 0),
+        unkw AS (SELECT DISTINCT w FROM em0 WHERE piece = '[UNK]'),
+        em AS (SELECT * FROM em0 WHERE w NOT IN (SELECT w FROM unkw)
+               UNION ALL
+               SELECT w, CAST(0 AS BIGINT), '[UNK]', '[UNK]' FROM unkw)
+        SELECT w, CAST(count(*) AS BIGINT) AS np,
+               max(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END) AS unk,
+               string_agg(dp, '|' ORDER BY i) AS ps
+        FROM em GROUP BY w
+        """
+    else:
+        mod = case["mod"]
+        sql = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(ss, 1) AS BIGINT) AS pos,
+                   unnest(ss) AS tok
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS ss
+                  FROM fuzzdocs)
+        ),
+        seqs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {mod} = 0 THEN 0 ELSE 1 END AS half,
+                   tok AS w1,
+                   lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS w2,
+                   lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS w3
+            FROM toks
+        ),
+        tri AS (
+            SELECT doc_id, half,
+                   substr(md5(w1 || ' ' || w2 || ' ' || w3), 1, 16) AS h3,
+                   substr(md5(w1 || ' ' || w2), 1, 16) AS h12,
+                   substr(md5(w2 || ' ' || w3), 1, 16) AS h23,
+                   substr(md5(w3), 1, 16) AS hw
+            FROM seqs WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+        ),
+        big AS (
+            SELECT substr(md5(w1 || ' ' || w2), 1, 16) AS h23,
+                   substr(md5(w1), 1, 16) AS h2
+            FROM seqs WHERE half = 0 AND w2 IS NOT NULL
+        ),
+        uni AS (
+            SELECT substr(md5(w1), 1, 16) AS hw FROM seqs WHERE half = 0
+        ),
+        c3 AS (SELECT h3, min(h12) AS h12, count(*) AS c3
+               FROM tri WHERE half = 0 GROUP BY 1),
+        c12 AS (SELECT h12, count(*) AS c12
+                FROM tri WHERE half = 0 GROUP BY 1),
+        stats3 AS (SELECT h3, CAST(c3 * 1000000 AS BIGINT) // c12 AS ppm3
+                   FROM c3 JOIN c12 USING (h12)),
+        c23 AS (SELECT h23, min(h2) AS h2, count(*) AS c23
+                FROM big GROUP BY 1),
+        c2 AS (SELECT h2, count(*) AS c2
+               FROM (SELECT hw AS h2 FROM uni) GROUP BY 1),
+        stats2 AS (SELECT h23,
+                          (CAST(c23 * 1000000 AS BIGINT) // c2) * 2 // 5
+                              AS ppm2
+                   FROM c23 JOIN c2 USING (h2)),
+        stats1 AS (SELECT hw,
+                          (CAST(count(*) * 1000000 AS BIGINT)
+                               // (SELECT count(*) FROM uni)) * 4 // 25
+                              AS ppm1
+                   FROM uni GROUP BY hw),
+        scored AS (
+            SELECT t.doc_id,
+                   CASE WHEN s3.ppm3 IS NOT NULL THEN s3.ppm3
+                        WHEN s2.ppm2 IS NOT NULL THEN s2.ppm2
+                        ELSE coalesce(s1.ppm1, 0) END AS ppm
+            FROM tri t
+            LEFT JOIN stats3 s3 USING (h3)
+            LEFT JOIN stats2 s2 USING (h23)
+            LEFT JOIN stats1 s1 USING (hw)
+            WHERE t.half = 1
+        ),
+        pd AS (SELECT doc_id, count(*) AS n_trigrams,
+                      CAST(sum(ppm) AS BIGINT) AS sp,
+                      CAST(min(ppm) AS BIGINT) AS min_ppm
+               FROM scored GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(pd.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+               CAST({halfup('pd.sp', 'pd.n_trigrams')} AS BIGINT)
+                   AS bo_ppm,
+               pd.min_ppm
+        FROM (SELECT doc_id FROM fuzzdocs WHERE doc_id % {mod} <> 0) d
+        LEFT JOIN pd USING (doc_id)
+        """
+    rows = con.execute(sql).fetchall()
+    con.unregister("fuzzdocs")
+    return sorted(map(tuple, rows))
+
+
 def run_bm25_duckdb(con, case: dict):
     k1m, bm = case["k1m"], case["bm"]
     q = f"""
@@ -1529,6 +1767,10 @@ def main() -> int:
             case = gen_vector_lifecycle_case(rng)
             a = normalize(run_vector_lifecycle_spark(spark, sf_dir, case))
             b = normalize(run_vector_lifecycle_duckdb(con, case))
+        elif roll < 0.997:
+            case = gen_tokenlm_case(rng)
+            a = normalize(run_tokenlm_spark(spark, sf_dir, case))
+            b = normalize(run_tokenlm_duckdb(con, case))
         else:
             case = gen_case(rng)
             a = normalize(run_spark(spark, sf_dir, case))
