@@ -387,3 +387,64 @@ def test_orc_roundtrip_partition_pruning(spark, tmp_path):
         .collect()
     }
     assert got == {("1-URGENT", 20, 19000), ("2-HIGH", 20, 19000)}
+
+
+def test_weather_landing_datasource_batch_and_stream(spark, tmp_path):
+    """The custom Python DataSource (Spark 4 pyspark.sql.datasource)
+    over the landing dir: batch read is row-identical to the built-in
+    JSONL reader under the same explicit schema (one InputPartition per
+    landed file), the stream reader's file-count offsets give
+    exactly-once pickup across two availableNow runs sharing a
+    checkpoint (a re-run with no new files appends nothing; a new file
+    appends only its rows), and a missing path option raises."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_weather_jabar_spark.schemas import RAW_WEATHER
+    from etl_weather_jabar_spark.sources.weather_api_source import (
+        WeatherLandingDataSource,
+        WeatherLandingReader,
+    )
+
+    from .fixtures import bronze_fixture
+
+    rows = [json.loads(r) for r in bronze_fixture(spark).toJSON().collect()]
+    landing = str(tmp_path / "in")
+    os.makedirs(landing)
+    half = len(rows) // 2
+    with open(f"{landing}/batch1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows[:half]))
+    with open(f"{landing}/batch2.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows[half:]))
+
+    spark.dataSource.register(WeatherLandingDataSource)
+    df = spark.read.format("weatherlanding").option("path", landing).load()
+    ref = spark.read.schema(RAW_WEATHER).json(landing)
+    assert sorted(df.toJSON().collect()) == sorted(ref.toJSON().collect())
+
+    with pytest.raises(ValueError):
+        WeatherLandingReader({}, RAW_WEATHER)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("weatherlanding")
+            .option("path", landing)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    assert run_once() == len(rows)
+    assert run_once() == len(rows)  # no new files → nothing re-ingested
+    with open(f"{landing}/batch3.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows[:3]))
+    assert run_once() == len(rows) + 3
