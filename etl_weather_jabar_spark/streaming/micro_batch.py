@@ -33,6 +33,15 @@ def stream_silver(
     Dedup state is bounded by (unique keys per watermark window) — 27
     locations × 6 ticks/hour in the reference's shape, trivially small even
     at 1000× fan-out.
+
+    The event-time column ``event_ts`` MUST be part of the dedup subset:
+    streaming ``dropDuplicates`` only evicts state for keys the watermark
+    has passed when the subset contains the watermark column — with the
+    string ``timestamp`` alone the state store grows FOREVER (found by
+    reading the checkpoint back through the state data source; pinned in
+    tests/test_streaming.py::test_dedup_state_bounded...). Including
+    ``event_ts`` changes nothing semantically (it is ``to_timestamp`` of
+    the string key, functionally determined), but turns eviction on.
     """
     raw = (
         spark.readStream.schema(RAW_WEATHER)
@@ -43,7 +52,7 @@ def stream_silver(
     return (
         silver.withColumn("event_ts", F.to_timestamp("timestamp"))
         .withWatermark("event_ts", watermark)
-        .dropDuplicates(["location_id", "timestamp"])
+        .dropDuplicates(["location_id", "timestamp", "event_ts"])
     )
 
 
@@ -89,4 +98,22 @@ def write_upsert_foreach_batch(
         agg.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(upsert)
+    )
+
+
+def read_dedup_state(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Operational state inspection (Spark 4 state data source): the
+    dedup operator's live keys straight from the checkpoint —
+    ``(location_id, timestamp, partition_id)``, one row per key still
+    held. The check an on-call engineer actually runs when a streaming
+    job's state store grows: is eviction keeping state bounded by the
+    watermark, and what keys are pinned? The reference has no streaming
+    state at all (cron + Mongo upserts); this is the native-mapping
+    bonus — bounded, INSPECTABLE state. Read-only: the checkpoint is
+    never modified, so it is safe against a live query."""
+    st = spark.read.format("statestore").load(checkpoint)
+    return st.select(
+        F.col("key.location_id").alias("location_id"),
+        F.col("key.timestamp").alias("timestamp"),
+        F.col("partition_id"),
     )
