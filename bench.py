@@ -143,6 +143,8 @@ TIER3_QUERIES = [
     "wordpiece_encode_stats",
     "orc_roundtrip_agg",
     "audio_codec_survey",
+    "ppl_bucket_split",
+    "ann_recall_report",
 ]
 
 

@@ -13771,6 +13771,88 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ppl_bucket_split",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS pos,
+               unnest(ss) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents)
+    ),
+    occ AS (
+        SELECT doc_id,
+               substr(md5(tok || ' ' || y), 1, 16) AS bh,
+               substr(md5(tok), 1, 16) AS xh
+        FROM (SELECT doc_id, pos, tok,
+                     lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS y
+              FROM toks) s
+        WHERE y IS NOT NULL
+    ),
+    cxy AS (
+        SELECT bh, min(xh) AS xh, count(*) AS cxy FROM occ GROUP BY 1
+    ),
+    cx AS (SELECT xh, count(*) AS cx FROM occ GROUP BY 1),
+    stats AS (
+        SELECT bh, CAST(cxy * 1000000 AS BIGINT) // cx AS ppm
+        FROM cxy JOIN cx USING (xh)
+    ),
+    pd AS (
+        SELECT o.doc_id, count(*) AS n_bigrams,
+               CAST({_sql_halfup('sum(ppm)', 'count(*)')} AS BIGINT)
+                   AS lm_ppm
+        FROM occ o JOIN stats USING (bh) GROUP BY 1
+    ),
+    bucketed AS (
+        SELECT doc_id, n_bigrams, lm_ppm,
+               ntile(3) OVER (ORDER BY lm_ppm DESC, doc_id) AS bucket
+        FROM pd
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST({_sql_halfup('sum(lm_ppm)', 'count(*)')} AS BIGINT)
+               AS avg_ppm,
+           CAST(min(lm_ppm) AS BIGINT) AS min_ppm,
+           CAST(max(lm_ppm) AS BIGINT) AS max_ppm
+    FROM bucketed GROUP BY 1
+    """,
+)
+def ppl_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020 §3.3): score
+    every document with the self-trained bigram LM (shared
+    ext/lm.py::bigram_lm_score — highest mean transition ppm = most
+    predictable = "head"), rank the corpus, and cut exact TERCILES with
+    a deterministic total order (score desc, doc_id) — the bucket
+    assignment every CCNet-style pipeline uses to keep the head, sample
+    the middle, and drop the tail. Output is per-bucket membership and
+    score envelope. 100 TB: the ntile over a corpus-wide total order is
+    the one global sort — at cluster scale swap it for the engine's
+    zero-exchange ntile (operators/windows.py::ntile_by_boundaries,
+    driver-certified by `ntile_cume_dist_customers`) which cuts on
+    sampled boundaries instead; the semantics pinned here are the
+    contract that swap must preserve."""
+    from .ext.lm import bigram_lm_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pd_ = bigram_lm_score(docs).where(F.col("n_bigrams") > 0)
+    w = Window.orderBy(F.col("lm_ppm").desc(), F.col("doc_id"))
+    b = pd_.select(
+        "doc_id",
+        "n_bigrams",
+        "lm_ppm",
+        F.ntile(3).over(w).alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        half_up_div(F.sum("lm_ppm"), F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_ppm"),
+        F.min("lm_ppm").cast("bigint").alias("min_ppm"),
+        F.max("lm_ppm").cast("bigint").alias("max_ppm"),
+    )
+
+
+@_register(
     "trigram_backoff_ppl",
     f"""
     WITH toks AS (
@@ -15527,6 +15609,121 @@ def audio_codec_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.round(F.col("rms").cast("double") * 10000).cast("bigint")
             ).alias("rms_e4_sum"),
+        )
+    )
+
+
+@_register(
+    "ann_recall_report",
+    f"""
+    WITH {_IVFPQ_RES_CTES},
+    arr_sys AS (
+        SELECT query_id, vec_id, srank FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+            ) AS srank
+            FROM sc
+        ) WHERE srank <= 10
+    ),
+    arr_q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    arr_bf AS (
+        SELECT a.query_id, e.vec_id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(a.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.qv[i] AS DOUBLE)
+                        * CAST(a.qv[i] AS DOUBLE)))))
+               , 6) AS cosine
+        FROM embeddings e CROSS JOIN arr_q a
+        WHERE e.vec_id <> a.query_id
+    ),
+    arr_gt AS (
+        SELECT query_id, vec_id, grank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+            ) AS grank
+            FROM arr_bf
+        ) WHERE grank <= 10
+    ),
+    arr_i AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS recall10
+        FROM arr_gt JOIN arr_sys USING (query_id, vec_id)
+        GROUP BY 1
+    ),
+    arr_nn AS (SELECT query_id, vec_id FROM arr_gt WHERE grank = 1),
+    arr_rr AS (
+        SELECT n.query_id,
+               CAST(coalesce(max(1000000 // s.srank), 0) AS BIGINT)
+                   AS rr_milli
+        FROM arr_nn n
+        LEFT JOIN arr_sys s
+            ON s.query_id = n.query_id AND s.vec_id = n.vec_id
+        GROUP BY 1
+    )
+    SELECT a.query_id,
+           CAST(coalesce(i.recall10, 0) AS BIGINT) AS recall10,
+           r.rr_milli
+    FROM arr_q a
+    LEFT JOIN arr_i i USING (query_id)
+    JOIN arr_rr r USING (query_id)
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION as a first-class pipeline op: per query,
+    recall@10 of the one-stage residual-IVFPQ ADC ranking against the
+    exact-cosine ground truth, plus the milli reciprocal rank of the
+    TRUE nearest neighbor in the ANN ranking (10⁶ div rank, 0 if the
+    ANN missed it entirely) — the two numbers an index rollout is
+    gated on. Both rankings replay digit-for-digit in the oracle
+    (shared `_IVFPQ_RES_CTES` + the brute-force twin), so the metric
+    itself — not just the rankings — is hash-certified; the qualitative
+    floor (two-stage re-rank ≥ one-stage) is pinned in
+    tests/test_similarity.py. 100 TB: ground truth at full scale comes
+    from a SAMPLED query set exactly like this one (eval cost is
+    |queries|·corpus brute force — the 100×-safe version fixes
+    |queries|, not the corpus); the metric joins are |queries|·10-row
+    frames."""
+    gt = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("rank").alias("grank")
+    )
+    sysr = ivfpq_residual_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("rank").alias("srank")
+    )
+    inter = (
+        gt.join(sysr, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("recall10"))
+    )
+    nn = gt.where(F.col("grank") == 1).select("query_id", "vec_id")
+    rr = (
+        nn.join(sysr, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.max(F.expr("1000000 div srank")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("rr_milli")
+        )
+    )
+    qs = gt.select("query_id").distinct()
+    return (
+        qs.join(inter, "query_id", "left")
+        .join(rr, "query_id")
+        .select(
+            "query_id",
+            F.coalesce("recall10", F.lit(0)).cast("bigint").alias(
+                "recall10"
+            ),
+            "rr_milli",
         )
     )
 
