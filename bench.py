@@ -145,6 +145,8 @@ TIER3_QUERIES = [
     "audio_codec_survey",
     "ppl_bucket_split",
     "ann_recall_report",
+    "langid_confusion_eval",
+    "classifier_eval_holdout",
 ]
 
 

@@ -11958,16 +11958,18 @@ def classifier_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _perc_round_sql(r: int) -> str:
+def _perc_round_sql(r: int, lab_tbl: str = "lab") -> str:
     """One unrolled batch-perceptron round (margin → misclassified set
-    → weight delta → new weights) for the perceptron oracle."""
+    → weight delta → new weights) for the perceptron oracle.
+    ``lab_tbl`` names the label CTE driving the updates — the held-out
+    eval twin trains on a label SUBSET while scoring everything."""
     p = r - 1
     return f"""m{r} AS (
         SELECT f.doc_id, CAST(sum(f.c * w{p}.w) AS BIGINT) AS m
         FROM feats f JOIN w{p} USING (slot) GROUP BY 1
     ), mis{r} AS (
         SELECT l.doc_id, l.y
-        FROM lab l LEFT JOIN m{r} USING (doc_id)
+        FROM {lab_tbl} l LEFT JOIN m{r} USING (doc_id)
         WHERE l.y * coalesce(m{r}.m, 0) <= 0
     ), d{r} AS (
         SELECT f.slot, CAST(sum(mis{r}.y * f.c) AS BIGINT) AS dw
@@ -15726,6 +15728,212 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rr_milli",
         )
     )
+
+
+@_register(
+    "classifier_eval_holdout",
+    f"""
+    WITH {_CARD_CTES},
+    lab AS (
+        SELECT doc_id, source,
+               CASE WHEN keep = 1 THEN 1 ELSE -1 END AS y
+        FROM g
+    ),
+    labt AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
+    ptoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(tok || ':fh'), 1, 8) AS BIGINT)
+                   % {_FH_DIM} AS slot,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ptoks GROUP BY 1, 2
+    ),
+    w1 AS (
+        SELECT f.slot, CAST(sum(l.y * f.c) AS BIGINT) AS w
+        FROM feats f JOIN labt l USING (doc_id) GROUP BY 1
+    ), {_perc_round_sql(2, "labt")}, {_perc_round_sql(3, "labt")},
+    mf AS (
+        SELECT f.doc_id, CAST(sum(f.c * w3.w) AS BIGINT) AS m
+        FROM feats f JOIN w3 USING (slot) GROUP BY 1
+    ),
+    ev AS (
+        SELECT l.doc_id, l.source, l.y,
+               CASE WHEN coalesce(mf.m, 0) > 0 THEN 1 ELSE -1 END AS p
+        FROM lab l LEFT JOIN mf USING (doc_id)
+        WHERE l.doc_id % 2 = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN y = -1 AND p = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN y = 1 AND p = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN y = -1 AND p = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN y = p THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS acc_ppm
+    FROM ev GROUP BY 1
+    """,
+)
+def classifier_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT evaluation of the distilled quality classifier — the
+    step perceptron_train_filter (in-sample agreement) deliberately
+    leaves out: train the 3-round exact-integer batch perceptron on
+    even doc_ids only, score the odd half it never saw, and report the
+    per-source confusion matrix (tp/fp/fn/tn against the Gopher rule
+    label) with exact ppm accuracy — the number that actually gates
+    deploying the cheap filter in place of the expensive rule. The
+    oracle replays training-on-half AND evaluation (unrolled rounds,
+    `_perc_round_sql(lab_tbl="labt")`), so generalization itself is
+    hash-certified. 100 TB: identical plan shape to the trainer (the
+    label subset is a filter, not a new stage); the confusion rollup is
+    one partial-aggregatable groupBy."""
+    from .functions.text import feature_hash_slot
+    from .planmode import checkpoint, loop_rounds
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lab = _gopher_measures(docs).select(
+        "doc_id",
+        "source",
+        F.when(_gopher_keep(), 1).otherwise(-1).cast("int").alias("y"),
+    )
+    feats = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .select(
+            "doc_id",
+            feature_hash_slot(F.col("tok"), _FH_DIM).alias("slot"),
+        )
+        .groupBy("doc_id", "slot")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    feats = checkpoint(feats, reliable=True)
+    lab = checkpoint(lab, reliable=True)
+    labt = lab.where(F.col("doc_id") % 2 == 0)
+    w = (
+        feats.join(labt.select("doc_id", "y"), "doc_id")
+        .groupBy("slot")
+        .agg(F.sum(F.col("y") * F.col("c")).cast("bigint").alias("w"))
+    )
+    for _ in range(loop_rounds(2)):
+        m = (
+            feats.join(F.broadcast(w), "slot")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * F.col("w")).cast("bigint").alias("m"))
+        )
+        mis = (
+            labt.select("doc_id", "y")
+            .join(m, "doc_id", "left")
+            .where(F.col("y") * F.coalesce(F.col("m"), F.lit(0)) <= 0)
+        )
+        delta = (
+            feats.join(mis, "doc_id")
+            .groupBy("slot")
+            .agg(
+                F.sum(F.col("y") * F.col("c")).cast("bigint").alias("dw")
+            )
+        )
+        w = w.join(delta, "slot", "full").select(
+            "slot",
+            (
+                F.coalesce(F.col("w"), F.lit(0))
+                + F.coalesce(F.col("dw"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    mf = (
+        feats.join(F.broadcast(w), "slot")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("bigint").alias("m"))
+    )
+    ev = (
+        lab.where(F.col("doc_id") % 2 == 1)
+        .join(mf, "doc_id", "left")
+        .select(
+            "source",
+            "y",
+            F.when(F.coalesce("m", F.lit(0)) > 0, 1)
+            .otherwise(-1)
+            .alias("p"),
+        )
+    )
+    y, p = F.col("y"), F.col("p")
+    return ev.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(((y == 1) & (p == 1)).cast("int")).cast("bigint").alias("tp"),
+        F.sum(((y == -1) & (p == 1)).cast("int")).cast("bigint").alias("fp"),
+        F.sum(((y == 1) & (p == -1)).cast("int")).cast("bigint").alias("fn"),
+        F.sum(((y == -1) & (p == -1)).cast("int")).cast("bigint").alias("tn"),
+        floor_div(
+            F.sum((y == p).cast("int")) * F.lit(1000000),
+            F.count(F.lit(1)),
+        ).alias("acc_ppm"),
+    )
+
+
+def _register_langid_eval() -> None:
+    inner = ORACLE_SQL["lang_id_heuristic"]
+
+    @_register(
+        "langid_confusion_eval",
+        f"""
+        WITH pred AS ({inner}),
+        tot_t AS (SELECT lang, count(*) AS nt FROM pred GROUP BY 1),
+        tot_p AS (SELECT lang_pred, count(*) AS np FROM pred GROUP BY 1),
+        cm AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+               FROM pred GROUP BY 1, 2)
+        SELECT cm.lang, cm.lang_pred, cm.n,
+               CAST(cm.n * 1000000 // t.nt AS BIGINT) AS recall_ppm,
+               CAST(cm.n * 1000000 // p.np AS BIGINT) AS precision_ppm
+        FROM cm JOIN tot_t t USING (lang) JOIN tot_p p USING (lang_pred)
+        """,
+    )
+    def langid_confusion_eval(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Classifier EVALUATION as a pipeline op, text edition: the
+        n-gram-marker language identifier scored against the corpus's
+        labeled ``lang`` column — full confusion matrix plus exact ppm
+        recall (share of the true language's docs landing in this cell)
+        and precision (share of this prediction's docs) per cell. The
+        oracle wraps the certified lang_id twin and replays the metric,
+        so the evaluation itself is hash-certified, like
+        `ann_recall_report` on the vector side. 100 TB: three
+        partial-aggregatable counts over the prediction frame; the
+        matrix is |langs|²-bounded."""
+        pred = lang_id_heuristic(spark, sf_dir)
+        tot_t = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("nt"))
+        tot_p = pred.groupBy("lang_pred").agg(
+            F.count(F.lit(1)).alias("np")
+        )
+        cm = pred.groupBy("lang", "lang_pred").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        return (
+            cm.join(tot_t, "lang")
+            .join(tot_p, "lang_pred")
+            .select(
+                "lang",
+                "lang_pred",
+                "n",
+                F.expr("n * 1000000 div nt")
+                .cast("bigint")
+                .alias("recall_ppm"),
+                F.expr("n * 1000000 div np")
+                .cast("bigint")
+                .alias("precision_ppm"),
+            )
+        )
+
+
+_register_langid_eval()
 
 
 ALL = sorted(QUERIES)
