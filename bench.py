@@ -147,6 +147,7 @@ TIER3_QUERIES = [
     "ann_recall_report",
     "langid_confusion_eval",
     "classifier_eval_holdout",
+    "minhash_pr_eval",
 ]
 
 

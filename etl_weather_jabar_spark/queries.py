@@ -15878,6 +15878,145 @@ def classifier_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_pr_sql() -> str:
+    """DuckDB twin of the MinHash-LSH candidate-stage precision/recall
+    eval: candidates from the md5-mode banded pipeline, ground truth =
+    ALL pairs with exact shingle-Jaccard ≥ 0.5 (pairs with J > 0 must
+    share a shingle, so the shingle equi-join enumerates the complete
+    positive universe), threshold as exact integers (3·inter ≥ |A|+|B|
+    ⇔ J ≥ 1/2 — no float boundary)."""
+    mins, bands = _minhash_front_sql()
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) <= 5 THEN [array_to_string(t, ' ')]
+                    ELSE [array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)]
+               END AS s
+        FROM toks
+    ), shingle_rows AS (
+        SELECT DISTINCT doc_id, unnest(s) AS sg FROM sh
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM shingle_rows
+        GROUP BY doc_id
+    ), banded AS (
+        {bands}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ), sz AS (
+        SELECT doc_id, count(*) AS sz FROM shingle_rows GROUP BY doc_id
+    ), gt_pairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM shingle_rows x
+        JOIN shingle_rows y ON y.sg = x.sg AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), gt AS (
+        SELECT g.id_a, g.id_b FROM gt_pairs g
+        JOIN sz sa ON sa.doc_id = g.id_a
+        JOIN sz sb ON sb.doc_id = g.id_b
+        WHERE 3 * g.inter >= sa.sz + sb.sz
+    ),
+    hit AS (SELECT count(*) AS n_hit FROM cand JOIN gt USING (id_a, id_b)),
+    nc AS (SELECT count(*) AS n_cand FROM cand),
+    ng AS (SELECT count(*) AS n_gt FROM gt)
+    SELECT CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_gt AS BIGINT) AS n_gt,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit * 1000000 // greatest(n_cand, 1) AS BIGINT)
+               AS precision_ppm,
+           CAST(n_hit * 1000000 // greatest(n_gt, 1) AS BIGINT)
+               AS recall_ppm
+    FROM nc, ng, hit
+    """
+
+
+@_register("minhash_pr_eval", _minhash_pr_sql())
+def minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector EVALUATION for the near-dup family: candidate-stage
+    precision and recall of MinHash(16)+LSH(4 bands) against the EXACT
+    Jaccard ≥ 0.5 ground truth. The positive universe is complete
+    without an all-pairs join (J > 0 requires a shared shingle, so the
+    shingle equi-join enumerates every possible positive), and the
+    threshold is the exact integer inequality 3·inter ≥ |A|+|B| — no
+    float boundary can disagree between engines. One row out: candidate
+    count, ground-truth count, overlap, exact ppm precision/recall —
+    the banding-parameter dashboard (b, r) tuning actually reads.
+    100 TB: ground truth at full scale is computed on a SAMPLE (this
+    query's shape with a doc filter); the candidate side is the
+    production banded join, already certified by minhash_lsh_neardup."""
+    from .ext.dedup_text import minhash_lsh_candidates
+    from .functions.text import shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    cand = (
+        minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text", hash_fn="md5"
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_rows = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), 5))
+        ).alias("sg"),
+    )
+    sz = sh_rows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    x = sh_rows.select(
+        F.col("doc_id").alias("id_a"), F.col("sg").alias("sg")
+    )
+    y = sh_rows.select(
+        F.col("doc_id").alias("id_b"), F.col("sg").alias("sg")
+    )
+    gt_pairs = (
+        x.join(y, "sg")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    gt = (
+        gt_pairs.join(
+            sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb")),
+            "id_b",
+        )
+        .where(3 * F.col("inter") >= F.col("sa") + F.col("sb"))
+        .select("id_a", "id_b")
+    )
+    n_hit = cand.join(gt, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_gt = gt.agg(F.count(F.lit(1)).alias("n_gt"))
+    return (
+        n_cand.crossJoin(n_gt)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_cand").cast("bigint").alias("n_cand"),
+            F.col("n_gt").cast("bigint").alias("n_gt"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.expr("n_hit * 1000000 div greatest(n_cand, 1)")
+            .cast("bigint")
+            .alias("precision_ppm"),
+            F.expr("n_hit * 1000000 div greatest(n_gt, 1)")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 def _register_langid_eval() -> None:
     inner = ORACLE_SQL["lang_id_heuristic"]
 
