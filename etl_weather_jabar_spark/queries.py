@@ -15400,10 +15400,26 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     over unchanged."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    from .planmode import is_plan_only
+
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderkey") % 3 == 0
     )
+    if is_plan_only():
+        # plan-only callers must not trigger the eager ORC write; the
+        # representative plan is the same aggregate over the parquet
+        back = o.select(
+            "o_orderkey",
+            _units(F.col("o_totalprice"), 2).alias("price_units"),
+            "o_orderpriority",
+        ).where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        return back.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("price_units") / F.lit(100.0)).alias("revenue"),
+        )
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
     (
         o.select(
             "o_orderkey",

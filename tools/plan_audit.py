@@ -173,6 +173,17 @@ AUDIT_QUERIES = [
     "ivfpq_residual_indexed_topk",
     "cluster_survivor_selection",
     "pmi_skipgram_window",
+    # round-7 overtime additions
+    "trigram_backoff_ppl",
+    "record_linkage_customers",
+    "wordpiece_encode_stats",
+    "orc_roundtrip_agg",
+    "audio_codec_survey",
+    "ppl_bucket_split",
+    "ann_recall_report",
+    "langid_confusion_eval",
+    "classifier_eval_holdout",
+    "minhash_pr_eval",
 ]
 
 
@@ -239,6 +250,9 @@ EXPECTED_NESTED_LOOP = {
     "source_target_l1_shift": "sources × fixed 64-slot grid and 1-row target-total broadcasts",
     "bloom_filter_fp_rate": "1-row summary × 1-row build-count broadcast",
     "bloom_prejoin_revenue": "probe rows × 1-row broadcast lane-map (lazy bloom prefilter)",
+    "trigram_backoff_ppl": "unigram stats × 1-row train-token-total broadcast",
+    "ann_recall_report": "brute-force ground-truth side scans corpus × ~5 probe vectors; residual model broadcasts (plan-only uses the unindexed shape)",
+    "minhash_pr_eval": "three 1-row metric aggregates cross-combined for the output row",
 }
 
 
