@@ -129,6 +129,16 @@ def _sql_halfup(num: str, den: str) -> str:
     return f"(({a} - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
 
 
+def _sql_floordiv(num: str, den: str) -> str:
+    """floor(num/den) for a possibly-NEGATIVE numerator: DuckDB's `//`
+    TRUNCATES toward zero on integer operands (-1 // 10 = 0), unlike
+    Spark's floor_div — subtract the nonneg pmod first so the division
+    is exact and trunc == floor. (Caught by the round-7 sf0.1 gate:
+    three negative-balance customers banded differently per engine.)"""
+    m = f"((({num}) % ({den}) + ({den})) % ({den}))"
+    return f"((({num}) - {m}) // ({den}))"
+
+
 def _sql_sum(x: str, nd: int = 2, k: int | None = None) -> str:
     k = nd if k is None else k
     su = f"sum(CAST(round(({x}) * {10**k}) AS BIGINT))"
@@ -15245,11 +15255,11 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "record_linkage_customers",
-    """
+    f"""
     WITH a AS (
         SELECT c_custkey AS a_key, c_name AS a_name,
                c_nationkey AS nat,
-               CAST(round(c_acctbal * 100) AS BIGINT) // 10000 AS a_band,
+               {_sql_floordiv("CAST(round(c_acctbal * 100) AS BIGINT)", "10000")} AS a_band,
                c_mktsegment AS a_seg
         FROM customer WHERE c_custkey % 2 = 0
     ),
@@ -15258,7 +15268,7 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN c_custkey % 7 = 0 THEN c_name || '~'
                     ELSE c_name END AS b_name,
                c_nationkey AS nat,
-               CAST(round(c_acctbal * 100) AS BIGINT) // 10000
+               {_sql_floordiv("CAST(round(c_acctbal * 100) AS BIGINT)", "10000")}
                    + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END
                    AS b_band,
                CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
@@ -15267,7 +15277,7 @@ def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cand AS (
         SELECT a_key, b_key FROM a JOIN b USING (nat)
-        WHERE a_band // 10 = b_band // 10
+        WHERE {_sql_floordiv("a_band", "10")} = {_sql_floordiv("b_band", "10")}
         UNION
         SELECT a_key, b_key FROM a JOIN b USING (nat)
         WHERE a_seg = b_seg
