@@ -124,7 +124,14 @@ def wordpiece_encode(
     single-task job instead of inheriting the corpus's partition count
     (32 empty-ish tasks per round dominated the wall clock). A truly
     web-scale vocabulary (10⁸ distinct words) sets parts ≈ vocab_rows /
-    10⁶ — the loop cost scales with the vocabulary, never the corpus."""
+    10⁶ — the loop cost scales with the vocabulary, never the corpus.
+
+    Sentinel caveat: the [UNK] retraction keys on the literal piece
+    string, so a vocab that CONTAINS "[UNK]" as a learned piece (only
+    possible at max_len ≥ 5) would retract legitimate segmentations
+    emitting it — callers raising max_len past 4 must exclude the
+    sentinel from the vocabulary (substring_vocab at its defaults
+    cannot produce it)."""
     vocab = F.broadcast(
         checkpoint(vocab.select("piece", "plen").coalesce(parts))
     )
