@@ -301,6 +301,12 @@ def train_ivf_centroids_exact(
             .collect()
         )
         cents = [(i, [int(x) for x in r["__q"]]) for i, r in enumerate(seeds)]
+        if not cents:
+            raise ValueError(
+                "train_ivf_centroids_exact: empty training corpus — "
+                "refusing to train a model with no seeds (the caller's "
+                "slice predicate selected zero vectors)"
+            )
         dim = len(cents[0][1])
         for _ in range(iters):
             assigned = assign_nearest_int(vecs, cents, id_col, "__q").select(

@@ -1191,3 +1191,22 @@ def test_vector_ingest_cadence_compaction_bounds_segments(spark, tmp_path):
     save_ivfpq_residual_index(base, idx2, cents)
     append_to_vector_index(emb.where(F.col("vec_id") >= 16), idx2)
     assert serve(idx1) == serve(idx2)
+
+
+def test_ivf_training_rejects_empty_corpus(spark):
+    """An empty training slice raises a clean ValueError (never a raw
+    IndexError from the seed collect) — caught by fuzz soak seed 77777,
+    where a modulus collision emptied the split."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        train_ivf_centroids_exact,
+    )
+    from etl_weather_jabar_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        F.lit(False)
+    )
+    with pytest.raises(ValueError, match="empty training corpus"):
+        train_ivf_centroids_exact(emb, n_clusters=16, iters=0)

@@ -1098,11 +1098,19 @@ def gen_vector_lifecycle_case(rng: random.Random) -> dict:
     the surviving vectors — one parameterized twin
     (queries.py::_ivfpq_res_ctes) certifies the whole composition."""
     s = rng.choice([3, 4, 5])
+    m = rng.randrange(1, 4)
+    r = rng.randrange(s)
+    if s == m and r == 0:
+        # degenerate: corpus ids are the multiples of m, all ≡ 0 (mod s)
+        # ⇒ the training split would be EMPTY (caught by soak seed
+        # 77777 — the engine now raises a clean ValueError for it; the
+        # fuzz family exercises lifecycles, not empty-corpus rejection)
+        r = 1
     return {
         "kind": "vector_lifecycle",
-        "m": rng.randrange(1, 4),
+        "m": m,
         "s": s,
-        "r": rng.randrange(s),
+        "r": r,
         "append": rng.random() < 0.8,
         "two_batches": rng.random() < 0.5,
         "del_m": rng.choice([None, None, 7, 9, 11]),
