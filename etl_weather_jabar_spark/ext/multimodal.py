@@ -232,9 +232,12 @@ def synthetic_media(spark, docs: DataFrame, kind: str = "image") -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL codec-free decoders: PPM (P6) images and PCM WAV audio parse with
-# stdlib + numpy alone, so for these formats the decode path is genuinely
-# functional in this container — the NotImplementedError stubs above remain
-# only for compressed formats (JPEG/PNG/MP3/H.264) that need codec libs.
+# stdlib + numpy alone. PNG (below), GIF, BMP, FLAC (ext/flac.py), JPEG
+# (ext/jpeg.py — baseline SOF0 AND progressive SOF2, routed at the mime
+# dispatch sites in this module), G.711 µ-law/A-law and IMA ADPCM are all
+# likewise real in-repo decoders; the NotImplementedError stubs above
+# remain only for MP3/H.264 (and PIL-dependent generic image decode),
+# whose normative tables need codec libraries absent in this container.
 # ---------------------------------------------------------------------------
 
 
@@ -819,8 +822,9 @@ def resize_ppm_images(media: DataFrame, width: int, height: int) -> DataFrame:
 # pixel stream is zlib-deflate over per-scanline-filtered bytes — no codec
 # library needed. 8-bit depth, color types 0 (gray), 2 (RGB), 4
 # (gray+alpha), 6 (RGBA), non-interlaced; filters 0-4 all supported.
-# JPEG/MP3/H.264 stay honest NotImplementedError stubs (they need real
-# codec libs).
+# JPEG is ALSO a real in-repo decoder (ext/jpeg.py, baseline + progressive,
+# routed by the image/jpeg mime dispatch below); only MP3/H.264 stay honest
+# NotImplementedError stubs (they need real codec libs).
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -126,12 +126,21 @@ def wordpiece_encode(
     web-scale vocabulary (10⁸ distinct words) sets parts ≈ vocab_rows /
     10⁶ — the loop cost scales with the vocabulary, never the corpus.
 
-    Sentinel caveat: the [UNK] retraction keys on the literal piece
+    Sentinel guard: the [UNK] retraction keys on the literal piece
     string, so a vocab that CONTAINS "[UNK]" as a learned piece (only
-    possible at max_len ≥ 5) would retract legitimate segmentations
-    emitting it — callers raising max_len past 4 must exclude the
-    sentinel from the vocabulary (substring_vocab at its defaults
-    cannot produce it)."""
+    possible at max_len ≥ 5) would silently retract legitimate
+    segmentations emitting it — ENFORCED here with a ValueError rather
+    than left as a caveat for callers to read (round-7 advisor):
+    externally supplied vocab tables must not carry the sentinel
+    (substring_vocab at its defaults cannot produce it)."""
+    if not is_plan_only():
+        if not vocab.where(F.col("piece") == UNK).isEmpty():
+            raise ValueError(
+                f"wordpiece_encode: vocabulary contains the literal "
+                f"sentinel piece {UNK!r}; the all-or-nothing retraction "
+                "keys on that string, so legitimate segmentations would "
+                "be retracted — remove it from the vocab"
+            )
     vocab = F.broadcast(
         checkpoint(vocab.select("piece", "plen").coalesce(parts))
     )

@@ -120,13 +120,21 @@ def global_rank_scalable(
     w_local = Window.partitionBy("__part").orderBy(*cols)
     local = parted.withColumn("__lr", F.row_number().over(w_local))
     counts = parted.groupBy("__part").count()
-    # cumulative count EXCLUSIVE of the current bucket; the offsets table
-    # is |buckets| rows, so this tiny global window is driver-cheap
-    offsets = counts.select(
-        "__part",
-        (F.sum("count").over(Window.orderBy("__part")) - F.col("count")).alias(
-            "__off"
-        ),
+    # cumulative count EXCLUSIVE of the current bucket, WITHOUT a Window:
+    # even over this |buckets|-row frame an unpartitioned Window trips
+    # Spark's single-partition WindowExec warning, so the exclusive
+    # prefix sum is a strict-< triangular broadcast self-join instead
+    # (|buckets|² pairs of longs — driver-tiny at any realistic bucket
+    # count, and the plan carries zero Window operators)
+    earlier = counts.select(
+        F.col("__part").alias("__p2"), F.col("count").alias("__c2")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(earlier), F.col("__p2") < F.col("__part"), "left"
+        )
+        .groupBy("__part")
+        .agg(F.coalesce(F.sum("__c2"), F.lit(0)).alias("__off"))
     )
     return (
         local.join(F.broadcast(offsets), on="__part")
@@ -162,6 +170,11 @@ def scalable_prefix_sum(
     through ONE bucketing: a multi-measure CDF (e.g. the two-sample KS
     statistic) pays one quantile sample, one shuffle, and one sort
     instead of chaining a full pass per measure.
+
+    The cross-bucket offsets are summed UNORDERED (triangular join, not
+    an ordered Window) — exact for integer/decimal measures (every
+    engine call site); double measures could differ in the last ulp
+    from a sequential sum and belong in integer units first anyway.
     """
     vcols = [value_col] if isinstance(value_col, str) else list(value_col)
     ocols = [out_col] if isinstance(out_col, str) else list(out_col)
@@ -190,13 +203,24 @@ def scalable_prefix_sum(
     sums = parted.groupBy("__part").agg(
         *[F.sum(v).alias(f"__s{i}") for i, v in enumerate(vcols)]
     )
-    w_b = Window.orderBy("__part")
-    offsets = sums.select(
-        "__part",
-        *[
-            (F.sum(f"__s{i}").over(w_b) - F.col(f"__s{i}")).alias(f"__off{i}")
-            for i in range(len(vcols))
-        ],
+    # exclusive prefix totals per bucket WITHOUT a Window (same strict-<
+    # triangular broadcast self-join as global_rank_scalable: no
+    # single-partition WindowExec, identical arithmetic)
+    earlier = sums.select(
+        F.col("__part").alias("__p2"),
+        *[F.col(f"__s{i}").alias(f"__t{i}") for i in range(len(vcols))],
+    )
+    offsets = (
+        sums.join(
+            F.broadcast(earlier), F.col("__p2") < F.col("__part"), "left"
+        )
+        .groupBy("__part")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__t{i}"), F.lit(0)).alias(f"__off{i}")
+                for i in range(len(vcols))
+            ]
+        )
     )
     # local cumsum BEFORE the join (distribution + ordering satisfied on
     # parted directly: no extra exchange or sort), offsets added after

@@ -13837,23 +13837,28 @@ def ppl_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic total order (score desc, doc_id) — the bucket
     assignment every CCNet-style pipeline uses to keep the head, sample
     the middle, and drop the tail. Output is per-bucket membership and
-    score envelope. 100 TB: the ntile over a corpus-wide total order is
-    the one global sort — at cluster scale swap it for the engine's
-    zero-exchange ntile (operators/windows.py::ntile_by_boundaries,
-    driver-certified by `ntile_cume_dist_customers`) which cuts on
-    sampled boundaries instead; the semantics pinned here are the
-    contract that swap must preserve."""
+    score envelope. 100 TB: the terciles come from the engine's
+    scalable ntile (operators/windows.py::scalable_ntile — exact SQL
+    tile arithmetic over the range-partitioned global rank,
+    hypothesis-tested equal to ``F.ntile``), NOT a corpus-wide
+    unpartitioned Window: the only global structures are the sampled
+    range bounds and one row-count per bucket, so no task ever sorts
+    more than its range slice. Descending score order is expressed as
+    an ascending total order on (-lm_ppm, doc_id) — identical bucket
+    assignment, numeric leading column so the one-shuffle range
+    bucketing applies (tests/test_analytics.py pins equality with the
+    naive ``F.ntile`` form)."""
     from .ext.lm import bigram_lm_score
+    from .operators.windows import scalable_ntile
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     pd_ = bigram_lm_score(docs).where(F.col("n_bigrams") > 0)
-    w = Window.orderBy(F.col("lm_ppm").desc(), F.col("doc_id"))
-    b = pd_.select(
-        "doc_id",
-        "n_bigrams",
-        "lm_ppm",
-        F.ntile(3).over(w).alias("bucket"),
-    )
+    b = scalable_ntile(
+        pd_.withColumn("__neg_ppm", -F.col("lm_ppm")),
+        ["__neg_ppm", "doc_id"],
+        3,
+        tile_col="bucket",
+    ).select("doc_id", "n_bigrams", "lm_ppm", "bucket")
     return b.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         half_up_div(F.sum("lm_ppm"), F.count(F.lit(1)))
@@ -14877,7 +14882,7 @@ def bloom_filter_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source,
                len(w) AS n_words,
                CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_len,
-               len(list_filter(w, x -> regexp_matches(x, '\p{L}')))
+               len(list_filter(w, x -> regexp_matches(x, '\\p{L}')))
                    AS n_alpha,
                len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))
                    AS n_symbol

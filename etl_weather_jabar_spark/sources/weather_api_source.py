@@ -10,10 +10,12 @@ fully first-class shape: a registered ``spark.read.format(
 (an API poller, a queue drainer, a vendored SDK) so that it plans like
 any other source: one InputPartition per landed file (parallel scan,
 locality-free), schema fixed to RAW_WEATHER (never inferred), and a
-DataSourceStreamReader whose offset is the count of files in
-lexicographic landing order — initialOffset/latestOffset/partitions/
-commit give Structured Streaming exactly-once file pickup through its
-own checkpointed offset log, with no extra bookkeeping here.
+DataSourceStreamReader whose offset is the LAST-CONSUMED FILENAME in
+lexicographic landing order (name-anchored, so late uploads or
+deletions can never silently shift the committed range — they raise) —
+initialOffset/latestOffset/partitions/commit give Structured Streaming
+exactly-once file pickup through its own checkpointed offset log, with
+no extra bookkeeping here.
 
 Scale notes (100 TB): partition planning is a driver-side listing
 (cheap; a real deployment points this at an object-store prefix and the
@@ -48,8 +50,9 @@ class _FilePartition(InputPartition):
 
 def _landed_files(path: str) -> list[str]:
     """Lexicographically sorted landing files — the landing convention
-    (batchNNN.json) makes name order == arrival order, so a count is a
-    valid monotone stream offset."""
+    (batchNNN.json, zero-padded) makes name order == arrival order, so
+    the last-consumed NAME is a valid monotone stream offset (and the
+    stream reader raises loudly when the convention is broken)."""
     return sorted(
         f
         for pat in ("*.json", "*.jsonl")
@@ -105,26 +108,89 @@ class WeatherLandingReader(DataSourceReader):
 
 
 class WeatherLandingStreamReader(DataSourceStreamReader):
-    """Offset = number of landing files consumed, in lexicographic
-    order. Spark checkpoints {start,end} offsets per micro-batch, so a
-    restart replays exactly the uncommitted range — exactly-once pickup
-    without any state of our own."""
+    """Offset = the LAST-CONSUMED landing FILENAME (name-anchored).
+
+    A bare file COUNT over a re-sorted listing (the earlier design) is
+    not a safe offset: a late upload that sorts before an already-
+    committed name, or a deletion, silently shifts every index — some
+    files re-ingest, others are skipped forever, with no error. Anchoring
+    to the name makes each batch "files strictly greater than the anchor,
+    up to the horizon", which no insertion below the anchor or deletion
+    can shift. Violations of the landing convention fail LOUDLY instead:
+
+    - ``latestOffset`` raises if a file appears that sorts at-or-below
+      the already-served horizon without having been listed before (a
+      late/retried upload breaking name-order == arrival-order);
+    - ``partitions`` raises if the committed range endpoint has
+      disappeared from the directory (a replayed batch would otherwise
+      silently lose rows).
+
+    Spark checkpoints {start,end} offsets per micro-batch, so a restart
+    replays exactly the uncommitted (start, end] name range —
+    exactly-once pickup with no state of our own; the in-memory
+    ``_seen`` set only powers the late-arrival guard and rebuilds
+    harmlessly after a driver restart. Legacy ``{"pos": N}`` offsets
+    from pre-name-anchor checkpoints are still understood (interpreted
+    against the current listing, the old semantics) so existing
+    checkpoints keep draining; new offsets are always name-anchored."""
 
     def __init__(self, options, schema: StructType):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("weatherlanding requires option('path', dir)")
         self._schema = schema
+        self._horizon = ""  # max name ever served by latestOffset
+        self._seen: set[str] = set()  # names listed at/below the horizon
 
     def initialOffset(self):
-        return {"pos": 0}
+        return {"last": ""}  # empty string sorts before every filename
 
     def latestOffset(self):
-        return {"pos": len(_landed_files(self._path))}
+        files = _landed_files(self._path)
+        late = [f for f in files if f <= self._horizon and f not in self._seen]
+        if late:
+            raise ValueError(
+                "weatherlanding: late-arriving file(s) sort at or below the "
+                f"already-served offset {self._horizon!r}: {late} — the "
+                "landing convention (name order == arrival order) is broken; "
+                "re-land them under names greater than the current horizon"
+            )
+        if files and files[-1] > self._horizon:
+            self._horizon = files[-1]
+        self._seen.update(files)
+        return {"last": self._horizon}
+
+    @staticmethod
+    def _anchor(offset, files: list[str]) -> tuple[str, bool]:
+        """(anchor name, is_name_anchored). Legacy count offsets map to
+        'name of the pos-th file in the CURRENT listing' — the old
+        semantics, kept only so pre-change checkpoints keep working."""
+        if "last" in offset:
+            return offset["last"], True
+        pos = int(offset.get("pos", 0))
+        if pos <= 0 or not files:
+            return "", False
+        return files[min(pos, len(files)) - 1], False
 
     def partitions(self, start, end):
-        files = _landed_files(self._path)[start["pos"] : end["pos"]]
-        return [_FilePartition(f) for f in files] or [_FilePartition(None)]
+        files = _landed_files(self._path)
+        fset = set(files)
+        lo, _ = self._anchor(start, files)
+        hi, hi_is_name = self._anchor(end, files)
+        # every previously-listed name in the range must still exist, and
+        # the committed range endpoint itself must exist (the endpoint
+        # check also holds after a driver restart, when _seen is empty)
+        gone = sorted(f for f in self._seen if lo < f <= hi and f not in fset)
+        if hi_is_name and hi > lo and hi not in fset:
+            gone = sorted(set(gone) | {hi})
+        if gone:
+            raise ValueError(
+                f"weatherlanding: committed/listed file(s) {gone} have "
+                f"disappeared from {self._path} — a replayed batch would "
+                "silently lose rows; restore them or reset the checkpoint"
+            )
+        batch = [f for f in files if lo < f <= hi]
+        return [_FilePartition(f) for f in batch] or [_FilePartition(None)]
 
     def read(self, partition: _FilePartition):
         yield from _read_file(partition.path, self._schema)

@@ -42,6 +42,14 @@ def stream_silver(
     tests/test_streaming.py::test_dedup_state_bounded...). Including
     ``event_ts`` changes nothing semantically (it is ``to_timestamp`` of
     the string key, functionally determined), but turns eviction on.
+
+    MIGRATION (round-7 advisor): adding ``event_ts`` to the subset
+    changed the streaming dedup operator's STATE KEY SCHEMA, so a
+    deployment restarting from a checkpoint written before this change
+    fails with a state-schema mismatch. Reset the checkpoint (and
+    backfill the output from the landing dir with the batch twin
+    ``silver_flatten`` + keyed-dedup sink) — the old state cannot be
+    migrated in place.
     """
     raw = (
         spark.readStream.schema(RAW_WEATHER)

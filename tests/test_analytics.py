@@ -847,3 +847,48 @@ def test_record_linkage_fs_semantics(spark, tmp_path):
     # band-bumped record (9.95→10.05 kiloband edge: band pass misses,
     # segment pass recovers): name +24, band -4, segment +5 = 25
     assert out[6] == (6, 25)
+
+
+def test_ppl_bucket_split_matches_naive_ntile(spark):
+    """Round-7 verdict item 1: ppl_bucket_split now cuts terciles with the
+    engine's scalable_ntile (range-partitioned global rank + exact tile
+    arithmetic) instead of F.ntile over a corpus-wide unpartitioned
+    Window. Pin that the registry query's per-bucket aggregate is
+    row-identical to the naive single-reducer form at sf0.001."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.lm import bigram_lm_score
+    from etl_weather_jabar_spark.queries import (
+        half_up_div,
+        load_table,
+        ppl_bucket_split,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["bucket"]: (r["n_docs"], r["avg_ppm"], r["min_ppm"], r["max_ppm"])
+        for r in ppl_bucket_split(spark, sf_dir).collect()
+    }
+
+    pd_ = bigram_lm_score(load_table(spark, sf_dir, "documents")).where(
+        F.col("n_bigrams") > 0
+    )
+    w = Window.orderBy(F.col("lm_ppm").desc(), F.col("doc_id"))
+    naive = pd_.select("lm_ppm", F.ntile(3).over(w).alias("bucket"))
+    want = {
+        r["bucket"]: (r["n_docs"], r["avg_ppm"], r["min_ppm"], r["max_ppm"])
+        for r in naive.groupBy(
+            F.col("bucket").cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            half_up_div(F.sum("lm_ppm"), F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_ppm"),
+            F.min("lm_ppm").cast("bigint").alias("min_ppm"),
+            F.max("lm_ppm").cast("bigint").alias("max_ppm"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 3

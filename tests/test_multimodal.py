@@ -1106,6 +1106,28 @@ def test_ima_adpcm_wav_roundtrip_properties():
     _, ob = decode_wav_ima(encode_wav_ima(odd, 8000, 64))
     assert len(ob) == 777
 
+    # the step index carries ACROSS blocks (round-7 advisor: this claim
+    # was docstring-only): every stored block-header index must equal the
+    # encoder's final index from the PREVIOUS block — i.e. encoding the
+    # concatenation behaves as encoding each block with carried state —
+    # and the carry is non-trivial (not all zeros) on this signal
+    import struct
+
+    from etl_weather_jabar_spark.ext.multimodal import _ima_encode_block
+
+    blob = encode_wav_ima(sig, 8000, 64)
+    data = blob[blob.index(b"data") + 8 :]
+    spb = (64 - 4) * 2 + 1
+    idxs, carried = [], 0
+    for k, off in enumerate(range(0, len(data), 64)):
+        head, idx, _ = struct.unpack("<hBB", data[off : off + 4])
+        idxs.append(idx)
+        assert idx == carried
+        body = [int(x) for x in sig[k * spb + 1 : (k + 1) * spb]]
+        body += [head] * (spb - 1 - len(body))
+        _, _, carried = _ima_encode_block(body, head, idx)
+    assert idxs[0] == 0 and any(i != 0 for i in idxs[1:])
+
     wav = bytearray(encode_wav_ima(sig[:100], 8000, 64))
     with pytest.raises(ValueError):
         decode_wav_ima(bytes(wav[: len(wav) // 2]))  # truncated chunk

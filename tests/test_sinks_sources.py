@@ -393,10 +393,11 @@ def test_weather_landing_datasource_batch_and_stream(spark, tmp_path):
     """The custom Python DataSource (Spark 4 pyspark.sql.datasource)
     over the landing dir: batch read is row-identical to the built-in
     JSONL reader under the same explicit schema (one InputPartition per
-    landed file), the stream reader's file-count offsets give
-    exactly-once pickup across two availableNow runs sharing a
-    checkpoint (a re-run with no new files appends nothing; a new file
-    appends only its rows), and a missing path option raises."""
+    landed file), the stream reader's name-anchored offsets (last
+    consumed filename) give exactly-once pickup across two availableNow
+    runs sharing a checkpoint (a re-run with no new files appends
+    nothing; a new file appends only its rows), and a missing path
+    option raises."""
     import json
     import os
 
@@ -448,3 +449,61 @@ def test_weather_landing_datasource_batch_and_stream(spark, tmp_path):
     with open(f"{landing}/batch3.json", "w") as f:
         f.write("\n".join(json.dumps(r) for r in rows[:3]))
     assert run_once() == len(rows) + 3
+
+
+def test_weather_landing_stream_offset_guards(tmp_path):
+    """Name-anchored stream offsets (round-7 advisor, medium): a late
+    upload sorting below the served horizon (the unpadded batch10 <
+    batch2 case) and a vanished committed file both fail LOUDLY instead
+    of silently shifting the committed range; legacy {"pos": N} count
+    offsets from pre-change checkpoints are still understood. Driver-side
+    unit test of the reader protocol — no Spark session needed."""
+    import os
+
+    import pytest
+
+    from etl_weather_jabar_spark.schemas import RAW_WEATHER
+    from etl_weather_jabar_spark.sources.weather_api_source import (
+        WeatherLandingStreamReader,
+    )
+
+    landing = str(tmp_path)
+    b2 = os.path.join(landing, "batch2.json")
+    b3 = os.path.join(landing, "batch3.json")
+    for p in (b2, b3):
+        with open(p, "w") as f:
+            f.write("")
+
+    r = WeatherLandingStreamReader({"path": landing}, RAW_WEATHER)
+    assert r.initialOffset() == {"last": ""}
+    off = r.latestOffset()
+    assert off == {"last": b3}
+    assert [p.path for p in r.partitions({"last": ""}, off)] == [b2, b3]
+    # a later batch advances the horizon; the range below it is unmoved
+    b4 = os.path.join(landing, "batch4.json")
+    with open(b4, "w") as f:
+        f.write("")
+    assert r.latestOffset() == {"last": b4}
+    assert [p.path for p in r.partitions(off, {"last": b4})] == [b4]
+
+    # the advisor's exact scenario: unpadded batch10.json sorts BELOW the
+    # already-served batch2.json → the landing convention is broken and
+    # the reader says so instead of skipping/re-ingesting
+    b10 = os.path.join(landing, "batch10.json")
+    with open(b10, "w") as f:
+        f.write("")
+    with pytest.raises(ValueError, match="late-arriving"):
+        r.latestOffset()
+    os.remove(b10)
+
+    # a committed file vanishing mid-range or at the endpoint → loud
+    os.remove(b3)
+    with pytest.raises(ValueError, match="disappeared"):
+        r.partitions({"last": b2}, {"last": b4})  # b3 gone mid-range
+    fresh = WeatherLandingStreamReader({"path": landing}, RAW_WEATHER)
+    with pytest.raises(ValueError, match="disappeared"):
+        fresh.partitions({"last": b2}, {"last": b3})  # endpoint, post-restart
+
+    # legacy count offsets: interpreted against the current listing
+    assert [p.path for p in fresh.partitions({"pos": 0}, {"pos": 1})] == [b2]
+    assert [p.path for p in fresh.partitions({"pos": 1}, {"pos": 2})] == [b4]
