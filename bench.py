@@ -148,6 +148,8 @@ TIER3_QUERIES = [
     "langid_confusion_eval",
     "classifier_eval_holdout",
     "minhash_pr_eval",
+    # round-8 additions
+    "stream_state_report",
 ]
 
 
