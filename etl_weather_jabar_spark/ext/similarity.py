@@ -997,12 +997,16 @@ def _vector_live_state(
     BASE lists paths (the newest committed generation's ``lists``, or
     the original ``<path>/lists`` if no compaction ever ran), the LIVE
     committed append dirs, and the LIVE committed delete dirs — live
-    meaning not recorded as consumed by the chosen generation. Each
-    generation's ``consumed`` parquet is CUMULATIVE (it copies its
-    predecessor's rows), so one read of the newest generation settles
-    every older dir's fate; uncommitted dirs (crashed writers) are
-    invisible by construction (``_committed`` marker check)."""
-    from .search import _committed_dirs
+    meaning not recorded as consumed by the chosen generation AND not
+    retired by a size-tiered merge (a tiered append segment's
+    ``_sources`` file names the append dirs it replaced — the text
+    index's death-record mechanism; they die the instant the merged
+    segment's own ``_committed`` lands). Each generation's ``consumed``
+    parquet is CUMULATIVE (it copies its predecessor's rows), so one
+    read of the newest generation settles every older dir's fate;
+    uncommitted dirs (crashed writers) are invisible by construction
+    (``_committed`` marker check)."""
+    from .search import _committed_dirs, _read_sources
 
     gens = _committed_dirs(spark, f"{path}/gens")
     appends = _committed_dirs(spark, f"{path}/appends")
@@ -1017,8 +1021,13 @@ def _vector_live_state(
             (r["kind"], r["key"])
             for r in spark.read.parquet(f"{gdir}/consumed").collect()
         }
+    tier_dead: set[str] = set()
+    for d in appends.values():
+        tier_dead.update(_read_sources(spark, d))
     live_appends = [
-        d for k, d in sorted(appends.items()) if ("append", k) not in consumed
+        d
+        for k, d in sorted(appends.items())
+        if ("append", k) not in consumed and f"appends/{k}" not in tier_dead
     ]
     live_deletes = [
         d for k, d in sorted(deletes.items()) if ("delete", k) not in consumed
@@ -1302,6 +1311,12 @@ def append_to_vector_index(
             written.select(id_col), id_col, f"{adir}/idbloom"
         )
         n = written.count()
+        # 1-row stats sidecar (the text index's pattern): size-tiered
+        # compaction selects its victims from these O(#segments) reads
+        # instead of scanning any segment's data
+        spark.createDataFrame([(n,)], "D BIGINT").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{adir}/stats")
         fs.create(jvm.org.apache.hadoop.fs.Path(d, "_committed")).close()
         return n
     finally:
@@ -1381,27 +1396,104 @@ def ivfpq_reconstruction_error(
     )
 
 
-def compact_vector_index(spark, path: str, id_col: str = "vec_id") -> str:
-    """Physically apply tombstones and merge append segments into ONE
-    new base — the vector-index analogue of
-    ext/search.py::compact_search_index, and the step faiss has no
-    equivalent for (``remove_ids`` only tombstones; here reclaiming the
-    space is a relational rewrite). Writes a new GENERATION
-    ``<path>/gens/g%06d/lists`` = (base ∪ live appends) anti-join live
-    tombstones, partitionBy(cid) unchanged, plus a CUMULATIVE
-    ``consumed`` parquet (its predecessor's rows + the base + every
-    segment merged or applied) — all published by one atomic
+def _compact_vector_tier(
+    spark, path: str, id_col: str, tier_size: int
+) -> str:
+    """Size-tiered append merge for :func:`compact_vector_index` — see
+    its docstring for semantics. The k smallest live append segments
+    (1-row stats sidecars; parquet footer counts for pre-stats
+    segments) merge into ``appends/tier_<md5-of-sources>`` with lists
+    (partitionBy(cid) unchanged), a rebuilt id Bloom, a fresh stats
+    row, and a ``_sources`` file naming the retired dirs — all
+    published by the single atomic ``_committed`` create."""
+    import hashlib
+    from functools import reduce
+
+    from .search import _fs_and_path, _write_sources
+
+    _, live_appends, _ = _vector_live_state(spark, path)
+    if len(live_appends) < tier_size:
+        return ""
+
+    def seg_rows(d: str) -> int:
+        if _hadoop_path_exists(spark, f"{d}/stats"):
+            return int(
+                spark.read.parquet(f"{d}/stats").collect()[0]["D"] or 0
+            )
+        # pre-stats segment: parquet footer row count (metadata-only)
+        return spark.read.parquet(f"{d}/lists").count()
+
+    victims = [
+        d for _, d in sorted((seg_rows(d), d) for d in live_appends)
+    ][:tier_size]
+    rels = sorted(f"appends/{d.rsplit('/', 1)[1]}" for d in victims)
+    key = "tier_" + hashlib.md5("\n".join(rels).encode()).hexdigest()[:16]
+    tdir = f"{path}/appends/{key}"
+    fs, d, jvm = _fs_and_path(spark, tdir)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(d, "_committed")):
+        return tdir  # replayed tier merge: exactly-once no-op
+    merged = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{v}/lists") for v in victims],
+    )
+    merged.write.partitionBy("cid").mode("overwrite").parquet(
+        f"{tdir}/lists"
+    )
+    written = spark.read.parquet(f"{tdir}/lists")
+    _vec_bloom_write(written.select(id_col), id_col, f"{tdir}/idbloom")
+    written.agg(
+        F.count(F.lit(1)).cast("bigint").alias("D")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tdir}/stats")
+    _write_sources(spark, tdir, rels)
+    fs.create(jvm.org.apache.hadoop.fs.Path(d, "_committed")).close()
+    return tdir
+
+
+def compact_vector_index(
+    spark, path: str, id_col: str = "vec_id", tier_size: int | None = None
+) -> str:
+    """Physically apply tombstones and merge append segments — the
+    vector-index analogue of ext/search.py::compact_search_index, and
+    the step faiss has no equivalent for (``remove_ids`` only
+    tombstones; here reclaiming the space is a relational rewrite).
+
+    Default (``tier_size=None``): FULL compaction — writes a new
+    GENERATION ``<path>/gens/g%06d/lists`` = (base ∪ live appends)
+    anti-join live tombstones, partitionBy(cid) unchanged, plus a
+    CUMULATIVE ``consumed`` parquet (its predecessor's rows + the base
+    + every segment merged or applied) — all published by one atomic
     ``_committed`` create, so a reader sees the old live set or the
-    new, never both. Model state (centroids, codebooks) is untouched:
+    new, never both.
+
+    ``tier_size=k``: SIZE-TIERED compaction (round-7 verdict item 5,
+    symmetry with the text index's ``tier_size``) — only the k
+    smallest live APPEND segments (by their 1-row stats sidecars, an
+    O(#segments) read; footer counts for pre-stats segments) merge
+    into one new append segment ``appends/tier_<key>`` carrying a
+    ``_sources`` death record of the dirs it replaced. The base is
+    NEVER rewritten and tombstones are NOT applied (they stay live and
+    the serve keeps anti-joining them — results identical, and
+    double-subtraction impossible because tombstoned rows remain
+    physically present), so a continuous ingest cadence pays a
+    tier-sized rewrite per cycle instead of a corpus-sized one; a
+    periodic FULL compaction applies the accumulated deletes. No-op
+    (returns "") while fewer than ``tier_size`` live append segments
+    exist; a replay of the same tier merge maps to the same
+    deterministic key and returns the committed dir.
+
+    Model state (centroids, codebooks) is untouched either way:
     compaction moves bytes, not geometry, and the serve's ranking is
-    pinned equal before/after in pytest. Consumed dirs stay on disk
-    (crash-safe: a half-written generation without its marker is
-    invisible and a rerun just takes the next number) until
-    :func:`vacuum_vector_index` removes them. Returns the new
-    generation directory."""
+    pinned equal across tiered/full/vacuum in pytest. Consumed dirs
+    stay on disk (crash-safe: a half-written target without its marker
+    is invisible) until :func:`vacuum_vector_index` removes them.
+    Returns the new generation/segment directory ("" for a tier
+    no-op)."""
     from functools import reduce
 
     from .search import _committed_dirs, _fs_and_path
+
+    if tier_size is not None:
+        return _compact_vector_tier(spark, path, id_col, tier_size)
 
     gens_all = []
     fs, groot, jvm = _fs_and_path(spark, f"{path}/gens")
@@ -1464,62 +1556,81 @@ def compact_vector_index(spark, path: str, id_col: str = "vec_id") -> str:
 
 
 def vacuum_vector_index(spark, path: str) -> int:
-    """Remove every dir the NEWEST committed generation records as
-    consumed: applied delete segments, merged append segments, the
-    original base lists, and superseded older generations. Safe by
-    construction for any reader that resolves the live set through
-    :func:`_vector_live_state` from now on — consumption facts live
-    INSIDE the surviving newest generation (never removed), so unlike
-    the text index's ``_sources`` chain there is no topological
-    ordering constraint; a reader that pinned an OLD generation before
-    vacuum must drain first (the Lucene reader-refcount caveat,
-    SCALING.md). Returns the number of directories removed."""
-    from .search import _committed_dirs, _fs_and_path
+    """Remove every dead dir: what the NEWEST committed generation
+    records as consumed (applied delete segments, merged append
+    segments, the original base lists, superseded older generations)
+    PLUS append segments retired by a size-tiered merge (named in a
+    committed append's ``_sources``). Consumption facts recorded in
+    the newest generation live INSIDE it (never removed) and need no
+    ordering — but ``_sources`` death records introduce the text
+    index's topological constraint: a dead TIER segment may be the
+    only death record of the appends it merged (tier-of-tier chains),
+    so a dead dir is only removed once every dir IT records as a
+    source is already gone; iterate to a fixpoint. A crash mid-vacuum
+    therefore always leaves a consistent live set. A reader that
+    pinned an OLD generation before vacuum must drain first (the
+    Lucene reader-refcount caveat, SCALING.md). Returns the number of
+    directories removed."""
+    from .search import _committed_dirs, _fs_and_path, _read_sources
 
-    gens = _committed_dirs(spark, f"{path}/gens")
-    if not gens:
-        return 0
-    newest = max(gens, key=_gen_number)
-    consumed = {
-        (r["kind"], r["key"])
-        for r in spark.read.parquet(
-            f"{gens[newest]}/consumed"
-        ).collect()
-    }
+    fs, root, jvm = _fs_and_path(spark, path)
+
+    def alive(rel: str) -> bool:
+        return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(root, rel)))
+
     removed = 0
-    for kind, key in sorted(consumed):
-        if kind == "append":
-            target = f"{path}/appends/{key}"
-        elif kind == "delete":
-            target = f"{path}/deletes/{key}"
-        elif kind == "base":
-            target = f"{path}/lists"
-        elif kind == "gen" and key != newest:
-            target = f"{path}/gens/{key}"
-        else:
-            continue
-        fs, p, jvm = _fs_and_path(spark, target)
-        if fs.exists(p):
-            fs.delete(p, True)
+    gens = _committed_dirs(spark, f"{path}/gens")
+    newest = max(gens, key=_gen_number) if gens else None
+    while True:
+        dead: set[str] = set()
+        if newest is not None:
+            for r in spark.read.parquet(
+                f"{gens[newest]}/consumed"
+            ).collect():
+                kind, key = r["kind"], r["key"]
+                if kind == "append":
+                    dead.add(f"appends/{key}")
+                elif kind == "delete":
+                    dead.add(f"deletes/{key}")
+                elif kind == "base":
+                    dead.add("lists")
+                elif kind == "gen" and key != newest:
+                    dead.add(f"gens/{key}")
+        recorded: dict[str, list[str]] = {}
+        for name, d in _committed_dirs(spark, f"{path}/appends").items():
+            srcs = _read_sources(spark, d)
+            recorded[f"appends/{name}"] = srcs
+            dead.update(srcs)
+        removable = [
+            rel
+            for rel in sorted(dead)
+            if alive(rel)
+            and all(not alive(s) for s in recorded.get(rel, []))
+        ]
+        if not removable:
+            break
+        for rel in removable:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(root, rel), True)
             removed += 1
     # crashed compaction writers: an UNCOMMITTED gen dir numbered below
     # the newest committed one can never be completed (any later writer
     # took a higher number), so it is invisible garbage — reclaim it.
     # In-flight writers are numbered above `newest` and stay untouched.
-    fs, groot, jvm = _fs_and_path(spark, f"{path}/gens")
-    if fs.exists(groot):
-        for st in fs.listStatus(groot):
-            if not st.isDirectory():
-                continue
-            name = st.getPath().getName()
-            try:
-                num = _gen_number(name)
-            except ValueError:
-                continue
-            if name in gens or num >= _gen_number(newest):
-                continue
-            fs.delete(st.getPath(), True)
-            removed += 1
+    if newest is not None:
+        fs2, groot, jvm2 = _fs_and_path(spark, f"{path}/gens")
+        if fs2.exists(groot):
+            for st in fs2.listStatus(groot):
+                if not st.isDirectory():
+                    continue
+                name = st.getPath().getName()
+                try:
+                    num = _gen_number(name)
+                except ValueError:
+                    continue
+                if name in gens or num >= _gen_number(newest):
+                    continue
+                fs2.delete(st.getPath(), True)
+                removed += 1
     return removed
 
 

@@ -1193,6 +1193,135 @@ def test_vector_ingest_cadence_compaction_bounds_segments(spark, tmp_path):
     assert serve(idx1) == serve(idx2)
 
 
+def test_vector_index_tiered_compaction_lifecycle(spark, tmp_path):
+    """Size-tiered vector compaction (round-7 verdict item 5): below
+    tier_size it no-ops; at tier_size it merges ONLY the k smallest
+    append segments (picked from the 1-row stats sidecars) into a
+    tier segment with a _sources death record, never rewriting the
+    base and never applying tombstones; serve is pinned equal across
+    tiered merge, tier replay, tier-of-tier chain, topological vacuum
+    (sources die before the tier that recorded them — no resurrect),
+    full compaction, and final vacuum. Uncommitted tier garbage is
+    invisible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.similarity import (
+        _vector_live_state,
+        append_to_vector_index,
+        compact_vector_index,
+        ivfpq_residual_topk_indexed,
+        save_ivfpq_residual_index,
+        train_ivf_centroids_exact,
+        vacuum_vector_index,
+    )
+
+    rows = [
+        (i, [((i * 29 + j * 11) % 17 - 8) / 9.0 for j in range(64)])
+        for i in range(48)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    base = emb.where(F.col("vec_id") < 16)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "tiered")
+    cents = train_ivf_centroids_exact(base, n_clusters=4, iters=0)
+    save_ivfpq_residual_index(base, idx, cents)
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                ivfpq_residual_topk_indexed(
+                    spark, idx, queries, k=8, n_probe=3
+                ).collect(),
+            )
+        )
+
+    # three append segments of DIFFERENT sizes: 4, 8, and 20 vectors
+    for lo, hi in [(16, 20), (20, 28), (28, 48)]:
+        append_to_vector_index(
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), idx
+        )
+    r0 = serve()
+    assert compact_vector_index(spark, idx, tier_size=4) == ""  # only 3 live
+    t1 = compact_vector_index(spark, idx, tier_size=2)
+    assert "appends/tier_" in t1
+    assert compact_vector_index(spark, idx, tier_size=2) != t1  # see below
+    # ^ after t1 merged the two smallest (4+8), live = {t1 (12), big (20)};
+    # a second tier call merges THOSE two → tier-of-tier chain t2
+    _, live, _ = _vector_live_state(spark, idx)
+    assert len(live) == 1 and "tier_" in live[0]
+    assert serve() == r0
+    # the tier victims merged the two SMALLEST segments: t1 holds 12 rows
+    assert spark.read.parquet(f"{t1}/lists").count() == 12
+
+    # tombstones stay LIVE under tiered compaction (not applied) but
+    # the serve anti-joins them — results reflect the delete at once
+    from etl_weather_jabar_spark.ext.similarity import (
+        delete_from_vector_index,
+    )
+
+    victim = [17]
+    assert (
+        delete_from_vector_index(
+            emb.where(F.col("vec_id").isin(victim)).select("vec_id"), idx
+        )
+        == 1
+    )
+    r1 = serve()
+    assert all(t[1] != 17 for t in r1)
+    # physically still present in the tier segment (not applied)
+    t2 = live[0]
+    assert 17 in {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{t2}/lists").select("vec_id").collect()
+    }
+
+    # uncommitted tier garbage is invisible
+    os.makedirs(f"{idx}/appends/tier_zzz", exist_ok=True)
+    with open(f"{idx}/appends/tier_zzz/garbage", "w") as fh:
+        fh.write("crashed writer")
+    assert serve() == r1
+
+    # topological vacuum with NO generation yet: the original appends
+    # (dead via t1._sources) go first, then t1 (dead via t2._sources)
+    removed = vacuum_vector_index(spark, idx)
+    assert removed == 4  # 3 original appends + t1
+    assert serve() == r1
+    left = {
+        n for n in os.listdir(f"{idx}/appends") if not n.startswith(".")
+    }
+    assert left == {t2.rsplit("/", 1)[1], "tier_zzz"}
+
+    # full compaction applies the tombstone physically; vacuum retires
+    # the consumed dirs; serve unchanged throughout
+    gdir = compact_vector_index(spark, idx)
+    assert "gens/" in gdir
+    assert serve() == r1
+    assert 17 not in {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{gdir}/lists")
+        .select("vec_id")
+        .collect()
+    }
+    vacuum_vector_index(spark, idx)
+    assert serve() == r1
+    assert not os.path.exists(f"{idx}/lists")
+    live_after = {
+        n
+        for n in (
+            os.listdir(f"{idx}/appends")
+            if os.path.exists(f"{idx}/appends")
+            else set()
+        )
+        if not n.startswith(".")
+    }
+    assert live_after == {"tier_zzz"}  # only the inert garbage remains
+
+
 def test_ivf_training_rejects_empty_corpus(spark):
     """An empty training slice raises a clean ValueError (never a raw
     IndexError from the seed collect) — caught by fuzz soak seed 77777,
