@@ -291,3 +291,370 @@ def wordpiece_doc_stats(
         "unk_words",
         "distinct_pieces",
     )
+
+
+# ===========================================================================
+# Unigram-LM (SentencePiece) tokenization — the third mainstream subword
+# family next to BPE (ext/sequencing.py) and WordPiece (above).
+#
+# Kudo 2018 ("Subword Regularization", §3.2) trains a unigram language
+# model over subword candidates with EM and segments by Viterbi search
+# for the most probable piece sequence. This implementation is the
+# deterministic, exactly-replayable relational form of that recipe:
+#
+# * **Viterbi (hard) EM**: the E-step uses the single best segmentation
+#   instead of lattice expectations (the classic Viterbi-EM variant of
+#   EM) — expected counts become exact integer usage counts, so training
+#   is bit-reproducible in any engine, where float forward-backward
+#   posteriors would not be.
+# * **Exact integer Viterbi objective**: piece "probabilities" are
+#   occurrence counts under a shared denominator, so maximizing
+#   Π count_i / T^k  ⇔  lexicographically minimizing
+#   (k, −Σ log count_i ...) is REPLACED by the exact integer total order
+#   (piece count ASC, summed piece score DESC, piece-length path ASC) —
+#   fewest pieces first exactly as the unigram prior prefers (each extra
+#   piece divides by T ≫ count_i), then highest-frequency pieces, then a
+#   deterministic path tie-break. No float ever enters the DP.
+# * **The DP is a bounded frontier shift, not a search**: with
+#   max_len ≤ 3, dp[j+1] depends only on dp[j], dp[j-1], dp[j-2] — each
+#   round carries three (np, sum, path) slots per word and advances ONE
+#   character position via three broadcast vocab equi-joins; iterations
+#   = longest word, over the DISTINCT-WORD table (vocabulary-sized, like
+#   wordpiece_encode — the corpus never enters the loop).
+# * **Candidate comparison is ONE string min**: each candidate encodes as
+#   lpad(np, 4) || lpad(BOUND − sum, 15) || path, making the exact tuple
+#   order a plain least() over VARCHARs in both Spark and DuckDB (equal
+#   np ⇒ equal path length, so the lexicographic path tie-break is
+#   suffix-independent and the DP keeps optimal substructure).
+# ===========================================================================
+
+_UNI_BOUND = 10**14  # sum-field bound for the encoded candidate strings
+
+
+def unigram_seed_scores(
+    words: DataFrame, max_len: int = 3, top_k: int = 32
+) -> DataFrame:
+    """EM seed vocabulary with integer scores: every single character
+    (full coverage — no in-corpus word can become unsegmentable) plus
+    the ``top_k`` highest-scoring substrings of length 2..``max_len``,
+    score = occurrence-weighted substring count (ties broken by the
+    piece string). Returns (piece, plen, score)."""
+    pos = words.select(
+        "w", "f", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("p")
+    )
+    lens = pos.select(
+        "w",
+        "f",
+        "p",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(max_len)).cast("array<int>")
+        ).alias("l"),
+    ).where(F.col("p") + F.col("l") - 1 <= F.length("w"))
+    subs = (
+        lens.select(
+            F.expr("substring(w, p, l)").alias("piece"),
+            F.col("l").cast("bigint").alias("plen"),
+            "f",
+        )
+        .groupBy("piece", "plen")
+        .agg(F.sum("f").cast("bigint").alias("score"))
+    )
+    v1 = subs.where(F.col("plen") == 1)
+    vtop = (
+        subs.where(F.col("plen") > 1)
+        .orderBy(F.col("score").desc(), F.col("piece").asc())
+        .limit(top_k)
+    )
+    return v1.unionByName(vtop).select("piece", "plen", "score")
+
+
+def unigram_viterbi_encode(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_len: int = 3,
+    parts: int = 1,
+) -> DataFrame:
+    """Viterbi segmentation of the distinct-word table under integer
+    piece scores (vocab: piece, plen, score): per word the UNIQUE best
+    path by (piece count ASC, summed score DESC, length-path ASC).
+    Returns (w, np, lens) — ``lens`` is the comma-terminated
+    piece-length path (e.g. ``"3,1,2,"``), NULL for a word the vocab
+    cannot segment (possible only with an external vocab missing
+    single characters); expand to pieces with :func:`unigram_pieces`.
+
+    Same scale contract as :func:`wordpiece_encode`: the loop state is
+    the distinct-word frame with a 3-slot DP frontier, one character
+    position per round, three broadcast equi-joins per round,
+    iterations = longest word, localCheckpoint per round."""
+    if max_len != 3:
+        raise ValueError("unigram_viterbi_encode is specialized to max_len=3")
+    vocab = F.broadcast(
+        checkpoint(vocab.select("piece", "plen", "score").coalesce(parts))
+    )
+    by_len = {
+        ln: vocab.where(F.col("plen") == ln).select(
+            F.col("piece").alias(f"__p{ln}"),
+            F.col("score").alias(f"__c{ln}"),
+        )
+        for ln in (1, 2, 3)
+    }
+    if is_plan_only():
+        iters = 1
+    else:
+        row = words.agg(F.max(F.length("w"))).collect()[0][0]
+        iters = int(row or 1)
+
+    # iters + 1 rounds: round t collects words of length t-1 (the DP
+    # frontier advances one position per round, and finishers are
+    # harvested at the TOP of the round), so the longest word needs one
+    # extra harvesting round after its last transition
+    iters += 1
+
+    nb = F.lit(None).cast("bigint")
+    ns = F.lit(None).cast("string")
+    state = words.select(
+        "w",
+        F.lit(0).alias("j"),
+        F.lit(0).cast("bigint").alias("d0np"),
+        F.lit(0).cast("bigint").alias("d0sm"),
+        F.lit("").alias("d0ls"),
+        nb.alias("d1np"),
+        nb.alias("d1sm"),
+        ns.alias("d1ls"),
+        nb.alias("d2np"),
+        nb.alias("d2sm"),
+        ns.alias("d2ls"),
+    ).coalesce(parts)
+    outs: list[DataFrame] = []
+    for _ in range(iters):
+        state = checkpoint(state)
+        done = state.where(F.col("j") == F.length("w"))
+        outs.append(
+            done.select(
+                "w", F.col("d0np").alias("np"), F.col("d0ls").alias("lens")
+            )
+        )
+        state = state.where(F.col("j") < F.length("w"))
+        if not is_plan_only() and state.isEmpty():
+            break
+        j = state
+        # piece of length l ending at position j+1 starts at j+2-l and
+        # extends the frontier slot d{l-1}
+        j = j.join(
+            by_len[1],
+            F.expr("substring(w, j + 1, 1)") == F.col("__p1"),
+            "left",
+        )
+        j = j.join(
+            by_len[2],
+            F.expr("substring(w, j, 2)") == F.col("__p2"),
+            "left",
+        )
+        j = j.join(
+            by_len[3],
+            F.expr("substring(w, j - 1, 3)") == F.col("__p3"),
+            "left",
+        )
+
+        def cand(slot: int, ln: int):
+            np_, sm, ls = (
+                F.col(f"d{slot}np"),
+                F.col(f"d{slot}sm"),
+                F.col(f"d{slot}ls"),
+            )
+            c = F.col(f"__c{ln}")
+            return F.when(
+                np_.isNotNull() & c.isNotNull(),
+                F.concat(
+                    F.lpad((np_ + 1).cast("string"), 4, "0"),
+                    F.lpad(
+                        (F.lit(_UNI_BOUND) - (sm + c)).cast("string"),
+                        15,
+                        "0",
+                    ),
+                    ls,
+                    F.lit(f"{ln},"),
+                ),
+            )
+
+        c1, c2, c3 = cand(0, 1), cand(1, 2), cand(2, 3)
+        best = F.least(c1, c2, c3)
+
+        def pick(expr1, expr2, expr3):
+            return (
+                F.when(best.isNull(), F.lit(None))
+                .when(best == c1, expr1)
+                .when(best == c2, expr2)
+                .otherwise(expr3)
+            )
+
+        state = j.select(
+            "w",
+            (F.col("j") + 1).alias("j"),
+            pick(
+                F.col("d0np") + 1, F.col("d1np") + 1, F.col("d2np") + 1
+            )
+            .cast("bigint")
+            .alias("d0np"),
+            pick(
+                F.col("d0sm") + F.col("__c1"),
+                F.col("d1sm") + F.col("__c2"),
+                F.col("d2sm") + F.col("__c3"),
+            )
+            .cast("bigint")
+            .alias("d0sm"),
+            pick(
+                F.concat(F.col("d0ls"), F.lit("1,")),
+                F.concat(F.col("d1ls"), F.lit("2,")),
+                F.concat(F.col("d2ls"), F.lit("3,")),
+            ).alias("d0ls"),
+            F.col("d0np").alias("d1np"),
+            F.col("d0sm").alias("d1sm"),
+            F.col("d0ls").alias("d1ls"),
+            F.col("d1np").alias("d2np"),
+            F.col("d1sm").alias("d2sm"),
+            F.col("d1ls").alias("d2ls"),
+        )
+    from functools import reduce as _reduce
+
+    if not outs:
+        outs = [
+            words.select(
+                "w",
+                F.lit(0).cast("bigint").alias("np"),
+                F.lit("").alias("lens"),
+            ).where(F.lit(False))
+        ]
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def unigram_pieces(encoded: DataFrame) -> DataFrame:
+    """Expand (w, np, lens) into (w, i, piece): the length path decodes
+    positionally — piece i starts after the sum of the first i lengths.
+    Unsegmentable words (NULL lens) emit the single ``[UNK]`` row, the
+    same all-or-nothing contract as WordPiece."""
+    ok = encoded.where(F.col("lens").isNotNull())
+    larr = F.filter(F.split("lens", ","), lambda x: x != "")
+    exp = ok.select("w", larr.alias("larr")).select(
+        "w",
+        F.posexplode("larr").alias("i", "lstr"),
+        F.col("larr"),
+    )
+    pieces = exp.select(
+        "w",
+        F.col("i").cast("bigint").alias("i"),
+        F.expr(
+            "substring(w, CAST(1 + aggregate(slice(larr, 1, i), 0L, "
+            "(a, x) -> a + CAST(x AS BIGINT)) AS INT), CAST(lstr AS INT))"
+        ).alias("piece"),
+    )
+    unk = encoded.where(F.col("lens").isNull()).select(
+        "w", F.lit(0).cast("bigint").alias("i"), F.lit(UNK).alias("piece")
+    )
+    return pieces.unionByName(unk)
+
+
+def unigram_train_scores(
+    words: DataFrame,
+    max_len: int = 3,
+    seed_top_k: int = 32,
+    keep_top_k: int = 16,
+) -> DataFrame:
+    """One Viterbi-EM round over the distinct-word table: segment under
+    the seed scores, re-estimate every piece's score as its exact
+    occurrence-weighted USAGE count in the best segmentations (the
+    hard-EM E+M step), then prune to all single characters (coverage)
+    plus the ``keep_top_k`` highest-usage multi-character pieces — the
+    unigram analogue of SentencePiece's prune-to-target-vocab step.
+    Returns (piece, plen, score) for :func:`unigram_viterbi_encode`."""
+    seed = unigram_seed_scores(words, max_len=max_len, top_k=seed_top_k)
+    enc0 = unigram_viterbi_encode(words, seed, max_len=max_len)
+    usage = (
+        unigram_pieces(enc0)
+        .where(F.col("piece") != UNK)
+        .join(words.select("w", "f"), "w")
+        .groupBy("piece")
+        .agg(F.sum("f").cast("bigint").alias("u"))
+    )
+    seeded = seed.join(usage, "piece", "left").select(
+        "piece",
+        "plen",
+        F.coalesce(F.col("u"), F.lit(0)).cast("bigint").alias("score"),
+    )
+    v1 = seeded.where(F.col("plen") == 1)
+    vtop = (
+        seeded.where((F.col("plen") > 1) & (F.col("score") > 0))
+        .orderBy(F.col("score").desc(), F.col("piece").asc())
+        .limit(keep_top_k)
+    )
+    return v1.unionByName(vtop).select("piece", "plen", "score")
+
+
+def unigram_doc_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_len: int = 3,
+    seed_top_k: int = 32,
+    keep_top_k: int = 16,
+) -> DataFrame:
+    """Per-source fertility statistics under the Viterbi-EM-trained
+    unigram vocabulary — the same rollup contract as
+    :func:`wordpiece_doc_stats` (word/piece totals, half-up mean
+    pieces-per-word ppm, unsegmentable words, distinct pieces in use),
+    so the two tokenizer families are directly comparable."""
+    from ..functions.exact import half_up_div
+
+    srcw = (
+        spread(docs.select(F.col(source_col).alias("source"), text_col))
+        .select(
+            "source", F.explode(F.split(text_col, r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    words = srcw.groupBy("w").agg(F.sum("f").alias("f"))
+    scores = unigram_train_scores(
+        words, max_len=max_len, seed_top_k=seed_top_k, keep_top_k=keep_top_k
+    )
+    em = unigram_pieces(
+        unigram_viterbi_encode(words, scores, max_len=max_len)
+    )
+    encw = em.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+        F.max((F.col("piece") == UNK).cast("int")).alias("has_unk"),
+    )
+    per_src = (
+        srcw.join(encw, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_words"),
+            F.sum(F.col("f") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.sum(F.col("f") * F.col("has_unk"))
+            .cast("bigint")
+            .alias("unk_words"),
+        )
+        .withColumn(
+            "avg_pieces_ppm",
+            half_up_div(
+                F.col("n_pieces") * F.lit(1_000_000), F.col("n_words")
+            ).cast("bigint"),
+        )
+    )
+    dpieces = (
+        srcw.select("source", "w")
+        .join(em.select("w", "piece"), "w")
+        .groupBy("source")
+        .agg(F.countDistinct("piece").cast("bigint").alias("distinct_pieces"))
+    )
+    return per_src.join(dpieces, "source").select(
+        "source",
+        "n_words",
+        "n_pieces",
+        "avg_pieces_ppm",
+        "unk_words",
+        "distinct_pieces",
+    )

@@ -15550,6 +15550,186 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_doc_stats(docs)
 
 
+def _unigram_dp_sql(vocab_cte: str, name: str) -> str:
+    """Recursive Viterbi-DP CTE pair for the unigram twin: a frontier-
+    shift recursion ``{name}_step`` over ``wordtab`` scored by the
+    ``{vocab_cte}`` (piece, plen, score) table, and ``{name}(w, np,
+    lens)`` with the winning piece-count and length path. The candidate
+    comparison is the same encoded-string least() as
+    ext/tokenize.py::unigram_viterbi_encode — np zero-padded to 4, then
+    (10^14 − sum) zero-padded to 15, then the path — so the exact tuple
+    order (pieces ASC, score sum DESC, path ASC) is one VARCHAR min in
+    both engines."""
+    bound = 10**14
+
+    def cand(slot: int, ln: int) -> str:
+        return (
+            f"CASE WHEN s.d{slot}np IS NOT NULL AND v{ln}.score IS NOT "
+            f"NULL THEN lpad(CAST(s.d{slot}np + 1 AS VARCHAR), 4, '0') || "
+            f"lpad(CAST({bound} - (s.d{slot}sm + v{ln}.score) AS VARCHAR),"
+            f" 15, '0') || s.d{slot}ls || '{ln},' END"
+        )
+
+    def pick(e1: str, e2: str, e3: str, null_t: str) -> str:
+        return (
+            f"CASE WHEN u.best IS NULL THEN CAST(NULL AS {null_t}) "
+            f"WHEN u.best = u.c1 THEN {e1} "
+            f"WHEN u.best = u.c2 THEN {e2} ELSE {e3} END"
+        )
+
+    return f"""
+    {name}_step(w, j, d0np, d0sm, d0ls, d1np, d1sm, d1ls,
+                d2np, d2sm, d2ls) AS (
+        SELECT w, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), '',
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR)
+        FROM wordtab
+        UNION ALL
+        SELECT u.w, u.j + 1,
+               {pick('u.d0np + 1', 'u.d1np + 1', 'u.d2np + 1', 'BIGINT')},
+               {pick('u.d0sm + u.sc1', 'u.d1sm + u.sc2',
+                     'u.d2sm + u.sc3', 'BIGINT')},
+               {pick("u.d0ls || '1,'", "u.d1ls || '2,'",
+                     "u.d2ls || '3,'", 'VARCHAR')},
+               u.d0np, u.d0sm, u.d0ls,
+               u.d1np, u.d1sm, u.d1ls
+        FROM (
+            SELECT t.*, least(t.c1, t.c2, t.c3) AS best
+            FROM (
+                SELECT s.w, s.j, s.d0np, s.d0sm, s.d0ls,
+                       s.d1np, s.d1sm, s.d1ls, s.d2np, s.d2sm, s.d2ls,
+                       v1.score AS sc1, v2.score AS sc2, v3.score AS sc3,
+                       {cand(0, 1)} AS c1,
+                       {cand(1, 2)} AS c2,
+                       {cand(2, 3)} AS c3
+                FROM {name}_step s
+                LEFT JOIN {vocab_cte} v1
+                    ON v1.plen = 1 AND v1.piece = substr(s.w, s.j + 1, 1)
+                LEFT JOIN {vocab_cte} v2
+                    ON v2.plen = 2 AND v2.piece = substr(s.w, s.j, 2)
+                LEFT JOIN {vocab_cte} v3
+                    ON v3.plen = 3 AND v3.piece = substr(s.w, s.j - 1, 3)
+                WHERE s.j < length(s.w)
+            ) t
+        ) u
+    ),
+    {name} AS (
+        SELECT w, d0np AS np, d0ls AS lens
+        FROM {name}_step WHERE j = length(w)
+    )"""
+
+
+def _unigram_pieces_sql(dp: str, name: str) -> str:
+    """CTE ``{name}(w, i, piece)`` decoding the length path of ``{dp}``
+    positionally (one row per emitted piece occurrence, i 1-based)."""
+    return f"""
+    {name} AS (
+        SELECT w, CAST(i AS BIGINT) AS i,
+               substr(w,
+                   CAST(1 + coalesce(list_sum(list_transform(
+                       la[1:i-1], y -> CAST(y AS BIGINT))), 0) AS INTEGER),
+                   CAST(l AS INTEGER)) AS piece
+        FROM (SELECT w, la,
+                     CAST(generate_subscripts(la, 1) AS INTEGER) AS i,
+                     unnest(la) AS l
+              FROM (SELECT w,
+                           list_filter(string_split(lens, ','),
+                                       z -> z <> '') AS la
+                    FROM {dp} WHERE lens IS NOT NULL))
+    )"""
+
+
+@_register(
+    "unigram_encode_stats",
+    f"""
+    WITH RECURSIVE srcw AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT source,
+                     unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    wordtab AS (SELECT w, CAST(sum(f) AS BIGINT) AS f FROM srcw GROUP BY 1),
+    pos1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS p
+             FROM wordtab),
+    lens0 AS (SELECT w, f, p, unnest([1, 2, 3]) AS l FROM pos1),
+    subs AS (SELECT substr(w, CAST(p AS INTEGER), CAST(l AS INTEGER))
+                        AS piece,
+                    CAST(l AS BIGINT) AS plen,
+                    CAST(sum(f) AS BIGINT) AS score
+             FROM lens0 WHERE p + l - 1 <= length(w) GROUP BY 1, 2),
+    svtop AS (SELECT piece, plen, score FROM subs WHERE plen > 1
+              ORDER BY score DESC, piece ASC LIMIT 32),
+    seedvocab AS (SELECT piece, plen, score FROM subs WHERE plen = 1
+                  UNION ALL SELECT piece, plen, score FROM svtop),
+    {_unigram_dp_sql('seedvocab', 'dp0')},
+    {_unigram_pieces_sql('dp0', 'p0')},
+    usage AS (SELECT piece, CAST(sum(f) AS BIGINT) AS u
+              FROM p0 JOIN wordtab USING (w) GROUP BY 1),
+    tvtop AS (SELECT s.piece, s.plen, u.u AS score
+              FROM seedvocab s JOIN usage u USING (piece)
+              WHERE s.plen > 1 AND u.u > 0
+              ORDER BY u.u DESC, s.piece ASC LIMIT 16),
+    tvocab AS (SELECT s.piece, s.plen,
+                      CAST(coalesce(u.u, 0) AS BIGINT) AS score
+               FROM seedvocab s LEFT JOIN usage u USING (piece)
+               WHERE s.plen = 1
+               UNION ALL SELECT piece, plen, score FROM tvtop),
+    {_unigram_dp_sql('tvocab', 'dp1')},
+    {_unigram_pieces_sql('dp1', 'p1')},
+    em AS (SELECT w, piece FROM p1
+           UNION ALL
+           SELECT w, '[UNK]' AS piece FROM dp1 WHERE lens IS NULL),
+    encw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces,
+                    max(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END)
+                        AS has_unk
+             FROM em GROUP BY 1),
+    per_src AS (
+        SELECT s.source,
+               CAST(sum(s.f) AS BIGINT) AS n_words,
+               CAST(sum(s.f * e.n_pieces) AS BIGINT) AS n_pieces,
+               CAST(sum(s.f * e.has_unk) AS BIGINT) AS unk_words
+        FROM srcw s JOIN encw e USING (w) GROUP BY 1),
+    dpc AS (SELECT s.source,
+                   CAST(count(DISTINCT e.piece) AS BIGINT)
+                       AS distinct_pieces
+            FROM (SELECT DISTINCT source, w FROM srcw) s
+            JOIN em e USING (w) GROUP BY 1)
+    SELECT p.source, p.n_words, p.n_pieces,
+           CAST({_sql_halfup('p.n_pieces * 1000000', 'p.n_words')}
+               AS BIGINT) AS avg_pieces_ppm,
+           p.unk_words, d.distinct_pieces
+    FROM per_src p JOIN dpc d USING (source)
+    """,
+)
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) subword tokenization (Kudo 2018 §3.2)
+    — the third mainstream tokenizer family, completing the trio next
+    to ⊕ bpe_encode_stats and ⊕ wordpiece_encode_stats: a Viterbi-EM
+    trained unigram vocabulary (seed substrings → best-segmentation
+    usage counts → prune to single chars + top-16 by usage) segments
+    the DISTINCT word table by exact-integer Viterbi search (fewest
+    pieces first — what the unigram prior prefers — then highest summed
+    piece score, then a deterministic path tie-break; the tuple order
+    is one encoded-string least(), so no float enters training OR
+    inference), and per-source fertility statistics roll up through the
+    word counts. The oracle replays seeding, BOTH Viterbi DP loops
+    (frontier-shift recursive CTEs), the hard-EM usage re-estimation,
+    the prune, and the rollup — the hash certifies every piece of
+    training and inference. 100 TB: both DP loops run on the
+    vocabulary-sized distinct-word frame (3-slot frontier, one
+    character position per round, broadcast vocab equi-joins,
+    iterations = longest word); the corpus-sized work is the word-count
+    groupBy and one broadcast join — see ext/tokenize.py."""
+    from .ext.tokenize import unigram_doc_stats
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return unigram_doc_stats(docs)
+
+
 @_register("audio_codec_survey")  # rows-only: binary payload ops
 def audio_codec_survey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every telephony audio codec exercised end-to-end from the

@@ -309,3 +309,172 @@ def test_wordpiece_greedy_longest_match_and_unk(spark):
         .collect()
     }
     assert back == {"alpha": "alpha", "beta": "beta", "gamma": "gamma"}
+
+
+def _py_unigram_viterbi(w, scores):
+    """Independent python Viterbi: min (pieces, -score sum, length-path)
+    by exhaustive DP — the reference the relational frontier loop and
+    its encoded-string least() must match."""
+    dp = [None] * (len(w) + 1)
+    dp[0] = (0, 0, "")
+    for j in range(1, len(w) + 1):
+        best = None
+        for ln in (1, 2, 3):
+            i = j - ln
+            if i < 0 or dp[i] is None:
+                continue
+            piece = w[i:j]
+            if piece not in scores:
+                continue
+            cand = (
+                dp[i][0] + 1,
+                dp[i][1] - scores[piece],
+                dp[i][2] + f"{ln},",
+            )
+            if best is None or cand < best:
+                best = cand
+        dp[j] = best
+    return dp[len(w)]
+
+
+def _py_unigram_pieces(w, path):
+    out, pos = [], 0
+    for d in path.split(",")[:-1]:
+        ln = int(d)
+        out.append(w[pos : pos + ln])
+        pos += ln
+    return out
+
+
+def _py_unigram_train(words, seed_top_k, keep_top_k):
+    """Independent replay of the full Viterbi-EM chain: seed substring
+    scores → best segmentation → usage counts → prune → trained scores."""
+    from collections import Counter
+
+    subs = Counter()
+    for w, f in words.items():
+        for p in range(len(w)):
+            for ln in (1, 2, 3):
+                if p + ln <= len(w):
+                    subs[w[p : p + ln]] += f
+    singles = {s: c for s, c in subs.items() if len(s) == 1}
+    multis = sorted(
+        ((s, c) for s, c in subs.items() if len(s) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:seed_top_k]
+    seed = dict(singles)
+    seed.update(dict(multis))
+    usage = Counter()
+    for w, f in words.items():
+        res = _py_unigram_viterbi(w, seed)
+        for piece in _py_unigram_pieces(w, res[2]):
+            usage[piece] += f
+    trained = {s: usage.get(s, 0) for s in singles}
+    kept = sorted(
+        ((s, usage[s]) for s, _ in multis if usage.get(s, 0) > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:keep_top_k]
+    trained.update(dict(kept))
+    return trained
+
+
+def test_unigram_viterbi_em_matches_python_replay(spark):
+    """Unigram-LM tokenization (Kudo 2018, Viterbi-EM form): the full
+    Spark chain — seed scores, first Viterbi pass, hard-EM usage
+    re-estimation, prune, final Viterbi pass — matches an independent
+    python implementation word-for-word and piece-for-piece, including
+    on words with genuine segmentation ambiguity."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.tokenize import (
+        unigram_pieces,
+        unigram_train_scores,
+        unigram_viterbi_encode,
+    )
+
+    rows = [
+        ("banana", 3),
+        ("bandana", 1),
+        ("ana", 5),
+        ("nab", 2),
+        ("x", 1),
+        ("xyzxyz", 4),
+        ("aaaaaaa", 2),
+        ("zqzqzq", 1),
+        ("nanana", 6),
+        ("abcabcabc", 2),
+    ]
+    wdf = spark.createDataFrame(rows, "w STRING, f BIGINT")
+    scores = unigram_train_scores(wdf, seed_top_k=8, keep_top_k=4)
+    got_scores = {
+        r["piece"]: r["score"] for r in scores.collect()
+    }
+    want_scores = _py_unigram_train(dict(rows), 8, 4)
+    assert got_scores == want_scores
+
+    em = unigram_pieces(unigram_viterbi_encode(wdf, scores))
+    got = {}
+    for r in em.collect():
+        got.setdefault(r["w"], []).append((r["i"], r["piece"]))
+    got = {w: [p for _, p in sorted(v)] for w, v in got.items()}
+    want = {
+        w: _py_unigram_pieces(w, _py_unigram_viterbi(w, want_scores)[2])
+        for w, _ in rows
+    }
+    assert got == want
+
+
+def test_unigram_viterbi_beats_greedy_and_handles_unk(spark):
+    """Viterbi finds globally best segmentations greedy longest-match
+    cannot: on vocab {xy, yz, x, z} with score(x)+score(yz) >
+    score(xy)+score(z), 'xyz' segments as x|yz under unigram while
+    WordPiece's greedy takes xy|z; and an external vocab missing a
+    character yields the all-or-nothing NULL-lens → [UNK] row."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.tokenize import (
+        UNK,
+        unigram_pieces,
+        unigram_viterbi_encode,
+        wordpiece_encode,
+    )
+
+    words = spark.createDataFrame([("xyz", 1)], "w STRING, f BIGINT")
+    vocab = spark.createDataFrame(
+        [("xy", 2, 5), ("yz", 2, 9), ("x", 1, 2), ("z", 1, 1)],
+        "piece STRING, plen BIGINT, score BIGINT",
+    )
+    uni = [
+        r["piece"]
+        for r in unigram_pieces(unigram_viterbi_encode(words, vocab))
+        .orderBy("i")
+        .collect()
+    ]
+    assert uni == ["x", "yz"]  # 2 pieces both ways; 2+9 beats 5+1
+    wp = [
+        r["piece"]
+        for r in wordpiece_encode(words, vocab.select("piece", "plen"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert wp == ["xy", "z"]  # greedy longest-first takes xy
+
+    # fewest pieces dominates score: add a high-score single 'y' — the
+    # 2-piece splits still win over x|y|z even though its sum is larger
+    vocab2 = vocab.union(
+        spark.createDataFrame([("y", 1, 100)], vocab.schema)
+    )
+    uni2 = [
+        r["piece"]
+        for r in unigram_pieces(unigram_viterbi_encode(words, vocab2))
+        .orderBy("i")
+        .collect()
+    ]
+    assert uni2 == ["x", "yz"]
+
+    # external vocab with a coverage hole → all-or-nothing [UNK]
+    hole = spark.createDataFrame(
+        [("x", 1, 2), ("y", 1, 1)], "piece STRING, plen BIGINT, score BIGINT"
+    )
+    unk = unigram_pieces(unigram_viterbi_encode(words, hole)).collect()
+    assert [(r["i"], r["piece"]) for r in unk] == [(0, UNK)]

@@ -1230,11 +1230,15 @@ def gen_tokenlm_case(rng: random.Random) -> dict:
             wl = 1 + int(h[:2], 16) % 9
             words.append(h[2 : 2 + wl])
         docs.append((d, " ".join(words), f"s{d % 3}"))
-    sub = rng.choice(["wordpiece", "backoff"])
+    sub = rng.choice(["wordpiece", "backoff", "unigram"])
     case = {"kind": "tokenlm", "sub": sub, "docs": docs}
     if sub == "wordpiece":
         case["top_k"] = rng.randrange(2, 30)
         case["drop"] = rng.randrange(0, 3)
+    elif sub == "unigram":
+        # full Viterbi-EM chain: random seed width and prune target
+        case["seed_k"] = rng.randrange(2, 24)
+        case["keep_k"] = rng.randrange(1, 12)
     else:
         case["mod"] = rng.randrange(2, 5)
     return case
@@ -1282,6 +1286,31 @@ def run_tokenlm_spark(spark, sf_dir: str, case: dict):
         return sorted(
             (r["w"], int(r["np"]), int(r["unk"]), r["ps"])
             for r in out.collect()
+        )
+    if case["sub"] == "unigram":
+        from etl_weather_jabar_spark.ext.tokenize import (
+            unigram_pieces,
+            unigram_train_scores,
+            unigram_viterbi_encode,
+            word_counts,
+        )
+
+        wc = word_counts(docs)
+        scores = unigram_train_scores(
+            wc, seed_top_k=case["seed_k"], keep_top_k=case["keep_k"]
+        )
+        em = unigram_pieces(unigram_viterbi_encode(wc, scores))
+        out = em.groupBy("w").agg(
+            F.count(F.lit(1)).alias("np"),
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(F.struct("i", "piece"))
+                ).getField("piece"),
+            ).alias("ps"),
+        )
+        return sorted(
+            (r["w"], int(r["np"]), r["ps"]) for r in out.collect()
         )
     from etl_weather_jabar_spark.ext.lm import trigram_backoff_score
 
@@ -1360,6 +1389,55 @@ def run_tokenlm_duckdb(con, case: dict):
         SELECT w, CAST(count(*) AS BIGINT) AS np,
                max(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END) AS unk,
                string_agg(dp, '|' ORDER BY i) AS ps
+        FROM em GROUP BY w
+        """
+    elif case["sub"] == "unigram":
+        from etl_weather_jabar_spark.queries import (
+            _unigram_dp_sql,
+            _unigram_pieces_sql,
+        )
+
+        sql = f"""
+        WITH RECURSIVE wordtab AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS f
+            FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                            x -> x <> '')) AS w
+                  FROM fuzzdocs)
+            GROUP BY 1
+        ),
+        pos1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS p
+                 FROM wordtab),
+        lens0 AS (SELECT w, f, p, unnest([1, 2, 3]) AS l FROM pos1),
+        subs AS (SELECT substr(w, CAST(p AS INTEGER), CAST(l AS INTEGER))
+                            AS piece,
+                        CAST(l AS BIGINT) AS plen,
+                        CAST(sum(f) AS BIGINT) AS score
+                 FROM lens0 WHERE p + l - 1 <= length(w) GROUP BY 1, 2),
+        svtop AS (SELECT piece, plen, score FROM subs WHERE plen > 1
+                  ORDER BY score DESC, piece ASC LIMIT {case["seed_k"]}),
+        seedvocab AS (SELECT piece, plen, score FROM subs WHERE plen = 1
+                      UNION ALL SELECT piece, plen, score FROM svtop),
+        {_unigram_dp_sql('seedvocab', 'dp0')},
+        {_unigram_pieces_sql('dp0', 'p0')},
+        usage AS (SELECT piece, CAST(sum(f) AS BIGINT) AS u
+                  FROM p0 JOIN wordtab USING (w) GROUP BY 1),
+        tvtop AS (SELECT s.piece, s.plen, u.u AS score
+                  FROM seedvocab s JOIN usage u USING (piece)
+                  WHERE s.plen > 1 AND u.u > 0
+                  ORDER BY u.u DESC, s.piece ASC LIMIT {case["keep_k"]}),
+        tvocab AS (SELECT s.piece, s.plen,
+                          CAST(coalesce(u.u, 0) AS BIGINT) AS score
+                   FROM seedvocab s LEFT JOIN usage u USING (piece)
+                   WHERE s.plen = 1
+                   UNION ALL SELECT piece, plen, score FROM tvtop),
+        {_unigram_dp_sql('tvocab', 'dp1')},
+        {_unigram_pieces_sql('dp1', 'p1')},
+        em AS (SELECT w, i, piece FROM p1
+               UNION ALL
+               SELECT w, CAST(0 AS BIGINT), '[UNK]'
+               FROM dp1 WHERE lens IS NULL)
+        SELECT w, CAST(count(*) AS BIGINT) AS np,
+               string_agg(piece, '|' ORDER BY i) AS ps
         FROM em GROUP BY w
         """
     else:
@@ -1689,6 +1767,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     n_cases = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    # optional 4th arg: force every case into ONE family by name
+    # (e.g. `tokenlm`) — the validation mode each new family ships with
+    only = sys.argv[4] if len(sys.argv) > 4 else None
 
     spark = get_spark("fuzz")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1711,7 +1792,12 @@ def main() -> int:
     failures = 0
     for i in range(n_cases):
         roll = rng.random()
-        if roll < 0.14:
+        if only is not None:
+            g = globals()
+            case = g[f"gen_{only}_case"](rng)
+            a = normalize(g[f"run_{only}_spark"](spark, sf_dir, case))
+            b = normalize(g[f"run_{only}_duckdb"](con, case))
+        elif roll < 0.14:
             case = gen_window_case(rng)
             a = normalize(run_window_spark(spark, sf_dir, case))
             b = normalize(run_window_duckdb(con, case))
