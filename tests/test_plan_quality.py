@@ -262,3 +262,23 @@ def test_rfm_ntile_adds_zero_exchanges(spark):
     parts = set(re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan))
     assert len(parts) == 1 and next(iter(parts)).startswith("r#"), parts
     assert not re.search(r"Exchange (range|RoundRobin)", plan, re.I), plan
+
+
+def test_ppl_bucket_split_has_no_unpartitioned_window(spark):
+    """Round-7 verdict item 1 made permanent: the CCNet tercile query's
+    plan must never regress to a corpus-wide single-partition Window.
+    After the scalable_ntile swap the only Window left is the LOCAL
+    per-range-bucket row_number (partitionBy __part — exactly the
+    scale-safe shape), and the offsets prefix-sum is a broadcast join,
+    not a Window. A partitioned Window line prints three top-level
+    bracket groups ([funcs], [partition], [order]); an unpartitioned
+    one prints two — assert every Window in the plan is partitioned."""
+    import re
+
+    plan = _plan(spark, "ppl_bucket_split")
+    windows = [
+        ln for ln in plan.splitlines() if re.search(r"\bWindow \[", ln)
+    ]
+    assert windows, "expected the partitioned local-rank Window"
+    for ln in windows:
+        assert ln.count("], [") == 2, f"unpartitioned Window: {ln}"

@@ -238,6 +238,15 @@ EXPECTED_NESTED_LOOP = {
     "ivfpq_delete_serve": "residual subvectors/probes × model-sized broadcasts (plan-only uses the unindexed residual shape)",
     "ivf_fixed_centroids_topk": "corpus × centroid-count-sized model broadcast (fixed-centroid IVF)",
     "theta_sketch_setops_users": "1-row sketch aggregates cross-combined for set algebra",
+    # round 8: windows.py prefix offsets became a strict-< triangular
+    # broadcast self-join over the |buckets|-row counts frame (replacing
+    # the unpartitioned Window that tripped WindowExec warnings) — the
+    # broadcast side is bucket-count-sized by construction
+    "ppl_bucket_split": "bucket-count-sized triangular prefix-sum offsets broadcast (scalable_ntile)",
+    "ntile_cume_dist_customers": "bucket-count-sized triangular prefix-sum offsets broadcast (scalable_ntile)",
+    "equidepth_histogram_totalprice": "bucket-count-sized triangular prefix-sum offsets broadcast (scalable_ntile)",
+    "pack_sequences_512": "bucket-count-sized triangular prefix-sum offsets broadcast (scalable_prefix_sum)",
+    "neardup_cluster_eval": "1-row metric aggregates cross-combined for the output row",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
     "semantic_dedup_docs": "corpus × centroid-count-sized model broadcast (SemDeDup assignment)",
     "pagerank_exact_int": "ranks × 1-row node-count/dangling-mass broadcasts per unrolled iteration",

@@ -39,7 +39,7 @@ def main():
     spark = get_spark("scaling-tokenize")
     spark.sparkContext.setLogLevel("ERROR")
     print(f"{'sf':8s} {'docs':>6s} {'words':>6s} {'total_s':>8s} "
-          f"{'loop_s':>7s}")
+          f"{'loop_s':>7s} {'uni_s':>7s}")
     for sf in ("0.001", "0.01", "0.1"):
         sf_dir = f"/root/testdata/sf{sf}"
         docs = load_table(spark, sf_dir, "documents")
@@ -65,8 +65,27 @@ def main():
             dt = time.time() - t0
             best_loop = dt if best_loop is None else min(best_loop, dt)
 
+        # unigram (round 8): the SAME vocabulary-not-corpus contract for
+        # the Viterbi-EM chain — both DP loops run on the cached
+        # distinct-word frame, so this column must stay flat too
+        from etl_weather_jabar_spark.ext.tokenize import (
+            unigram_pieces,
+            unigram_train_scores,
+            unigram_viterbi_encode,
+        )
+
+        best_uni = None
+        for _ in range(2):
+            t0 = time.time()
+            sc = unigram_train_scores(wc)
+            unigram_pieces(unigram_viterbi_encode(wc, sc)).agg(
+                F.count(F.lit(1))
+            ).collect()
+            dt = time.time() - t0
+            best_uni = dt if best_uni is None else min(best_uni, dt)
+
         print(f"{sf:8s} {n_docs:6d} {n_words:6d} {best_total:8.2f} "
-              f"{best_loop:7.2f}")
+              f"{best_loop:7.2f} {best_uni:7.2f}")
 
 
 if __name__ == "__main__":
