@@ -184,6 +184,9 @@ AUDIT_QUERIES = [
     "langid_confusion_eval",
     "classifier_eval_holdout",
     "minhash_pr_eval",
+    # round-8 additions
+    "neardup_cluster_eval",
+    "unigram_encode_stats",
 ]
 
 
