@@ -164,15 +164,18 @@ def test_global_rank_scalable_matches_global_window(spark):
     )
     flat = plan.replace(" ", "")
     assert "hashpartitioning(__part" in flat
-    # exactly one SinglePartition exchange is allowed: the offsets
-    # window over the ALREADY-AGGREGATED per-bucket counts (<= nparts
-    # rows) — the raw data itself must never funnel into one partition
-    assert plan.count("Exchange SinglePartition") <= 1
+    # round 8: the offsets prefix sum is a triangular broadcast
+    # self-join, not an unpartitioned Window — so NO SinglePartition
+    # exchange exists anywhere in the plan (previously one was allowed
+    # for the tiny offsets window)
+    assert plan.count("Exchange SinglePartition") == 0
     assert "rangepartitioning" not in flat.lower()
     # the window runs directly on the bucket exchange: exactly one Sort
-    # over the full data (__part + order cols); the tiny offsets window
-    # sorts <= nparts rows
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # over the full data (__part + order cols). Hash exchanges: (1) the
+    # data repartition on __part, (2) the counts partial-agg shuffle,
+    # (3) the offsets aggregation after the triangular join — (2) and
+    # (3) move <= nparts (resp. <= nparts²) count rows, never data
+    assert plan.count("Exchange hashpartitioning") <= 3
 
 
 def test_asof_join_backward(spark):
