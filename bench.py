@@ -168,18 +168,37 @@ def _machine_sentinel() -> dict:
     me = os.getpid()
     other = 0
     try:
+        # snapshot the whole process tree first: our py4j JVM spawns
+        # pyspark.daemon workers as ITS children, so "not my direct
+        # child" is not enough — exclude every DESCENDANT by walking
+        # each candidate's ppid chain against the snapshot
+        ppids: dict[int, int] = {}
+        cmds: dict[int, str] = {}
         for pid in os.listdir("/proc"):
-            if not pid.isdigit() or int(pid) == me:
+            if not pid.isdigit():
                 continue
             try:
                 with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                    cmd = fh.read().decode("utf-8", "replace")
+                    cmds[int(pid)] = fh.read().decode("utf-8", "replace")
                 with open(f"/proc/{pid}/stat") as fh:
-                    ppid = int(fh.read().rsplit(")", 1)[1].split()[1])
+                    ppids[int(pid)] = int(
+                        fh.read().rsplit(")", 1)[1].split()[1]
+                    )
             except (OSError, ValueError, IndexError):
                 continue  # process exited mid-scan
-            if ppid == me:
-                continue  # our own py4j JVM / worker children
+
+        def is_descendant(pid: int) -> bool:
+            seen = 0
+            while pid > 1 and seen < 64:
+                if pid == me:
+                    return True
+                pid = ppids.get(pid, 0)
+                seen += 1
+            return False
+
+        for pid, cmd in cmds.items():
+            if pid == me or is_descendant(pid):
+                continue
             if "org.apache.spark" in cmd or "pyspark" in cmd:
                 other += 1
     except OSError:  # pragma: no cover - /proc absent (non-linux)
