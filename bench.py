@@ -150,6 +150,8 @@ TIER3_QUERIES = [
     "minhash_pr_eval",
     # round-8 additions
     "stream_state_report",
+    "neardup_cluster_eval",
+    "unigram_encode_stats",
 ]
 
 

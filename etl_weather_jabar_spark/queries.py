@@ -13847,7 +13847,10 @@ def ppl_bucket_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ascending total order on (-lm_ppm, doc_id) — identical bucket
     assignment, numeric leading column so the one-shuffle range
     bucketing applies (tests/test_analytics.py pins equality with the
-    naive ``F.ntile`` form)."""
+    naive ``F.ntile`` form). At bench scale the scalable form pays a
+    few extra bucket-sizing jobs (~1.4 s → ~5 s at sf0.1) — the price
+    of removing the corpus-wide single-reducer sort whose cost, unlike
+    these fixed jobs, grows with the data."""
     from .ext.lm import bigram_lm_score
     from .operators.windows import scalable_ntile
 
