@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exact import half_up_div
+from ..functions.exact import floor_div, half_up_div
 
 
 def bigram_lm_score(
@@ -132,6 +132,149 @@ def _h16(*cols) -> "F.Column":
             parts.append(F.lit(" "))
         parts.append(c)
     return F.substring(F.md5(F.concat(*parts)), 1, 16)
+
+
+def kneser_ney_score(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Chen & Goodman 1999 §3,
+    eq. 15) in exact integer arithmetic — the canonical n-gram
+    smoothing, with the absolute discount D = 3/4 as an exact rational
+    so the model is bit-reproducible in any engine:
+
+        P(w2|w1) = max(c(w1 w2) − 3/4, 0) / c(w1 ·)
+                 + (3/4) · N1+(w1 ·) / c(w1 ·) · P_cont(w2)
+        P_cont(w2) = N1+(· w2) / N1+(· ·)
+
+    Multiplying through by 4·c(w1 ·)·N1+(· ·) clears every denominator:
+
+        ppm = (max(4·c12 − 3, 0)·T + 3·N1p(w1)·NR(w2)) · 10⁶
+                  div (4·c1·T)
+
+    with c12/c1 the training bigram/context occurrence counts, N1p the
+    distinct continuations of w1, NR the distinct left-contexts of w2,
+    and T the total distinct bigram types. Every quantity is a count,
+    so the probability is an exact integer ratio; products are promoted
+    to decimal(38,0) (HUGEINT in the twin) before the ·10⁶ scaling.
+    The model provably normalizes (Σ_w2 P(w2|w1) = 1 exactly — pinned
+    in the Fraction replay pytest). Unseen-context transitions fall
+    back to the bare continuation probability NR(w2)·10⁶ div T (the
+    unigram KN estimate); fully-OOV words score 0.
+
+    Train/eval split is the caller's (held-out scoring is the default
+    deployment shape, as in :func:`trigram_backoff_score`). Output per
+    eval document: transition count, half-up mean ppm, min ppm.
+
+    100 TB: one corpus pass per side builds the occurrence streams;
+    the four statistics tables are vocabulary-bounded partial
+    aggregates over 16-hex keys (c12 is the biggest — distinct bigram
+    TYPES, Zipf-sparse); T is a 1-row broadcast; scoring is three LEFT
+    equi-joins + a map-side-combining per-doc rollup. Text never
+    shuffles.
+
+    Reference anchor: no LM scoring in the reference (SURVEY §2.2
+    P7/P10 is its only quality gate); driver-mandated LLM-pipeline
+    extension completing the family (bigram CCNet ppm, stupid-backoff,
+    Kneser-Ney).
+    """
+
+    def bigram_occ(docs: DataFrame) -> DataFrame:
+        arr = docs.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("t")
+        )
+        arr = arr.select(
+            F.col(id_col), F.filter("t", lambda w: w != "").alias("t")
+        )
+        seq = F.when(
+            F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return arr.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    seq,
+                    lambda i: F.struct(
+                        _h16(
+                            F.element_at("t", i), F.element_at("t", i + 1)
+                        ).alias("h12"),
+                        _h16(F.element_at("t", i)).alias("h1"),
+                        _h16(F.element_at("t", i + 1)).alias("hw"),
+                    ),
+                )
+            ).alias("g"),
+        ).select(F.col(id_col), "g.h12", "g.h1", "g.hw")
+
+    tr = bigram_occ(train_docs)
+    # Distinct bigram TYPES with their occurrence counts; h1/hw are
+    # functionally determined by h12, so min() is exact.
+    types = tr.groupBy("h12").agg(
+        F.min("h1").alias("h1"),
+        F.min("hw").alias("hw"),
+        F.count(F.lit(1)).alias("c12"),
+    )
+    # Context table: occurrence count c1 and distinct-continuation
+    # count n1p per left word.
+    c1 = tr.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    n1p = types.groupBy("h1").agg(F.count(F.lit(1)).alias("n1p"))
+    ctx = c1.join(n1p, "h1")  # both derive from the same key set
+    # Continuation table: distinct left-contexts per right word.
+    nr = types.groupBy("hw").agg(F.count(F.lit(1)).alias("nr"))
+    total = types.groupBy().agg(F.count(F.lit(1)).alias("t_types"))
+
+    occ = bigram_occ(eval_docs)
+    j = (
+        occ.join(types.select("h12", "c12"), "h12", "left")
+        .join(ctx, "h1", "left")
+        .join(nr, "hw", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    dec = "decimal(38,0)"
+    # c12 NULL (unseen bigram, seen context) still earns the discounted
+    # continuation mass; nr NULL (OOV right word) contributes zero.
+    c12n = F.coalesce(F.col("c12"), F.lit(0)).cast(dec)
+    nrn = F.coalesce(F.col("nr"), F.lit(0)).cast(dec)
+    seen_num = (
+        F.greatest(c12n * 4 - 3, F.lit(0).cast(dec))
+        * F.col("t_types").cast(dec)
+        + F.col("n1p").cast(dec) * 3 * nrn
+    )
+    seen_den = F.col("c1").cast(dec) * 4 * F.col("t_types")
+    ppm = (
+        F.when(F.col("t_types") == 0, F.lit(0))  # empty training corpus
+        .when(
+            F.col("c1").isNotNull(),
+            floor_div(seen_num * 1000000, seen_den),
+        )
+        .otherwise(floor_div(nrn * 1000000, F.col("t_types").cast(dec)))
+    )
+    scored = j.select(F.col(id_col), ppm.cast("bigint").alias("ppm"))
+    perdoc = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("ppm").alias("__sp"),
+            F.min("ppm").cast("bigint").alias("min_ppm"),
+        )
+        .withColumn(
+            "kn_ppm",
+            half_up_div(F.col("__sp"), F.col("n_bigrams")).cast("bigint"),
+        )
+    )
+    return (
+        eval_docs.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            "kn_ppm",
+            "min_ppm",
+        )
+    )
 
 
 def trigram_backoff_score(

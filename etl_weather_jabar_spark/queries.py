@@ -13975,6 +13975,100 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_backoff_score(train, ev)
 
 
+@_register(
+    "kneser_ney_ppl",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ss, 1) AS BIGINT) AS pos,
+               unnest(ss) AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                         AS ss
+              FROM documents)
+    ),
+    seqs AS (
+        SELECT doc_id, doc_id % 2 AS half, tok AS w1,
+               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ),
+    big AS (
+        SELECT doc_id, half,
+               substr(md5(w1 || ' ' || w2), 1, 16) AS h12,
+               substr(md5(w1), 1, 16) AS h1,
+               substr(md5(w2), 1, 16) AS hw
+        FROM seqs WHERE w2 IS NOT NULL
+    ),
+    types AS (
+        SELECT h12, min(h1) AS h1, min(hw) AS hw, count(*) AS c12
+        FROM big WHERE half = 0 GROUP BY 1
+    ),
+    ctx1 AS (SELECT h1, count(*) AS c1
+             FROM big WHERE half = 0 GROUP BY 1),
+    n1p AS (SELECT h1, count(*) AS n1p FROM types GROUP BY 1),
+    nr AS (SELECT hw, count(*) AS nr FROM types GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM types),
+    scored AS (
+        SELECT b.doc_id,
+               CASE WHEN (SELECT t FROM tot) = 0 THEN 0
+                    WHEN c.c1 IS NOT NULL THEN CAST(
+                        (greatest(
+                             CAST(coalesce(ty.c12, 0) AS HUGEINT) * 4 - 3,
+                             0)
+                             * (SELECT t FROM tot)
+                         + CAST(p.n1p AS HUGEINT) * 3 * coalesce(r.nr, 0))
+                        * 1000000
+                        // (CAST(c.c1 AS HUGEINT) * 4
+                            * (SELECT t FROM tot)) AS BIGINT)
+                    ELSE CAST(
+                        CAST(coalesce(r.nr, 0) AS HUGEINT) * 1000000
+                        // (SELECT t FROM tot) AS BIGINT)
+               END AS ppm
+        FROM big b
+        LEFT JOIN (SELECT h12, c12 FROM types) ty USING (h12)
+        LEFT JOIN ctx1 c USING (h1)
+        LEFT JOIN n1p p USING (h1)
+        LEFT JOIN nr r USING (hw)
+        WHERE b.half = 1
+    ),
+    pd AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(ppm) AS BIGINT) AS sp,
+               CAST(min(ppm) AS BIGINT) AS min_ppm
+        FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST({_sql_halfup('pd.sp', 'pd.n_bigrams')} AS BIGINT)
+               AS kn_ppm,
+           pd.min_ppm
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN pd USING (doc_id)
+    """,
+)
+def kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out interpolated Kneser-Ney bigram scoring (Chen & Goodman
+    1999 §3) — the canonical n-gram smoothing beside the engine's CCNet
+    bigram ppm and stupid-backoff scorers, in exact integer arithmetic:
+    the absolute discount D = 3/4 is an exact rational, so clearing
+    denominators (×4·c1·T) turns every transition probability into an
+    integer ratio the oracle replays bit-for-bit — training (type/
+    context/continuation tables) AND inference. The model provably
+    normalizes (Σ P(w2|w1) = 1, pinned in the Fraction replay pytest);
+    unseen contexts fall back to the bare continuation probability
+    N1+(·w2)/T, KN's own unigram estimate. Train on even doc_ids,
+    score odd — the CCNet deployment shape. 100 TB: four vocabulary-
+    bounded partial-agg count tables on 16-hex keys + three LEFT
+    equi-joins + one map-side-combining per-doc rollup; text never
+    shuffles (see ext/lm.py::kneser_ney_score)."""
+    from .ext.lm import kneser_ney_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    ev = docs.where(F.col("doc_id") % 2 == 1)
+    return kneser_ney_score(train, ev)
+
+
 
 @_register("video_frame_sample_stats")  # rows-only: binary payload ops
 def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -810,6 +810,90 @@ def test_trigram_backoff_matches_python_replay(spark):
     assert levels_seen == {3, 2, 1, 0}
 
 
+def test_kneser_ney_matches_fraction_replay(spark):
+    """Interpolated Kneser-Ney bigram scoring pinned against an
+    independent Fraction-arithmetic reference, and the model itself
+    validated: for every seen context the exact-rational
+    Σ_w2 P(w2|w1) over the full continuation vocabulary equals 1
+    (the normalization identity D = 3/4 interpolation must satisfy).
+    The fixture exercises every path: seen bigram, unseen bigram under
+    a seen context (discounted continuation mass only), OOV context
+    with a known continuation word, fully-OOV right word (scores 0),
+    and a <2-token doc (NULL path)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from etl_weather_jabar_spark.ext.lm import kneser_ney_score
+
+    train_rows = [
+        (0, "the cat sat on the mat"),
+        (2, "the cat ran"),
+    ]
+    eval_rows = [
+        (1, "the cat sat"),      # seen bigrams
+        (3, "x"),                # <2 tokens → NULL scores
+        (5, "dog sat on zzz"),   # OOV ctx; seen; seen-ctx + OOV word
+        (7, "mat the"),          # ctx never on the left → cont. path
+        (9, "on mat"),           # seen ctx, seen cont. word, unseen pair
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_ppm"], r["min_ppm"])
+        for r in kneser_ney_score(train, ev).collect()
+    }
+
+    c12, c1 = Counter(), Counter()
+    for _, t in train_rows:
+        w = [x for x in t.split(" ") if x]
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    n1p = Counter(a for a, _ in c12)
+    nr = Counter(b for _, b in c12)
+    t_types = len(c12)
+
+    # The normalization identity, in exact rationals.
+    for a in n1p:
+        total = sum(
+            (
+                Fraction(max(Fraction(4 * c12[(a, b)] - 3, 4), 0), c1[a])
+                + Fraction(3, 4) * n1p[a] * Fraction(nr[b], t_types)
+                / c1[a]
+            )
+            for b in nr
+        )
+        assert total == 1, (a, total)
+
+    def score(a, b):
+        if c1[a]:
+            num = max(4 * c12[(a, b)] - 3, 0) * t_types + 3 * n1p[a] * nr[b]
+            return num * 1_000_000 // (4 * c1[a] * t_types)
+        return nr[b] * 1_000_000 // t_types
+
+    paths = set()
+    for d, t in eval_rows:
+        w = [x for x in t.split(" ") if x]
+        ppms = [score(a, b) for a, b in zip(w, w[1:])]
+        for a, b in zip(w, w[1:]):
+            if c12[(a, b)]:
+                paths.add("seen")
+            elif c1[a] and nr[b]:
+                paths.add("unseen_bigram")
+            elif c1[a]:
+                paths.add("oov_word")
+            else:
+                paths.add("oov_ctx")
+        if not ppms:
+            assert out[d] == (0, None, None)
+            continue
+        sp, n = sum(ppms), len(ppms)
+        assert out[d] == (n, (2 * sp + n) // (2 * n), min(ppms))
+    assert paths == {"seen", "unseen_bigram", "oov_word", "oov_ctx"}
+    # the fully-OOV right word really scored 0
+    assert out[5][2] == 0
+
+
 def test_record_linkage_fs_semantics(spark, tmp_path):
     """Fellegi-Sunter linkage semantics pinned on a hand-built customer
     table: clean records link to themselves; a name-corrupted record
