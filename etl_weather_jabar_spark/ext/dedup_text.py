@@ -582,6 +582,104 @@ def crossdoc_repeated_ngrams(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every token ``k``-gram, slide a window of
+    ``w`` consecutive hashes over each document, and in every window
+    select the minimum hash (rightmost occurrence on ties). The
+    selected (position, hash) set is the document's fingerprint, with
+    the paper's guarantee: any shared token run of length ≥ w+k−1
+    between two documents produces at least one shared fingerprint
+    (pinned in pytest), at an expected density of 2/(w+1).
+
+    Returns one row per selected fingerprint: ``(id, pos, h)`` with
+    ``pos`` the 1-based k-gram position and ``h`` a 56-bit md5-derived
+    hash (14 hex chars, so the tie-break packing below stays in
+    bigint). Documents shorter than ``k`` tokens contribute no rows.
+
+    Relational shape (no window functions, no self-joins):
+
+    1. one pass builds (pos, h) per k-gram via ``transform(sequence)``
+       + explode — zero shuffle;
+    2. each position fans out to the ≤ w windows containing it
+       (windows are starts ``s ∈ 1..max(m−w+1, 1)``; short docs get
+       one truncated window covering all hashes);
+    3. the per-window rightmost-min is ONE partial-aggregatable
+       ``min(h·16 + (window_end − pos))`` — smallest hash first, then
+       smallest distance-from-end (= rightmost position); ``w ≤ 16``
+       keeps the packing exact;
+    4. distinct (id, pos, h) de-duplicates positions selected by
+       several windows.
+
+    100 TB: the fan-out is a bounded ×w row multiplication of (id,
+    pos, 8-byte hash) triples — text itself never shuffles; the
+    groupBy key (id, s) is per-document so partial aggregation
+    combines map-side; no global or per-doc sort anywhere.
+    """
+    if not 2 <= w <= 16:
+        raise ValueError("w must be in 2..16 (tie-break packing)")
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    m = (F.size("t") - F.lit(k - 1)).alias("m")
+    starts = F.when(
+        F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    kg = toks.select(
+        F.col(id_col),
+        m,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.array_join(F.slice("t", i, k), " ")),
+                            1,
+                            14,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("bigint")
+                    .alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select(F.col(id_col), "m", "g.pos", "g.h")
+    n_starts = F.greatest(F.col("m") - F.lit(w - 1), F.lit(1))
+    win = kg.select(
+        F.col(id_col),
+        F.col("m"),
+        F.col("pos"),
+        F.col("h"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - F.lit(w - 1), F.lit(1)),
+                F.least(F.col("pos"), n_starts),
+            )
+        ).alias("s"),
+    ).select(
+        F.col(id_col),
+        F.col("s"),
+        F.least(F.col("s") + F.lit(w - 1), F.col("m")).alias("e"),
+        (F.col("h") * 16 + F.least(F.col("s") + F.lit(w - 1), F.col("m"))
+         - F.col("pos")).alias("packed"),
+    )
+    sel = win.groupBy(id_col, "s", "e").agg(F.min("packed").alias("p"))
+    return sel.select(
+        F.col(id_col),
+        (F.col("e") - F.pmod("p", F.lit(16))).cast("bigint").alias("pos"),
+        F.expr("p div 16").cast("bigint").alias("h"),
+    ).distinct()
+
+
 def cdc_chunks(
     docs: DataFrame,
     id_col: str = "doc_id",

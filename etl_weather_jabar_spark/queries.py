@@ -10925,6 +10925,178 @@ def crossdoc_repeated_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Shared DuckDB CTE chain ending in ``fp(doc_id, pos, h)`` — the twin of
+# ext/dedup_text.py::winnow_fingerprints with k=3, w=4: normalized-token
+# 3-gram 56-bit hashes, per-window rightmost-min selection via the same
+# ``min(h·16 + (end − pos))`` packing, distinct selected positions.
+_WINNOW_FP_CTE = f"""
+    WITH toks AS (SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents),
+    kg AS (
+        SELECT doc_id, len(t) - 2 AS m, p + 1 AS pos,
+               ('0x' || substr(md5(array_to_string(t[p + 1:p + 3], ' ')),
+                               1, 14))::BIGINT AS h
+        FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(p)
+    ),
+    win AS (
+        SELECT doc_id, s, least(s + 3, m) AS e,
+               h * 16 + least(s + 3, m) - pos AS packed
+        FROM (SELECT doc_id, m, pos, h,
+                     unnest(generate_series(
+                         greatest(pos - 3, 1),
+                         least(pos, greatest(m - 3, 1)))) AS s
+              FROM kg)
+    ),
+    sel AS (SELECT doc_id, s, e, min(packed) AS p
+            FROM win GROUP BY 1, 2, 3),
+    fp AS (SELECT DISTINCT doc_id, e - (p % 16) AS pos, p // 16 AS h
+           FROM sel)
+"""
+
+
+@_register(
+    "winnowing_fingerprints",
+    _WINNOW_FP_CTE
+    + """,
+    per AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+    xr AS (SELECT doc_id, bit_xor(h) AS fp_xor
+           FROM (SELECT DISTINCT doc_id, h FROM fp) GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(greatest(len(t.t) - 2, 0) AS BIGINT) AS n_kgrams,
+           CAST(coalesce(per.n_fp, 0) AS BIGINT) AS n_fp,
+           CASE WHEN len(t.t) >= 3
+                THEN CAST(coalesce(per.n_fp, 0) * 1000000
+                          // (len(t.t) - 2) AS BIGINT)
+           END AS density_ppm,
+           xr.fp_xor
+    FROM toks t LEFT JOIN per USING (doc_id) LEFT JOIN xr USING (doc_id)
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints (Schleimer et al. 2003,
+    SIGMOD), per-document audit: k-gram count, selected-fingerprint
+    count, selection density in exact ppm (the paper's expectation is
+    2/(w+1) ≈ 400000 for w=4), and an order-free bit_xor digest of the
+    distinct selected hashes — equal digests ⇒ near-certainly equal
+    fingerprint sets, the cheap first-pass comparison. The whole
+    pipeline — 3-gram 56-bit hashes, the ×w window fan-out, the
+    rightmost-min packed selection — is replayed in the oracle, so the
+    hash match certifies the ALGORITHM, not just the summary. 100 TB:
+    zero window functions and zero sorts; a bounded ×4 fan-out of (id,
+    pos, hash) triples, per-doc partial-agg group keys, text never
+    shuffles (ext/dedup_text.py::winnow_fingerprints)."""
+    from .ext.dedup_text import winnow_fingerprints
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    fp = winnow_fingerprints(docs, k=3, w=4)
+    per = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    )
+    xr = (
+        fp.select("doc_id", "h")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.expr("bit_xor(h)").alias("fp_xor"))
+    )
+    from .functions.text import tokens as _tokens
+
+    tot = docs.select(
+        "doc_id",
+        F.greatest(F.size(_tokens(F.col("text"))) - 2, F.lit(0))
+        .cast("bigint")
+        .alias("n_kgrams"),
+    )
+    return (
+        tot.join(per, "doc_id", "left")
+        .join(xr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.coalesce("n_fp", F.lit(0)).cast("bigint").alias("n_fp"),
+            F.when(
+                F.col("n_kgrams") > 0,
+                F.expr("coalesce(n_fp, 0) * 1000000 div n_kgrams"),
+            ).cast("bigint").alias("density_ppm"),
+            "fp_xor",
+        )
+    )
+
+
+@_register(
+    "winnowing_overlap_pairs",
+    _WINNOW_FP_CTE
+    + """,
+    dfp AS (SELECT DISTINCT doc_id, h FROM fp),
+    hot AS (SELECT h FROM dfp GROUP BY h HAVING count(*) <= 32),
+    capped AS (SELECT dfp.* FROM dfp JOIN hot USING (h)),
+    sizes AS (SELECT doc_id, count(*) AS nf FROM dfp GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(shared * 1000000 // least(sa.nf, sb.nf) AS BIGINT)
+               AS overlap_ppm
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY shared DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing overlap (the MOSS plagiarism report):
+    documents pair through SHARED selected fingerprints — an equi-join
+    on the fingerprint hash, never an all-pairs comparison — scored by
+    shared count and containment ppm (shared · 10⁶ div min fingerprint
+    count). Hashes selected in more than 32 documents are dropped
+    before pairing (the df-cap quadratic control, same role as the
+    stop-shingle cut in ngram_jaccard_pairs); the cap is replayed in
+    the oracle so the certified answer includes the cap rule. Top 20
+    by (shared DESC, doc_a, doc_b) — a total order. 100 TB: pair
+    fan-out bounded by df-cap² per hash; only (id, 8-byte hash) pairs
+    shuffle; TakeOrdered top-k, no global sort."""
+    from .ext.dedup_text import winnow_fingerprints
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dfp = winnow_fingerprints(docs, k=3, w=4).select("doc_id", "h").distinct()
+    hot = dfp.groupBy("h").agg(F.count(F.lit(1)).alias("__df")).where(
+        F.col("__df") <= 32
+    ).select("h")
+    capped = dfp.join(hot, "h")
+    sizes = dfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = capped.select(F.col("doc_id").alias("doc_a"), "h")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            "shared",
+            F.expr("shared * 1000000 div least(na, nb)")
+            .cast("bigint")
+            .alias("overlap_ppm"),
+        )
+        .orderBy(F.col("shared").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
 @_register(
     "incremental_agg_view_orders",
     """
@@ -15045,6 +15217,148 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_sym.cast("int").alias("rule_symbol_ratio"),
         r_alpha.cast("int").alias("rule_alpha_words"),
         (r_wc & r_mwl & r_sym & r_alpha).cast("int").alias("keep"),
+    )
+
+
+@_register(
+    "rater_agreement_kappa",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_filter(regexp_split_to_array(
+                   regexp_replace(regexp_replace(lower(trim(text)),
+                       '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'),
+                   ' '), x -> x <> '') AS nt,
+               CAST(length(text) - length(regexp_replace(
+                        text, '[\\p{P}]', '', 'g'))
+                    AS DOUBLE) / length(text) AS praw
+        FROM documents WHERE length(text) > 0
+    ),
+    flags AS (
+        SELECT doc_id,
+               CASE WHEN len(w) BETWEEN 50 AND 100000
+                     AND length(array_to_string(w, '')) >= 3 * len(w)
+                     AND length(array_to_string(w, '')) <= 10 * len(w)
+                     AND len(list_filter(w,
+                             x -> x LIKE '%#%' OR x LIKE '%...%')) * 10
+                         <= len(w)
+                     AND len(list_filter(w,
+                             x -> regexp_matches(x, '\\p{L}'))) * 10
+                         >= len(w) * 8
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN round((least(len(nt) / 50.0, 1.0)
+                        + (1.0 - least(praw * 5.0, 1.0))
+                        + least((len(list_filter(nt,
+                                   x -> x IN ('the','and','of','to','is')))
+                                 / CAST(len(nt) AS DOUBLE)) * 10.0, 1.0))
+                        / 3.0, 4) >= 0.5
+                    THEN 1 ELSE 0 END AS b
+        FROM t WHERE len(nt) > 0
+    ),
+    cells AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a * b) AS BIGINT) AS kk,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS ka,
+               CAST(sum((1 - a) * b) AS BIGINT) AS kb,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS dd
+        FROM flags
+    ),
+    k AS (
+        SELECT n, kk, ka, kb, dd,
+               (CAST(kk + dd AS HUGEINT) * n
+                - CAST(kk + ka AS HUGEINT) * (kk + kb)
+                - CAST(kb + dd AS HUGEINT) * (ka + dd)) * 1000000
+                   AS num,
+               CAST(n AS HUGEINT) * n
+                - CAST(kk + ka AS HUGEINT) * (kk + kb)
+                - CAST(kb + dd AS HUGEINT) * (ka + dd) AS den
+        FROM cells
+    )
+    SELECT n AS n_docs, kk AS both_keep, ka AS a_only_keep,
+           kb AS b_only_keep, dd AS both_drop,
+           CAST(CAST(kk + dd AS HUGEINT) * 1000000 // n AS BIGINT)
+               AS po_ppm,
+           CAST((CAST(kk + ka AS HUGEINT) * (kk + kb)
+                 + CAST(kb + dd AS HUGEINT) * (ka + dd)) * 1000000
+                // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+           CASE WHEN den <> 0
+                THEN CAST((num - ((num % den + den) % den)) // den
+                          AS BIGINT)
+           END AS kappa_ppm
+    FROM k
+    """,
+)
+def rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between the engine's two
+    certified quality raters — the Gopher rule conjunction
+    (gopher_rules_docs) and the composite quality-score threshold
+    (quality_filter_docs) — the standard chance-corrected agreement
+    statistic for labeling pipelines, computed entirely from the 2×2
+    confusion cells so it is an exact integer ratio:
+
+        κ = (po − pe) / (1 − pe)
+          = (agree·n − ay·by − an·bn) / (n² − ay·by − an·bn)
+
+    reported in floor ppm (NULL when pe = 1, i.e. both raters
+    constant). Population = documents where both raters are defined
+    (non-empty text, ≥1 normalized token). 100 TB: one scan, one
+    4-cell global aggregate — partial aggregation does all the work;
+    the kappa arithmetic runs on a single row."""
+    docs = spread(load_table(spark, sf_dir, "documents")).where(
+        F.length("text") > 0
+    )
+    w = F.split("text", " ")
+    staged = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.length(F.array_join(w, "")).cast("bigint").alias("sum_len"),
+        F.size(F.filter(w, lambda x: x.rlike(r"\p{L}")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.filter(w, lambda x: x.contains("#") | x.contains("...")))
+        .cast("bigint")
+        .alias("n_symbol"),
+        quality_score(F.col("text")).alias("q"),
+        token_count_ws(F.col("text")).alias("nt"),
+    ).where(F.col("nt") > 0)
+    a = (
+        F.col("n_words").between(50, 100000)
+        & (F.col("sum_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_len") <= 10 * F.col("n_words"))
+        & (F.col("n_symbol") * 10 <= F.col("n_words"))
+        & (F.col("n_alpha") * 10 >= F.col("n_words") * 8)
+    ).cast("int")
+    b = (F.col("q") >= 0.5).cast("int")
+    cells = staged.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("kk"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("ka"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("kb"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("dd"),
+    )
+    dec = "decimal(38,0)"
+    nD = F.col("n").cast(dec)
+    prod = (F.col("kk") + F.col("ka")).cast(dec) * (
+        F.col("kk") + F.col("kb")
+    ) + (F.col("kb") + F.col("dd")).cast(dec) * (F.col("ka") + F.col("dd"))
+    agree = (F.col("kk") + F.col("dd")).cast(dec)
+    den = nD * nD - prod
+    return cells.select(
+        F.col("n").alias("n_docs"),
+        F.col("kk").alias("both_keep"),
+        F.col("ka").alias("a_only_keep"),
+        F.col("kb").alias("b_only_keep"),
+        F.col("dd").alias("both_drop"),
+        floor_div(agree * 1000000, nD).cast("bigint").alias("po_ppm"),
+        floor_div(prod * 1000000, nD * nD).cast("bigint").alias("pe_ppm"),
+        F.when(
+            den != 0,
+            floor_div((agree * nD - prod) * 1000000, den),
+        )
+        .cast("bigint")
+        .alias("kappa_ppm"),
     )
 
 

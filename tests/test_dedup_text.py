@@ -479,3 +479,65 @@ def test_incremental_exact_substring_dedup_corpus_growth(spark, tmp_path):
     assert {k: tuple(v) for k, v in replay.items()} == {
         k: tuple(v) for k, v in got2.items()
     }
+
+
+def test_winnow_fingerprints_replay_and_guarantee(spark):
+    """Winnowing (MOSS) selection pinned against an independent python
+    replay — including the rightmost-min tie-break on an all-identical-
+    hash document and the short-doc edge cases — and the paper's
+    guarantee validated: two documents sharing a token run of length
+    ≥ w+k−1 (= 6 for k=3, w=4) share at least one selected
+    fingerprint."""
+    import hashlib
+
+    from etl_weather_jabar_spark.ext.dedup_text import winnow_fingerprints
+
+    shared_run = "lorem ipsum dolor sit amet consectetur"  # 6 tokens
+    rows = [
+        (1, "prefix words here " + shared_run + " trailing bits"),
+        (2, shared_run + " totally different ending tokens"),
+        (3, "x x x x x x x"),      # all-equal hashes → tie-break path
+        (4, "just two"),           # < k tokens → no k-grams
+        (5, "only three tokens"),  # exactly one k-gram, one window
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+
+    def replay(text: str, k: int = 3, w: int = 4) -> set:
+        t = [x for x in text.lower().split() if x]
+        hs = [
+            int(
+                hashlib.md5(" ".join(t[i:i + k]).encode()).hexdigest()[:14],
+                16,
+            )
+            for i in range(len(t) - k + 1)
+        ]
+        m = len(hs)
+        if m == 0:
+            return set()
+        sel = set()
+        n_starts = max(m - w + 1, 1)
+        for s in range(1, n_starts + 1):
+            e = min(s + w - 1, m)
+            # smallest hash, rightmost position on ties
+            h, _, p = min(
+                (hs[p - 1], e - p, p) for p in range(s, e + 1)
+            )
+            sel.add((e - _, h))
+        return sel
+
+    for did, text in rows:
+        assert got.get(did, set()) == replay(text), did
+
+    # the winnowing guarantee on the planted shared run
+    assert {h for _, h in got[1]} & {h for _, h in got[2]}
+    # tie-break sanity: every window of doc 3 has one hash value, and
+    # the selected positions are each window's RIGHTMOST slot
+    m3 = 7 - 2
+    assert {p for p, _ in got[3]} == {
+        min(s + 3, m3) for s in range(1, max(m3 - 3, 1) + 1)
+    }
+    assert got.get(4, set()) == set()
+    assert len(got[5]) == 1
