@@ -152,6 +152,11 @@ TIER3_QUERIES = [
     "stream_state_report",
     "neardup_cluster_eval",
     "unigram_encode_stats",
+    "kneser_ney_ppl",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "rater_agreement_kappa",
+    "snapshot_dv_delete_agg",
 ]
 
 

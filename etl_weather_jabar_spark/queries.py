@@ -15868,6 +15868,83 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "snapshot_dv_delete_agg",
+    f"""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS revenue
+    FROM orders
+    WHERE ((o_orderkey % 3 = 0 AND o_custkey % 7 <> 0)
+           OR o_orderkey % 3 = 1)
+      AND o_orderkey % 10 <> 5
+    GROUP BY 1
+    """,
+)
+def snapshot_dv_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE certified end to end (snapshots.py::
+    snapshot_delete_dv — the Delta merge-on-read delete): an orders
+    slice is committed to a snapshot table, rows are deleted by
+    predicate WITHOUT rewriting any data file (positions recorded in a
+    parquet sidecar, applied at read as a broadcast anti-join on
+    ``_metadata.row_index``), a second slice is appended (the commit
+    must carry the DVs forward), a second delete consolidates into the
+    live DV set, and the final read aggregates. The oracle computes the
+    same aggregate straight from the parquet with the equivalent WHERE
+    — a hash match certifies the full lifecycle: delete, carry-on-
+    append, consolidation, DV-applied scan. 100 TB: the delete costs
+    O(deleted rows) sidecar + one metadata commit instead of rewriting
+    the touched gigabytes; reads stay shuffle-free (DV side broadcast);
+    physical reclamation is the separate snapshot_purge_dv, which
+    rewrites dirty files only."""
+    import tempfile
+
+    from .planmode import is_plan_only
+    from .snapshots import (
+        snapshot_delete_dv,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        _units(F.col("o_totalprice"), 2).alias("price_units"),
+    )
+
+    def final_agg(t: DataFrame) -> DataFrame:
+        return t.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("price_units") / F.lit(100.0)).alias("revenue"),
+        )
+
+    if is_plan_only():
+        # plan-only callers must not run the eager table build; the
+        # representative plan is the equivalent filter over the parquet
+        live = o.where(
+            (
+                ((F.col("o_orderkey") % 3 == 0)
+                 & (F.col("o_custkey") % 7 != 0))
+                | (F.col("o_orderkey") % 3 == 1)
+            )
+            & (F.col("o_orderkey") % 10 != 5)
+        )
+        return final_agg(live)
+
+    path = tempfile.mkdtemp(prefix="snap_dv_q_") + "/t"
+    snapshot_write(o.where(F.col("o_orderkey") % 3 == 0).repartition(4), path)
+    snapshot_delete_dv(spark, path, "o_custkey % 7 = 0")
+    # append AFTER the delete: the commit must carry the DVs, and the
+    # appended slice is untouched by the first predicate
+    snapshot_write(o.where(F.col("o_orderkey") % 3 == 1).repartition(2), path)
+    snapshot_delete_dv(spark, path, "o_orderkey % 10 = 5")
+    return final_agg(snapshot_read(spark, path))
+
+
+@_register(
     "wordpiece_encode_stats",
     f"""
     WITH RECURSIVE srcw AS (

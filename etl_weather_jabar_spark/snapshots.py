@@ -6,6 +6,7 @@ dags/daily_compile_weather.py:136-142) re-expressed for immutable files.
 Layout::
 
     <table>/data/<commit>-partNNNN.parquet   immutable data files
+    <table>/dv/<commit>-dvNNNN.parquet       deletion-vector sidecars
     <table>/_manifests/v{N:010d}.json        full file listing per version
 
 A commit writes its data files first, then publishes a manifest naming
@@ -102,6 +103,83 @@ def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], dict]:
         row_counts[name] = pq.ParquetFile(target).metadata.num_rows
     shutil.rmtree(staging)
     return new_files, row_counts
+
+
+def _write_dv_files(df: DataFrame, path: str) -> list[str]:
+    """Write a deletion-vector set — (file string, pos bigint) rows — as
+    immutable parquet under ``<table>/dv/``; returns the names. Like data
+    files, DV files are invisible until a manifest's ``dvs`` list names
+    them. The set is coalesced to one file: DVs are small by contract
+    (row-level deletes); a production format shards one bitmap per data
+    file, same protocol."""
+    dv_dir = os.path.join(path, "dv")
+    os.makedirs(dv_dir, exist_ok=True)
+    commit = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f"_dvstaging-{commit}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    names = []
+    for i, part in enumerate(
+        sorted(glob.glob(os.path.join(staging, "*.parquet")))
+    ):
+        name = f"{commit}-dv{i:04d}.parquet"
+        os.rename(part, os.path.join(dv_dir, name))
+        names.append(name)
+    shutil.rmtree(staging)
+    return names
+
+
+def _read_dv_set(spark, path: str, dv_names: list[str]) -> DataFrame:
+    return spark.read.parquet(
+        *[os.path.join(path, "dv", d) for d in dv_names]
+    )
+
+
+def _dv_apply_read(
+    spark,
+    path: str,
+    m: dict,
+    files: list[str],
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read the given manifest files with the manifest's deletion vectors
+    applied. Files with no recorded deletions take the plain scan path
+    untouched; dirty files are read with ``_metadata`` row positions and
+    anti-joined against the (broadcast) DV set — the scan stays
+    shuffle-free because the DV side is small by contract."""
+    from pyspark.sql import functions as F
+
+    dv_counts = m.get("dv_counts", {})
+    dirty = [f for f in files if dv_counts.get(f)]
+    clean = [f for f in files if not dv_counts.get(f)]
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    parts = []
+    if clean:
+        parts.append(
+            reader.parquet(*[os.path.join(path, "data", f) for f in clean])
+        )
+    if dirty:
+        df = reader.parquet(
+            *[os.path.join(path, "data", f) for f in dirty]
+        )
+        cols = df.columns
+        dv = _read_dv_set(spark, path, m["dvs"]).select(
+            F.col("file").alias("__dv_file"), F.col("pos").alias("__dv_pos")
+        )
+        parts.append(
+            df.select(
+                F.col("_metadata.file_name").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+                "*",
+            )
+            .join(F.broadcast(dv), ["__dv_file", "__dv_pos"], "left_anti")
+            .select(*cols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
+    return out
 
 
 def _stats_encode(v):
@@ -245,10 +323,16 @@ def snapshot_write(
             base_counts = latest.get("row_counts", {})
         else:
             base, base_stats, base_counts = [], {}, {}
+        # an append must carry the base version's deletion vectors, or
+        # DV-deleted rows would silently resurrect on the next commit
+        meta2 = dict(meta or {})
+        if latest and mode == "append" and latest.get("dvs"):
+            meta2.setdefault("dvs", latest["dvs"])
+            meta2.setdefault("dv_counts", latest.get("dv_counts", {}))
         return (
             base + new_files,
             mode,
-            meta,
+            meta2 or None,
             {**{f: s for f, s in base_stats.items() if f in base}, **stats},
             {**{f: n for f, n in base_counts.items() if f in base}, **counts},
         )
@@ -275,9 +359,12 @@ def snapshot_read(
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
     if not files:
         raise FileNotFoundError(f"version {v} is empty")
+    if m.get("dvs"):
+        return _dv_apply_read(spark, path, m, files, merge_schema)
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -322,8 +409,11 @@ def vacuum(
     vs = _versions(path)
     keep = vs[-keep_versions:] if keep_versions > 0 else []
     live: set[str] = set()
+    live_dvs: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(path, v)["files"])
+        m = _read_manifest(path, v)
+        live.update(m["files"])
+        live_dvs.update(m.get("dvs", []))
     deleted = []
     now = time.time()
     for f in glob.glob(os.path.join(path, "data", "*.parquet")):
@@ -331,6 +421,15 @@ def vacuum(
             continue
         if now - os.path.getmtime(f) < min_age_seconds:
             continue  # young unreferenced file = likely in-flight commit
+        os.remove(f)
+        deleted.append(os.path.basename(f))
+    # deletion-vector sidecars GC by the same rule (a delete commit's
+    # consolidation de-references its predecessors' DV files)
+    for f in glob.glob(os.path.join(path, "dv", "*.parquet")):
+        if os.path.basename(f) in live_dvs:
+            continue
+        if now - os.path.getmtime(f) < min_age_seconds:
+            continue
         os.remove(f)
         deleted.append(os.path.basename(f))
     dropped = [v for v in vs if v not in keep]
@@ -495,9 +594,14 @@ def snapshot_merge_pruned(
         hot = [f for f in files if touched(f)]
         cold = [f for f in files if f not in set(hot)]
         if hot:
-            hot_df = spark.read.parquet(
-                *[os.path.join(path, "data", f) for f in hot]
-            )
+            # apply any deletion vectors on the hot side — the rewrite
+            # materializes them; cold files keep theirs (carried below)
+            if latest.get("dvs"):
+                hot_df = _dv_apply_read(spark, path, latest, hot)
+            else:
+                hot_df = spark.read.parquet(
+                    *[os.path.join(path, "data", f) for f in hot]
+                )
         else:
             hot_df = snapshot_read(spark, path, version=base_version).limit(0)
         merged = apply_cdc(
@@ -512,10 +616,22 @@ def snapshot_merge_pruned(
         def build(latest_m):
             if latest_m is None or latest_m.get("version") != base_version:
                 raise _Conflict  # someone committed since the split
+            # carry DV state for the cold files only (hot rewrites just
+            # materialized theirs); no dirty cold files -> DV-free version
+            cold_dv = {
+                f: c
+                for f, c in latest.get("dv_counts", {}).items()
+                if f in set(cold)
+            }
+            dv_meta = (
+                {"dvs": latest["dvs"], "dv_counts": cold_dv}
+                if cold_dv
+                else None
+            )
             return (
                 cold + new_files,
                 "merge",
-                None,
+                dv_meta,
                 {**{f: s for f, s in stats.items() if f in set(cold)},
                  **new_stats},
                 {**{f: n for f, n in counts.items() if f in set(cold)},
@@ -528,6 +644,162 @@ def snapshot_merge_pruned(
             continue  # restart the whole merge from the new latest
     raise ConcurrentSnapshotError(
         f"merge at {path} lost {max_retries} publish races; giving up"
+    )
+
+
+def snapshot_delete_dv(
+    spark, path: str, predicate, *, max_retries: int = 10
+) -> int:
+    """Row-level DELETE via deletion vectors — the Delta Lake
+    merge-on-read delete: instead of rewriting every data file touched
+    by the predicate (copy-on-write, O(touched gigabytes) for a
+    ten-row GDPR delete), record the deleted ROW POSITIONS in a small
+    parquet sidecar and publish a metadata commit. Data files are
+    untouched (pinned by mtime in pytest); readers apply the DV as a
+    broadcast anti-join on ``(_metadata.file_name,
+    _metadata.row_index)`` — positions are stable because data files
+    are immutable.
+
+    Consolidation: each delete commit rewrites the live DV set as ONE
+    distinct union of (existing DVs ∪ new matches), restricted to the
+    current file list — so ``dv_counts`` is exact under overlapping
+    re-deletes, a replay of the same predicate is a no-op (returns the
+    current version without committing), and old DV files become
+    unreferenced (reclaimed by :func:`vacuum`).
+
+    ``predicate`` is a Column or SQL string over the table's columns.
+    Concurrency: the matched positions are only valid against the base
+    version they were scanned from; a commit landing in between
+    restarts the delete (same contract as :func:`snapshot_merge`).
+
+    100 TB: the predicate scan is one pushdown-filtered pass; the DV
+    sidecar is O(deleted rows); every subsequent read pays a broadcast
+    anti-join on the dirty files only. Physical reclamation is
+    :func:`snapshot_purge_dv` (rewrites ONLY dirty files) or any
+    overwrite/OPTIMIZE commit.
+    """
+    from pyspark.sql import functions as F
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    for _ in range(max_retries):
+        vs = _versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        base_version = vs[-1]
+        m = _read_manifest(path, base_version)
+        files = m["files"]
+        matches = (
+            spark.read.parquet(
+                *[os.path.join(path, "data", f) for f in files]
+            )
+            .select(
+                F.col("_metadata.file_name").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+                "*",
+            )
+            .where(pred)
+            .select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+        )
+        if m.get("dvs"):
+            matches = matches.unionByName(
+                _read_dv_set(spark, path, m["dvs"])
+            )
+        dv_set = (
+            matches.where(F.col("file").isin(files)).distinct().cache()
+        )
+        try:
+            per_file = {
+                r["file"]: r["n"]
+                for r in dv_set.groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            old_total = sum(m.get("dv_counts", {}).values())
+            if sum(per_file.values()) == old_total:
+                return base_version  # nothing newly deleted: no-op
+            dv_names = _write_dv_files(dv_set, path)
+        finally:
+            dv_set.unpersist()
+
+        class _Conflict(Exception):
+            pass
+
+        def build(latest_m):
+            if latest_m is None or latest_m.get("version") != base_version:
+                raise _Conflict
+            return (
+                files,
+                "delete_dv",
+                {"dvs": dv_names, "dv_counts": per_file},
+                m.get("stats", {}),
+                m.get("row_counts", {}),
+            )
+
+        try:
+            return _publish(path, build)
+        except _Conflict:
+            continue  # restart the scan against the new latest
+    raise ConcurrentSnapshotError(
+        f"delete at {path} lost {max_retries} publish races; giving up"
+    )
+
+
+def snapshot_purge_dv(spark, path: str, *, max_retries: int = 10) -> int:
+    """Materialize deletion vectors: rewrite ONLY the dirty files (the
+    ones with recorded deletions) with their DVs applied, carry every
+    clean file forward BY NAME, and publish a version with no DVs —
+    the maintenance compaction that turns merge-on-read debt back into
+    clean scans. At 100 TB this is the entire point of the DV design:
+    a delete touching 3 files costs 3 file rewrites at purge time, not
+    a table rewrite at delete time. No-op (returns current version) if
+    the latest version has no DVs. Pre-purge versions still time-travel
+    with their DVs applied."""
+    for _ in range(max_retries):
+        vs = _versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        base_version = vs[-1]
+        m = _read_manifest(path, base_version)
+        if not m.get("dvs"):
+            return base_version
+        files = m["files"]
+        dv_counts = m.get("dv_counts", {})
+        dirty = [f for f in files if dv_counts.get(f)]
+        clean = [f for f in files if not dv_counts.get(f)]
+        rows = _dv_apply_read(spark, path, m, dirty)
+        new_files, new_counts = _write_data_files(rows, path)
+
+        class _Conflict(Exception):
+            pass
+
+        def build(latest_m):
+            if latest_m is None or latest_m.get("version") != base_version:
+                raise _Conflict
+            cold = set(clean)
+            return (
+                clean + new_files,
+                "purge_dv",
+                None,
+                {f: s for f, s in m.get("stats", {}).items() if f in cold},
+                {
+                    **{
+                        f: n
+                        for f, n in m.get("row_counts", {}).items()
+                        if f in cold
+                    },
+                    **new_counts,
+                },
+            )
+
+        try:
+            return _publish(path, build)
+        except _Conflict:
+            continue
+    raise ConcurrentSnapshotError(
+        f"purge at {path} lost {max_retries} publish races; giving up"
     )
 
 
@@ -693,9 +965,12 @@ def snapshot_scan_multi(
     picked = [f for f in m["files"] if may_match(f)]
     if not picked:
         return snapshot_read(spark, path, version=v).where(F.lit(False))
-    df = spark.read.parquet(
-        *[os.path.join(path, "data", f) for f in picked]
-    )
+    if m.get("dvs"):
+        df = _dv_apply_read(spark, path, m, picked)
+    else:
+        df = spark.read.parquet(
+            *[os.path.join(path, "data", f) for f in picked]
+        )
     return df.where(exact)
 
 
@@ -715,7 +990,8 @@ def snapshot_count(path: str, version: int | None = None) -> int:
             f"version {v} lacks row counts for {len(missing)} files "
             "(written before row-count manifests); read and count instead"
         )
-    return sum(counts[f] for f in m["files"])
+    dv = m.get("dv_counts", {})
+    return sum(counts[f] - dv.get(f, 0) for f in m["files"])
 
 
 def snapshot_optimize(
@@ -775,10 +1051,14 @@ def snapshot_restore(path: str, version: int) -> int:
     old = _read_manifest(path, version)
 
     def build(latest):
+        meta = {"restored_from": version}
+        if old.get("dvs"):  # restoring a DV version restores its DVs
+            meta["dvs"] = old["dvs"]
+            meta["dv_counts"] = old.get("dv_counts", {})
         return (
             old["files"],
             "restore",
-            {"restored_from": version},
+            meta,
             old.get("stats", {}),
             old.get("row_counts", {}),
         )
@@ -822,13 +1102,24 @@ def snapshot_appended_rows(
     :func:`snapshot_changes` there)."""
     vs = _versions(path)
     v_to = (vs[-1] if to_version is None else to_version)
-    old = set(_read_manifest(path, from_version)["files"])
-    new = _read_manifest(path, v_to)["files"]
+    m_old = _read_manifest(path, from_version)
+    m_new = _read_manifest(path, v_to)
+    old = set(m_old["files"])
+    new = m_new["files"]
     removed = old - set(new)
     if removed:
         raise ValueError(
             f"history v{from_version}->v{v_to} is not append-only "
             f"({len(removed)} files rewritten); use snapshot_changes"
+        )
+    if (m_old.get("dvs"), m_old.get("dv_counts")) != (
+        m_new.get("dvs"),
+        m_new.get("dv_counts"),
+    ):
+        raise ValueError(
+            f"history v{from_version}->v{v_to} includes deletion-vector "
+            "changes (rows removed without touching files); use "
+            "snapshot_changes"
         )
     added = [f for f in new if f not in old]
     if not added:
@@ -915,24 +1206,40 @@ def snapshot_fsck(path: str) -> dict:
         os.path.basename(f)
         for f in glob.glob(os.path.join(path, "data", "*.parquet"))
     }
+    dv_on_disk = {
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(path, "dv", "*.parquet"))
+    }
     missing: dict[int, list[str]] = {}
     stats_drift: dict[int, list[str]] = {}
+    dv_drift: dict[int, list[str]] = {}
     referenced: set[str] = set()
+    dv_referenced: set[str] = set()
     for v in vs:
         m = _read_manifest(path, v)
         files = m["files"]
         referenced.update(files)
-        lost = [f for f in files if f not in on_disk]
+        dv_referenced.update(m.get("dvs", []))
+        lost = [f for f in files if f not in on_disk] + [
+            d for d in m.get("dvs", []) if d not in dv_on_disk
+        ]
         if lost:
             missing[v] = lost
         drift = [f for f in m.get("stats", {}) if f not in set(files)]
         if drift:
             stats_drift[v] = drift
+        # dv_counts must only name live files of the same version
+        dvd = [f for f in m.get("dv_counts", {}) if f not in set(files)]
+        if dvd:
+            dv_drift[v] = dvd
     return {
         "versions_ok": versions_ok,
         "n_versions": len(vs),
         "missing_files": missing,
         "stats_drift": stats_drift,
-        "n_orphans": len(on_disk - referenced),
-        "ok": versions_ok and not missing and not stats_drift,
+        "dv_drift": dv_drift,
+        "n_orphans": len(on_disk - referenced)
+        + len(dv_on_disk - dv_referenced),
+        "ok": versions_ok and not missing and not stats_drift
+        and not dv_drift,
     }

@@ -833,3 +833,167 @@ def test_stream_sink_ledger_sees_concurrent_writer(spark, tmp_path):
     # a genuinely new batch still commits
     commit(spark.createDataFrame([(6, "c")], ["k", "v"]), 6)
     assert snapshot_read(spark, path).count() == 3
+
+
+def test_snapshot_delete_dv_lifecycle(spark, tmp_path):
+    """Deletion-vector DELETE end to end: the delete is metadata-only
+    (data files byte-identical afterward), readers/count/time-travel/
+    scan all see DV semantics, overlapping re-deletes consolidate
+    exactly, appends carry DVs forward, the append-delta reader refuses
+    a DV interval, purge rewrites ONLY dirty files, vacuum reclaims the
+    de-referenced DV sidecars, and restore brings a DV version back
+    with its DVs."""
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_count,
+        snapshot_delete_dv,
+        snapshot_fsck,
+        snapshot_history,
+        snapshot_purge_dv,
+        snapshot_restore,
+        snapshot_appended_rows,
+    )
+
+    path = str(tmp_path / "t")
+    orders = (
+        load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .where(F.col("o_orderkey") <= 600)
+    )
+    v1 = snapshot_write(orders.repartition(4), path)
+    keys = {r["o_orderkey"] for r in orders.collect()}
+    n_all = len(keys)
+    datafiles = {
+        f: os.path.getmtime(os.path.join(path, "data", f))
+        for f in os.listdir(os.path.join(path, "data"))
+    }
+
+    # --- delete every 7th key through a DV commit
+    v2 = snapshot_delete_dv(spark, path, "o_orderkey % 7 = 0")
+    assert v2 == v1 + 1
+    live = {k for k in keys if k % 7 != 0}
+    got = {r["o_orderkey"] for r in snapshot_read(spark, path).collect()}
+    assert got == live
+    assert snapshot_count(path) == len(live)  # metadata-only, DV-adjusted
+    # the delete wrote NO data files and touched none
+    after = {
+        f: os.path.getmtime(os.path.join(path, "data", f))
+        for f in os.listdir(os.path.join(path, "data"))
+    }
+    assert after == datafiles
+    # pre-delete version still reads every row (time travel)
+    assert (
+        snapshot_read(spark, path, version=v1).count() == n_all
+    )
+
+    # --- replaying the same predicate is a no-op (no new version)
+    assert snapshot_delete_dv(spark, path, "o_orderkey % 7 = 0") == v2
+
+    # --- overlapping second delete consolidates exactly
+    v3 = snapshot_delete_dv(spark, path, "o_orderkey % 5 = 0")
+    live = {k for k in keys if k % 7 != 0 and k % 5 != 0}
+    assert snapshot_count(path) == len(live)
+    assert {
+        r["o_orderkey"] for r in snapshot_read(spark, path).collect()
+    } == live
+
+    # --- append after delete: DVs carried, deleted rows stay gone
+    extra = spark.createDataFrame(
+        [(10**6 + i, 1, 1.0) for i in range(5)],
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    snapshot_write(extra, path)
+    assert snapshot_count(path) == len(live) + 5
+    got = {r["o_orderkey"] for r in snapshot_read(spark, path).collect()}
+    assert got == live | {10**6 + i for i in range(5)}
+
+    # --- the append-only delta reader refuses a DV-crossing interval
+    try:
+        snapshot_appended_rows(spark, path, v2, None)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "deletion-vector" in str(e)
+
+    # --- purge: only dirty files rewritten, clean carried by name
+    import json as _json
+
+    with open(
+        os.path.join(path, "_manifests", f"v{v3 + 1:010d}.json")
+    ) as f:
+        pre = _json.load(f)
+    dirty = set(pre["dv_counts"])
+    clean = [f for f in pre["files"] if f not in dirty]
+    vp = snapshot_purge_dv(spark, path)
+    with open(
+        os.path.join(path, "_manifests", f"v{vp:010d}.json")
+    ) as f:
+        post = _json.load(f)
+    assert "dvs" not in post and "dv_counts" not in post
+    assert set(clean) <= set(post["files"])  # clean files carried
+    assert not dirty & set(post["files"])   # dirty files replaced
+    assert {
+        r["o_orderkey"] for r in snapshot_read(spark, path).collect()
+    } == live | {10**6 + i for i in range(5)}
+    assert snapshot_count(path) == len(live) + 5
+    # purging a DV-free table is a no-op
+    assert snapshot_purge_dv(spark, path) == vp
+
+    # --- restore to the DV version restores its DVs
+    vr = snapshot_restore(path, v3)
+    assert snapshot_count(path) == len(live)
+    assert {
+        r["o_orderkey"] for r in snapshot_read(spark, path).collect()
+    } == live
+    snapshot_restore(path, vp)  # back to the purged state
+
+    # --- fsck healthy; vacuum reclaims de-referenced DV sidecars
+    assert snapshot_fsck(path)["ok"]
+    n_dv_before = len(os.listdir(os.path.join(path, "dv")))
+    assert n_dv_before >= 1
+    vacuum(path, keep_versions=1, min_age_seconds=0)
+    assert os.listdir(os.path.join(path, "dv")) == []
+    assert snapshot_fsck(path)["ok"]
+    assert {
+        r["o_orderkey"] for r in snapshot_read(spark, path).collect()
+    } == live | {10**6 + i for i in range(5)}
+    assert [h["version"] for h in snapshot_history(path)][-1] == vr + 1
+
+
+def test_snapshot_merge_pruned_preserves_cold_dvs(spark, tmp_path):
+    """File-granular MERGE over a DV table: hot files materialize their
+    deletions in the rewrite; cold files carry their DVs forward — the
+    interaction that would silently resurrect deleted rows if the merge
+    dropped the DV metadata."""
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_count,
+        snapshot_delete_dv,
+        snapshot_merge_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 301)], ["k", "val"]
+    )
+    snapshot_write(
+        rows.repartitionByRange(3, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=["k"],
+    )
+    # delete rows in BOTH the low range (cold under the merge below)
+    # and the high range (hot)
+    snapshot_delete_dv(spark, path, "k IN (5, 10, 295)")
+
+    changes = spark.createDataFrame(
+        [(299, "nv", 1, "U"), (300, None, 1, "D")],
+        ["k", "val", "seq", "op"],
+    )
+    snapshot_merge_pruned(spark, path, changes, "k")
+
+    got = {r["k"]: r["val"] for r in snapshot_read(spark, path).collect()}
+    # cold DV deletions survived the merge
+    assert 5 not in got and 10 not in got
+    # hot DV deletion materialized through the rewrite
+    assert 295 not in got
+    # the merge itself applied
+    assert got[299] == "nv" and 300 not in got
+    assert len(got) == 300 - 3 - 1
+    assert snapshot_count(path) == len(got)
