@@ -157,6 +157,7 @@ TIER3_QUERIES = [
     "winnowing_overlap_pairs",
     "rater_agreement_kappa",
     "snapshot_dv_delete_agg",
+    "snapshot_bloom_lookup",
 ]
 
 

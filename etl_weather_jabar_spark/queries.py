@@ -15945,6 +15945,49 @@ def snapshot_dv_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "snapshot_bloom_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE o_orderkey IN (1, 2, 3, 5, 7, 11, 101, 1001)
+    """,
+)
+def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom point-lookup file skipping certified end to end
+    (snapshots.py::snapshot_lookup): orders are committed to a snapshot
+    table HASH-distributed on the key — deliberately unclustered, so
+    every file's [min, max] spans the whole domain and range stats
+    cannot prune — with ``bloom_cols`` recording 17 bigint Bloom lanes
+    per file in the manifest. The IN-list lookup then probes the
+    manifest driver-side (k md5s per file × value, no Spark job for
+    pruning), opens only admitted files, and applies the exact
+    predicate; an extra absent probe key (10⁹) exercises the
+    prune-to-nothing path without changing the result. Oracle = the
+    plain IN-list over the parquet, so the hash match certifies no
+    false negatives through the whole chain (write-side lane build,
+    manifest round-trip, driver-side md5 probe replication, pruned
+    read). 100 TB: the Delta/Iceberg bloom-index analogue — point
+    lookups on an unclustered key touch O(matching files), not the
+    table."""
+    import tempfile
+
+    from .planmode import is_plan_only
+    from .snapshots import snapshot_lookup, snapshot_write
+
+    probes = [1, 2, 3, 5, 7, 11, 101, 1001, 10**9]
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    if is_plan_only():
+        return o.where(F.col("o_orderkey").isin(probes))
+    path = tempfile.mkdtemp(prefix="snap_bloom_q_") + "/t"
+    snapshot_write(
+        o.repartition(8, "o_orderkey"), path, bloom_cols=["o_orderkey"]
+    )
+    return snapshot_lookup(spark, path, "o_orderkey", probes)
+
+
+@_register(
     "wordpiece_encode_stats",
     f"""
     WITH RECURSIVE srcw AS (

@@ -250,6 +250,135 @@ def _file_stats(spark, path: str, files: list[str], cols: list[str]) -> dict:
     }
 
 
+_BLOOM_K, _BLOOM_M = 3, 1020
+
+
+def _file_blooms(spark, path: str, files: list[str], cols: list[str]) -> dict:
+    """Per-file Bloom lanes for ``cols`` — ``{file: {col: {lane: bits}}}``
+    (17 bigint lanes of 60 bits per column per file, the certified
+    ext/heavy_hitters lane layout with the md5 hash family). One
+    column-pruned scan of the named files; the aggregate output is
+    O(files × lanes) rows, driver-safe at manifest scale. Values are
+    hashed through their CAST(… AS STRING) form so the driver-side
+    probe (:func:`snapshot_lookup_files`) reproduces positions exactly;
+    NULLs are not members (a NULL probe key is unsupported)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from .ext.heavy_hitters import _bloom_pos
+
+    if not files or not cols:
+        return {}
+    df = spark.read.parquet(
+        *[os.path.join(path, "data", f) for f in files]
+    ).select(
+        F.col("_metadata.file_name").alias("f"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    )
+    out: dict = {}
+    for c in cols:
+        positions = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                df.select("f", _bloom_pos(F.col(c), i, _BLOOM_M).alias("p"))
+                for i in range(_BLOOM_K)
+            ],
+        ).where(F.col("p").isNotNull())
+        rows = (
+            positions.groupBy("f", F.expr("p div 60").alias("lane"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT)))"
+                ).alias("bits")
+            )
+            .collect()
+        )
+        for r in rows:
+            out.setdefault(r["f"], {}).setdefault(c, {})[
+                str(r["lane"])
+            ] = r["bits"]
+    return out
+
+
+def _bloom_may_contain(lanes: dict, value) -> bool:
+    """Driver-side probe of one per-file Bloom: all k bit positions of
+    ``str(value)`` must be set. Bit positions replicate
+    ext/heavy_hitters._bloom_pos's md5 formula exactly."""
+    import hashlib
+
+    for i in range(_BLOOM_K):
+        p = (
+            int(
+                hashlib.md5(
+                    (str(value) + f":bloom{i}").encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % _BLOOM_M
+        )
+        if not (int(lanes.get(str(p // 60), 0)) >> (p % 60)) & 1:
+            return False
+    return True
+
+
+def snapshot_lookup_files(
+    path: str, col: str, values, version: int | None = None
+) -> list[str]:
+    """The files of a version that MAY contain any of ``values`` in
+    ``col``, per the manifest's per-file Blooms (``snapshot_write(
+    bloom_cols=...)``) — pure metadata, no Spark session. Files without
+    a recorded Bloom for ``col`` are returned conservatively. No false
+    negatives (Bloom guarantee); a point lookup of an absent key prunes
+    to zero files with probability (1 − fp_rate)^files."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    blooms = m.get("blooms", {})
+
+    def may(f: str) -> bool:
+        lanes = blooms.get(f, {}).get(col)
+        if lanes is None:
+            return True
+        return any(_bloom_may_contain(lanes, x) for x in values)
+
+    return [f for f in m["files"] if may(f)]
+
+
+def snapshot_lookup(
+    spark, path: str, col: str, values, version: int | None = None
+) -> DataFrame:
+    """Point/IN-list lookup with Bloom file skipping: open ONLY the
+    files whose per-file Bloom admits at least one probe value, then
+    apply the exact ``col IN values`` predicate (and any deletion
+    vectors). Min/max stats (:func:`snapshot_scan`) prune RANGE
+    predicates on clustered columns; the Bloom prunes POINT lookups on
+    columns no layout clusters — the Delta/Iceberg bloom-filter-index
+    analogue. Same rows as ``snapshot_read(...).where(col.isin(values))``
+    by construction (no false negatives). 100 TB: pruning is a
+    driver-side manifest walk (k md5s per file × value); the read
+    touches the surviving files only."""
+    from pyspark.sql import functions as F
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    picked = snapshot_lookup_files(path, col, values, version=v)
+    if not picked:
+        return snapshot_read(spark, path, version=v).where(F.lit(False))
+    if m.get("dvs"):
+        df = _dv_apply_read(spark, path, m, picked)
+    else:
+        df = spark.read.parquet(
+            *[os.path.join(path, "data", f) for f in picked]
+        )
+    return df.where(F.col(col).isin(list(values)))
+
+
 def _publish(path: str, build) -> int:
     """Atomically publish the next version. ``build(latest_manifest)``
     returns ``(files, op, meta, stats)`` and is re-invoked on a lost
@@ -297,6 +426,7 @@ def snapshot_write(
     mode: str = "append",
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the versioned table at ``path``; returns the new
     version. ``mode="append"`` keeps prior files live, ``"overwrite"``
@@ -305,7 +435,9 @@ def snapshot_write(
     ``meta`` keys are recorded in the manifest (e.g. the streaming sink's
     ``batch_id``); ``stats_cols`` records per-file min/max for those
     columns, which :func:`snapshot_merge` uses for copy-on-write file
-    pruning (carried-forward files keep their recorded stats).
+    pruning (carried-forward files keep their recorded stats);
+    ``bloom_cols`` records per-file Bloom lanes for point-lookup file
+    skipping (:func:`snapshot_lookup`).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
@@ -313,6 +445,11 @@ def snapshot_write(
     stats = (
         _file_stats(df.sparkSession, path, new_files, stats_cols)
         if stats_cols
+        else {}
+    )
+    blooms = (
+        _file_blooms(df.sparkSession, path, new_files, bloom_cols)
+        if bloom_cols
         else {}
     )
 
@@ -329,6 +466,16 @@ def snapshot_write(
         if latest and mode == "append" and latest.get("dvs"):
             meta2.setdefault("dvs", latest["dvs"])
             meta2.setdefault("dv_counts", latest.get("dv_counts", {}))
+        # per-file Blooms ride the same carry rule as stats
+        base_blooms = (
+            latest.get("blooms", {}) if latest and mode == "append" else {}
+        )
+        all_blooms = {
+            **{f: b for f, b in base_blooms.items() if f in base},
+            **blooms,
+        }
+        if all_blooms:
+            meta2["blooms"] = all_blooms
         return (
             base + new_files,
             mode,
@@ -626,8 +773,16 @@ def snapshot_merge_pruned(
             dv_meta = (
                 {"dvs": latest["dvs"], "dv_counts": cold_dv}
                 if cold_dv
-                else None
+                else {}
             )
+            cold_blooms = {
+                f: b
+                for f, b in latest.get("blooms", {}).items()
+                if f in set(cold)
+            }
+            if cold_blooms:
+                dv_meta["blooms"] = cold_blooms
+            dv_meta = dv_meta or None
             return (
                 cold + new_files,
                 "merge",
@@ -730,10 +885,13 @@ def snapshot_delete_dv(
         def build(latest_m):
             if latest_m is None or latest_m.get("version") != base_version:
                 raise _Conflict
+            dv_meta = {"dvs": dv_names, "dv_counts": per_file}
+            if m.get("blooms"):  # files unchanged -> blooms still valid
+                dv_meta["blooms"] = m["blooms"]
             return (
                 files,
                 "delete_dv",
-                {"dvs": dv_names, "dv_counts": per_file},
+                dv_meta,
                 m.get("stats", {}),
                 m.get("row_counts", {}),
             )
@@ -779,10 +937,13 @@ def snapshot_purge_dv(spark, path: str, *, max_retries: int = 10) -> int:
             if latest_m is None or latest_m.get("version") != base_version:
                 raise _Conflict
             cold = set(clean)
+            kept_blooms = {
+                f: b for f, b in m.get("blooms", {}).items() if f in cold
+            }
             return (
                 clean + new_files,
                 "purge_dv",
-                None,
+                {"blooms": kept_blooms} if kept_blooms else None,
                 {f: s for f, s in m.get("stats", {}).items() if f in cold},
                 {
                     **{
@@ -1055,6 +1216,8 @@ def snapshot_restore(path: str, version: int) -> int:
         if old.get("dvs"):  # restoring a DV version restores its DVs
             meta["dvs"] = old["dvs"]
             meta["dv_counts"] = old.get("dv_counts", {})
+        if old.get("blooms"):
+            meta["blooms"] = old["blooms"]
         return (
             old["files"],
             "restore",

@@ -997,3 +997,58 @@ def test_snapshot_merge_pruned_preserves_cold_dvs(spark, tmp_path):
     assert got[299] == "nv" and 300 not in got
     assert len(got) == 300 - 3 - 1
     assert snapshot_count(path) == len(got)
+
+
+def test_snapshot_bloom_lookup_prunes_files(spark, tmp_path):
+    """Per-file Bloom point-lookup skipping: on a hash-distributed
+    (deliberately UNCLUSTERED) key the min/max ranges of every file
+    overlap — range stats cannot prune — but the per-file Blooms skip
+    to the files actually holding the probed keys, with zero false
+    negatives; an absent key prunes to no files at all; appends extend
+    the index; deletion vectors compose with the pruned read."""
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_delete_dv,
+        snapshot_lookup,
+        snapshot_lookup_files,
+    )
+
+    path = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 401)], ["k", "val"]
+    )
+    # hash-distribute so every file's [min, max] spans ~the whole domain
+    snapshot_write(rows.repartition(8, "k"), path, bloom_cols=["k"])
+    n_files = len(os.listdir(os.path.join(path, "data")))
+    assert n_files == 8
+
+    # point lookups hit exactly the right rows through pruned scans
+    for probe in ([17], [1, 399], [123, 222, 333]):
+        got = {
+            (r["k"], r["val"])
+            for r in snapshot_lookup(spark, path, "k", probe).collect()
+        }
+        assert got == {(k, f"v{k}") for k in probe}
+        picked = snapshot_lookup_files(path, "k", probe)
+        assert len(picked) < n_files  # the Bloom really pruned
+
+    # single-key probes open ~1 file (fp-rate-bounded, not exact)
+    assert len(snapshot_lookup_files(path, "k", [17])) <= 3
+
+    # an absent key prunes to zero files and returns zero rows
+    assert snapshot_lookup_files(path, "k", [999_983]) == []
+    assert snapshot_lookup(spark, path, "k", [999_983]).count() == 0
+
+    # appends extend the index; carried blooms keep pruning
+    extra = spark.createDataFrame([(1001, "x"), (1002, "y")], ["k", "val"])
+    snapshot_write(extra.repartition(1), path, bloom_cols=["k"])
+    assert {
+        r["k"] for r in snapshot_lookup(spark, path, "k", [1001, 5]).collect()
+    } == {1001, 5}
+    assert len(snapshot_lookup_files(path, "k", [1001])) <= 3
+
+    # deletion vectors compose with the pruned read
+    snapshot_delete_dv(spark, path, "k = 17")
+    assert snapshot_lookup(spark, path, "k", [17]).count() == 0
+    assert {
+        r["k"] for r in snapshot_lookup(spark, path, "k", [17, 18]).collect()
+    } == {18}
