@@ -158,6 +158,7 @@ TIER3_QUERIES = [
     "rater_agreement_kappa",
     "snapshot_dv_delete_agg",
     "snapshot_bloom_lookup",
+    "stream_dv_deletes",
 ]
 
 

@@ -15981,10 +15981,117 @@ def snapshot_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if is_plan_only():
         return o.where(F.col("o_orderkey").isin(probes))
     path = tempfile.mkdtemp(prefix="snap_bloom_q_") + "/t"
+    # ~10 bits per key per file (the parquet bloom sizing rule):
+    # sf0.1 = 150k keys / 64 files ≈ 2.3k keys/file -> 24k bits keeps
+    # the per-file FP rate ~1%, so the lookup genuinely prunes at
+    # every gate SF instead of saturating on the biggest one
     snapshot_write(
-        o.repartition(8, "o_orderkey"), path, bloom_cols=["o_orderkey"]
+        o.repartition(64, "o_orderkey"),
+        path,
+        bloom_cols=["o_orderkey"],
+        bloom_bits=24000,
     )
     return snapshot_lookup(spark, path, "o_orderkey", probes)
+
+
+@_register(
+    "stream_dv_deletes",
+    f"""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS revenue
+    FROM orders
+    WHERE o_custkey % 7 <> 0 AND o_orderkey % 10 <> 5
+    GROUP BY 1
+    """,
+)
+def stream_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING right-to-be-forgotten: delete-key batches land as json
+    micro-batches and a real Structured Streaming query folds each one
+    into the snapshot table through ``snapshot_delete_dv(keys=...)`` —
+    the key list semi-joins the scan (never a driver-side IN-list), the
+    commit is metadata-only, and exactly-once needs NO extra ledger:
+    replaying a delete batch consolidates to the identical DV set and
+    no-ops (idempotence is structural, unlike the matview/CMS sinks'
+    batch-id ledgers). Batch 1 deletes customers ≡0 (mod 7), batch 2
+    orders ≡5 (mod 10) — overlapping rows exercise consolidation. The
+    oracle recomputes the final state from the parquet with the
+    equivalent WHERE, so the hash certifies the whole streamed fold.
+    100 TB: each delete batch costs one pushdown scan + an O(deleted)
+    sidecar; no data file is ever rewritten on the delete path."""
+    import glob
+    import os
+    import tempfile
+
+    from .planmode import is_plan_only
+    from .snapshots import (
+        snapshot_delete_dv,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        _units(F.col("o_totalprice"), 2).alias("price_units"),
+    )
+
+    def final_agg(t: DataFrame) -> DataFrame:
+        return t.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("price_units") / F.lit(100.0)).alias("revenue"),
+        )
+
+    if is_plan_only():
+        return final_agg(
+            o.where(
+                (F.col("o_custkey") % 7 != 0)
+                & (F.col("o_orderkey") % 10 != 5)
+            )
+        )
+
+    tmp = tempfile.mkdtemp(prefix="sdv_q_")
+    landing, table, ckpt = f"{tmp}/in", f"{tmp}/t", f"{tmp}/ckpt"
+    os.makedirs(landing)
+    snapshot_write(o.repartition(4), table)
+
+    b1 = o.where(F.col("o_custkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    b2 = o.where(F.col("o_orderkey") % 10 == 5).select(
+        F.col("o_orderkey").alias("k")
+    )
+    for i, b in enumerate([b1, b2]):
+        d = f"{tmp}/stage{i}"
+        b.coalesce(1).write.json(d)
+        for j, part in enumerate(sorted(glob.glob(f"{d}/part-*.json"))):
+            os.rename(part, f"{landing}/b{i}_{j:04d}.json")
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        snapshot_delete_dv(
+            spark,
+            table,
+            keys=batch.select(F.col("k").alias("o_orderkey")),
+            key_col="o_orderkey",
+        )
+
+    q = (
+        spark.readStream.schema("k LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_dv_deletes did not drain")
+    return final_agg(snapshot_read(spark, table))
 
 
 @_register(

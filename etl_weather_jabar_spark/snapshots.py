@@ -253,15 +253,28 @@ def _file_stats(spark, path: str, files: list[str], cols: list[str]) -> dict:
 _BLOOM_K, _BLOOM_M = 3, 1020
 
 
-def _file_blooms(spark, path: str, files: list[str], cols: list[str]) -> dict:
-    """Per-file Bloom lanes for ``cols`` — ``{file: {col: {lane: bits}}}``
-    (17 bigint lanes of 60 bits per column per file, the certified
-    ext/heavy_hitters lane layout with the md5 hash family). One
+def _file_blooms(
+    spark,
+    path: str,
+    files: list[str],
+    cols: list[str],
+    m_bits: int = _BLOOM_M,
+) -> dict:
+    """Per-file Bloom lanes for ``cols`` — ``{file: {col: {"m": m_bits,
+    "lanes": {lane: bits}}}}`` (60-bit bigint lanes, the certified
+    ext/heavy_hitters layout with the md5 hash family). One
     column-pruned scan of the named files; the aggregate output is
     O(files × lanes) rows, driver-safe at manifest scale. Values are
     hashed through their CAST(… AS STRING) form so the driver-side
     probe (:func:`snapshot_lookup_files`) reproduces positions exactly;
-    NULLs are not members (a NULL probe key is unsupported)."""
+    NULLs are not members (a NULL probe key is unsupported).
+
+    Size ``m_bits`` ≈ 10 bits per distinct key per file (the parquet
+    bloom rule of thumb) — an undersized filter saturates and degrades
+    to "no pruning", never to wrong answers. Manifest-inline lanes are
+    the small-table form; at very large file counts a production format
+    moves the bitmap into per-file sidecars (parquet stores it in the
+    footer), same probe protocol."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -281,7 +294,7 @@ def _file_blooms(spark, path: str, files: list[str], cols: list[str]) -> dict:
         positions = reduce(
             lambda a, b: a.unionByName(b),
             [
-                df.select("f", _bloom_pos(F.col(c), i, _BLOOM_M).alias("p"))
+                df.select("f", _bloom_pos(F.col(c), i, m_bits).alias("p"))
                 for i in range(_BLOOM_K)
             ],
         ).where(F.col("p").isNotNull())
@@ -295,18 +308,24 @@ def _file_blooms(spark, path: str, files: list[str], cols: list[str]) -> dict:
             .collect()
         )
         for r in rows:
-            out.setdefault(r["f"], {}).setdefault(c, {})[
-                str(r["lane"])
-            ] = r["bits"]
+            out.setdefault(r["f"], {}).setdefault(
+                c, {"m": m_bits, "lanes": {}}
+            )["lanes"][str(r["lane"])] = r["bits"]
     return out
 
 
-def _bloom_may_contain(lanes: dict, value) -> bool:
+def _bloom_may_contain(entry: dict, value) -> bool:
     """Driver-side probe of one per-file Bloom: all k bit positions of
     ``str(value)`` must be set. Bit positions replicate
-    ext/heavy_hitters._bloom_pos's md5 formula exactly."""
+    ext/heavy_hitters._bloom_pos's md5 formula exactly. ``entry`` is
+    the ``{"m": …, "lanes": …}`` manifest record (a bare lane dict from
+    a pre-sizing manifest reads as m = 1020)."""
     import hashlib
 
+    if "m" in entry and "lanes" in entry:
+        m_bits, lanes = int(entry["m"]), entry["lanes"]
+    else:  # legacy manifests: bare lane dict at the default size
+        m_bits, lanes = _BLOOM_M, entry
     for i in range(_BLOOM_K):
         p = (
             int(
@@ -315,7 +334,7 @@ def _bloom_may_contain(lanes: dict, value) -> bool:
                 ).hexdigest()[:8],
                 16,
             )
-            % _BLOOM_M
+            % m_bits
         )
         if not (int(lanes.get(str(p // 60), 0)) >> (p % 60)) & 1:
             return False
@@ -339,10 +358,10 @@ def snapshot_lookup_files(
     blooms = m.get("blooms", {})
 
     def may(f: str) -> bool:
-        lanes = blooms.get(f, {}).get(col)
-        if lanes is None:
+        entry = blooms.get(f, {}).get(col)
+        if entry is None:
             return True
-        return any(_bloom_may_contain(lanes, x) for x in values)
+        return any(_bloom_may_contain(entry, x) for x in values)
 
     return [f for f in m["files"] if may(f)]
 
@@ -420,6 +439,59 @@ def _publish(path: str, build) -> int:
             os.unlink(tmp)
 
 
+def snapshot_add_constraint(path: str, name: str, expr: str) -> None:
+    """Register a table-level CHECK constraint (Delta ``ALTER TABLE ADD
+    CONSTRAINT`` semantics): every subsequent :func:`snapshot_write`
+    validates its batch against ``expr`` BEFORE any data file is
+    written and refuses the commit on violation. SQL three-valued
+    semantics: a row violates only when the expression evaluates FALSE
+    — NULL passes, as in the standard. Constraints live in the
+    ``_meta.json`` sidecar, so they survive vacuum like the batch-id
+    ledger. Existing data is NOT retro-checked (same as Delta, which
+    requires the table to already satisfy a new constraint — run
+    ``ext/profiling.check_constraints`` for the audit)."""
+    meta = _read_meta(path)
+    cons = dict(meta.get("constraints", {}))
+    cons[name] = expr
+    meta["constraints"] = cons
+    os.makedirs(path, exist_ok=True)
+    _write_meta(path, meta)
+
+
+def snapshot_drop_constraint(path: str, name: str) -> None:
+    """Remove a CHECK constraint registered by
+    :func:`snapshot_add_constraint`; unknown names raise KeyError."""
+    meta = _read_meta(path)
+    cons = dict(meta.get("constraints", {}))
+    del cons[name]
+    meta["constraints"] = cons
+    _write_meta(path, meta)
+
+
+def _enforce_constraints(df: DataFrame, checks: dict) -> None:
+    """One aggregate pass counting FALSE rows per constraint; raises
+    ValueError naming every violated constraint with its row count.
+    Runs BEFORE data files are written — a refused batch leaves no
+    orphans and no version."""
+    from pyspark.sql import functions as F
+
+    if not checks:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.expr(e) == False, 1).otherwise(0)  # noqa: E712
+        ).alias(n)
+        for n, e in checks.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: row[n] for n in checks if row[n]}
+    if bad:
+        detail = ", ".join(
+            f"{n} ({bad[n]} rows): {checks[n]}" for n in sorted(bad)
+        )
+        raise ValueError(f"CHECK constraint violated — {detail}")
+
+
 def snapshot_write(
     df: DataFrame,
     path: str,
@@ -427,6 +499,8 @@ def snapshot_write(
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_M,
+    check: str | None = None,
 ) -> int:
     """Commit ``df`` to the versioned table at ``path``; returns the new
     version. ``mode="append"`` keeps prior files live, ``"overwrite"``
@@ -437,10 +511,17 @@ def snapshot_write(
     columns, which :func:`snapshot_merge` uses for copy-on-write file
     pruning (carried-forward files keep their recorded stats);
     ``bloom_cols`` records per-file Bloom lanes for point-lookup file
-    skipping (:func:`snapshot_lookup`).
+    skipping (:func:`snapshot_lookup`). ``check`` is an ad-hoc CHECK
+    expression for this batch; table-level constraints registered via
+    :func:`snapshot_add_constraint` are always enforced (both BEFORE
+    any file is written — a refused batch leaves nothing behind).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
+    checks = dict(_read_meta(path).get("constraints", {}))
+    if check is not None:
+        checks["<batch check>"] = check
+    _enforce_constraints(df, checks)
     new_files, counts = _write_data_files(df, path)
     stats = (
         _file_stats(df.sparkSession, path, new_files, stats_cols)
@@ -448,7 +529,9 @@ def snapshot_write(
         else {}
     )
     blooms = (
-        _file_blooms(df.sparkSession, path, new_files, bloom_cols)
+        _file_blooms(
+            df.sparkSession, path, new_files, bloom_cols, m_bits=bloom_bits
+        )
         if bloom_cols
         else {}
     )
@@ -602,6 +685,7 @@ def vacuum(
         _write_meta(
             path,
             {
+                **meta,  # preserve constraints and any future sidecar keys
                 "vacuum_horizon": max(meta["vacuum_horizon"], horizon),
                 "batch_ids": sorted(ids),
                 "history": [hist[v] for v in sorted(hist)],
@@ -803,7 +887,13 @@ def snapshot_merge_pruned(
 
 
 def snapshot_delete_dv(
-    spark, path: str, predicate, *, max_retries: int = 10
+    spark,
+    path: str,
+    predicate=None,
+    *,
+    keys: DataFrame | None = None,
+    key_col: str | None = None,
+    max_retries: int = 10,
 ) -> int:
     """Row-level DELETE via deletion vectors — the Delta Lake
     merge-on-read delete: instead of rewriting every data file touched
@@ -822,7 +912,15 @@ def snapshot_delete_dv(
     current version without committing), and old DV files become
     unreferenced (reclaimed by :func:`vacuum`).
 
-    ``predicate`` is a Column or SQL string over the table's columns.
+    ``predicate`` is a Column or SQL string over the table's columns;
+    alternatively pass ``keys`` (a DataFrame of key values) +
+    ``key_col`` to delete by key LIST — the GDPR/right-to-be-forgotten
+    shape: the list never round-trips the driver, it semi-joins the
+    scan (broadcast — delete lists are small by the DV contract).
+    Exactly one of the two forms must be given. Replaying the same
+    delete (same predicate or same key list) is a no-op, which makes a
+    streaming foreachBatch fold of delete batches idempotent under
+    retries with no extra ledger.
     Concurrency: the matched positions are only valid against the base
     version they were scanned from; a commit landing in between
     restarts the delete (same contract as :func:`snapshot_merge`).
@@ -835,6 +933,10 @@ def snapshot_delete_dv(
     """
     from pyspark.sql import functions as F
 
+    if (predicate is None) == (keys is None):
+        raise ValueError("pass exactly one of predicate / keys+key_col")
+    if keys is not None and key_col is None:
+        raise ValueError("keys requires key_col")
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     for _ in range(max_retries):
         vs = _versions(path)
@@ -843,20 +945,24 @@ def snapshot_delete_dv(
         base_version = vs[-1]
         m = _read_manifest(path, base_version)
         files = m["files"]
-        matches = (
-            spark.read.parquet(
-                *[os.path.join(path, "data", f) for f in files]
+        scan = spark.read.parquet(
+            *[os.path.join(path, "data", f) for f in files]
+        ).select(
+            F.col("_metadata.file_name").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+            "*",
+        )
+        if keys is not None:
+            scan = scan.join(
+                F.broadcast(keys.select(key_col).distinct()),
+                key_col,
+                "left_semi",
             )
-            .select(
-                F.col("_metadata.file_name").alias("__dv_file"),
-                F.col("_metadata.row_index").alias("__dv_pos"),
-                "*",
-            )
-            .where(pred)
-            .select(
-                F.col("__dv_file").alias("file"),
-                F.col("__dv_pos").alias("pos"),
-            )
+        else:
+            scan = scan.where(pred)
+        matches = scan.select(
+            F.col("__dv_file").alias("file"),
+            F.col("__dv_pos").alias("pos"),
         )
         if m.get("dvs"):
             matches = matches.unionByName(

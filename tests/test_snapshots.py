@@ -1052,3 +1052,120 @@ def test_snapshot_bloom_lookup_prunes_files(spark, tmp_path):
     assert {
         r["k"] for r in snapshot_lookup(spark, path, "k", [17, 18]).collect()
     } == {18}
+
+    # legacy manifests (bare lane dict, pre-sizing) still probe at the
+    # default 1020 bits
+    import json as _json
+
+    from etl_weather_jabar_spark.snapshots import _bloom_may_contain
+
+    mpath = sorted(os.listdir(os.path.join(path, "_manifests")))[0]
+    with open(os.path.join(path, "_manifests", mpath)) as fh:
+        m = _json.load(fh)
+    entry = next(iter(m["blooms"].values()))["k"]
+    assert entry["m"] == 1020
+    legacy = entry["lanes"]  # the bare dict a pre-sizing writer stored
+    hits = [v for v in range(1, 401) if _bloom_may_contain(legacy, v)]
+    assert hits  # members of this file are found through the legacy path
+
+
+def test_snapshot_check_constraints_enforced(spark, tmp_path):
+    """Table-level CHECK constraints (Delta ADD CONSTRAINT semantics):
+    a registered constraint is validated BEFORE any data file is
+    written — a refused batch leaves no new version and no orphan
+    files; SQL three-valued logic means NULL passes (only FALSE rows
+    violate); ad-hoc per-batch checks compose; constraints survive
+    vacuum; dropped constraints stop enforcing."""
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_add_constraint,
+        snapshot_drop_constraint,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_add_constraint(path, "nonneg", "price >= 0")
+
+    rows = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "k long, price double"
+    )
+    v1 = snapshot_write(rows, path)  # NULL price passes (SQL semantics)
+    assert v1 == 1 and snapshot_read(spark, path).count() == 3
+
+    bad = spark.createDataFrame([(4, -1.0)], "k long, price double")
+    try:
+        snapshot_write(bad, path)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "nonneg" in str(e) and "1 rows" in str(e)
+    # the refused batch left nothing: no version, no orphan data files
+    assert snapshot_read(spark, path).count() == 3
+    from etl_weather_jabar_spark.snapshots import snapshot_fsck
+
+    assert snapshot_fsck(path)["n_orphans"] == 0
+
+    # ad-hoc batch check composes with the table constraint
+    try:
+        snapshot_write(
+            spark.createDataFrame([(9, 1.0)], "k long, price double"),
+            path,
+            check="k < 5",
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "batch check" in str(e)
+
+    # constraints survive vacuum (the _meta.json fold)
+    snapshot_write(rows.where("k = 1"), path)
+    vacuum(path, keep_versions=1, min_age_seconds=0)
+    try:
+        snapshot_write(bad, path)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    # dropping the constraint stops enforcement
+    snapshot_drop_constraint(path, "nonneg")
+    snapshot_write(bad, path)
+    assert any(
+        r["price"] == -1.0
+        for r in snapshot_read(spark, path).collect()
+    )
+
+
+def test_snapshot_delete_dv_keys_mode(spark, tmp_path):
+    """Key-list deletes (the GDPR shape): the key DataFrame semi-joins
+    the scan — no driver-side IN-list; replaying the same list no-ops
+    (structural idempotence, the property the streaming fold relies
+    on); the predicate/keys arguments are mutually exclusive."""
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_count,
+        snapshot_delete_dv,
+    )
+
+    path = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], ["k", "val"]
+    )
+    snapshot_write(rows.repartition(3), path)
+    dels = spark.createDataFrame([(3,), (7,), (7,), (999,)], ["k"])
+    v = snapshot_delete_dv(spark, path, keys=dels, key_col="k")
+    assert snapshot_count(path) == 98
+    assert {
+        r["k"] for r in snapshot_read(spark, path).collect()
+    } == set(range(100)) - {3, 7}
+    # replay of the same key list is a no-op (no new version)
+    assert snapshot_delete_dv(spark, path, keys=dels, key_col="k") == v
+
+    for bad_kwargs in (
+        {},  # neither form
+        {"keys": dels},  # keys without key_col
+    ):
+        try:
+            snapshot_delete_dv(spark, path, **bad_kwargs)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+    try:
+        snapshot_delete_dv(spark, path, "k = 1", keys=dels, key_col="k")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

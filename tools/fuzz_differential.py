@@ -1230,7 +1230,7 @@ def gen_tokenlm_case(rng: random.Random) -> dict:
             wl = 1 + int(h[:2], 16) % 9
             words.append(h[2 : 2 + wl])
         docs.append((d, " ".join(words), f"s{d % 3}"))
-    sub = rng.choice(["wordpiece", "backoff", "unigram"])
+    sub = rng.choice(["wordpiece", "backoff", "unigram", "kn"])
     case = {"kind": "tokenlm", "sub": sub, "docs": docs}
     if sub == "wordpiece":
         case["top_k"] = rng.randrange(2, 30)
@@ -1239,7 +1239,7 @@ def gen_tokenlm_case(rng: random.Random) -> dict:
         # full Viterbi-EM chain: random seed width and prune target
         case["seed_k"] = rng.randrange(2, 24)
         case["keep_k"] = rng.randrange(1, 12)
-    else:
+    else:  # backoff / kn share the random train-split modulus
         case["mod"] = rng.randrange(2, 5)
     return case
 
@@ -1311,6 +1311,14 @@ def run_tokenlm_spark(spark, sf_dir: str, case: dict):
         )
         return sorted(
             (r["w"], int(r["np"]), r["ps"]) for r in out.collect()
+        )
+    if case["sub"] == "kn":
+        from etl_weather_jabar_spark.ext.lm import kneser_ney_score
+
+        train = docs.where(F.col("doc_id") % case["mod"] == 0)
+        ev = docs.where(F.col("doc_id") % case["mod"] != 0)
+        return sorted(
+            map(tuple, kneser_ney_score(train, ev).collect())
         )
     from etl_weather_jabar_spark.ext.lm import trigram_backoff_score
 
@@ -1439,6 +1447,79 @@ def run_tokenlm_duckdb(con, case: dict):
         SELECT w, CAST(count(*) AS BIGINT) AS np,
                string_agg(piece, '|' ORDER BY i) AS ps
         FROM em GROUP BY w
+        """
+    elif case["sub"] == "kn":
+        mod = case["mod"]
+        sql = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(ss, 1) AS BIGINT) AS pos,
+                   unnest(ss) AS tok
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS ss
+                  FROM fuzzdocs)
+        ),
+        seqs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {mod} = 0 THEN 0 ELSE 1 END AS half,
+                   tok AS w1,
+                   lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS w2
+            FROM toks
+        ),
+        big AS (
+            SELECT doc_id, half,
+                   substr(md5(w1 || ' ' || w2), 1, 16) AS h12,
+                   substr(md5(w1), 1, 16) AS h1,
+                   substr(md5(w2), 1, 16) AS hw
+            FROM seqs WHERE w2 IS NOT NULL
+        ),
+        types AS (
+            SELECT h12, min(h1) AS h1, min(hw) AS hw, count(*) AS c12
+            FROM big WHERE half = 0 GROUP BY 1
+        ),
+        ctx1 AS (SELECT h1, count(*) AS c1
+                 FROM big WHERE half = 0 GROUP BY 1),
+        n1p AS (SELECT h1, count(*) AS n1p FROM types GROUP BY 1),
+        nr AS (SELECT hw, count(*) AS nr FROM types GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM types),
+        scored AS (
+            SELECT b.doc_id,
+                   CASE WHEN (SELECT t FROM tot) = 0 THEN 0
+                        WHEN c.c1 IS NOT NULL THEN CAST(
+                            (greatest(
+                                 CAST(coalesce(ty.c12, 0) AS HUGEINT) * 4
+                                     - 3,
+                                 0)
+                                 * (SELECT t FROM tot)
+                             + CAST(p.n1p AS HUGEINT) * 3
+                                 * coalesce(r.nr, 0))
+                            * 1000000
+                            // (CAST(c.c1 AS HUGEINT) * 4
+                                * (SELECT t FROM tot)) AS BIGINT)
+                        ELSE CAST(
+                            CAST(coalesce(r.nr, 0) AS HUGEINT) * 1000000
+                            // (SELECT t FROM tot) AS BIGINT)
+                   END AS ppm
+            FROM big b
+            LEFT JOIN (SELECT h12, c12 FROM types) ty USING (h12)
+            LEFT JOIN ctx1 c USING (h1)
+            LEFT JOIN n1p p USING (h1)
+            LEFT JOIN nr r USING (hw)
+            WHERE b.half = 1
+        ),
+        pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                      CAST(sum(ppm) AS BIGINT) AS sp,
+                      CAST(min(ppm) AS BIGINT) AS min_ppm
+               FROM scored GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST({halfup('pd.sp', 'pd.n_bigrams')} AS BIGINT)
+                   AS kn_ppm,
+               pd.min_ppm
+        FROM (SELECT doc_id FROM fuzzdocs WHERE doc_id % {mod} <> 0) d
+        LEFT JOIN pd USING (doc_id)
         """
     else:
         mod = case["mod"]

@@ -187,6 +187,13 @@ AUDIT_QUERIES = [
     # round-8 additions
     "neardup_cluster_eval",
     "unigram_encode_stats",
+    "kneser_ney_ppl",
+    "winnowing_fingerprints",
+    "winnowing_overlap_pairs",
+    "rater_agreement_kappa",
+    "snapshot_dv_delete_agg",
+    "snapshot_bloom_lookup",
+    "stream_dv_deletes",
 ]
 
 
@@ -250,6 +257,7 @@ EXPECTED_NESTED_LOOP = {
     "equidepth_histogram_totalprice": "bucket-count-sized triangular prefix-sum offsets broadcast (scalable_ntile)",
     "pack_sequences_512": "bucket-count-sized triangular prefix-sum offsets broadcast (scalable_prefix_sum)",
     "neardup_cluster_eval": "1-row metric aggregates cross-combined for the output row",
+    "kneser_ney_ppl": "eval transitions × 1-row distinct-bigram-type total broadcast",
     "ks_two_sample_values": "distinct-value CDF rows × 1-row (n1, n2) totals broadcast",
     "semantic_dedup_docs": "corpus × centroid-count-sized model broadcast (SemDeDup assignment)",
     "pagerank_exact_int": "ranks × 1-row node-count/dangling-mass broadcasts per unrolled iteration",
