@@ -159,6 +159,7 @@ TIER3_QUERIES = [
     "snapshot_dv_delete_agg",
     "snapshot_bloom_lookup",
     "stream_dv_deletes",
+    "blocklist_phrase_filter",
 ]
 
 

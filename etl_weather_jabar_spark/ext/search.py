@@ -118,6 +118,44 @@ def phrase_match(
     )
 
 
+def dictionary_match(
+    postings: DataFrame, phrases: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Multi-phrase dictionary matching — the Aho-Corasick workload
+    (tag every occurrence of every dictionary phrase in every document)
+    as ONE relational pass, generalizing :func:`phrase_match` from a
+    single query phrase to a phrase TABLE:
+
+    ``phrases`` holds one row per (phrase, term): (pid, off, th, plen)
+    with offsets 0..plen−1. A posting at position p for a phrase term
+    at offset i votes for anchor (pid, p−i); an anchor collecting ALL
+    plen distinct offsets is a match. Returns (id, pid, pos0) — one
+    row per phrase occurrence, overlaps and repeated terms handled
+    exactly (a repeated term contributes one distinct-offset vote per
+    offset it actually covers).
+
+    100 TB: the dictionary is broadcast (blocklists are small by
+    contract); work is one equi-join on the 16-hex term key + one
+    partial-aggregatable count per candidate anchor — candidates are
+    bounded by occurrences of dictionary TERMS, not corpus size, and
+    text itself never shuffles. plen rides each term row (functionally
+    determined by pid), so no second join against a length table."""
+    cand = postings.join(F.broadcast(phrases), "th").select(
+        F.col(id_col),
+        F.col("pid"),
+        F.col("plen"),
+        (F.col("pos") - F.col("off")).alias("pos0"),
+        "off",
+    )
+    return (
+        cand.where(F.col("pos0") >= 0)
+        .groupBy(id_col, "pid", "plen", "pos0")
+        .agg(F.count_distinct("off").alias("__k"))
+        .where(F.col("__k") == F.col("plen"))
+        .select(id_col, "pid", "pos0")
+    )
+
+
 def save_postings_index(
     docs: DataFrame,
     path: str,

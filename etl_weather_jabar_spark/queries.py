@@ -16095,6 +16095,147 @@ def stream_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "blocklist_phrase_filter",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_NORM_TOKENS_SQL} AS t FROM documents
+    ),
+    g2 AS (
+        SELECT t[p + 1] || ' ' || t[p + 2] AS g, count(*) AS c
+        FROM toks, unnest(range(0, greatest(len(t) - 1, 0))) AS u(p)
+        GROUP BY 1
+    ),
+    g3 AS (
+        SELECT t[p + 1] || ' ' || t[p + 2] || ' ' || t[p + 3] AS g,
+               count(*) AS c
+        FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(p)
+        GROUP BY 1
+    ),
+    phrases AS (
+        SELECT g AS pid, 2 AS plen
+        FROM (SELECT g FROM g2 ORDER BY c DESC, g ASC LIMIT 3)
+        UNION ALL
+        SELECT g AS pid, 3 AS plen
+        FROM (SELECT g FROM g3 ORDER BY c DESC, g ASC LIMIT 2)
+    ),
+    terms AS (
+        SELECT pid, plen,
+               CAST(generate_subscripts(ts, 1) AS BIGINT) - 1 AS off,
+               substr(md5(unnest(ts)), 1, 16) AS th
+        FROM (SELECT pid, plen, string_split(pid, ' ') AS ts
+              FROM phrases)
+    ),
+    postings AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(t, 1) AS BIGINT) - 1 AS pos,
+               substr(md5(unnest(t)), 1, 16) AS th
+        FROM toks
+    ),
+    cand AS (
+        SELECT p.doc_id, tm.pid, tm.plen, p.pos - tm.off AS pos0, tm.off
+        FROM postings p JOIN terms tm USING (th)
+        WHERE p.pos - tm.off >= 0
+    ),
+    matches AS (
+        SELECT doc_id, pid, pos0
+        FROM cand
+        GROUP BY doc_id, pid, plen, pos0
+        HAVING count(DISTINCT off) = plen
+    ),
+    per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(DISTINCT pid) AS BIGINT) AS n_phrases
+        FROM matches GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(per.n_phrases, 0) AS BIGINT) AS n_phrases,
+           CASE WHEN per.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def blocklist_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary/blocklist phrase filtering — the curation stage that
+    drops documents containing any phrase from a blocklist (NSFW terms,
+    boilerplate banners, contamination markers), run as ONE relational
+    pass over ALL phrases at once (ext/search.py::dictionary_match —
+    the Aho-Corasick workload as a broadcast term join + anchor
+    count). The blocklist here is data-derived so the oracle can
+    replay it: the corpus's top-3 bigrams and top-2 trigrams by
+    frequency (ties by text — a total order). Per document: match
+    occurrences, distinct phrases hit, and the keep flag. The twin
+    replays derivation AND matching, so the hash certifies the whole
+    chain. 100 TB: candidates are bounded by dictionary-TERM
+    occurrences, not corpus size; one equi-join on 16-hex keys; text
+    never shuffles; a real deployment swaps the derived table for a
+    broadcast blocklist file with zero plan changes."""
+    from .ext.search import dictionary_match
+    from .functions.text import tokens as _tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+
+    def top_grams(n: int, k: int) -> DataFrame:
+        starts = F.when(
+            F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            toks.select(
+                F.explode(
+                    F.transform(
+                        starts,
+                        lambda i: F.array_join(F.slice("t", i, n), " "),
+                    )
+                ).alias("g")
+            )
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("g").asc())
+            .limit(k)
+            .select("g", F.lit(n).alias("plen"))
+        )
+
+    phrases = top_grams(2, 3).unionByName(top_grams(3, 2))
+    terms = phrases.select(
+        F.col("g").alias("pid"),
+        F.col("plen"),
+        F.posexplode(F.split("g", " ")).alias("off", "term"),
+    ).select(
+        "pid",
+        "plen",
+        F.col("off").cast("bigint").alias("off"),
+        F.substring(F.md5("term"), 1, 16).alias("th"),
+    )
+    postings = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.substring(F.md5("tok"), 1, 16).alias("th"),
+    )
+    matches = dictionary_match(postings, terms)
+    per = matches.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.count_distinct("pid").cast("bigint").alias("n_phrases"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce("n_phrases", F.lit(0))
+            .cast("bigint")
+            .alias("n_phrases"),
+            F.when(F.col("n_hits").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+@_register(
     "wordpiece_encode_stats",
     f"""
     WITH RECURSIVE srcw AS (

@@ -976,3 +976,54 @@ def test_ppl_bucket_split_matches_naive_ntile(spark):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_dictionary_match_multi_phrase_semantics(spark):
+    """Multi-phrase dictionary matching pinned on hand-built fixtures:
+    overlapping matches of different phrases, a repeated-term phrase
+    ("x x") that must NOT fire on a single occurrence, per-occurrence
+    rows for a phrase appearing twice, and phrases sharing a term."""
+    from pyspark.sql import functions as F
+
+    from etl_weather_jabar_spark.ext.search import dictionary_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),   # "a b" twice; "b c" once; "a b c" once
+            (2, "x y x"),       # "x x" must not fire; no dict phrase
+            (3, "x x y"),       # "x x" fires at 0
+        ],
+        ["doc_id", "text"],
+    )
+    postings = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.substring(F.md5("tok"), 1, 16).alias("th"),
+    )
+    dict_rows = []
+    for pid in ["a b", "b c", "a b c", "x x"]:
+        ts = pid.split(" ")
+        for off, term in enumerate(ts):
+            dict_rows.append((pid, len(ts), off, term))
+    import hashlib
+
+    phrases = spark.createDataFrame(
+        [
+            (p, n, o, hashlib.md5(t.encode()).hexdigest()[:16])
+            for p, n, o, t in dict_rows
+        ],
+        ["pid", "plen", "off", "th"],
+    )
+    got = {
+        (r["doc_id"], r["pid"], r["pos0"])
+        for r in dictionary_match(postings, phrases).collect()
+    }
+    assert got == {
+        (1, "a b", 0),
+        (1, "a b", 3),
+        (1, "b c", 1),
+        (1, "a b c", 0),
+        (3, "x x", 0),
+    }

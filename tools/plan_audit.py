@@ -194,6 +194,7 @@ AUDIT_QUERIES = [
     "snapshot_dv_delete_agg",
     "snapshot_bloom_lookup",
     "stream_dv_deletes",
+    "blocklist_phrase_filter",
 ]
 
 
