@@ -1261,6 +1261,38 @@ def snapshot_count(path: str, version: int | None = None) -> int:
     return sum(counts[f] - dv.get(f, 0) for f in m["files"])
 
 
+def snapshot_minmax(path: str, col: str, version: int | None = None):
+    """Exact global (min, max) of ``col`` from manifest stats alone — no
+    Spark job, no file opens (the reader-side twin of
+    :func:`snapshot_count`'s metadata-only COUNT). Only valid when
+    EVERY live file recorded stats for the column AND the version has
+    no deletion vectors (a DV-deleted row may have been the extremum,
+    and per-file stats cannot see that) — both cases raise rather than
+    silently degrade, pushing the caller to the honest scan."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    if m.get("dvs"):
+        raise ValueError(
+            f"version {v} carries deletion vectors; metadata min/max "
+            "would be wrong if a deleted row was the extremum — scan, "
+            "or purge first"
+        )
+    los, his = [], []
+    for f in m["files"]:
+        s = m.get("stats", {}).get(f, {}).get(col)
+        if s is None or s[0] is None:
+            raise ValueError(
+                f"version {v}: file {f} has no stats for {col!r} "
+                "(write with stats_cols to enable metadata min/max)"
+            )
+        los.append(_stats_decode(s[0]))
+        his.append(_stats_decode(s[1]))
+    return min(los), max(his)
+
+
 def snapshot_optimize(
     spark,
     path: str,
@@ -1268,6 +1300,8 @@ def snapshot_optimize(
     n_files: int = 8,
     bits: int = 8,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_M,
 ) -> int:
     """OPTIMIZE as a snapshot commit: rewrite the latest version's rows
     into ``n_files`` right-sized files — Z-order clustered when
@@ -1299,6 +1333,8 @@ def snapshot_optimize(
         mode="overwrite",
         meta={"optimized": True},
         stats_cols=stats_cols or zorder_cols,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
     )
 
 

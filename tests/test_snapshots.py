@@ -1169,3 +1169,48 @@ def test_snapshot_delete_dv_keys_mode(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_snapshot_minmax_metadata_only_and_optimize_blooms(spark, tmp_path):
+    """Metadata-only MIN/MAX from manifest stats (exact — per-file
+    min/max compose), refusing the two unsound cases (missing stats,
+    live deletion vectors); OPTIMIZE can rebuild both stats and Bloom
+    indexes for the rewritten layout."""
+    from etl_weather_jabar_spark.snapshots import (
+        snapshot_delete_dv,
+        snapshot_lookup_files,
+        snapshot_minmax,
+        snapshot_optimize,
+        snapshot_purge_dv,
+    )
+
+    path = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 201)], ["k", "v"]
+    )
+    snapshot_write(rows.repartition(4), path, stats_cols=["k", "v"])
+    assert snapshot_minmax(path, "k") == (1, 200)
+    assert snapshot_minmax(path, "v") == (10, 2000)
+    try:
+        snapshot_minmax(path, "missing")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "no stats" in str(e)
+
+    # a DV could have deleted the extremum -> metadata min/max refuses
+    snapshot_delete_dv(spark, path, "k = 200")
+    try:
+        snapshot_minmax(path, "k")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "deletion vectors" in str(e)
+
+    # OPTIMIZE materializes the DV and can rebuild stats + blooms
+    snapshot_purge_dv(spark, path)
+    snapshot_optimize(
+        spark, path, n_files=4, stats_cols=["k"], bloom_cols=["k"]
+    )
+    assert snapshot_minmax(path, "k") == (1, 199)
+    n_files = 4
+    picked = snapshot_lookup_files(path, "k", [5])
+    assert len(picked) < n_files  # optimize-built blooms prune
