@@ -39,6 +39,8 @@ BPE trainer (the other major subword family).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,6 +48,116 @@ from ..operators.partitioning import spread
 from ..planmode import checkpoint, is_plan_only
 
 UNK = "[UNK]"
+
+# Inline fast-path threshold (optimization round 8): a vocabulary at or
+# under this row count is folded into the segmentation expression as
+# array/map LITERALS, turning the per-character DP loop (a localCheckpoint
+# + isEmpty probe + max_len broadcast joins PER CHARACTER of the longest
+# word — ~2 scheduled Spark jobs per round, ~15 s of pure job overhead at
+# sf0.1) into ONE higher-order aggregate() per word: zero loops, zero
+# joins, zero checkpoints, bit-identical arithmetic. Every engine call
+# site derives its vocab with top_k ≤ 32 learned pieces + single-character
+# coverage, far under the default; an externally supplied vocabulary
+# larger than this keeps the loop form, whose broadcast joins scale to
+# vocabularies that would bloat a plan literal. Parameterized for
+# production tuning (plans embed ~vocab bytes per task; 4096 pieces ≈
+# tens of KB — safe; 10⁶ would not be).
+_INLINE_VOCAB_MAX = int(
+    os.environ.get("SPARK_GRAFT_TOKENIZER_INLINE_VOCAB_MAX", "4096")
+)
+
+
+def _decode_len_path(segd: DataFrame) -> DataFrame:
+    """(w, lens) with comma-terminated piece-length paths → (w, i, piece):
+    positional decode — piece i starts after the sum of the first i
+    lengths (the same expression as :func:`unigram_pieces`)."""
+    larr = F.filter(F.split("lens", ","), lambda x: x != "")
+    exp = segd.select("w", larr.alias("larr")).select(
+        "w", F.posexplode("larr").alias("i", "lstr"), F.col("larr")
+    )
+    return exp.select(
+        "w",
+        F.col("i").cast("bigint").alias("i"),
+        F.expr(
+            "substring(w, CAST(1 + aggregate(slice(larr, 1, i), 0L, "
+            "(a, x) -> a + CAST(x AS BIGINT)) AS INT), CAST(lstr AS INT))"
+        ).alias("piece"),
+    )
+
+
+def _wordpiece_encode_inline(
+    words: DataFrame, vocab_rows: list[tuple[str, int]], max_len: int
+) -> DataFrame:
+    """Greedy MaxMatch as ONE JVM expression: fold over character
+    positions (``aggregate(sequence(1, length(w)), …)``) with the vocab
+    as per-length sorted array literals. State (ok, pos, lens): pos is
+    the 1-based next position, lens the comma-terminated piece-length
+    path. Each active step takes the LONGEST vocab piece prefixing
+    w[pos:] — the same longest-first pick as the loop form's coalesce —
+    and an unmatched position flips ok=false (the word becomes one
+    [UNK], the all-or-nothing contract). Each step consumes ≥ 1
+    character, so length(w) fold steps always finish the word; finished
+    (or failed) states pass through untouched."""
+    by_len = {
+        ln: sorted({p for p, pl in vocab_rows if pl == ln})
+        for ln in range(1, max_len + 1)
+    }
+    init = F.struct(
+        F.lit(True).alias("ok"),
+        F.lit(1).alias("pos"),
+        F.lit("").alias("lens"),
+    )
+
+    def step(acc, _):
+        w = F.col("w")
+        expr = F.struct(
+            F.lit(False).alias("ok"),
+            acc["pos"].alias("pos"),
+            acc["lens"].alias("lens"),
+        )
+        # built shortest → longest so the longest match is the OUTERMOST
+        # when(): greedy longest-match-first, like the loop's coalesce
+        for ln in range(1, max_len + 1):
+            if not by_len[ln]:
+                continue
+            m = F.array_contains(
+                F.lit(by_len[ln]), w.substr(acc["pos"], F.lit(ln))
+            )
+            expr = F.when(
+                m,
+                F.struct(
+                    F.lit(True).alias("ok"),
+                    (acc["pos"] + F.lit(ln)).alias("pos"),
+                    F.concat(acc["lens"], F.lit(f"{ln},")).alias("lens"),
+                ),
+            ).otherwise(expr)
+        done = (~acc["ok"]) | (acc["pos"] > F.length(w))
+        return F.when(done, acc).otherwise(expr)
+
+    enc = words.select(
+        "w",
+        F.aggregate(F.sequence(F.lit(1), F.length("w")), init, step).alias(
+            "st"
+        ),
+    )
+    pieces = _decode_len_path(
+        enc.where(F.col("st.ok")).select("w", F.col("st.lens").alias("lens"))
+    )
+    em = pieces.select(
+        "w",
+        "i",
+        "piece",
+        F.when(F.col("i") == 0, F.col("piece"))
+        .otherwise(F.concat(F.lit("##"), F.col("piece")))
+        .alias("dp"),
+    )
+    unk_rows = enc.where(~F.col("st.ok")).select(
+        "w",
+        F.lit(0).cast("bigint").alias("i"),
+        F.lit(UNK).alias("piece"),
+        F.lit(UNK).alias("dp"),
+    )
+    return em.unionByName(unk_rows)
 
 
 def word_counts(
@@ -132,15 +244,48 @@ def wordpiece_encode(
     segmentations emitting it — ENFORCED here with a ValueError rather
     than left as a caveat for callers to read (round-7 advisor):
     externally supplied vocab tables must not carry the sentinel
-    (substring_vocab at its defaults cannot produce it)."""
-    if not is_plan_only():
-        if not vocab.where(F.col("piece") == UNK).isEmpty():
-            raise ValueError(
-                f"wordpiece_encode: vocabulary contains the literal "
-                f"sentinel piece {UNK!r}; the all-or-nothing retraction "
-                "keys on that string, so legitimate segmentations would "
-                "be retracted — remove it from the vocab"
-            )
+    (substring_vocab at its defaults cannot produce it).
+
+    Fast path (optimization round 8): when the vocabulary fits in
+    ``_INLINE_VOCAB_MAX`` rows — every engine call site, whose vocab is
+    all single characters + top_k ≤ 32 learned pieces — the whole greedy
+    DP runs as one higher-order ``aggregate()`` per word with the vocab
+    as array literals (:func:`_wordpiece_encode_inline`): identical
+    output, zero per-round jobs (measured ~6 s → ~1.5 s at sf0.1 for
+    wordpiece_encode_stats). The sized probe (``limit(MAX+1).collect()``)
+    never pulls more than MAX+1 rows, and the UNK guard runs on the
+    collected rows for free; larger external vocabularies keep the
+    broadcast-join loop below unchanged (with its original isEmpty UNK
+    guard). Plan-only mode builds the inline shape from a placeholder
+    vocab — the audited plan shows the shape that actually executes,
+    the same convention as the IVF placeholder centroids."""
+    if is_plan_only():
+        return _wordpiece_encode_inline(
+            words, [("a" * ln, ln) for ln in range(1, max_len + 1)], max_len
+        )
+    probe = vocab.select("piece", "plen").limit(
+        _INLINE_VOCAB_MAX + 1
+    ).collect()
+    if any(r["piece"] == UNK for r in probe):
+        raise ValueError(
+            f"wordpiece_encode: vocabulary contains the literal "
+            f"sentinel piece {UNK!r}; the all-or-nothing retraction "
+            "keys on that string, so legitimate segmentations would "
+            "be retracted — remove it from the vocab"
+        )
+    if len(probe) <= _INLINE_VOCAB_MAX:
+        return _wordpiece_encode_inline(
+            words,
+            [(r["piece"], int(r["plen"])) for r in probe],
+            max_len,
+        )
+    if not vocab.where(F.col("piece") == UNK).isEmpty():
+        raise ValueError(
+            f"wordpiece_encode: vocabulary contains the literal "
+            f"sentinel piece {UNK!r}; the all-or-nothing retraction "
+            "keys on that string, so legitimate segmentations would "
+            "be retracted — remove it from the vocab"
+        )
     vocab = F.broadcast(
         checkpoint(vocab.select("piece", "plen").coalesce(parts))
     )
@@ -251,7 +396,11 @@ def wordpiece_doc_stats(
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     )
-    words = srcw.groupBy("w").agg(F.sum("f").alias("f"))
+    # srcw feeds three consumers (words derivation + the two per-source
+    # rollup joins) and words feeds both the build-time vocab actions and
+    # the final plan — materialize each once (identity in plan-only mode)
+    srcw = checkpoint(srcw)
+    words = checkpoint(srcw.groupBy("w").agg(F.sum("f").alias("f")))
     vocab = substring_vocab(words, max_len=max_len, top_k=top_k)
     em = wordpiece_encode(words, vocab, max_len=max_len)
     encw = em.groupBy("w").agg(
@@ -368,6 +517,135 @@ def unigram_seed_scores(
     return v1.unionByName(vtop).select("piece", "plen", "score")
 
 
+def _unigram_viterbi_inline(
+    words: DataFrame, vocab_rows: list[tuple[str, int, int]]
+) -> DataFrame:
+    """The Viterbi DP as ONE JVM expression: fold the 3-slot frontier
+    over character positions (``aggregate(sequence(1, length(w)), …)``)
+    with the vocab as per-length map literals (piece → score). The
+    candidate encoding (lpad strings under ``_UNI_BOUND``), the
+    ``least()`` comparison, the pick/shift logic and the substring
+    positions are the SAME expressions as the loop form — the lookups
+    are ``element_at`` on a map literal instead of broadcast LEFT
+    equi-joins — so the (w, np, lens) output is bit-identical. One fold
+    step advances exactly one character position like one loop round;
+    after length(w) steps j == length(w), the loop's harvest condition."""
+    maps = {
+        ln: {p: int(s) for p, pl, s in vocab_rows if pl == ln}
+        for ln in (1, 2, 3)
+    }
+
+    def map_lit(d):
+        if not d:
+            return None
+        args = []
+        for p in sorted(d):
+            args += [F.lit(p), F.lit(d[p]).cast("bigint")]
+        return F.create_map(*args)
+
+    m1, m2, m3 = map_lit(maps[1]), map_lit(maps[2]), map_lit(maps[3])
+    nb = F.lit(None).cast("bigint")
+    # aggregate() takes the state TYPE — including nullability — from the
+    # initial value, and Catalyst folds any nullable wrapper around a
+    # literal away, so a dead DP slot cannot be a NULL field without
+    # codegen NPEs. Dead slots are therefore the SENTINEL (np=-1, sm=0,
+    # ls="") inside the fold — candidates gate on np >= 0 exactly where
+    # the loop form gates on np IS NOT NULL (the sentinel sm/ls are never
+    # read through that gate) — and the final projection converts the
+    # sentinel back to the loop's NULL np/lens contract.
+    dead_np, dead_sm, dead_ls = (
+        F.lit(-1).cast("bigint"),
+        F.lit(0).cast("bigint"),
+        F.lit(""),
+    )
+    init = F.struct(
+        F.lit(0).alias("j"),
+        F.lit(0).cast("bigint").alias("d0np"),
+        F.lit(0).cast("bigint").alias("d0sm"),
+        F.lit("").alias("d0ls"),
+        dead_np.alias("d1np"),
+        dead_sm.alias("d1sm"),
+        dead_ls.alias("d1ls"),
+        dead_np.alias("d2np"),
+        dead_sm.alias("d2sm"),
+        dead_ls.alias("d2ls"),
+    )
+
+    def step(acc, _):
+        w = F.col("w")
+        j = acc["j"]
+        # piece of length l ending at position j+1 starts at j+2-l — the
+        # same substring positions as the loop's join keys (the
+        # out-of-range starts at j < 2 are dead: their slot sentinel)
+        s1 = F.element_at(m1, w.substr(j + 1, F.lit(1))) if m1 is not None else nb
+        s2 = F.element_at(m2, w.substr(j, F.lit(2))) if m2 is not None else nb
+        s3 = F.element_at(m3, w.substr(j - 1, F.lit(3))) if m3 is not None else nb
+
+        def cand(np_, sm, ls, s, ln):
+            return F.when(
+                (np_ >= 0) & s.isNotNull(),
+                F.concat(
+                    F.lpad((np_ + 1).cast("string"), 4, "0"),
+                    F.lpad(
+                        (F.lit(_UNI_BOUND) - (sm + s)).cast("string"),
+                        15,
+                        "0",
+                    ),
+                    ls,
+                    F.lit(f"{ln},"),
+                ),
+            )
+
+        c1 = cand(acc["d0np"], acc["d0sm"], acc["d0ls"], s1, 1)
+        c2 = cand(acc["d1np"], acc["d1sm"], acc["d1ls"], s2, 2)
+        c3 = cand(acc["d2np"], acc["d2sm"], acc["d2ls"], s3, 3)
+        best = F.least(c1, c2, c3)
+
+        # the new d0 slot DECODES the winning candidate string instead of
+        # re-selecting among the slot expressions (the loop form's pick):
+        # the encoding is lossless — lpad(np,4) || lpad(BOUND−sm,15) ||
+        # path — and the loop's pick() returns exactly the fields of the
+        # least() winner (equal strings ⇒ equal np/sm/path), so the
+        # decode is value-identical while keeping the generated code ~4×
+        # smaller (pick duplicated every candidate subtree per output);
+        # a NULL best (no candidate) decodes to the dead-slot sentinel
+        nxt = F.struct(
+            (j + 1).alias("j"),
+            F.coalesce(
+                F.substring(best, 1, 4).cast("bigint"), dead_np
+            ).alias("d0np"),
+            F.coalesce(
+                F.lit(_UNI_BOUND) - F.substring(best, 5, 15).cast("bigint"),
+                dead_sm,
+            )
+            .cast("bigint")
+            .alias("d0sm"),
+            F.coalesce(F.substring(best, 20, 1 << 30), dead_ls).alias(
+                "d0ls"
+            ),
+            acc["d0np"].alias("d1np"),
+            acc["d0sm"].alias("d1sm"),
+            acc["d0ls"].alias("d1ls"),
+            acc["d1np"].alias("d2np"),
+            acc["d1sm"].alias("d2sm"),
+            acc["d1ls"].alias("d2ls"),
+        )
+        return F.when(j >= F.length(w), acc).otherwise(nxt)
+
+    enc = words.select(
+        "w",
+        F.aggregate(F.sequence(F.lit(1), F.length("w")), init, step).alias(
+            "st"
+        ),
+    )
+    alive = F.col("st.d0np") >= 0
+    return enc.select(
+        "w",
+        F.when(alive, F.col("st.d0np")).alias("np"),
+        F.when(alive, F.col("st.d0ls")).alias("lens"),
+    )
+
+
 def unigram_viterbi_encode(
     words: DataFrame,
     vocab: DataFrame,
@@ -388,6 +666,26 @@ def unigram_viterbi_encode(
     iterations = longest word, localCheckpoint per round."""
     if max_len != 3:
         raise ValueError("unigram_viterbi_encode is specialized to max_len=3")
+    # Fast path (optimization round 8): same convention as
+    # wordpiece_encode — a vocabulary at or under _INLINE_VOCAB_MAX rows
+    # (every engine call site) folds into one higher-order aggregate()
+    # with map literals (:func:`_unigram_viterbi_inline`), removing the
+    # ~2-jobs-per-character loop (measured ~12.6 s → ~2 s at sf0.1 for
+    # unigram_encode_stats, which runs the DP twice). Larger external
+    # vocabularies keep the broadcast-join loop; plan-only mode audits
+    # the inline shape via a placeholder vocab (no collect, no jobs).
+    if is_plan_only():
+        return _unigram_viterbi_inline(
+            words, [("a", 1, 1), ("aa", 2, 1), ("aaa", 3, 1)]
+        )
+    probe = vocab.select("piece", "plen", "score").limit(
+        _INLINE_VOCAB_MAX + 1
+    ).collect()
+    if len(probe) <= _INLINE_VOCAB_MAX:
+        return _unigram_viterbi_inline(
+            words,
+            [(r["piece"], int(r["plen"]), int(r["score"])) for r in probe],
+        )
     vocab = F.broadcast(
         checkpoint(vocab.select("piece", "plen", "score").coalesce(parts))
     )
@@ -567,7 +865,12 @@ def unigram_train_scores(
     plus the ``keep_top_k`` highest-usage multi-character pieces — the
     unigram analogue of SentencePiece's prune-to-target-vocab step.
     Returns (piece, plen, score) for :func:`unigram_viterbi_encode`."""
-    seed = unigram_seed_scores(words, max_len=max_len, top_k=seed_top_k)
+    # the seed table feeds TWO consumers (the encode's vocab probe and
+    # the usage re-join below); materialize it once — it is
+    # vocabulary-sized, and its upstream is the full substring explode
+    seed = checkpoint(
+        unigram_seed_scores(words, max_len=max_len, top_k=seed_top_k)
+    )
     enc0 = unigram_viterbi_encode(words, seed, max_len=max_len)
     usage = (
         unigram_pieces(enc0)
@@ -614,7 +917,11 @@ def unigram_doc_stats(
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     )
-    words = srcw.groupBy("w").agg(F.sum("f").alias("f"))
+    # srcw feeds three consumers (words derivation + the two per-source
+    # rollup joins) and words feeds both the build-time vocab actions and
+    # the final plan — materialize each once (identity in plan-only mode)
+    srcw = checkpoint(srcw)
+    words = checkpoint(srcw.groupBy("w").agg(F.sum("f").alias("f")))
     scores = unigram_train_scores(
         words, max_len=max_len, seed_top_k=seed_top_k, keep_top_k=keep_top_k
     )

@@ -478,3 +478,60 @@ def test_unigram_viterbi_beats_greedy_and_handles_unk(spark):
     )
     unk = unigram_pieces(unigram_viterbi_encode(words, hole)).collect()
     assert [(r["i"], r["piece"]) for r in unk] == [(0, UNK)]
+
+
+def test_tokenizer_inline_fast_path_matches_loop_form(spark, monkeypatch):
+    """Optimization round 8: the inline fast path (vocab folded into one
+    higher-order aggregate() as array/map literals) must be row-identical
+    to the relational per-character loop for BOTH tokenizers, including
+    the [UNK] paths — pinned by running the same encode with the inline
+    threshold at its default and forced to 0 (loop form)."""
+    from pyspark.sql import functions as F
+
+    import etl_weather_jabar_spark.ext.tokenize as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alphabet zz"),
+            (2, "beta gamma gamma alphabet"),
+            (3, "qx zz alpha"),
+        ],
+        ["doc_id", "text"],
+    )
+    words = T.word_counts(docs)
+    wp_vocab = T.substring_vocab(words, max_len=3, top_k=6)
+    uni_scores = T.unigram_train_scores(
+        words, seed_top_k=6, keep_top_k=4
+    )
+    # external vocab with a coverage hole exercises the NULL-slot /
+    # unmatched branches in both forms
+    hole = spark.createDataFrame(
+        [("a", 1, 5), ("l", 1, 1), ("ph", 2, 3), ("bet", 3, 4)],
+        "piece STRING, plen BIGINT, score BIGINT",
+    )
+
+    def run_both(fn):
+        fast = sorted(map(tuple, fn().collect()))
+        monkeypatch.setattr(T, "_INLINE_VOCAB_MAX", 0)
+        loop = sorted(map(tuple, fn().collect()))
+        monkeypatch.setattr(T, "_INLINE_VOCAB_MAX", 4096)
+        assert fast == loop and fast
+        return fast
+
+    run_both(lambda: T.wordpiece_encode(words, wp_vocab))
+    run_both(lambda: T.unigram_viterbi_encode(words, uni_scores))
+    rows = run_both(
+        lambda: T.unigram_viterbi_encode(
+            words, hole.select("piece", "plen", "score")
+        )
+    )
+    # the hole vocab leaves some word unsegmentable: NULL np/lens rows
+    assert any(r[1] is None for r in rows)
+    # the inline UNK-sentinel guard fires without running a job
+    bad = wp_vocab.union(
+        spark.createDataFrame([(T.UNK, 5)], "piece STRING, plen BIGINT")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sentinel"):
+        T.wordpiece_encode(words, bad, max_len=5)
