@@ -4862,8 +4862,14 @@ def ntile_cume_dist_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the oracle's window-function values."""
     from .operators.windows import scalable_ntile
 
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.round("c_acctbal", 2).alias("__bal")
+    from .planmode import checkpoint, is_plan_only
+
+    # c feeds the ntile (quantile + rank + count) AND the cume_dist
+    # total below: materialize once (optimization round 8)
+    c = checkpoint(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.round("c_acctbal", 2).alias("__bal")
+        )
     )
     tiled = scalable_ntile(
         c,
@@ -4871,8 +4877,9 @@ def ntile_cume_dist_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
         tile_col="quartile",
         keep_rank_col="__rk",
+        materialize=False,
     )
-    total = c.count()
+    total = 100 if is_plan_only() else c.count()
     rk = F.col("__rk")
     pr = (
         F.round((rk - 1) / F.lit(float(total - 1)), 6)
@@ -11758,8 +11765,13 @@ def ks_two_sample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "view", 1).otherwise(0)
         ).cast("bigint").alias("c2"),
     )
+    from .planmode import checkpoint
+
+    # per_v feeds the prefix sum (quantile + main plan) AND the totals
+    # aggregate: materialize once (optimization round 8)
+    per_v = checkpoint(per_v)
     cum = scalable_prefix_sum(
-        per_v, ["v"], ["c1", "c2"], ["cum1", "cum2"]
+        per_v, ["v"], ["c1", "c2"], ["cum1", "cum2"], materialize=False
     )
     tot = per_v.agg(
         F.sum("c1").cast("bigint").alias("n1"),
