@@ -14849,6 +14849,11 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = dedupe_keep_first(
         s2.withColumn("__h", F.md5("text")), ["__h"], order_by=["doc_id"]
     ).drop("__h")
+    # s3 feeds the chunk stage AND its own stage aggregate: materialize
+    # the deduped survivor set once (optimization round 8)
+    from .planmode import checkpoint
+
+    s3 = checkpoint(s3)
     s4 = cdc_chunk_dedup(s3.select("doc_id", "text")).where(
         F.col("n_kept") > 0
     )
@@ -14986,6 +14991,13 @@ def curation_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = dedupe_keep_first(
         s2.withColumn("__h", F.md5("text")), ["__h"], order_by=["doc_id"]
     ).drop("__h")
+    # s3 (the deduped survivor set, the funnel's expensive shared prefix:
+    # filters + window dedup shuffle) feeds FOUR consumers — the centroid
+    # collect below, the embeddings join, its own stage aggregate, and
+    # s4 — materialize once (optimization round 8)
+    from .planmode import checkpoint
+
+    s3 = checkpoint(s3)
     se = emb.join(
         s3.select(F.col("doc_id").alias("vec_id")), on="vec_id"
     ).select("vec_id", "embedding")
@@ -16695,11 +16707,22 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     |queries|·corpus brute force — the 100×-safe version fixes
     |queries|, not the corpus); the metric joins are |queries|·10-row
     frames."""
-    gt = ann_cosine_topk(spark, sf_dir).select(
-        "query_id", "vec_id", F.col("rank").alias("grank")
+    from .planmode import checkpoint
+
+    # both rankings are |queries|·10-row frames consumed by MULTIPLE
+    # metric joins below (gt three times, sysr twice) — materialize each
+    # once instead of re-running the brute-force scan / the residual
+    # IVFPQ encode per consumer (optimization round 8; the same
+    # multi-consumer rule as jaccard_verify's candidate checkpoint)
+    gt = checkpoint(
+        ann_cosine_topk(spark, sf_dir).select(
+            "query_id", "vec_id", F.col("rank").alias("grank")
+        )
     )
-    sysr = ivfpq_residual_topk(spark, sf_dir).select(
-        "query_id", "vec_id", F.col("rank").alias("srank")
+    sysr = checkpoint(
+        ivfpq_residual_topk(spark, sf_dir).select(
+            "query_id", "vec_id", F.col("rank").alias("srank")
+        )
     )
     inter = (
         gt.join(sysr, ["query_id", "vec_id"])
@@ -16997,6 +17020,14 @@ def minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(3 * F.col("inter") >= F.col("sa") + F.col("sb"))
         .select("id_a", "id_b")
     )
+    # cand and gt each feed TWO metric consumers (the hit join + their
+    # own count); both are candidate-pair-sized — materialize once
+    # instead of re-running the LSH pipeline / the shingle self-join per
+    # consumer (optimization round 8)
+    from .planmode import checkpoint
+
+    cand = checkpoint(cand)
+    gt = checkpoint(gt)
     n_hit = cand.join(gt, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )
@@ -17173,7 +17204,19 @@ def neardup_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    pp, tp = same_cluster_pairs(pred), same_cluster_pairs(gt_assign)
+    # pred and gt_assign each feed THREE consumers (two sides of the
+    # same-cluster self-join + the multi-cluster count) and pp/tp two
+    # (own count + the hit join); all four are assignment/pair-sized —
+    # materialize once instead of re-running the full LSH cluster
+    # pipeline / the exact-graph closure per consumer (optimization r8)
+    from .planmode import checkpoint
+
+    pred = checkpoint(pred)
+    gt_assign = checkpoint(gt_assign)
+    pp, tp = (
+        checkpoint(same_cluster_pairs(pred)),
+        checkpoint(same_cluster_pairs(gt_assign)),
+    )
     return (
         pp.agg(F.count(F.lit(1)).alias("n_pred"))
         .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_true")))

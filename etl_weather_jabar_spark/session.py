@@ -48,6 +48,19 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Arrow for the few pandas-UDF paths (multimodal, fallback mode agg).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Optimization round 8: a harness/bench session runs hundreds of
+        # queries, each leaving localCheckpoint/persist blocks whose
+        # unpersist waits on the ContextCleaner — which only triggers a
+        # driver GC every spark.cleaner.periodicGC.interval (default
+        # 30 MINUTES, longer than the whole bench). Dead blocks pile up in
+        # the block manager, and late queries pay eviction churn + GC
+        # thrash (measured: the last tier-3 stretch inflated ~3.5× vs the
+        # same queries re-run minutes later). A 90 s cadence keeps cleanup
+        # bounded; parameterized for clusters where full GCs are costlier.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
+        )
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{default_parallelism()}]")
