@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import floor_div, half_up_div
+from ..planmode import checkpoint
 
 
 def bigram_lm_score(
@@ -89,6 +90,11 @@ def bigram_lm_score(
             )
         ).alias("g"),
     ).select(F.col(id_col), "g.bh", "g.xh")
+    # occ feeds three consumers, but an A/B (optimization round 8)
+    # measured the lazy form equal-or-faster warm: the explode+md5 is
+    # cheaper to recompute than the occurrence frame is to materialize.
+    # Deliberately left lazy (contrast kneser_ney_score, where the
+    # four-consumer types table DID win from a checkpoint).
     cxy = occ.groupBy("bh").agg(
         F.min("xh").alias("xh"), F.count(F.lit(1)).alias("cxy")
     )
@@ -207,7 +213,10 @@ def kneser_ney_score(
             ).alias("g"),
         ).select(F.col(id_col), "g.h12", "g.h1", "g.hw")
 
-    tr = bigram_occ(train_docs)
+    # tr feeds two count tables and types feeds FOUR consumers
+    # (n1p, nr, the type total, and the scored join): materialize each
+    # once (optimization round 8)
+    tr = checkpoint(bigram_occ(train_docs))
     # Distinct bigram TYPES with their occurrence counts; h1/hw are
     # functionally determined by h12, so min() is exact.
     types = tr.groupBy("h12").agg(
@@ -215,6 +224,7 @@ def kneser_ney_score(
         F.min("hw").alias("hw"),
         F.count(F.lit(1)).alias("c12"),
     )
+    types = checkpoint(types)
     # Context table: occurrence count c1 and distinct-continuation
     # count n1p per left word.
     c1 = tr.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
@@ -339,6 +349,10 @@ def trigram_backoff_score(
             ).alias("g"),
         ).select(F.col(id_col), *[F.col(f"g.{nm}").alias(nm) for nm in names])
 
+    # tri_t/uni_t feed 2-3 count tables each, but an A/B (optimization
+    # round 8) measured the lazy form faster warm (3.0 s vs 3.4 s at
+    # sf0.1): the gram explode is cheaper to recompute than the
+    # occurrence frames are to materialize. Deliberately left lazy.
     tri_t = grams(train_docs, 3, ["h3", "h12"])
     big_t = grams(train_docs, 2, ["h3", "h1"])
     uni_t = grams(train_docs, 1, ["h1"])

@@ -2543,7 +2543,13 @@ def pca_top_direction(
         .select("dim", F.lit(1000000).cast("decimal(38,0)").alias("val"))
     )
     for _ in range(rounds):
-        w = (
+        # w is consumed TWICE per round (the max-|w| aggregate and the
+        # re-scale) and the rounds are unrolled, so without a barrier
+        # each consumer re-executes every earlier round's matvec —
+        # exponential recompute at plan scale. w is d rows: materialize
+        # it per round (optimization round 8; identity in plan-only
+        # mode, where the audited plan keeps the full unrolled shape).
+        w = checkpoint(
             cov.join(
                 F.broadcast(v.select(F.col("dim").alias("j"), "val")), "j"
             )

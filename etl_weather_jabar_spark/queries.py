@@ -1191,9 +1191,16 @@ def _kmv_sketch_pairs(shv: DataFrame, pkeys: DataFrame) -> DataFrame:
     (src_a, src_b) pair keys (S² rows — broadcast)."""
     from .operators.windows import scalable_topk_per_group
 
-    shk = scalable_topk_per_group(
-        shv, ["source"], [F.col("hv").asc()], 128, salt_by=["hv"]
-    ).drop("rnk")
+    from .planmode import checkpoint
+
+    # shk (S·128 rows) feeds BOTH pair-membership joins below: without a
+    # barrier the whole shv + two-phase top-k pipeline runs twice
+    # (optimization round 8)
+    shk = checkpoint(
+        scalable_topk_per_group(
+            shv, ["source"], [F.col("hv").asc()], 128, salt_by=["hv"]
+        ).drop("rnk")
+    )
     # pair membership via two broadcast EQUI-joins (never an
     # OR-predicate nested loop over the hash universe): each side of a
     # pair contributes its sketch hashes tagged, then one (pair, hv)
@@ -1274,7 +1281,14 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source bottom-k sketches are k rows each and merge like any
     KMV."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    shv = _source_shingle_hashes(docs)
+    # shv feeds FOUR consumers (sizes, both sides of the exact
+    # intersection join, the KMV sketch): materialize the distinct
+    # (source, hv) frame once — at full scale this is the job's heavy
+    # shared input and recomputing the shingle+md5+distinct per consumer
+    # quadruples the corpus work (optimization round 8)
+    from .planmode import checkpoint
+
+    shv = checkpoint(_source_shingle_hashes(docs))
     sizes = shv.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -1707,17 +1721,25 @@ def source_card_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     in source_shingle_jaccard)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     card = _quality_card_frame(docs)
-    shv = _source_shingle_hashes(docs)
+    # shv feeds the source-pair key grid AND the sketch; materialize it
+    # once (optimization round 8)
+    from .planmode import checkpoint
+
+    shv = checkpoint(_source_shingle_hashes(docs))
     srcs = shv.select("source").distinct()
     pkeys = srcs.select(F.col("source").alias("src_a")).join(
         srcs.select(F.col("source").alias("src_b")),
         F.col("src_a") < F.col("src_b"),
     )
-    kppm = _kmv_sketch_pairs(shv, pkeys).select(
-        "src_a",
-        "src_b",
-        floor_div(F.col("k_both") * F.lit(1000000), F.col("k_used"))
-        .alias("kmv_ppm"),
+    # kppm (S² rows) feeds both directions of the bidir union below:
+    # materialize once so the sketch pipeline runs once
+    kppm = checkpoint(
+        _kmv_sketch_pairs(shv, pkeys).select(
+            "src_a",
+            "src_b",
+            floor_div(F.col("k_both") * F.lit(1000000), F.col("k_used"))
+            .alias("kmv_ppm"),
+        )
     )
     bidir = kppm.select(
         F.col("src_a").alias("source"),
@@ -9248,10 +9270,16 @@ def pagerank_exact_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     (85·x) div 100, dangling mass redistributed as dm div n — so three
     unrolled power iterations produce identical digits in Spark and
     DuckDB. The node count and per-round dangling mass are 1-row
-    aggregates CROSS-joined back (whitelisted broadcast pattern), so the
-    whole thing is ONE lazy plan — no driver collects at all, unlike the
-    float path's per-round dangling collect. Top-20 by (rank DESC,
+    aggregates CROSS-joined back (whitelisted broadcast pattern) — no
+    data ever collects to the driver, unlike the float path's per-round
+    dangling collect. Each round's rank frame is localCheckpointed
+    (optimization round 8): the rank feeds TWO consumers per round
+    (contribs + dangling mass) and the rounds are unrolled, so the lazy
+    form re-executed every earlier round per consumer — ~2× subtree
+    growth per iteration (162 duplicated scans in the audited plan).
+    The materialized frame is node-count-sized. Top-20 by (rank DESC,
     node)."""
+    from .planmode import checkpoint
     U = 10**12
     e = (
         load_table(spark, sf_dir, "orders")
@@ -9273,6 +9301,7 @@ def pagerank_exact_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.expr(f"CAST({U} div n AS BIGINT)").alias("r")
     )
     for _ in range(3):
+        r = checkpoint(r)
         linked = r.join(deg, r["node"] == deg["u"], "left")
         contribs = (
             linked.where(F.col("d").isNotNull())
