@@ -216,9 +216,40 @@ def _machine_sentinel() -> dict:
     return {"load_1m": load1, "other_spark_procs": other}
 
 
+def _wait_for_quiet_machine() -> float:
+    """Round-8 verdict item 2b: the official r08 bench ran at load 17.5
+    on a 32-core box (leftover load, zero other Spark procs) and
+    manufactured 8 phantom headline regressions. Rather than record
+    noise, WARN on stderr and wait (bounded) for the 1-minute load to
+    drop below a quarter of the benched core count before starting.
+    Returns the seconds spent waiting so the artifact shows whether the
+    run began hot. Timing methodology is untouched — this runs strictly
+    before the session is built."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    threshold = max(2.0, cpus / 4.0)
+    budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_MAX", "300"))
+    waited = 0.0
+    while waited < budget:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:  # pragma: no cover - getloadavg works on linux
+            break
+        if load1 < threshold:
+            break
+        print(
+            f"bench: machine hot (load_1m={load1:.1f} >= {threshold:.1f}); "
+            f"waiting ({waited:.0f}/{budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    quiet_wait = _wait_for_quiet_machine()
     sentinel_before = _machine_sentinel()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -314,6 +345,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sentinel_before": sentinel_before,
                 "sentinel_after": _machine_sentinel(),
+                "quiet_wait_sec": round(quiet_wait, 1),
             }
         )
     )

@@ -215,8 +215,12 @@ def kneser_ney_score(
 
     # tr feeds two count tables and types feeds FOUR consumers
     # (n1p, nr, the type total, and the scored join): materialize each
-    # once (optimization round 8)
-    tr = checkpoint(bigram_occ(train_docs))
+    # once (optimization round 8). tr is the full bigram-occurrence
+    # table — CORPUS-sized — so reliable=True (optimization round 9):
+    # DISK_ONLY persist with lineage kept survives executor loss on a
+    # real cluster where a localCheckpoint block would not. types is
+    # type-bounded (≪ occurrences) and stays on the fast path.
+    tr = checkpoint(bigram_occ(train_docs), reliable=True)
     # Distinct bigram TYPES with their occurrence counts; h1/hw are
     # functionally determined by h12, so min() is exact.
     types = tr.groupBy("h12").agg(

@@ -274,11 +274,23 @@ def wordpiece_encode(
             "be retracted — remove it from the vocab"
         )
     if len(probe) <= _INLINE_VOCAB_MAX:
-        return _wordpiece_encode_inline(
-            words,
-            [(r["piece"], int(r["plen"])) for r in probe],
-            max_len,
-        )
+        # malformed-external-vocab parity with the loop form (round-8
+        # advisor): a NULL piece/plen row never matches any substring
+        # join in the loop, so it is skipped here too rather than
+        # crashing int(None); duplicate (piece, plen) rows would give
+        # the loop form duplicated frontier rows (garbage either way) —
+        # fail loudly instead of silently last-wins-deduping in the map
+        rows = [
+            (r["piece"], int(r["plen"]))
+            for r in probe
+            if r["piece"] is not None and r["plen"] is not None
+        ]
+        if len(set(rows)) != len(rows):
+            raise ValueError(
+                "wordpiece_encode: vocabulary has duplicate "
+                "(piece, plen) rows — dedupe it first"
+            )
+        return _wordpiece_encode_inline(words, rows, max_len)
     if not vocab.where(F.col("piece") == UNK).isEmpty():
         raise ValueError(
             f"wordpiece_encode: vocabulary contains the literal "
@@ -682,10 +694,25 @@ def unigram_viterbi_encode(
         _INLINE_VOCAB_MAX + 1
     ).collect()
     if len(probe) <= _INLINE_VOCAB_MAX:
-        return _unigram_viterbi_inline(
-            words,
-            [(r["piece"], int(r["plen"]), int(r["score"])) for r in probe],
-        )
+        # malformed-external-vocab parity with the loop form (round-8
+        # advisor): NULL piece/plen/score rows behave as non-matches in
+        # the loop's left joins — skip them here instead of crashing
+        # int(None); duplicate (piece, plen) rows would hand the loop
+        # form duplicated frontier rows — fail loudly instead of
+        # silently last-wins-deduping in the map literal
+        rows = [
+            (r["piece"], int(r["plen"]), int(r["score"]))
+            for r in probe
+            if r["piece"] is not None
+            and r["plen"] is not None
+            and r["score"] is not None
+        ]
+        if len({(p, ln) for p, ln, _ in rows}) != len(rows):
+            raise ValueError(
+                "unigram_viterbi_encode: vocabulary has duplicate "
+                "(piece, plen) rows — dedupe it first"
+            )
+        return _unigram_viterbi_inline(words, rows)
     vocab = F.broadcast(
         checkpoint(vocab.select("piece", "plen", "score").coalesce(parts))
     )

@@ -1285,10 +1285,14 @@ def source_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection join, the KMV sketch): materialize the distinct
     # (source, hv) frame once — at full scale this is the job's heavy
     # shared input and recomputing the shingle+md5+distinct per consumer
-    # quadruples the corpus work (optimization round 8)
+    # quadruples the corpus work (optimization round 8). reliable=True
+    # (optimization round 9): this frame is CORPUS-sized — on a
+    # 1000-executor run an unreplicated localCheckpoint block lost with
+    # its executor kills the job with no lineage to rebuild from;
+    # DISK_ONLY persist keeps lineage and stays out of executor heap.
     from .planmode import checkpoint
 
-    shv = checkpoint(_source_shingle_hashes(docs))
+    shv = checkpoint(_source_shingle_hashes(docs), reliable=True)
     sizes = shv.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -1722,10 +1726,12 @@ def source_card_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     card = _quality_card_frame(docs)
     # shv feeds the source-pair key grid AND the sketch; materialize it
-    # once (optimization round 8)
+    # once (optimization round 8); reliable=True because the frame is
+    # corpus-sized (optimization round 9 — lineage kept + DISK_ONLY, see
+    # source_shingle_jaccard)
     from .planmode import checkpoint
 
-    shv = checkpoint(_source_shingle_hashes(docs))
+    shv = checkpoint(_source_shingle_hashes(docs), reliable=True)
     srcs = shv.select("source").distinct()
     pkeys = srcs.select(F.col("source").alias("src_a")).join(
         srcs.select(F.col("source").alias("src_b")),
@@ -14879,10 +14885,12 @@ def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.withColumn("__h", F.md5("text")), ["__h"], order_by=["doc_id"]
     ).drop("__h")
     # s3 feeds the chunk stage AND its own stage aggregate: materialize
-    # the deduped survivor set once (optimization round 8)
+    # the deduped survivor set once (optimization round 8); reliable=True
+    # because the survivor set is corpus-sized (optimization round 9 —
+    # lineage kept + DISK_ONLY, see source_shingle_jaccard)
     from .planmode import checkpoint
 
-    s3 = checkpoint(s3)
+    s3 = checkpoint(s3, reliable=True)
     s4 = cdc_chunk_dedup(s3.select("doc_id", "text")).where(
         F.col("n_kept") > 0
     )
@@ -15023,10 +15031,12 @@ def curation_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # s3 (the deduped survivor set, the funnel's expensive shared prefix:
     # filters + window dedup shuffle) feeds FOUR consumers — the centroid
     # collect below, the embeddings join, its own stage aggregate, and
-    # s4 — materialize once (optimization round 8)
+    # s4 — materialize once (optimization round 8); reliable=True because
+    # the survivor set is corpus-sized (optimization round 9 — lineage
+    # kept + DISK_ONLY, see source_shingle_jaccard)
     from .planmode import checkpoint
 
-    s3 = checkpoint(s3)
+    s3 = checkpoint(s3, reliable=True)
     se = emb.join(
         s3.select(F.col("doc_id").alias("vec_id")), on="vec_id"
     ).select("vec_id", "embedding")

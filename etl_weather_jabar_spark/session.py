@@ -57,12 +57,23 @@ def get_spark(
         # thrash (measured: the last tier-3 stretch inflated ~3.5× vs the
         # same queries re-run minutes later). A 90 s cadence keeps cleanup
         # bounded; parameterized for clusters where full GCs are costlier.
-        .config(
-            "spark.cleaner.periodicGC.interval",
-            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"),
-        )
     )
-    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+    on_cluster = bool(os.environ.get("SPARK_GRAFT_ON_CLUSTER"))
+    # The aggressive 90 s default is only safe where the concurrent-GC
+    # JVM flag below also applies (round-8 advisor): on a cluster whose
+    # submit conf lacks -XX:+ExplicitGCInvokesConcurrent each periodic
+    # System.gc() is a stop-the-world FULL collection (~1.4× measured
+    # query inflation). Clusters opt in via SPARK_GRAFT_PERIODIC_GC and
+    # must pair it with the concurrent-GC flag in their executor/driver
+    # java options; locally both halves ship together.
+    periodic_gc = os.environ.get(
+        "SPARK_GRAFT_PERIODIC_GC", None if on_cluster else "90s"
+    )
+    if periodic_gc:
+        builder = builder.config(
+            "spark.cleaner.periodicGC.interval", periodic_gc
+        )
+    if not on_cluster:
         builder = builder.master(f"local[{default_parallelism()}]")
         # In local mode the driver IS the executor: 32 task threads on
         # the 1g default heap survived ~200-query harness sessions only
@@ -83,14 +94,15 @@ def get_spark(
         # on). ExplicitGCInvokesConcurrent turns it into a concurrent
         # cycle — reference processing still feeds the ContextCleaner,
         # without the pause. Effective for the process's FIRST session
-        # (JVM flag), exactly like the memory setting above.
-        builder = builder.config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:+ExplicitGCInvokesConcurrent",
-            ),
-        )
+        # (JVM flag), exactly like the memory setting above. The GC flag
+        # is APPENDED to any user-supplied extra options (round-8
+        # advisor): a whole-string replacement would silently drop it
+        # and reintroduce the 90 s STW pauses.
+        user_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+        gc_flag = "-XX:+ExplicitGCInvokesConcurrent"
+        if gc_flag not in user_opts:
+            user_opts = f"{user_opts} {gc_flag}".strip()
+        builder = builder.config("spark.driver.extraJavaOptions", user_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
