@@ -173,9 +173,13 @@ def save_postings_index(
     skewed raw term would cause if we partitioned by the term itself;
     a shard holds many terms, bounding partition count at n_shards
     regardless of vocabulary size)."""
+    # REBALANCE by shard before the partitioned write (guide §6): one
+    # task per shard instead of tasks × shards output files
     build_postings(docs, id_col, text_col).withColumn(
         "shard", _shard_of(n_shards)
-    ).write.partitionBy("shard").mode("overwrite").parquet(path)
+    ).hint("rebalance", "shard").write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def phrase_match_indexed(
@@ -547,21 +551,37 @@ def _write_index_batch(
     # regression). Thread-submitted Spark actions are supported and
     # the writes touch disjoint directories; the atomic `_committed`
     # create still lands strictly after every write returns.
+    #
+    # File layout (optimization round 9, guide §6 small-files): a
+    # partitionBy("shard") write from T tasks creates up to T×n_shards
+    # files — measured 1024 postings files PER SEGMENT locally, and the
+    # serve side pays the listing + footer reads on its first query
+    # (bm25_indexed_topk recorded 6.3 s vs 2.3 s re-run: the gap was
+    # cold file metadata, not compute). A REBALANCE-by-shard hint before
+    # each sharded write clusters every shard's rows into one task
+    # (AQE coalesces small partitions, splits skewed ones), so files ≈
+    # n_shards per dataset and file size tracks the advisory partition
+    # size at any scale — the §6 "hash distribution mode" shape.
     termdocs.count()
     writes = [
         lambda: posts.withColumn("shard", _shard_of(n_shards))
+        .hint("rebalance", "shard")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(f"{batch_dir}/postings"),
-        lambda: termdocs.write.partitionBy("shard")
+        lambda: termdocs.hint("rebalance", "shard")
+        .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(f"{batch_dir}/termdocs"),
         lambda: termdocs.groupBy("shard", "th")
         .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
+        .hint("rebalance", "shard")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(f"{batch_dir}/termcaps"),
-        lambda: dl.write.mode("overwrite").parquet(f"{batch_dir}/doclen"),
+        lambda: dl.hint("rebalance")
+        .write.mode("overwrite")
+        .parquet(f"{batch_dir}/doclen"),
         lambda: dl.agg(
             F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("S"),
             F.count(F.lit(1)).cast("bigint").alias("D"),
@@ -634,11 +654,19 @@ def bm25_topk_indexed(
     batches, deletes = _live_state(spark, path)
     if not batches:
         raise ValueError(f"no committed index batches under {path}")
-    shards = sorted(
-        {
-            r["s"]
-            for r in terms.select(_shard_of(n_shards).alias("s")).collect()
-        }
+    # ONE pass over the query plan (optimization round 9, guide §2.4):
+    # the terms frame is typically derived FROM the corpus (top-k token
+    # counts), and it used to be consumed three times — the shard
+    # collect here plus a broadcast under each of matched's two
+    # consumers — re-running the corpus token count per consumer. The
+    # single collect now yields both the shards and the term hashes;
+    # the hashes continue as a literal local relation (identical th
+    # multiset, so the joins are unchanged), and the broadcasts below
+    # cost zero corpus work.
+    trows = terms.select("th", _shard_of(n_shards).alias("s")).collect()
+    shards = sorted({r["s"] for r in trows})
+    terms = spark.createDataFrame(
+        [(r["th"],) for r in trows], "th string"
     )
     matched = (
         _union_reads(spark, batches, "termdocs")
@@ -1025,23 +1053,28 @@ def compact_search_index(
 
     from .heavy_hitters import bloom_build
 
-    drop_deleted(_union_reads(spark, batches, "postings")).write.partitionBy(
-        "shard"
-    ).mode("overwrite").parquet(f"{tdir}/postings")
+    # same REBALANCE-by-shard layout rule as _write_index_batch
+    # (optimization round 9, guide §6): files ≈ n_shards per dataset
+    # instead of tasks × shards
+    drop_deleted(_union_reads(spark, batches, "postings")).hint(
+        "rebalance", "shard"
+    ).write.partitionBy("shard").mode("overwrite").parquet(
+        f"{tdir}/postings"
+    )
     termdocs = drop_deleted(
         _union_reads(spark, batches, "termdocs")
     ).persist()
-    termdocs.write.partitionBy("shard").mode("overwrite").parquet(
-        f"{tdir}/termdocs"
-    )
+    termdocs.hint("rebalance", "shard").write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(f"{tdir}/termdocs")
     termdocs.groupBy("shard", "th").agg(
         F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl")
-    ).write.partitionBy("shard").mode("overwrite").parquet(
-        f"{tdir}/termcaps"
-    )
+    ).hint("rebalance", "shard").write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(f"{tdir}/termcaps")
     termdocs.unpersist()
     dl = drop_deleted(_union_reads(spark, batches, "doclen")).persist()
-    dl.write.mode("overwrite").parquet(f"{tdir}/doclen")
+    dl.hint("rebalance").write.mode("overwrite").parquet(f"{tdir}/doclen")
     dl.agg(
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("S"),
         F.count(F.lit(1)).cast("bigint").alias("D"),

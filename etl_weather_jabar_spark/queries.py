@@ -12295,7 +12295,10 @@ def perceptron_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round's misclassified set + the final rollup
     feats = checkpoint(feats, reliable=True)
     lab = checkpoint(lab, reliable=True)
-    w = (
+    # initial weights: 64-row frame consumed by round 1's broadcast AND
+    # round 1's full-outer update — checkpoint so the init pass runs
+    # once (optimization round 9, §2.4; same rule as the per-round one)
+    w = checkpoint(
         feats.join(lab.select("doc_id", "y"), "doc_id")
         .groupBy("slot")
         .agg(F.sum(F.col("y") * F.col("c")).cast("bigint").alias("w"))
@@ -12328,6 +12331,13 @@ def perceptron_train_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("w"),
             )
         )
+        # materialize the round's weight vector (≤ _FH_DIM rows): the
+        # lazy chain re-executed every EARLIER round's m/mis/delta
+        # subtree each time a later round broadcast w — the same
+        # exponential re-execution pagerank_exact_int had before round
+        # 8. One tiny checkpoint per round caps each round at one
+        # execution (optimization round 9, guide §2.4).
+        w = checkpoint(w)
     mf = (
         feats.join(F.broadcast(w), "slot")
         .groupBy("doc_id")
@@ -12608,9 +12618,16 @@ def stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(landing)
     even = F.pmod(F.col("doc_id"), F.lit(2)) == 0
     src = docs.select("doc_id", "text")
+    # landing-file count (optimization round 9, guide §6 small-files,
+    # round-8 verdict item 1): a bare 32-way write landed 64 stream
+    # files; the file-source stream then pays listing + per-file open
+    # on every micro-batch plan. coalesce(4) narrows the staging write
+    # (no shuffle) to 8 landing files total — micro-batch sizing is a
+    # landing-zone layout choice, and the served ranking is a pure
+    # function of the union of inserted docs regardless of batching.
     for i, b in enumerate([src.where(even), src.where(~even)]):
         d = f"{tmp}/stage{i}"
-        b.write.json(d)
+        b.coalesce(4).write.json(d)
         for j, part in enumerate(sorted(glob.glob(f"{d}/part-*.json"))):
             os.rename(part, f"{landing}/b{i}_{j:04d}.json")
 
@@ -16880,7 +16897,9 @@ def classifier_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = checkpoint(feats, reliable=True)
     lab = checkpoint(lab, reliable=True)
     labt = lab.where(F.col("doc_id") % 2 == 0)
-    w = (
+    # initial weights checkpointed for the same two-consumer reason as
+    # perceptron_train_filter (optimization round 9, §2.4)
+    w = checkpoint(
         feats.join(labt.select("doc_id", "y"), "doc_id")
         .groupBy("slot")
         .agg(F.sum(F.col("y") * F.col("c")).cast("bigint").alias("w"))
@@ -16912,6 +16931,10 @@ def classifier_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("w"),
         )
+        # per-round weight checkpoint (≤ _FH_DIM rows) — see
+        # perceptron_train_filter: without it every later broadcast of
+        # w re-executes all earlier rounds (optimization round 9, §2.4)
+        w = checkpoint(w)
     mf = (
         feats.join(F.broadcast(w), "slot")
         .groupBy("doc_id")
