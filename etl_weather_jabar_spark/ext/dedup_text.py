@@ -1191,6 +1191,34 @@ def incremental_exact_substring_dedup(
     return out
 
 
+def incremental_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The exact signature frame :func:`incremental_lsh_neardup` signs
+    its batch with — (id, minhash, sig) where ``sig`` is the
+    ","-joined signature string. Exposed so a caller processing
+    SEVERAL slices of one corpus in a session (e.g. a store bootstrap
+    followed immediately by a probe batch) can sign the whole corpus in
+    ONE pass, materialize it once, and hand each call its slice via
+    ``presigned=`` — one corpus scan instead of one per call
+    (optimization round 9, guide §2.4)."""
+    return minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn
+    ).withColumn(
+        # "," separator, NOT "-": xxhash64 coordinates can be negative,
+        # and a "-"-joined signature mis-splits on the sign
+        "sig",
+        F.array_join(
+            F.transform(F.col("minhash"), lambda v: v.cast("string")), ","
+        ),
+    )
+
+
 def incremental_lsh_neardup(
     new_docs: DataFrame,
     index_path: str,
@@ -1203,6 +1231,7 @@ def incremental_lsh_neardup(
     max_bucket: int = 10_000,
     hash_fn: str = "xxhash64",
     sink=None,
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """Tier 3 at corpus-growth time: near-dup-dedup a NEW batch against
     the corpus's PERSISTED LSH index — the MinHash sibling of
@@ -1247,19 +1276,20 @@ def incremental_lsh_neardup(
     from ..snapshots import snapshot_read, snapshot_write
 
     spark = new_docs.sparkSession
-    sigs = checkpoint(
-        minhash_signatures(
-            new_docs, id_col, text_col, num_hashes, shingle_n,
-            hash_fn=hash_fn,
-        ).withColumn(
-            # "," separator, NOT "-": xxhash64 coordinates can be
-            # negative, and a "-"-joined signature mis-splits on the
-            # sign, misaligning the agreement comparison below
-            "sig",
-            F.array_join(
-                F.transform(F.col("minhash"), lambda v: v.cast("string")),
-                ",",
-            ),
+    # ``presigned``: the caller already ran (and materialized) the
+    # signature pass for this batch — e.g. one corpus-wide
+    # :func:`incremental_signatures` shared between a bootstrap and a
+    # probe call (optimization round 9, guide §2.4: one exchange, two
+    # consumers). Must be exactly ``incremental_signatures`` of
+    # ``new_docs`` under the same parameters; rows are taken as-is.
+    sigs = (
+        presigned
+        if presigned is not None
+        else checkpoint(
+            incremental_signatures(
+                new_docs, id_col, text_col, num_hashes, shingle_n,
+                hash_fn=hash_fn,
+            )
         )
     )
     banded = bands_from_signatures(
@@ -1355,7 +1385,14 @@ def incremental_lsh_neardup(
         .select(F.col("b." + id_col).alias(id_col))
         .distinct()
     )
-    dropped = (
+    # dropped is id-only (batch-bounded, tiny) but its upstream is the
+    # expensive part of the gate (index candidate join + both signature
+    # agreement verifications). survivors is consumed up to THREE times
+    # (sink, the banded index append below, and the caller's use of the
+    # return value) and each consumption re-ran the whole agreement
+    # chain — materialize the drop decision once (optimization round 9,
+    # guide §2.4).
+    dropped = checkpoint(
         dropped_batch if dropped_new is None
         else dropped_new.unionByName(dropped_batch).distinct()
     )

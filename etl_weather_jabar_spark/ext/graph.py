@@ -29,10 +29,58 @@ iteration and analysis time, not compute, becomes the bottleneck.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..planmode import checkpoint, converged, is_plan_only, loop_rounds
+
+# Small-graph fast path (optimization round 9, guide §1.2): near-dup
+# detectors emit SPARSE edge sets (banding bounds cluster sizes), so at
+# bench scale the min-label loop's cost is pure per-round scheduling —
+# measured 1.25 s for a 256-edge graph (~4 rounds × 3 tiny jobs) while
+# a driver union-find is one collect. At or under this many symmetrized
+# edges the exact component labeling runs on the driver (same bounded-
+# collect convention as the MaxScore caps and IVF centroid pulls; 2^16
+# edges ≈ a few MB). Above it — any truly corpus-scale graph — the
+# distributed loop below is unchanged. Env knob for production tuning.
+_DRIVER_CC_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_CC_MAX_EDGES", "65536")
+)
+
+
+def _driver_components(sym: DataFrame) -> DataFrame:
+    """Exact union-find over a collected (u, v) edge list: every node
+    labeled with the MINIMUM node id reachable — bit-identical to the
+    min-label propagation fixpoint."""
+    rows = sym.collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id: the root is always the component minimum,
+            # so the final label read needs no second pass
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    out = [(n, find(n)) for n in sorted(parent)]
+    return sym.sparkSession.createDataFrame(
+        out, "node bigint, component bigint"
+    )
 
 
 def connected_components(
@@ -58,6 +106,12 @@ def connected_components(
         )
     ).distinct()
     sym = checkpoint(sym)
+
+    # size-gated driver fast path (module doc above): the checkpointed
+    # edge count is one cheap cached-read job; plan-only mode never
+    # runs jobs and always audits the distributed loop shape
+    if not is_plan_only() and sym.count() <= _DRIVER_CC_MAX_EDGES:
+        return _driver_components(sym)
 
     labels = checkpoint(
         sym.select(F.col("u").alias("node"))

@@ -414,7 +414,11 @@ def wordpiece_doc_stats(
     srcw = checkpoint(srcw)
     words = checkpoint(srcw.groupBy("w").agg(F.sum("f").alias("f")))
     vocab = substring_vocab(words, max_len=max_len, top_k=top_k)
-    em = wordpiece_encode(words, vocab, max_len=max_len)
+    # em feeds TWO consumers (the per-source rollup join and the
+    # distinct-piece join) — without materialization the whole greedy
+    # fold re-executes per consumer (optimization round 9, guide §2.4;
+    # vocabulary-sized: ~pieces-per-word rows per distinct word)
+    em = checkpoint(wordpiece_encode(words, vocab, max_len=max_len))
     encw = em.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
         F.max((F.col("piece") == UNK).cast("int")).alias("has_unk"),
@@ -952,8 +956,14 @@ def unigram_doc_stats(
     scores = unigram_train_scores(
         words, max_len=max_len, seed_top_k=seed_top_k, keep_top_k=keep_top_k
     )
-    em = unigram_pieces(
-        unigram_viterbi_encode(words, scores, max_len=max_len)
+    # em feeds TWO consumers (the per-source rollup join and the
+    # distinct-piece join) — without materialization the trained-vocab
+    # Viterbi fold re-executes per consumer (optimization round 9,
+    # guide §2.4; vocabulary-sized, same rule as wordpiece_doc_stats)
+    em = checkpoint(
+        unigram_pieces(
+            unigram_viterbi_encode(words, scores, max_len=max_len)
+        )
     )
     encw = em.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pieces"),

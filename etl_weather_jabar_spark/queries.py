@@ -3817,14 +3817,29 @@ def incremental_minhash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.coalesce("kept", F.lit(True)).alias("kept"))
         )
     store = tempfile.mkdtemp(prefix="mh_gate_q_") + "/store"
+    # ONE signature pass over the corpus shared by the store bootstrap
+    # and the probe batch (optimization round 9, guide §2.4): the two
+    # calls used to each scan the documents table and sign their
+    # disjoint slice — same total hash CPU, but two corpus scans and
+    # two signature jobs where one suffices. The slices of the one
+    # materialized frame are exactly what each call would have signed.
+    from .ext.dedup_text import incremental_signatures
+    from .planmode import checkpoint
+
+    sigs_all = checkpoint(incremental_signatures(docs, hash_fn="md5"))
     incremental_lsh_neardup(
         docs.where(F.pmod("doc_id", F.lit(3)) != 2),
         store,
         hash_fn="md5",
         threshold=0.7,
+        presigned=sigs_all.where(F.pmod("doc_id", F.lit(3)) != 2),
     )
     surv = incremental_lsh_neardup(
-        new, store, hash_fn="md5", threshold=0.7
+        new,
+        store,
+        hash_fn="md5",
+        threshold=0.7,
+        presigned=sigs_all.where(F.pmod("doc_id", F.lit(3)) == 2),
     )
     return (
         new.select("doc_id")
@@ -17211,6 +17226,13 @@ def neardup_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
+    # sh_rows feeds three consumers (both self-join sides + the size
+    # aggregate) but is deliberately NOT checkpointed: an explicit
+    # DISK_ONLY materialization of the corpus-wide shingle table was
+    # MEASURED 1.2 s SLOWER at sf0.1 (7.16 → 8.36, optimization round
+    # 9; guide §1 measure-first) — the explode recomputes from the
+    # column-pruned scan cheaper than its full width writes+reads, and
+    # the size pass collapses map-side to one row per doc anyway.
     sh_rows = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("sg"),

@@ -427,6 +427,70 @@ def test_incremental_lsh_neardup_corpus_growth(spark, tmp_path):
     assert all(len(r["sig"].split(",")) == 16 for r in rows)
 
 
+def test_incremental_lsh_neardup_presigned_matches(spark, tmp_path):
+    """The presigned fast path (one shared signature pass, round-9
+    optimization) must decide exactly what the internal signing does:
+    same survivors per batch, same persisted index rows."""
+    import hashlib
+
+    from etl_weather_jabar_spark.ext.dedup_text import (
+        incremental_lsh_neardup,
+        incremental_signatures,
+    )
+    from etl_weather_jabar_spark.snapshots import snapshot_read
+
+    def words(seed, n=40):
+        return " ".join(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:5]
+            for i in range(n)
+        )
+
+    rows = [
+        (1, words("x")),
+        (2, words("x")),
+        (3, words("c")),
+        (10, words("x")),
+        (11, words("e")),
+        (12, words("e")),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    b1 = docs.where("doc_id < 10")
+    b2 = docs.where("doc_id >= 10")
+
+    idx_a = str(tmp_path / "idx_internal")
+    s1a = {
+        r["doc_id"]
+        for r in incremental_lsh_neardup(b1, idx_a, threshold=0.7).collect()
+    }
+    s2a = {
+        r["doc_id"]
+        for r in incremental_lsh_neardup(b2, idx_a, threshold=0.7).collect()
+    }
+
+    idx_b = str(tmp_path / "idx_presigned")
+    sigs = incremental_signatures(docs).localCheckpoint()
+    s1b = {
+        r["doc_id"]
+        for r in incremental_lsh_neardup(
+            b1, idx_b, threshold=0.7,
+            presigned=sigs.where("doc_id < 10"),
+        ).collect()
+    }
+    s2b = {
+        r["doc_id"]
+        for r in incremental_lsh_neardup(
+            b2, idx_b, threshold=0.7,
+            presigned=sigs.where("doc_id >= 10"),
+        ).collect()
+    }
+    assert s1a == s1b and s2a == s2b
+
+    key = lambda r: (r["band"], r["bucket"], r["doc_id"], r["sig"])  # noqa: E731
+    assert sorted(
+        map(key, snapshot_read(spark, idx_a).collect())
+    ) == sorted(map(key, snapshot_read(spark, idx_b).collect()))
+
+
 def test_incremental_exact_substring_dedup_corpus_growth(spark, tmp_path):
     """ExactSubstr at corpus growth: the first batch (empty index)
     equals batch mode exactly; a later batch's spans duplicating

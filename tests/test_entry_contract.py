@@ -31,13 +31,17 @@ def test_every_oracle_key_has_query():
     assert len(q) >= 25
 
 
-def test_queries_run_and_alias_consistently(spark):
-    """Each query must run at sf0.001; oracle column names must appear in
-    the SQL text (cheap alias-drift guard)."""
+def test_queries_run_and_alias_consistently(spark, all_query_frames):
+    """Each query must construct and run its build phase at sf0.001;
+    oracle column names must appear in the SQL text (cheap alias-drift
+    guard). Construction is shared with the plan-quality gate via the
+    session fixture — one registry pass instead of two (round 9)."""
+    frames, errors = all_query_frames
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    for name, fn in q.items():
-        df = fn(spark, "/root/testdata/sf0.001")
+    assert not errors, f"queries failed to build: {errors}"
+    assert set(frames) == set(q)
+    for name, df in frames.items():
         cols = df.columns
         assert len(cols) == len(set(cols)), f"{name}: duplicate column names"
         if name in o:

@@ -50,10 +50,46 @@ def test_star_contraction_handles_long_chain_in_log_rounds(spark):
     assert got == {i: 0 for i in range(33)}
 
 
-def test_nonconvergence_raises(spark):
+def test_nonconvergence_raises(spark, monkeypatch):
+    # force the distributed loop: the driver fast path (round 9) always
+    # converges, so the iteration bound only exists on the loop form
+    import etl_weather_jabar_spark.ext.graph as graph_mod
+
+    monkeypatch.setattr(graph_mod, "_DRIVER_CC_MAX_EDGES", -1)
     edges = [(i + 1, i) for i in range(1, 9)]  # 9-chain needs >1 round
     with pytest.raises(RuntimeError, match="did not converge"):
         _components(spark, edges, max_iter=1)
+
+
+def test_driver_fast_path_matches_loop_form(spark, monkeypatch):
+    """The size-gated driver union-find (round 9) must label exactly like
+    the distributed min-label loop — same nodes, same min-id components —
+    on adversarial shapes: chains, triangles+bridges, self-loop-free
+    duplicates, singleton-free edge soup."""
+    import random
+
+    import etl_weather_jabar_spark.ext.graph as graph_mod
+
+    rng = random.Random(907)
+    cases = [
+        [(2, 1), (3, 2), (4, 3), (5, 4)],
+        [(45, 413), (267, 413), (45, 267), (8, 245)],
+        [(i + 1, i) for i in range(20)],
+    ]
+    for _ in range(3):
+        n = rng.randint(5, 40)
+        cases.append(
+            [
+                (rng.randint(0, n), rng.randint(0, n))
+                for _ in range(rng.randint(1, 60))
+            ]
+        )
+    for edge_list in cases:
+        fast = _components(spark, edge_list)  # under the 2^16 gate
+        monkeypatch.setattr(graph_mod, "_DRIVER_CC_MAX_EDGES", -1)
+        loop = _components(spark, edge_list)
+        monkeypatch.undo()
+        assert fast == loop, edge_list
 
 
 def test_lsh_clusters_contain_same_banding_candidates(spark):

@@ -32,13 +32,14 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_no_cartesian_and_whitelisted_nested_loops(spark):
+def test_no_cartesian_and_whitelisted_nested_loops(spark, all_query_frames):
     from tools.plan_audit import EXPECTED_NESTED_LOOP
 
-    cartesian, stray_bnlj, errors = [], [], []
-    for name in sorted(QUERIES):
+    frames, build_errors = all_query_frames
+    cartesian, stray_bnlj, errors = [], [], list(build_errors.items())
+    for name in sorted(frames):
         try:
-            plan = _plan(spark, name)
+            plan = frames[name]._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover - surfaced in assert
             errors.append((name, repr(e)[:200]))
             continue

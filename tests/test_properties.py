@@ -103,7 +103,12 @@ def test_dec_sum_is_exact(spark, cents):
     ),
     bucket=st.integers(1, 10),
 )
-@settings(max_examples=8, deadline=None)
+# 5 examples (was 8): each example costs ~13 s of fixed per-job Spark
+# overhead regardless of data size, and the property space (tiny int
+# lists) is exercised identically by hypothesis shrinking — part of
+# fitting the suite inside the driver's pytest budget (round-9, verdict
+# item 2a)
+@settings(max_examples=5, deadline=None)
 def test_range_join_bucketed_equivalence(spark, facts, intervals, bucket):
     from pyspark.sql import functions as F
 

@@ -1172,9 +1172,15 @@ def test_vector_ingest_cadence_compaction_bounds_segments(spark, tmp_path):
 
     idx1 = str(tmp_path / "cadence")
     save_ivfpq_residual_index(base, idx1, cents)
+    # 3 ingest batches (was 4): the cadence contract — compaction fires
+    # when live appends exceed the bound, the bound holds over the whole
+    # ingest, final serve equals one-shot — needs at least one
+    # over-bound trip (3 appends gives it); the 4th batch only re-proved
+    # the same transition for ~20 s more wall clock (round-9 pytest
+    # budget, verdict item 2a)
     max_live = []
-    for b in range(4):
-        lo, hi = 16 + b * 6, 16 + (b + 1) * 6
+    for b in range(3):
+        lo, hi = 16 + b * 8, 16 + (b + 1) * 8
         append_to_vector_index(
             emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
             idx1,
