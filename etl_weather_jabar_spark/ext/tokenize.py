@@ -554,10 +554,18 @@ def _unigram_viterbi_inline(
     def map_lit(d):
         if not d:
             return None
-        args = []
-        for p in sorted(d):
-            args += [F.lit(p), F.lit(d[p]).cast("bigint")]
-        return F.create_map(*args)
+        # ONE map literal built from two array literals instead of
+        # create_map's 2·|vocab| literal children (optimization round
+        # 9, verdict item 7): every s1/s2/s3 lookup below is duplicated
+        # ~9× through the candidate/decode expansion, so a ~100-node
+        # map subtree became thousands of analyzed nodes per plan —
+        # map_from_arrays keeps each lookup at ~4 nodes. Catalyst
+        # constant-folds both forms to the same MapData literal, so the
+        # evaluated expression (and the encode output) is unchanged.
+        keys = sorted(d)
+        return F.map_from_arrays(
+            F.lit(keys), F.lit([d[k] for k in keys]).cast("array<bigint>")
+        )
 
     m1, m2, m3 = map_lit(maps[1]), map_lit(maps[2]), map_lit(maps[3])
     nb = F.lit(None).cast("bigint")
