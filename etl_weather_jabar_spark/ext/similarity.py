@@ -655,9 +655,15 @@ def save_ivfpq_index(
             lambda x: x.code,
         ).alias("codes")
     )
-    assigned.join(packed, on=id_col).write.partitionBy("cid").mode(
-        "overwrite"
-    ).parquet(f"{path}/lists")
+    # REBALANCE-by-cid before every partitioned lists write (guide §6
+    # small-files, optimization round 9 — the same layout rule as the
+    # text index in ext/search.py): a bare partitionBy("cid") write from
+    # T tasks creates up to T×|cids| files (measured 150–270 per vector
+    # segment locally); clustering each cid into one task makes files ≈
+    # live cids and sizes track the AQE advisory partition size.
+    assigned.join(packed, on=id_col).hint("rebalance", "cid").write.partitionBy(
+        "cid"
+    ).mode("overwrite").parquet(f"{path}/lists")
     spark.createDataFrame(
         [(int(c), [int(x) for x in v]) for c, v in centroids],
         schema="cid INT, cv ARRAY<BIGINT>",
@@ -861,9 +867,9 @@ def save_ivfpq_residual_index(
             lambda x: x.code,
         ).alias("codes")
     )
-    res.select(id_col, "cid").join(packed, on=id_col).write.partitionBy(
-        "cid"
-    ).mode("overwrite").parquet(f"{path}/lists")
+    res.select(id_col, "cid").join(packed, on=id_col).hint(
+        "rebalance", "cid"
+    ).write.partitionBy("cid").mode("overwrite").parquet(f"{path}/lists")
     # bloom from the WRITTEN lists (column-pruned id scan) — building
     # it from `res` would re-run the whole assignment lineage
     _vec_bloom_write(
@@ -1303,9 +1309,9 @@ def append_to_vector_index(
             ).alias("codes")
         )
         seg = res.select(id_col, "cid").join(packed, on=id_col)
-        seg.write.partitionBy("cid").mode("overwrite").parquet(
-            f"{adir}/lists"
-        )
+        seg.hint("rebalance", "cid").write.partitionBy("cid").mode(
+            "overwrite"
+        ).parquet(f"{adir}/lists")
         written = spark.read.parquet(f"{adir}/lists")
         _vec_bloom_write(
             written.select(id_col), id_col, f"{adir}/idbloom"
@@ -1436,9 +1442,9 @@ def _compact_vector_tier(
         DataFrame.unionByName,
         [spark.read.parquet(f"{v}/lists") for v in victims],
     )
-    merged.write.partitionBy("cid").mode("overwrite").parquet(
-        f"{tdir}/lists"
-    )
+    merged.hint("rebalance", "cid").write.partitionBy("cid").mode(
+        "overwrite"
+    ).parquet(f"{tdir}/lists")
     written = spark.read.parquet(f"{tdir}/lists")
     _vec_bloom_write(written.select(id_col), id_col, f"{tdir}/idbloom")
     written.agg(
@@ -1523,9 +1529,9 @@ def compact_vector_index(
             [spark.read.parquet(f"{d}/ids") for d in live_deletes],
         ).select(id_col)
         lists = lists.join(tomb, on=id_col, how="left_anti")
-    lists.write.partitionBy("cid").mode("overwrite").parquet(
-        f"{gdir}/lists"
-    )
+    lists.hint("rebalance", "cid").write.partitionBy("cid").mode(
+        "overwrite"
+    ).parquet(f"{gdir}/lists")
     # rebuilt (not OR'd) so physically-removed tombstoned ids drop out
     _vec_bloom_write(
         spark.read.parquet(f"{gdir}/lists").select(id_col),
@@ -1655,7 +1661,9 @@ def save_ivf_index(
         corpus, n_clusters, iters, id_col, vec_col
     )
     assigned = _assign_nearest(spread(corpus), cents, id_col, vec_col)
-    assigned.write.partitionBy("cid").mode("overwrite").parquet(f"{path}/lists")
+    assigned.hint("rebalance", "cid").write.partitionBy("cid").mode(
+        "overwrite"
+    ).parquet(f"{path}/lists")
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cents],
         schema="cid INT, cv ARRAY<DOUBLE>",
@@ -1739,7 +1747,9 @@ def append_to_ivf_index(
     """
     cents = load_ivf_centroids(new_rows.sparkSession, path)
     assigned = _assign_nearest(spread(new_rows), cents, id_col, vec_col)
-    assigned.write.partitionBy("cid").mode("append").parquet(f"{path}/lists")
+    assigned.hint("rebalance", "cid").write.partitionBy("cid").mode(
+        "append"
+    ).parquet(f"{path}/lists")
 
 
 def ivf_index_stats(spark, path: str, vec_col: str = "embedding") -> DataFrame:
@@ -1813,7 +1823,9 @@ def recluster_ivf_index(
             ]
         assigned = _assign_nearest(vecs, cents, id_col, vec_col)
         tmp_lists = f"{path}/lists.tmp"
-        assigned.write.partitionBy("cid").mode("overwrite").parquet(tmp_lists)
+        assigned.hint("rebalance", "cid").write.partitionBy("cid").mode(
+            "overwrite"
+        ).parquet(tmp_lists)
     finally:
         vecs.unpersist()
     shutil.rmtree(f"{path}/lists")
@@ -2400,7 +2412,9 @@ def incremental_semantic_dedup(
     kept = checkpoint(kept)
     if sink is not None:
         sink(kept)
-    kept.write.partitionBy("cid").mode("append").parquet(index_path)
+    kept.hint("rebalance", "cid").write.partitionBy("cid").mode(
+        "append"
+    ).parquet(index_path)
     return kept
 
 
